@@ -1,0 +1,210 @@
+"""``Flow`` — the reference's fluent collection surface over DataFrames.
+
+Reference parity (SURVEY.md §2.2-2.4; /root/reference/src/flow.rs):
+
+=============================  =======================================
+reference (src/flow.rs)         here
+=============================  =======================================
+``Flow::new`` (:215)            ``Flow.source(df)``
+``filter`` (:236)               ``Flow.filter`` → native predicate
+``map`` (:246)                  ``Flow.map`` → ``select`` of expressions
+``map_in_place`` (:259)         ``Flow.map_in_place`` → ``withColumns``
+``flat_map`` (:269)             ``Flow.flat_map`` → ``explode``
+``negate`` (:364)               ``Flow.negate`` (delta-space sign flip)
+``concat`` (:411)               ``Flow.concat`` → ``unionByName``
+``concat_many`` (:416)          ``Flow.concat_many``
+``distinct`` (:447)             ``Flow.distinct``
+``threshold`` (:452)            ``Flow.threshold`` (multiplicity rewrite)
+``count`` total (:460)          ``Flow.count_values``
+``monotonic_max_by`` (:286)     ``Flow.monotonic_max_by``
+``monotonic_representative_by``
+(:323)                          ``Flow.monotonic_representative_by``
+``group_by`` (:372)             ``Flow.group_by`` → ``Grouped``
+``inspect`` (:383)              ``Flow.inspect`` → ``df.observe``/log
+``output`` (:401)               ``Flow.df`` / delta layer (delta.py)
+=============================  =======================================
+
+Design notes:
+
+- The wrapped DataFrame *is* the logical plan; every method delegates to
+  a native DataFrame op so Catalyst sees the whole plan (pushdown,
+  pruning, join planning, whole-stage codegen — none of which the
+  single-threaded reference engine has, SURVEY.md §4).
+- The reference threads a ``Stateless``/``Stateful`` phantom type
+  (/root/reference/src/flow.rs:160-177) deciding whether restart must
+  replay history; here it is a runtime bool with identical propagation
+  rules (any grouped/arranged op or user-stateful closure flips it).
+- Multiplicities: a DataFrame is already a multiset, so +N is N copies.
+  *Signed* multiplicities (retractions) live in an explicit ``delta``
+  column handled by :mod:`.delta`; ``negate``/``threshold`` here operate
+  in that delta space when present, else materialized-row space.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+from functools import reduce as _reduce
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DELTA_COL = "delta"
+
+
+def _cols(exprs: Sequence[Column | str]) -> list[Column]:
+    return [F.col(e) if isinstance(e, str) else e for e in exprs]
+
+
+class Flow:
+    """A typed multiset of records evolving over logical time
+    (/root/reference/src/flow.rs:179-213), as a thin DataFrame wrapper."""
+
+    def __init__(self, df: DataFrame, stateful: bool = False):
+        self.df = df
+        self.stateful = stateful
+
+    # -- sources (S1/S2) ------------------------------------------------
+    @classmethod
+    def source(cls, df: DataFrame) -> "Flow":
+        """S1 ``Flow::new`` — wrap a source DataFrame."""
+        return cls(df)
+
+    @classmethod
+    def source_limited(cls, df: DataFrame, ts_col: str, lookback_expr: str) -> "Flow":
+        """S2 ``Flow::new_limited`` (/root/reference/src/flow.rs:222-231):
+        bounded look-back — a source-side predicate (partition-prunable),
+        e.g. ``lookback_expr='INTERVAL 365 DAYS'`` keeps only events whose
+        ts is within the horizon of the max ts."""
+        horizon = df.select(F.max(ts_col).alias("m")).withColumn("cutoff", F.expr(f"m - {lookback_expr}"))
+        return cls(df.join(F.broadcast(horizon), df[ts_col] >= horizon["cutoff"], "inner").drop("m", "cutoff"))
+
+    def _wrap(self, df: DataFrame, stateful: bool | None = None) -> "Flow":
+        return Flow(df, self.stateful if stateful is None else stateful)
+
+    # -- stateless row ops (F1-F6) -------------------------------------
+    def filter(self, predicate: Column | str) -> "Flow":
+        """F1 — native predicate; Catalyst pushes it to the scan."""
+        return self._wrap(self.df.filter(predicate))
+
+    def filter_mut(self, predicate: Column | str) -> "Flow":
+        """F2 — semantically identical in plan space, but flips the
+        stateful marker (reference poisons the flow, src/flow.rs:241-243)."""
+        return self._wrap(self.df.filter(predicate), stateful=True)
+
+    def map(self, *exprs: Column | str) -> "Flow":
+        """F3 — 1:1, type-changing transform = projection."""
+        return self._wrap(self.df.select(*_cols(exprs)))
+
+    def map_mut(self, *exprs: Column | str) -> "Flow":
+        """F4 — stateful-marked map."""
+        return self._wrap(self.df.select(*_cols(exprs)), stateful=True)
+
+    def map_in_place(self, **named_exprs: Column) -> "Flow":
+        """F5 — 1:1 transform keeping the record type (column overwrite)."""
+        return self._wrap(self.df.withColumns(named_exprs))
+
+    def flat_map(self, expr: Column, alias: str, keep: Sequence[str] = ()) -> "Flow":
+        """F6 — 1:many via explode of an array-producing expression."""
+        return self._wrap(self.df.select(*keep, F.explode(expr).alias(alias)))
+
+    def map_in_pandas(self, fn, schema) -> "Flow":
+        """F3/F6 escape hatch for non-expressible transforms: Arrow-batched
+        ``mapInPandas`` (never row-at-a-time Python UDFs in the hot path)."""
+        return self._wrap(self.df.mapInPandas(fn, schema), stateful=True)
+
+    # -- union / set-like (U1-U5, F7) ----------------------------------
+    def concat(self, other: "Flow") -> "Flow":
+        """U1 — multiset union; multiplicities add."""
+        return self._wrap(self.df.unionByName(other.df), stateful=self.stateful or other.stateful)
+
+    def concat_many(self, *others: "Flow") -> "Flow":
+        """U2 — n-ary union."""
+        return _reduce(lambda a, b: a.concat(b), others, self)
+
+    def negate(self) -> "Flow":
+        """F7 — flip multiplicities. Requires delta space: adds a
+        ``delta`` column (all −1, or sign-flipped if already present)."""
+        if DELTA_COL in self.df.columns:
+            return self._wrap(self.df.withColumn(DELTA_COL, -F.col(DELTA_COL)))
+        return self._wrap(self.df.withColumn(DELTA_COL, F.lit(-1)))
+
+    def distinct(self) -> "Flow":
+        """U3 — multiplicity→1."""
+        return self._wrap(self.df.distinct(), stateful=True)
+
+    def threshold(self, fn: Callable[[Column], Column]) -> "Flow":
+        """U4 — arbitrary multiplicity rewrite ``f(mult)->mult``
+        (/root/reference/src/flow.rs:452-457). Materialized-row space:
+        count copies per value, rewrite the count, re-expand. The
+        re-expansion uses ``explode(array_repeat)`` — fine for small
+        multiplicities (the only use in the wild is distinct-like
+        clipping); delta-space pipelines keep the count as ``delta``."""
+        cols = [c for c in self.df.columns if c != DELTA_COL]
+        counted = self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_mult"))
+        rewritten = counted.withColumn("_mult", fn(F.col("_mult")).cast("int")).filter(F.col("_mult") > 0)
+        expanded = rewritten.select(*cols, F.explode(F.array_repeat(F.lit(1), F.col("_mult"))).alias("_one")).drop(
+            "_one"
+        )
+        return self._wrap(expanded, stateful=True)
+
+    def count_values(self) -> "Flow":
+        """U5 — global per-value count: ``Flow<T> -> Flow<(T, count)>``."""
+        cols = [c for c in self.df.columns if c != DELTA_COL]
+        return self._wrap(self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count")), stateful=True)
+
+    def except_all(self, other: "Flow") -> "Flow":
+        """Set difference (reference idiom: concat + negate + threshold,
+        SURVEY.md §2.3) — native ``exceptAll``."""
+        return self._wrap(self.df.exceptAll(other.df), stateful=True)
+
+    def intersect_all(self, other: "Flow") -> "Flow":
+        """Multiset intersection — native ``intersectAll``."""
+        return self._wrap(self.df.intersectAll(other.df), stateful=True)
+
+    # -- monotonic ops (M1, M2) ----------------------------------------
+    def monotonic_max_by(self, key: Column | str, sort_key: Column | str) -> "Flow":
+        """M1 (/root/reference/src/flow.rs:286-321): per key retain the max
+        element ever seen. Batch form: ``max_by(struct(all), sort_key)``
+        — a hash aggregate with map-side partial combine; no window sort,
+        no shuffle beyond the single keyed exchange."""
+        k = F.col(key) if isinstance(key, str) else key
+        s = F.col(sort_key) if isinstance(sort_key, str) else sort_key
+        all_struct = F.struct(*[F.col(c) for c in self.df.columns])
+        out = (
+            self.df.groupBy(k.alias("_k"))
+            .agg(F.max_by(all_struct, s).alias("_rec"))
+            .select("_rec.*")
+        )
+        return self._wrap(out, stateful=True)
+
+    def monotonic_representative_by(self, key: Column | str, order_key: Column | str) -> "Flow":
+        """M2 (/root/reference/src/flow.rs:323-361): per key keep the first
+        element seen. "First seen" is nondeterministic in a distributed
+        engine, so (per SURVEY.md §7.4) it is pinned to min-by-order_key
+        (lamport) — deterministic and equal to arrival order for an
+        ordered log."""
+        k = F.col(key) if isinstance(key, str) else key
+        o = F.col(order_key) if isinstance(order_key, str) else order_key
+        all_struct = F.struct(*[F.col(c) for c in self.df.columns])
+        out = (
+            self.df.groupBy(k.alias("_k"))
+            .agg(F.min_by(all_struct, o).alias("_rec"))
+            .select("_rec.*")
+        )
+        return self._wrap(out, stateful=True)
+
+    # -- grouping (G1/G2) ----------------------------------------------
+    def group_by(self, *key_exprs: Column | str) -> "Grouped":
+        """G1 — key the collection; the reference builds a sorted in-memory
+        arrangement here (src/flow.rs:372-380); Spark's shuffle exchange is
+        the distributed equivalent and Catalyst plans/reuses it."""
+        from .grouped import Grouped
+
+        return Grouped(self.df, _cols(key_exprs), stateful=True)
+
+    # -- diagnostics (F8/F9) -------------------------------------------
+    def inspect(self, *metrics: Column) -> "Flow":
+        """F8 — side-effect-free observation via ``df.observe`` metrics."""
+        return self._wrap(self.df.observe(f"inspect_{id(self)}", *metrics))
+
+    # probe (F9) has no batch analog: completion of an action == epoch done.

@@ -1,0 +1,10 @@
+from .scalar import (
+    ns_micros,
+    dec,
+    dec_mul_sum,
+    dec_sum,
+    safe_avg,
+    ts_micros,
+)
+
+__all__ = ["dec", "dec_sum", "dec_mul_sum", "ns_micros", "safe_avg", "ts_micros"]

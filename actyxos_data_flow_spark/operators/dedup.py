@@ -1,0 +1,187 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard.
+
+Every primitive here is built from *engine-portable* building blocks
+(md5, string ops, array lambdas) so DuckDB oracles can replicate the
+pipeline bit-for-bit — randomized hashing is derandomized by seeding
+(``md5(shingle || '#' || seed)``), which also makes results reproducible
+across runs and cluster topologies.
+
+Scale design (the point of these ops at 100 TB):
+
+- Exact dedup: hash-groupBy on a digest of the content — one shuffle of
+  (digest, id), never the payload.
+- MinHash: signatures computed in a single pass over the exploded
+  shingle inverted index (k ``min()`` aggregates, map-side combined); no
+  per-seed re-scan.
+- LSH banding: candidate generation is an equi-join on (band, signature)
+  buckets — the only pairwise work happens inside buckets, never a cross
+  product. Bucket skew (a degenerate signature shared by millions of
+  docs) is the classic failure: AQE skew-join splitting plus an optional
+  bucket-size cap handle it.
+- Verification: exact Jaccard only on LSH candidates, via inverted-index
+  intersection counting (join on shingle), not set materialization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace tokens as an array column ``tokens``."""
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct word n-gram shingles: (id, shingle). Docs with < n tokens
+    drop out (both here and in oracles)."""
+    toks = tokenize(df, text_col).select(id_col, "tokens").filter(F.size("tokens") >= n)
+    sh = toks.select(
+        id_col,
+        F.explode(
+            F.expr(f"transform(sequence(1, size(tokens) - {n - 1}), i -> concat_ws(' ', slice(tokens, i, {n})))")
+        ).alias("shingle"),
+    )
+    return sh.distinct()
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via content digest: per digest keep the minimum id
+    (M2 representative semantics) + duplicate count. Only (digest, id)
+    shuffles; group sizes are tiny so no skew concern."""
+    return (
+        df.select(F.md5(F.col(text_col).cast("binary")).alias("digest"), F.col(id_col))
+        .groupBy("digest")
+        .agg(F.min(id_col).alias("representative"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8) -> DataFrame:
+    """MinHash signature per doc: h_s = min over shingles of
+    md5(shingle || '#' || s). One aggregate pass, k min() columns."""
+    aggs = [
+        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}")).cast("binary"))).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, band_size: int = 2
+) -> DataFrame:
+    """Band the signature (num_hashes/band_size bands) and emit unordered
+    candidate pairs sharing any band bucket. Pure equi-join on
+    (band, bucket_sig); distinct to dedupe multi-band hits."""
+    n_bands = num_hashes // band_size
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat(*[F.col(f"h{b * band_size + j}") for j in range(band_size)]).alias("sig"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bs"),
+    ).select(id_col, "bs.band", "bs.sig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")), "inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Exact Jaccard for given (id_a, id_b) pairs via inverted-index
+    intersection: join pair→shingles of a→shingles of b on equal shingle,
+    count, divide by |A|+|B|−∩. Candidates are few relative to the
+    corpus → broadcast them onto the shingle index."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        F.broadcast(pairs)
+        .join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias(
+                "jaccard"
+            ),
+        )
+    )
+
+
+SIMHASH_BITS = 32
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over tokens, term-frequency weighted.
+
+    Bit j (1-based) of a token's hash = high bit of hex digit j of
+    md5(token) — i.e. ``substr(md5,j,1) >= '8'`` — which both Spark and
+    DuckDB compute identically without hex→int conversion. The doc's bit
+    j is 1 iff the weighted sum of ±1 over tokens is positive; output is
+    the 32-char bit string."""
+    toks = (
+        tokenize(df, text_col)
+        .select(id_col, F.explode("tokens").alias("tok"))
+        .groupBy(id_col, "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("h", F.md5(F.col("tok").cast("binary")))
+    )
+    bit_sums = toks.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.substring("h", j, 1) >= "8", F.col("cnt")).otherwise(-F.col("cnt"))).alias(f"s{j}")
+            for j in range(1, SIMHASH_BITS + 1)
+        ]
+    )
+    bits = F.concat(*[F.when(F.col(f"s{j}") > 0, "1").otherwise("0") for j in range(1, SIMHASH_BITS + 1)])
+    return bit_sums.select(id_col, bits.alias("simhash"))
+
+
+def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; pairs
+    sharing any full byte are candidates (guaranteed to catch all pairs
+    with hamming < 8 in some byte; standard pigeonhole blocking), then
+    exact hamming ≤ max_hamming via positionwise compare."""
+    bands = sig.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.substring("simhash", b * 8 + 1, 8).alias("piece")) for b in range(4)])
+        ).alias("bp"),
+    ).select(id_col, "simhash", "bp.band", "bp.piece")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.piece") == F.col("b.piece")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = sum(
+        (F.substring("sh_a", j, 1) != F.substring("sh_b", j, 1)).cast("int") for j in range(1, SIMHASH_BITS + 1)
+    )
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)

@@ -1,0 +1,216 @@
+"""Dedup queries over the ``documents`` corpus, with DuckDB oracles that
+replicate the (derandomized) hashing pipelines exactly.
+
+The oracle SQL strings are *generated* from the same parameters
+(num_hashes, band layout, simhash bit rule) as the Spark operators in
+operators/dedup.py, so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..sources import load_table
+from . import register
+
+NUM_HASHES = 8
+BAND_SIZE = 2
+JACCARD_THRESHOLD = 0.5
+SIMHASH_BITS = D.SIMHASH_BITS
+
+# Shared oracle CTEs: distinct 3-gram shingles per doc ---------------------
+
+_SHINGLES_CTE = """
+tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(generate_series(1, len(tokens) - 2),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+  ) AS shingle
+  FROM tok
+)
+"""
+
+# -- exact dedup -----------------------------------------------------------
+
+EXACT_ORACLE = """
+SELECT md5(text) AS digest, min(doc_id) AS representative, count(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+@register("dedup_exact", oracle=EXACT_ORACLE)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+# -- minhash signatures ----------------------------------------------------
+
+_mh_cols = ",\n       ".join(
+    f"min(md5(shingle || '#{s}')) AS h{s}" for s in range(NUM_HASHES)
+)
+MINHASH_SIG_ORACLE = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id,
+       {_mh_cols}
+FROM sh GROUP BY doc_id
+"""
+
+
+@register("dedup_minhash_signatures", oracle=MINHASH_SIG_ORACLE)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(D.shingles(docs), num_hashes=NUM_HASHES)
+
+
+# -- minhash + LSH + jaccard verification (the full near-dup pipeline) -----
+
+_band_rows = ",\n    ".join(
+    f"({b}, h{b * BAND_SIZE} || h{b * BAND_SIZE + 1})" for b in range(NUM_HASHES // BAND_SIZE)
+)
+MINHASH_PAIRS_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM sh GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band, b.s AS sig_piece
+  FROM sig, LATERAL (VALUES {_band_rows}) AS b(band, s)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.sig_piece = b.sig_piece
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_pairs", oracle=MINHASH_PAIRS_ORACLE, bench=True)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash → LSH banding → exact-Jaccard verification ≥ 0.5.
+
+    The LSH stage bounds pairwise work to same-bucket collisions; the
+    verify stage touches only candidates. At 100 TB this is the standard
+    near-dup shape (the verify join broadcasts candidates onto the
+    shingle inverted index)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
+    cand = D.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    return D.jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# -- exact n-gram jaccard (no LSH; inverted-index blocked) -----------------
+
+NGRAM_JACCARD_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_ngram_jaccard", oracle=NGRAM_JACCARD_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exhaustive n-gram Jaccard via shingle inverted index (all pairs
+    sharing ≥1 shingle). Exact-recall counterpart to the LSH pipeline;
+    at scale you run the LSH variant — this one's cost grows with the
+    square of per-shingle document frequency."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    return D.jaccard_on_pairs(pairs, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# -- simhash ---------------------------------------------------------------
+
+_sums = ",\n       ".join(
+    f"sum(CASE WHEN substr(h, {j}, 1) >= '8' THEN cnt ELSE -cnt END) AS s{j}"
+    for j in range(1, SIMHASH_BITS + 1)
+)
+_bits = " || ".join(f"(CASE WHEN s{j} > 0 THEN '1' ELSE '0' END)" for j in range(1, SIMHASH_BITS + 1))
+SIMHASH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counted AS (
+  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h FROM toks GROUP BY 1, 2
+),
+sums AS (
+  SELECT doc_id,
+       {_sums}
+  FROM counted GROUP BY doc_id
+)
+SELECT doc_id, {_bits} AS simhash FROM sums
+"""
+
+
+@register("dedup_simhash", oracle=SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(load_table(spark, sf_dir, "documents"))
+
+
+_hamming = " + ".join(
+    f"(CASE WHEN substr(a.simhash, {j}, 1) <> substr(b.simhash, {j}, 1) THEN 1 ELSE 0 END)"
+    for j in range(1, SIMHASH_BITS + 1)
+)
+SIMHASH_PAIRS_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counted AS (
+  SELECT doc_id, tok, count(*) AS cnt, md5(tok) AS h FROM toks GROUP BY 1, 2
+),
+sums AS (
+  SELECT doc_id, {_sums}
+  FROM counted GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {_bits} AS simhash FROM sums),
+bands AS (
+  SELECT doc_id, simhash, b.band, substr(simhash, b.band * 8 + 1, 8) AS piece
+  FROM sig, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.piece = b.piece
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({_hamming.replace('a.simhash', 'sh_a').replace('b.simhash', 'sh_b')}) AS hamming
+FROM cand
+WHERE ({_hamming.replace('a.simhash', 'sh_a').replace('b.simhash', 'sh_b')}) <= 6
+"""
+
+
+@register("dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = D.simhash(load_table(spark, sf_dir, "documents"))
+    return D.simhash_near_pairs(sig, max_hamming=6)

@@ -1,0 +1,354 @@
+"""Operator-inventory queries: one named query per SURVEY.md §2 operator
+family not already covered by the example workloads (reference.py).
+
+Each query exercises the Flow/Grouped surface end-to-end against the
+synthetic tables and carries a DuckDB oracle. Where an operator is a
+plan-shape no-op in Spark (ungroup, regroup, inspect, probe) it is
+covered by pytest instead of an oracle query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..delta import snapshot_diff
+from ..flow import Flow
+from ..sources import load_table
+from . import register
+
+# -- F1/F3: filter + map (native exprs; predicate pushed to parquet) -------
+
+F1_ORACLE = """
+SELECT l_orderkey, l_partkey,
+       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         AS net_price,
+       upper(l_returnflag) AS flag
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 10
+"""
+
+
+@register("f1_filter_map", oracle=F1_ORACLE)
+def f1_filter_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1 filter + F3 map as native expressions (scan-level pushdown)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        Flow.source(li)
+        .filter((F.col("l_shipdate") >= "1995-01-01") & (F.col("l_quantity") < 10))
+        .map(
+            "l_orderkey",
+            "l_partkey",
+            (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
+            .cast("double")
+            .alias("net_price"),
+            F.upper("l_returnflag").alias("flag"),
+        )
+        .df
+    )
+
+
+# -- F6: flat_map via explode ---------------------------------------------
+
+F6_ORACLE = """
+SELECT doc_id, unnest(string_split(text, ' ')) AS token
+FROM documents
+WHERE lang = 'en'
+"""
+
+
+@register("f6_flat_map_tokens", oracle=F6_ORACLE)
+def f6_flat_map_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6 flat_map — 1:many via explode(split); the tokenizer primitive
+    reused by the text-analysis and dedup pipelines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        Flow.source(docs)
+        .filter(F.col("lang") == "en")
+        .flat_map(F.split("text", " "), alias="token", keep=["doc_id"])
+        .df
+    )
+
+
+# -- U1/U2: concat (multiset union) ---------------------------------------
+
+U1_ORACLE = """
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'signup'
+UNION ALL
+SELECT event_id, user_id, event_type FROM events WHERE event_type = 'error'
+UNION ALL
+SELECT event_id, user_id, event_type FROM events WHERE value > 150
+"""
+
+
+@register("u1_concat", oracle=U1_ORACLE)
+def u1_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U1/U2 concat_many — multiset union (overlap rows appear twice,
+    multiplicities add)."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "value")
+    a = Flow.source(ev).filter(F.col("event_type") == "signup")
+    b = Flow.source(ev).filter(F.col("event_type") == "error")
+    c = Flow.source(ev).filter(F.col("value") > 150)
+    return a.concat_many(b, c).map("event_id", "user_id", "event_type").df
+
+
+# -- U3: distinct ----------------------------------------------------------
+
+U3_ORACLE = "SELECT DISTINCT user_id, event_type FROM events"
+
+
+@register("u3_distinct", oracle=U3_ORACLE)
+def u3_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return Flow.source(ev).map("user_id", "event_type").distinct().df
+
+
+# -- U4: threshold (multiplicity rewrite; here: clip at 3) -----------------
+
+U4_ORACLE = """
+WITH counted AS (
+  SELECT user_id, event_type, least(count(*), 3) AS m
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, event_type, unnest(range(m)) AS i FROM counted
+"""
+
+
+@register("u4_threshold_clip", oracle=U4_ORACLE)
+def u4_threshold_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U4 threshold — rewrite each (value)'s multiplicity to min(m,3) and
+    re-expand (generalizes distinct; /root/reference/src/flow.rs:452-457).
+    The expansion index is exposed so the oracle comparison sees identical
+    multisets."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    clipped = Flow.source(ev).threshold(lambda m: F.least(m, F.lit(3)))
+    # number the copies within each value for a deterministic comparison
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy(F.lit(1))
+    return clipped.df.withColumn("i", F.row_number().over(w).cast("long") - 1)
+
+
+# -- U5: global per-value count -------------------------------------------
+
+U5_ORACLE = "SELECT event_type, count(*) AS count FROM events GROUP BY 1"
+
+
+@register("u5_count_values", oracle=U5_ORACLE)
+def u5_count_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return Flow.source(ev).map("event_type").count_values().df
+
+
+# -- F7 + set ops: except_all / intersect_all ------------------------------
+
+SET_EXCEPT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+@register("set_except_all", oracle=SET_EXCEPT_ORACLE)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """concat + negate + threshold idiom (SURVEY.md §2.3) — native exceptAll."""
+    ev = load_table(spark, sf_dir, "events")
+    a = Flow.source(ev).filter(F.col("event_type") == "purchase").map("user_id")
+    b = Flow.source(ev).filter(F.col("event_type") == "error").map("user_id")
+    return a.except_all(b).df
+
+
+SET_INTERSECT_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'signup'
+"""
+
+
+@register("set_intersect_all", oracle=SET_INTERSECT_ORACLE)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    a = Flow.source(ev).filter(F.col("event_type") == "purchase").map("user_id")
+    b = Flow.source(ev).filter(F.col("event_type") == "signup").map("user_id")
+    return a.intersect_all(b).df
+
+
+# -- G3: inner equi-join (1:many combiner) ---------------------------------
+
+G3_ORACLE = """
+SELECT o.o_orderkey, c.c_name, c.c_mktsegment,
+       CAST(o.o_totalprice AS DOUBLE) AS total
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+WHERE c.c_acctbal > 0
+"""
+
+
+@register("g3_join", oracle=G3_ORACLE)
+def g3_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — the reference's only join type (inner equi,
+    /root/reference/src/flow.rs:493-501). Catalyst picks broadcast vs
+    sort-merge from stats; customer is broadcast-size up to large SF."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    g_orders = Flow.source(orders).group_by("o_custkey")
+    g_cust = Flow.source(cust).filter(F.col("c_acctbal") > 0).group_by("c_custkey")
+    return g_orders.join(
+        g_cust,
+        "o_orderkey",
+        "c_name",
+        "c_mktsegment",
+        F.col("o_totalprice").cast("double").alias("total"),
+        broadcast_right=True,
+    ).df
+
+
+# -- G4: join_single (1:1) -------------------------------------------------
+
+G4_ORACLE = """
+SELECT n.n_name AS nation, r.r_name AS region
+FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+"""
+
+
+@register("g4_join_single", oracle=G4_ORACLE)
+def g4_join_single(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    return (
+        Flow.source(nation)
+        .group_by("n_regionkey")
+        .join_single(
+            Flow.source(region).group_by("r_regionkey"),
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+            broadcast_right=True,
+        )
+        .df
+    )
+
+
+# -- G8: per-key count -----------------------------------------------------
+
+G8_ORACLE = "SELECT o_custkey, count(*) AS count FROM orders GROUP BY 1"
+
+
+@register("g8_group_count", oracle=G8_ORACLE)
+def g8_group_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return Flow.source(orders).group_by("o_custkey").count().df
+
+
+# -- G9/G10: per-key min/max whole record (lexicographic Ord) --------------
+
+G9_ORACLE = """
+SELECT l_returnflag, l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_orderkey ASC, l_linenumber ASC, l_quantity ASC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@register("g9_min_record", oracle=G9_ORACLE)
+def g9_min_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G9 — min whole record; struct comparison = field-order
+    lexicographic = Rust derived Ord (SURVEY.md §7.4)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+    return Flow.source(li).group_by("l_returnflag").min_record().df
+
+
+G10_ORACLE = """
+SELECT l_returnflag, l_orderkey, l_linenumber, CAST(l_quantity AS DOUBLE) AS l_quantity
+FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+         row_number() OVER (PARTITION BY l_returnflag
+                            ORDER BY l_orderkey DESC, l_linenumber DESC, l_quantity DESC) AS rn
+  FROM lineitem
+) WHERE rn = 1
+"""
+
+
+@register("g10_max_record", oracle=G10_ORACLE)
+def g10_max_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber", F.col("l_quantity").cast("double").alias("l_quantity")
+    )
+    return Flow.source(li).group_by("l_returnflag").max_record().df
+
+
+# -- G11: per-key argmax by computed sort key ------------------------------
+
+G11_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderstatus, CAST(o_totalprice AS DOUBLE) AS o_totalprice
+FROM (
+  SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey DESC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+@register("g11_max_by", oracle=G11_ORACLE)
+def g11_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G11 max_by — hash aggregate (max_by over an order struct), not a
+    window sort: one exchange, map-side combine, no per-partition sort.
+    Tie-break on the full record (o_orderkey first) is deterministic."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
+    return Flow.source(orders).group_by("o_custkey").max_by("o_totalprice").df
+
+
+# -- G13: regroup ----------------------------------------------------------
+
+G13_ORACLE = """
+WITH per_cust AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1
+)
+SELECT n_orders, count(*) AS n_customers FROM per_cust GROUP BY 1
+"""
+
+
+@register("g13_regroup", oracle=G13_ORACLE)
+def g13_regroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G13 — re-key an aggregated collection (orders/cust → histogram)."""
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = Flow.source(orders).group_by("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return per_cust.group_by("n_orders").agg(F.count(F.lit(1)).alias("n_customers")).df
+
+
+# -- IVM: snapshot-diff (the delta/retraction layer as a query) ------------
+
+IVM_ORACLE = """
+WITH old AS (
+  SELECT user_id, count(*) AS n FROM events WHERE event_id < 500 GROUP BY 1
+), new AS (
+  SELECT user_id, count(*) AS n FROM events GROUP BY 1
+), o AS (
+  SELECT user_id, n, count(*) AS c FROM old GROUP BY 1, 2
+), nn AS (
+  SELECT user_id, n, count(*) AS c FROM new GROUP BY 1, 2
+)
+SELECT coalesce(o.user_id, nn.user_id) AS user_id,
+       coalesce(o.n, nn.n) AS n,
+       coalesce(nn.c, 0) - coalesce(o.c, 0) AS delta
+FROM o FULL OUTER JOIN nn ON o.user_id = nn.user_id AND o.n = nn.n
+WHERE coalesce(nn.c, 0) - coalesce(o.c, 0) <> 0
+"""
+
+
+@register("ivm_snapshot_diff", oracle=IVM_ORACLE)
+def ivm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The retraction layer (K2 + snapshot-diff, delta.py): deltas that
+    turn the per-user count view over events[:500] into the view over all
+    events — ±1 rows exactly as the reference's delta stream would emit
+    (/root/reference/src/coll.rs:89-101)."""
+    ev = load_table(spark, sf_dir, "events")
+    old = ev.filter(F.col("event_id") < 500).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    new = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    return snapshot_diff(old, new)

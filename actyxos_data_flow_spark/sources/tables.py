@@ -1,0 +1,57 @@
+"""Test-data table loaders (batch sources).
+
+The driver generates a deterministic TPC-H-ish star schema plus an
+``events`` stream table, a ``documents`` corpus and an ``embeddings``
+table at /root/testdata/sf{0.001,0.01,0.1} (see TESTDATA.md). These
+loaders are the engine's batch source layer: plain parquet scans so
+Catalyst gets predicate pushdown / column pruning for free.
+
+The ``events`` table plays the role of the reference's ActyxOS event log
+(envelope fields per SURVEY.md §1.2): ``event_id`` = lamport (total
+order), ``user_id`` = stream/fish key, ``event_type`` = payload
+discriminator, ``props`` = JSON payload, ``ts`` = wall-clock timestamp.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    if name == "events":
+        # events.ts is physical INT64 TIMESTAMP(NANOS) which Spark 4 rejects
+        # by default; read as LONG nanos (engine convention: every consumer
+        # goes through functions.ts_micros, which accepts the long form).
+        # Set here (not only in session.py) so the driver's own session
+        # gets it too.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFrame, ...]:
+    return tuple(load_table(spark, sf_dir, n) for n in names)
+
+
+def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
+    """Register each table as a temp view for the SQL API."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

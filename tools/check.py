@@ -1,0 +1,114 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry via Spark and its ``oracle_sql()`` via
+DuckDB on the same parquet tables, comparing row count, column names and
+an order-insensitive value hash. Usage:
+
+    python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+
+def _norm_cell(v):
+    if v is None:
+        return "\\N"
+    if isinstance(v, float):
+        if v != v:
+            return "NaN"
+        return repr(v)
+    if isinstance(v, bytes):
+        return v.hex()
+    if isinstance(v, list):
+        return "[" + ",".join(_norm_cell(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    """Order-insensitive: sort columns by name, then sort row tuples."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for line in lines:
+        h.update(line.encode())
+        h.update(b"\n")
+    return h.hexdigest()
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+
+    from actyxos_data_flow_spark.plans import load_all
+    from actyxos_data_flow_spark.session import get_spark
+    from actyxos_data_flow_spark.sources import TABLES
+
+    spark = get_spark("check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    registry = load_all()
+    results = {}
+    failed = []
+    for name, spec in registry.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            if spec.oracle is None:
+                results[name] = {"status": "rows_only", "rows": len(srows), "sec": round(time.time() - t0, 2)}
+                continue
+            ocols = [d[0] for d in con.execute(spec.oracle).description]
+            orows = con.execute(spec.oracle).fetchall()
+            count_ok = len(srows) == len(orows)
+            schema_ok = sorted(scols) == sorted(ocols)
+            hash_ok = schema_ok and value_hash(srows, scols) == value_hash(orows, ocols)
+            status = "MATCH" if (count_ok and schema_ok and hash_ok) else "MISMATCH"
+            results[name] = {
+                "status": status,
+                "rows": len(srows),
+                "oracle_rows": len(orows),
+                "count_ok": count_ok,
+                "schema_ok": schema_ok,
+                "hash_ok": hash_ok,
+                "sec": round(time.time() - t0, 2),
+            }
+            if status != "MATCH":
+                failed.append(name)
+                if not schema_ok:
+                    results[name]["spark_cols"] = scols
+                    results[name]["oracle_cols"] = ocols
+                if count_ok and schema_ok and not hash_ok:
+                    # show a few value diffs to debug
+                    order = sorted(range(len(scols)), key=lambda i: scols[i])
+                    sset = sorted("\x1f".join(_norm_cell(r[i]) for i in order) for r in srows)
+                    oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+                    oset = sorted("\x1f".join(_norm_cell(r[i]) for i in oorder) for r in orows)
+                    diffs = [(a, b) for a, b in zip(sset, oset) if a != b][:3]
+                    results[name]["sample_diffs"] = diffs
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            results[name] = {"status": "ERROR", "error": str(e)[:500], "sec": round(time.time() - t0, 2)}
+
+    print(json.dumps(results, indent=2, default=str))
+    n_match = sum(1 for r in results.values() if r["status"] in ("MATCH", "rows_only"))
+    print(f"\n{n_match}/{len(results)} ok; failed: {failed}", file=sys.stderr)
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()
