@@ -1,0 +1,112 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+Everything is built from JVM-side expressions (regexp, higher-order
+array functions) — no Python in the hot path — and from engine-portable
+primitives so DuckDB oracles replicate results exactly. Integer counts
+are cast to double before any ratio; scores round to 6 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Per-language stopword lists for the n-gram/stopword-hit language-ID
+# heuristic. Tiny on purpose: the heuristic is argmax of hit *ratios*;
+# real deployments swap in fuller lists (the plan shape is unchanged —
+# an array-filter per language, no joins, no shuffles).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein"),
+    "en": ("the", "a", "of", "and", "is", "to", "in"),
+    "es": ("el", "los", "y", "es", "que", "un", "para"),
+    "fr": ("le", "la", "et", "est", "que", "un", "pour"),
+    "zh": ("的", "是", "了", "在", "和", "有", "不"),
+}
+
+# BPE-ish token pattern: letter runs, digit runs, single punctuation.
+# ASCII-only classes so Java regex (Spark) and RE2 (DuckDB) agree.
+TOKEN_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count, regex (BPE-ish) token count, char count."""
+    t = with_tokens(df, text_col)
+    return t.select(
+        id_col,
+        F.size("tokens").alias("ws_tokens"),
+        F.size(F.expr(f"regexp_extract_all({text_col}, '{TOKEN_PATTERN}', 0)")).alias("re_tokens"),
+        F.length(text_col).alias("n_chars"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Heuristic quality signals: length, mean word length, stopword
+    ratio, alpha ratio, repetition (distinct/total tokens) — combined
+    into one score. Pure column arithmetic, one pass, no shuffle."""
+    t = with_tokens(df, text_col)
+    n_tok = F.size("tokens").cast("double")
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter("tokens", lambda x: F.array_contains(en, x))).cast("double")
+    distinct_ratio = F.size(F.array_distinct("tokens")).cast("double") / n_tok
+    mean_wlen = (F.length(text_col).cast("double") - (n_tok - 1)) / n_tok
+    stop_ratio = stop_hits / n_tok
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+        + distinct_ratio * 0.25
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0) * 0.25
+    )
+    return t.select(
+        id_col,
+        F.size("tokens").alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID: per language, the fraction of tokens in
+    its stopword list; argmax wins, ties break alphabetically (fixed
+    CASE precedence). Array-filter per language — no explode, no join."""
+    t = with_tokens(df, text_col)
+    n_tok = F.size("tokens").cast("double")
+    def _hit_ratio(words: tuple[str, ...]):
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter("tokens", lambda x: F.array_contains(arr, x))).cast("double") / n_tok
+
+    scores = {lang: _hit_ratio(words) for lang, words in LANG_STOPWORDS.items()}
+    langs = sorted(LANG_STOPWORDS)  # CASE order = alphabetical tie-break
+    best = None
+    for lang in langs:
+        cond = None
+        for other in langs:
+            if other == lang:
+                continue
+            c = scores[lang] >= scores[other]
+            cond = c if cond is None else (cond & c)
+        best = F.when(cond, lang) if best is None else best.when(cond, lang)
+    out_cols = [F.round(scores[lang], 6).alias(f"score_{lang}") for lang in langs]
+    return t.select(id_col, best.alias("lang_pred"), *out_cols)
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 4, n: int = 3) -> DataFrame:
+    """Bottom-k sketch fingerprint: the k lexicographically-smallest
+    md5(word n-gram) hashes, concatenated. A stable content fingerprint
+    robust to local edits (winnowing-style); equal fingerprints ⇒
+    near-identical documents."""
+    from .dedup import shingles
+
+    sh = shingles(df, id_col=id_col, text_col=text_col, n=n)
+    hashed = sh.select(id_col, F.md5(F.col("shingle").cast("binary")).alias("h"))
+    agg = hashed.groupBy(id_col).agg(F.array_sort(F.collect_set("h")).alias("hs"))
+    return agg.select(
+        id_col,
+        F.array_join(F.slice("hs", 1, k), "").alias("fingerprint"),
+    )

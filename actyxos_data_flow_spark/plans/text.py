@@ -1,1 +1,123 @@
-"""Placeholder — populated later this round."""
+"""Text-analysis queries over ``documents``, oracles generated from the
+same constants (stopword lists, token regex, score weights) as the Spark
+operators so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import text as X
+from ..sources import load_table
+from . import register
+
+# -- token stats -----------------------------------------------------------
+
+TOKEN_STATS_ORACLE = f"""
+SELECT doc_id,
+       len(string_split(text, ' ')) AS ws_tokens,
+       len(regexp_extract_all(text, '{X.TOKEN_PATTERN}')) AS re_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+@register("text_token_stats", oracle=TOKEN_STATS_ORACLE, bench=True)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.token_stats(load_table(spark, sf_dir, "documents"))
+
+
+# -- quality score ---------------------------------------------------------
+
+_EN = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])
+QUALITY_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents
+), m AS (
+  SELECT doc_id,
+         len(tokens) AS n_tokens,
+         len(tokens)::DOUBLE AS n_tok,
+         (length(text)::DOUBLE - (len(tokens)::DOUBLE - 1)) / len(tokens)::DOUBLE AS mean_wlen,
+         len(list_filter(tokens, x -> list_contains([{_EN}], x)))::DOUBLE / len(tokens)::DOUBLE AS stop_ratio,
+         len(list_distinct(tokens))::DOUBLE / len(tokens)::DOUBLE AS distinct_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       round(mean_wlen, 6) AS mean_word_len,
+       round(stop_ratio, 6) AS stopword_ratio,
+       round(distinct_ratio, 6) AS distinct_ratio,
+       round(least(n_tok / 100.0, 1.0) * 0.25
+             + least(stop_ratio * 5, 1.0) * 0.25
+             + distinct_ratio * 0.25
+             + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS quality
+FROM m
+"""
+
+
+@register("text_quality_score", oracle=QUALITY_ORACLE, bench=True)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.quality_score(load_table(spark, sf_dir, "documents"))
+
+
+# -- language ID -----------------------------------------------------------
+
+_langs = sorted(X.LANG_STOPWORDS)
+
+
+def _score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
+    return f"len(list_filter(tokens, x -> list_contains([{words}], x)))::DOUBLE / len(tokens)::DOUBLE"
+
+
+_score_cols = ",\n         ".join(f"{_score_sql(lang)} AS s_{lang}" for lang in _langs)
+_case = " ".join(
+    "WHEN "
+    + " AND ".join(f"s_{lang} >= s_{other}" for other in _langs if other != lang)
+    + f" THEN '{lang}'"
+    for lang in _langs
+)
+_rounded = ", ".join(f"round(s_{lang}, 6) AS score_{lang}" for lang in _langs)
+LANG_ID_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+), s AS (
+  SELECT doc_id,
+         {_score_cols}
+  FROM t
+)
+SELECT doc_id, CASE {_case} END AS lang_pred, {_rounded}
+FROM s
+"""
+
+
+@register("text_lang_id", oracle=LANG_ID_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.lang_id(load_table(spark, sf_dir, "documents"))
+
+
+# -- fingerprint (bottom-k sketch) ----------------------------------------
+
+FINGERPRINT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(generate_series(1, len(tokens) - 2),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+  ) AS shingle
+  FROM tok
+),
+h AS (SELECT DISTINCT doc_id, md5(shingle) AS h FROM sh),
+r AS (
+  SELECT doc_id, h, row_number() OVER (PARTITION BY doc_id ORDER BY h) AS rn FROM h
+)
+SELECT doc_id, string_agg(h, '' ORDER BY h) AS fingerprint
+FROM r WHERE rn <= 4 GROUP BY doc_id
+"""
+
+
+@register("text_fingerprint", oracle=FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.fingerprint(load_table(spark, sf_dir, "documents"))

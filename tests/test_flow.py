@@ -1,0 +1,100 @@
+"""Flow operator unit tests mirroring the reference's golden-delta style
+(/root/reference/src/flow.rs:616-640 via Machine::assert): feed batches,
+snapshot, assert exact consolidated deltas including retractions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from actyxos_data_flow_spark.delta import snapshot_diff
+from actyxos_data_flow_spark.flow import Flow
+from tests.conftest import rows
+
+
+def _scalar(spark, values):
+    return spark.createDataFrame([(v,) for v in values], "value int")
+
+
+def test_filter_map(spark):
+    f = Flow.source(_scalar(spark, [1, 2, 3, 4])).filter(F.col("value") % 2 == 0).map((F.col("value") * 10).alias("v"))
+    assert rows(f.df) == [(20,), (40,)]
+    assert f.stateful is False
+
+
+def test_flat_map(spark):
+    f = Flow.source(_scalar(spark, [2, 3])).flat_map(F.expr("sequence(1, value)"), alias="x")
+    assert rows(f.df) == [(1,), (1,), (2,), (2,), (3,)]
+
+
+def test_concat_multiset_and_distinct(spark):
+    a = Flow.source(_scalar(spark, [1, 2]))
+    b = Flow.source(_scalar(spark, [2, 3]))
+    u = a.concat(b)
+    assert rows(u.df) == [(1,), (2,), (2,), (3,)]
+    assert rows(u.distinct().df) == [(1,), (2,), (3,)]
+    assert u.distinct().stateful is True
+
+
+def test_threshold_clip(spark):
+    f = Flow.source(_scalar(spark, [1, 1, 1, 2])).threshold(lambda m: F.least(m, F.lit(2)))
+    assert rows(f.df) == [(1,), (1,), (2,)]
+
+
+def test_count_values(spark):
+    f = Flow.source(_scalar(spark, [1, 1, 2])).count_values()
+    assert rows(f.df) == [(1, 2), (2, 1)]
+
+
+def test_except_intersect(spark):
+    a = Flow.source(_scalar(spark, [1, 1, 2, 3]))
+    b = Flow.source(_scalar(spark, [1, 3, 4]))
+    assert rows(a.except_all(b).df) == [(1,), (2,)]
+    assert rows(a.intersect_all(b).df) == [(1,), (3,)]
+
+
+def test_monotonic_max_by_golden_deltas(spark):
+    """The reference's monotonic_max_by unit test, key = value % 5
+    (/root/reference/src/flow.rs:616-627, FIXTURES.md §1): exact delta
+    vectors per batch, including retractions."""
+    batches = [[1], [1], [11, 2], [6, 7]]
+    expected = [
+        [(1, 1)],
+        [],
+        [(1, -1), (2, 1), (11, 1)],
+        [(2, -1), (7, 1)],
+    ]
+    seen: list[int] = []
+    prev = None
+    for batch, exp in zip(batches, expected):
+        seen.extend(batch)
+        cur = (
+            Flow.source(_scalar(spark, seen))
+            .monotonic_max_by(F.col("value") % 5, "value")
+            .df
+        )
+        if prev is None:
+            deltas = [(r["value"], 1) for r in cur.collect()]
+        else:
+            deltas = [(r["value"], r["delta"]) for r in snapshot_diff(prev, cur).collect()]
+        assert sorted(deltas) == sorted(exp), f"batch {batch}"
+        prev = cur
+
+
+def test_monotonic_representative_golden_deltas(spark):
+    """/root/reference/src/flow.rs:629-640: representative (first-seen,
+    pinned to min) keyed on value % 5."""
+    # reference: batch [1] -> [(1,+1)]; [6] -> [] (same key, rep stays)
+    a = Flow.source(_scalar(spark, [1])).monotonic_representative_by(F.col("value") % 5, "value").df
+    b = Flow.source(_scalar(spark, [1, 6])).monotonic_representative_by(F.col("value") % 5, "value").df
+    assert rows(a) == [(1,)]
+    assert [(r["value"], r["delta"]) for r in snapshot_diff(a, b).collect()] == []
+
+
+def test_source_limited_lookback(spark):
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00"), (2, "2024-06-01 00:00:00"), (3, "2024-06-10 00:00:00")],
+        "id int, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    f = Flow.source_limited(df, "ts", "INTERVAL 30 DAYS")
+    assert rows(f.df, "id") == [(2,), (3,)]

@@ -1,0 +1,87 @@
+"""Unit tests for the scale-extension operators (dedup / similarity /
+text) on tiny in-line corpora — pipeline semantics, not oracle parity
+(oracle parity is tools/check.py's job)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from actyxos_data_flow_spark.operators import dedup as D
+from actyxos_data_flow_spark.operators import similarity as S
+from actyxos_data_flow_spark.operators import text as X
+from tests.conftest import rows
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different words entirely here now friend"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_exact_dedup(spark):
+    got = {r.representative: r.n_copies for r in D.exact_dedup(_docs(spark)).collect()}
+    assert got == {1: 2, 2: 1, 3: 1}
+
+
+def test_shingles_count(spark):
+    sh = D.shingles(_docs(spark))
+    per_doc = {r.doc_id: r["count"] for r in sh.groupBy("doc_id").count().collect()}
+    assert per_doc[1] == 7  # 9 tokens → 7 trigrams, all distinct
+    assert per_doc[3] == 5
+
+
+def test_minhash_lsh_finds_near_dup(spark):
+    docs = _docs(spark)
+    sh = D.shingles(docs)
+    sig = D.minhash_signatures(sh)
+    cand = D.lsh_candidate_pairs(sig)
+    verified = D.jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= 0.5)
+    got = {(r.id_a, r.id_b) for r in verified.collect()}
+    assert (1, 4) in got  # exact dup: jaccard 1.0
+    assert (1, 2) in got and (2, 4) in got  # near-dups
+    assert not any(3 in p for p in got)
+
+
+def test_simhash_near_pairs(spark):
+    sig = D.simhash(_docs(spark))
+    pairs = D.simhash_near_pairs(sig, max_hamming=6)
+    got = {(r.id_a, r.id_b): r.hamming for r in pairs.collect()}
+    assert got[(1, 4)] == 0  # identical docs → identical simhash
+    # every reported pair respects the threshold; ground-truth hamming
+    # computed from the signatures themselves
+    sigs = {r.doc_id: r.simhash for r in sig.collect()}
+    for (a, b), h in got.items():
+        true_h = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        assert h == true_h <= 6
+
+
+def test_cosine_topk_self_is_rank1(spark):
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"))
+    got = rows(S.cosine_topk(q, emb, k=2), "qid", "vec_id", "rank")
+    assert got == [(0, 0, 1), (0, 1, 2)]
+
+
+def test_lang_id_picks_en(spark):
+    df = spark.createDataFrame([(1, "the cat is on the mat and a dog")], "doc_id long, text string")
+    assert X.lang_id(df).collect()[0].lang_pred == "en"
+
+
+def test_quality_score_bounds(spark):
+    out = X.quality_score(_docs(spark)).collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in out)
+
+
+def test_fingerprint_equal_for_exact_dups(spark):
+    fp = {r.doc_id: r.fingerprint for r in X.fingerprint(_docs(spark)).collect()}
+    assert fp[1] == fp[4]
+    assert fp[1] != fp[3]
