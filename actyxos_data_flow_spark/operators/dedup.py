@@ -57,14 +57,26 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def _md5_piece(col, start: int) -> F.Column:
+    """60-bit unsigned int from 15 hex chars of md5, as a long (exact in
+    both Spark ``conv`` and DuckDB ``('0x'||h)::BIGINT``)."""
+    return F.conv(F.substring(F.md5(col.cast("binary")), start, 15), 16, 10).cast("long")
+
+
 def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 8) -> DataFrame:
-    """MinHash signature per doc: h_s = min over shingles of
-    md5(shingle || '#' || s). One aggregate pass, k min() columns."""
-    aggs = [
-        F.min(F.md5(F.concat(F.col("shingle"), F.lit(f"#{s}")).cast("binary"))).alias(f"h{s}")
-        for s in range(num_hashes)
-    ]
-    return sh.groupBy(id_col).agg(*aggs)
+    """MinHash signature per doc via double hashing (Kirsch-Mitzenmacher):
+    one md5 per shingle supplies two independent 60-bit pieces (p1, p2);
+    the k hash family is h_s = p1 + s*p2 (max 8*(2^60-1) < 2^63: no
+    overflow on either engine). min() over LONG columns keeps the
+    aggregate in HashAggregate with a fixed-width buffer — at 100 TB this
+    is a map-side-combined single shuffle of (doc_id, k longs); the
+    earlier min-of-hex-string formulation forced SortAggregate with
+    per-row MessageDigest churn that collapsed JIT performance."""
+    p1 = _md5_piece(F.col("shingle"), 1)
+    p2 = _md5_piece(F.col("shingle"), 17)
+    pieces = sh.select(id_col, p1.alias("p1"), p2.alias("p2"))
+    aggs = [F.min(F.col("p1") + F.lit(s) * F.col("p2")).alias(f"h{s}") for s in range(num_hashes)]
+    return pieces.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -81,7 +93,9 @@ def lsh_candidate_pairs(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.concat(*[F.col(f"h{b * band_size + j}") for j in range(band_size)]).alias("sig"),
+                        F.struct(
+                            *[F.col(f"h{b * band_size + j}").alias(f"k{j}") for j in range(band_size)]
+                        ).alias("sig"),
                     )
                     for b in range(n_bands)
                 ]

@@ -58,8 +58,56 @@ def topk(scores: DataFrame, k: int, qid: str = "qid", cid: str = "vec_id") -> Da
 
 
 def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame:
-    """Brute-force exact top-k."""
-    return topk(cosine_scores(queries, corpus), k)
+    """Brute-force exact top-k, fused scoring + per-partition pruning.
+
+    The query matrix is collected once (it must fit in memory by the
+    definition of brute-force scoring — it plays the broadcast-dim role)
+    and shipped inside a ``mapInPandas`` closure. Each Arrow batch of the
+    corpus is scored against ALL queries with one vectorized numpy pass,
+    and only the per-batch top-k per query survives, so the shuffle into
+    the final ranking carries ≤ batches × |Q| × k rows instead of
+    |corpus| × |Q|. This is the standard distributed brute-force kNN
+    shape: corpus never shuffles, score+prune is embarrassingly parallel,
+    the final merge is tiny.
+
+    Numeric parity: float32 inputs are promoted to float64 (products
+    exact) and summed **left-to-right** via cumsum, reproducing the
+    in-order fold the DuckDB oracle computes bit-for-bit.
+    """
+    import numpy as np
+    import pandas as pd
+
+    qpdf = queries.toPandas()
+    Q = np.stack(qpdf["qe"].to_numpy()).astype("float64")  # (q, dim)
+    qids = qpdf["qid"].to_numpy()
+    qnorm = np.sqrt((Q * Q).cumsum(axis=1)[:, -1])
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype("float64")  # (B, dim)
+            ids = pdf["vec_id"].to_numpy()
+            dots = (E[:, None, :] * Q[None, :, :]).cumsum(axis=2)[:, :, -1]  # (B, q)
+            enorm = np.sqrt((E * E).cumsum(axis=1)[:, -1])
+            cos = dots / (enorm[:, None] * qnorm[None, :])
+            kk = min(k, len(pdf))
+            out_q, out_id, out_cos = [], [], []
+            for j in range(len(qids)):
+                order = np.lexsort((ids, -cos[:, j]))[:kk]  # (cos desc, id asc)
+                out_q.append(np.full(kk, qids[j]))
+                out_id.append(ids[order])
+                out_cos.append(cos[order, j])
+            yield pd.DataFrame(
+                {
+                    "qid": np.concatenate(out_q),
+                    "vec_id": np.concatenate(out_id),
+                    "cosine": np.concatenate(out_cos),
+                }
+            )
+
+    pruned = corpus.mapInPandas(score, schema="qid long, vec_id long, cosine double")
+    return topk(pruned, k)
 
 
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, partition_col: str = "label") -> DataFrame:

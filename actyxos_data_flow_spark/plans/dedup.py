@@ -50,15 +50,24 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # -- minhash signatures ----------------------------------------------------
+# Double hashing mirror of operators/dedup.minhash_signatures: one md5 per
+# shingle, two 60-bit pieces, h_s = p1 + s*p2 (no BIGINT overflow).
 
-_mh_cols = ",\n       ".join(
-    f"min(md5(shingle || '#{s}')) AS h{s}" for s in range(NUM_HASHES)
+_PIECES_CTE = """
+pieces AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS p1,
+         ('0x' || substr(md5(shingle), 17, 15))::BIGINT AS p2
+  FROM sh
 )
+"""
+_mh_cols = ",\n       ".join(f"min(p1 + {s} * p2) AS h{s}" for s in range(NUM_HASHES))
 MINHASH_SIG_ORACLE = f"""
-WITH {_SHINGLES_CTE}
+WITH {_SHINGLES_CTE},
+{_PIECES_CTE}
 SELECT doc_id,
        {_mh_cols}
-FROM sh GROUP BY doc_id
+FROM pieces GROUP BY doc_id
 """
 
 
@@ -71,21 +80,22 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- minhash + LSH + jaccard verification (the full near-dup pipeline) -----
 
 _band_rows = ",\n    ".join(
-    f"({b}, h{b * BAND_SIZE} || h{b * BAND_SIZE + 1})" for b in range(NUM_HASHES // BAND_SIZE)
+    f"({b}, h{b * BAND_SIZE}, h{b * BAND_SIZE + 1})" for b in range(NUM_HASHES // BAND_SIZE)
 )
 MINHASH_PAIRS_ORACLE = f"""
 WITH {_SHINGLES_CTE},
+{_PIECES_CTE},
 sig AS (
   SELECT doc_id, {_mh_cols}
-  FROM sh GROUP BY doc_id
+  FROM pieces GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, b.band, b.s AS sig_piece
-  FROM sig, LATERAL (VALUES {_band_rows}) AS b(band, s)
+  SELECT doc_id, b.band, b.s1, b.s2
+  FROM sig, LATERAL (VALUES {_band_rows}) AS b(band, s1, s2)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.sig_piece = b.sig_piece
+  FROM bands a JOIN bands b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2
   WHERE a.doc_id < b.doc_id
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
