@@ -1,0 +1,108 @@
+"""Sink-layer tests mirroring the reference's DB round-trip strategy
+(/root/reference/src/db/sqlite.rs:284-320, src/db/mod.rs:484-590):
+create → advance_offsets with mults {+1, +2, −1} → read back rows and
+offsets; plus version-bump migration and Union multi-table transaction.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from actyxos_data_flow_spark.delta import DELTA_COL, snapshot_diff
+from actyxos_data_flow_spark.sinks import DbColumn, DbTable, SqliteSink, Union, write_snapshot
+
+RECORD = DbTable(
+    name="test_records",
+    columns=(
+        DbColumn("id", "integer", exclude=True),  # DB-generated, not written
+        DbColumn("a", "text", index=True),
+        DbColumn("b", "bigint"),
+    ),
+    version=1,
+)
+
+
+@pytest.fixture()
+def sink():
+    s = SqliteSink(":memory:")
+    s.ensure(RECORD)
+    yield s
+    s.close()
+
+
+def test_round_trip_multiplicities(sink):
+    sink.advance_offsets(
+        {RECORD: [(("x", 1), 1), (("y", 2), 2), (("x", 1), 1)]},
+        {"src-a": 10},
+    )
+    assert sink.rows(RECORD) == [("x", 1), ("x", 1), ("y", 2), ("y", 2)]
+    assert sink.read_offsets(RECORD) == {"src-a": 10}
+
+    # negative mult deletes exactly one copy; offsets advance in same txn
+    sink.advance_offsets({RECORD: [(("y", 2), -1)]}, {"src-a": 11, "src-b": 5})
+    assert sink.rows(RECORD) == [("x", 1), ("x", 1), ("y", 2)]
+    assert sink.read_offsets(RECORD) == {"src-a": 11, "src-b": 5}
+
+
+def test_delete_null_safe(sink):
+    sink.advance_offsets({RECORD: [((None, 7), 2)]}, {"s": 1})
+    sink.advance_offsets({RECORD: [((None, 7), -1)]}, {"s": 2})
+    assert sink.rows(RECORD) == [(None, 7)]
+
+
+def test_version_bump_drops_and_recreates(sink):
+    sink.advance_offsets({RECORD: [(("x", 1), 1)]}, {"s": 3})
+    v2 = DbTable(name=RECORD.name, columns=RECORD.columns, version=2)
+    rebuilt = sink.ensure(v2)
+    assert rebuilt
+    assert sink.rows(v2) == []
+    assert sink.read_offsets(v2) == {}
+    # same version again: no rebuild
+    assert not sink.ensure(v2)
+
+
+def test_union_one_transaction():
+    s = SqliteSink(":memory:")
+    t1 = DbTable("u_first", (DbColumn("a", "text"),), version=1)
+    t2 = DbTable("u_second", (DbColumn("n", "bigint"),), version=1)
+    u = Union((t1, t2))
+    s.ensure(u)
+    s.advance_offsets(
+        {t1: [(("hello",), 1)], t2: [((42,), 1)]},
+        {"src": 99},
+        offsets_table=u.offsets_table,
+    )
+    assert s.rows(t1) == [("hello",)]
+    assert s.rows(t2) == [(42,)]
+    # shared offsets live in the first table's companion
+    assert s.read_offsets(u) == {"src": 99}
+    s.close()
+
+
+def test_write_snapshot_ivm_loop(spark):
+    s = SqliteSink(":memory:")
+    s.ensure(RECORD)
+    snap1 = spark.createDataFrame([("x", 1), ("y", 2)], "a string, b long")
+    n = write_snapshot(spark, s, RECORD, snap1, {"src": 1})
+    assert n == 2
+    assert s.rows(RECORD) == [("x", 1), ("y", 2)]
+
+    # churn: y retracted, z inserted; only the ±2 delta rows move
+    snap2 = spark.createDataFrame([("x", 1), ("z", 3)], "a string, b long")
+    n = write_snapshot(spark, s, RECORD, snap2, {"src": 2})
+    assert n == 2
+    assert s.rows(RECORD) == [("x", 1), ("z", 3)]
+    assert s.read_offsets(RECORD) == {"src": 2}
+
+    # idempotent retry: same snapshot → empty diff
+    n = write_snapshot(spark, s, RECORD, snap2, {"src": 2})
+    assert n == 0
+    s.close()
+
+
+def test_snapshot_diff_matches_sink_apply(spark):
+    old = spark.createDataFrame([("a", 1), ("a", 1), ("b", 2)], "k string, v long")
+    new = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v long")
+    d = {(r["k"], r["v"]): r[DELTA_COL] for r in snapshot_diff(old, new).collect()}
+    assert d == {("a", 1): -1, ("c", 3): 1}
