@@ -1,0 +1,89 @@
+"""Multimodal-pipeline queries over the ``documents`` corpus lifted into
+the binary media convention (operators/multimodal.py).
+
+The payloads are utf-8 bytes of ASCII text (verified: octet_length ==
+length for every synthetic doc), so DuckDB's character functions
+replicate the byte-level Python operators exactly — the oracles check
+the REAL distributed plumbing (binary columns through mapInPandas),
+with the codec stubbed deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import multimodal as M
+from ..sources import load_table
+from . import register
+
+FRAME_BYTES = 16
+EVERY = 3
+
+MM_DECODE_ORACLE = """
+SELECT doc_id AS media_id,
+       greatest((ascii(substr(text, 1, 1)) * 256 + ascii(substr(text, 2, 1))) % 64, 1) AS width,
+       greatest((ascii(substr(text, 3, 1)) * 256 + ascii(substr(text, 4, 1))) % 64, 1) AS height
+FROM documents
+"""
+
+
+@register("mm_decode_meta", oracle=MM_DECODE_ORACLE)
+def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → stub codec → typed dims. Validates the decode
+    plumbing (binary in, struct-ish out) against a char-math oracle."""
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return M.decode_image(media).select("media_id", "width", "height")
+
+
+MM_FRAMES_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text, unnest(generate_series(0, length(text) // {FRAME_BYTES} - 1)) AS i
+  FROM documents
+)
+SELECT doc_id AS media_id, i AS frame_idx,
+       substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES}) AS frame
+FROM f WHERE i % {EVERY} = 0
+"""
+
+
+@register("mm_frame_sample", oracle=MM_FRAMES_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size frame split + every-Nth sampling (the 1:many flat_map
+    shape over binary payloads)."""
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"), frame_bytes=FRAME_BYTES)
+    frames = M.sample_frames(media, every=EVERY, frame_bytes=FRAME_BYTES)
+    return frames.select(
+        "media_id", F.col("frame_idx").cast("int").alias("frame_idx"), F.col("frame").cast("string").alias("frame")
+    )
+
+
+MM_TOPBUCKET_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+),
+hist AS (
+  SELECT doc_id, ascii(c) // 16 AS b, count(*) AS n FROM chars GROUP BY 1, 2
+),
+ranked AS (
+  SELECT doc_id, b, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY n DESC, b ASC) AS rn
+  FROM hist
+)
+SELECT doc_id AS media_id, b AS top_bucket, n AS top_count FROM ranked WHERE rn = 1
+"""
+
+
+@register("mm_features_topbucket", oracle=MM_TOPBUCKET_ORACLE)
+def mm_features_topbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction (16-bucket byte histogram) → dominant bucket.
+    Ties break to the lowest bucket on both engines (array_position
+    finds the first maximum)."""
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    feats = M.extract_features(media, buckets=16, normalized=False)
+    top = F.array_max("features")
+    return feats.select(
+        "media_id",
+        (F.array_position("features", top) - 1).cast("long").alias("top_bucket"),
+        top.cast("long").alias("top_count"),
+    )

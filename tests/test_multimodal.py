@@ -1,0 +1,81 @@
+"""Multimodal plumbing tests: schema/batch shape through mapInPandas,
+deterministic stub decode, resize geometry, frame-sampling flat_map
+semantics, and feature-vector invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from actyxos_data_flow_spark.operators import multimodal as M
+from actyxos_data_flow_spark.sources import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    return M.documents_as_media(docs, frame_bytes=16).cache()
+
+
+def test_media_schema(media):
+    assert [f.name for f in media.schema.fields] == [
+        "media_id", "kind", "format", "payload", "meta",
+    ]
+    assert media.schema["payload"].dataType.typeName() == "binary"
+    row = media.first()
+    assert row["meta"]["n_frames"] == len(bytes(row["payload"])) // 16
+
+
+def test_decode_deterministic_and_dims(media):
+    out = M.decode_image(media)
+    assert out.schema.simpleString() == "struct<media_id:bigint,width:int,height:int,pixels:binary>"
+    rows = {r["media_id"]: r for r in out.collect()}
+    # re-run: identical (stub is deterministic)
+    rows2 = {r["media_id"]: r for r in out.collect()}
+    for k in rows:
+        assert rows[k] == rows2[k]
+        r = rows[k]
+        assert 1 <= r["width"] <= 64 and 1 <= r["height"] <= 64
+        assert len(bytes(r["pixels"])) == r["width"] * r["height"]
+
+
+def test_fake_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        M.fake_decode(b"ab")
+
+
+def test_resize_geometry(media):
+    resized = M.resize_image(M.decode_image(media), out_w=8, out_h=4)
+    for r in resized.collect():
+        assert (r["width"], r["height"]) == (8, 4)
+        assert len(bytes(r["pixels"])) == 32
+
+
+def test_frame_sampling_flatmap(media):
+    frames = M.sample_frames(media, every=3, frame_bytes=16)
+    per_doc = frames.groupBy("media_id").count().collect()
+    meta = {r["media_id"]: r["meta"]["n_frames"] for r in media.select("media_id", "meta").collect()}
+    for r in per_doc:
+        expected = -(-meta[r["media_id"]] // 3)  # ceil(n/3): frames 0,3,6,...
+        assert r["count"] == expected
+    f = frames.filter(F.col("frame_idx") == 0).first()
+    assert len(bytes(f["frame"])) == 16
+
+
+def test_features_normalized_l1(media):
+    feats = M.extract_features(media, buckets=16).collect()
+    for r in feats:
+        v = np.array(r["features"], dtype="float64")
+        assert v.shape == (16,)
+        assert abs(v.sum() - 1.0) < 1e-6
+        assert (v >= 0).all()
+
+
+def test_counts_match_payload_len(media):
+    feats = M.extract_features(media, buckets=16, normalized=False)
+    joined = feats.join(media.select("media_id", F.length("payload").alias("n")), "media_id")
+    for r in joined.collect():
+        assert int(sum(r["features"])) == r["n"]
