@@ -18,13 +18,15 @@ multi-writer JDBC target would instead apply per-partition inside
 
 from .spec import DbColumn, DbTable, Union
 from .sqlite import SqliteSink
-from .writer import deltas_to_rows, write_snapshot
+from .writer import SnapshotMirror, deltas_to_rows, write_snapshot, write_snapshots
 
 __all__ = [
     "DbColumn",
     "DbTable",
     "Union",
     "SqliteSink",
+    "SnapshotMirror",
     "deltas_to_rows",
     "write_snapshot",
+    "write_snapshots",
 ]

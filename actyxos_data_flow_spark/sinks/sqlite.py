@@ -25,6 +25,7 @@ from collections.abc import Iterable, Mapping, Sequence
 from .spec import DbTable, Union
 
 VERSIONS_TABLE = "_schema_versions"
+MIRROR_TABLE = "_mirror_state"
 
 
 class SqliteSink:
@@ -37,6 +38,14 @@ class SqliteSink:
         self.conn.execute(
             f"CREATE TABLE IF NOT EXISTS {VERSIONS_TABLE} "
             "(table_name TEXT PRIMARY KEY, version BIGINT NOT NULL)"
+        )
+        # Which parquet-mirror epoch each table's stored rows correspond
+        # to (sinks/writer.py keeps the previous snapshot distributed;
+        # the pointer commits in the same transaction as the delta so
+        # mirror and table can never diverge).
+        self.conn.execute(
+            f"CREATE TABLE IF NOT EXISTS {MIRROR_TABLE} "
+            "(table_name TEXT PRIMARY KEY, epoch TEXT NOT NULL)"
         )
         self.conn.commit()
 
@@ -56,6 +65,9 @@ class SqliteSink:
             for t in tables:
                 for stmt in t.drop_sql():
                     self.conn.execute(stmt)
+                self.conn.execute(
+                    f"DELETE FROM {MIRROR_TABLE} WHERE table_name = ?", (t.name,)
+                )
             rebuilt = True
         for t in tables:
             for stmt in t.create_sql():
@@ -85,11 +97,14 @@ class SqliteSink:
         deltas: Mapping[DbTable, Iterable[tuple[Sequence, int]]],
         offsets: Mapping[str, int],
         offsets_table: str | None = None,
+        mirror_epochs: Mapping[str, str] | None = None,
     ) -> None:
         """Apply one consolidated delta batch + the offsets it reflects
         in ONE transaction. ``deltas``: per table, (row_values, mult)
         pairs over written_columns; +n inserts n copies, −n deletes
-        exactly n copies (rowid-limited, NULL-safe compare)."""
+        exactly n copies (rowid-limited, NULL-safe compare).
+        ``mirror_epochs`` (table_name → epoch) commits the snapshot-mirror
+        pointer atomically with the data it mirrors."""
         if offsets_table is None:
             offsets_table = next(iter(deltas)).offsets_table if deltas else None
         with self.conn:  # one transaction
@@ -118,6 +133,19 @@ class SqliteSink:
                         "ON CONFLICT(source) DO UPDATE SET offset_ = excluded.offset_",
                         (source, off),
                     )
+            for table_name, epoch in (mirror_epochs or {}).items():
+                self.conn.execute(
+                    f"INSERT INTO {MIRROR_TABLE} (table_name, epoch) VALUES (?, ?) "
+                    "ON CONFLICT(table_name) DO UPDATE SET epoch = excluded.epoch",
+                    (table_name, epoch),
+                )
+
+    def mirror_epoch(self, table_name: str) -> str | None:
+        """Snapshot-mirror epoch the stored rows of ``table_name`` match."""
+        row = self.conn.execute(
+            f"SELECT epoch FROM {MIRROR_TABLE} WHERE table_name = ?", (table_name,)
+        ).fetchone()
+        return row[0] if row else None
 
     # -- introspection helpers ------------------------------------------
 

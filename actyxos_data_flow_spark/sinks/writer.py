@@ -1,22 +1,41 @@
 """Spark ↔ sink glue: turn delta DataFrames into sink batches and close
-the IVM loop (view recompute → snapshot diff → transactional apply).
+the IVM loop (view recompute → distributed snapshot diff → transactional
+apply).
 
-The NET delta of a materialized view scales with the view's churn, not
-with the input (K2 consolidation runs distributed first), so collecting
-it to the driver for a single-writer store is the correct topology —
-the reference does exactly this through an in-process channel
+Scale design: the previous committed snapshot of every table lives as a
+**parquet mirror** on shared storage, so the per-epoch diff is a
+distributed full-outer join between two Spark-readable snapshots —
+O(|view|) cluster work, O(churn) driver traffic. Only the NET delta
+(which scales with the view's churn, not with the input — K2
+consolidation runs distributed first) is collected for the single-writer
+store, matching the reference's topology of shipping consolidated
+batches through an in-process channel
 (/root/reference/src/runner.rs:113-122). For a multi-writer JDBC target
 the same batches would be applied per-partition via foreachPartition.
+
+Crash consistency: the mirror pointer (`_mirror_state`) commits in the
+SAME sink transaction as the delta and offsets, and each epoch writes to
+its own directory keyed by the offsets it reflects, so
+
+- crash after parquet write, before commit → pointer still names the old
+  epoch; the retry recomputes the same delta and overwrites the same
+  (orphaned) epoch directory — idempotent;
+- retry after commit → diff against the just-committed mirror is empty.
+
+If the mirror directory is lost (e.g. a fresh temp dir after restart),
+the writer rebuilds it once from the sink's stored rows — a recovery
+path only, never the steady-state loop.
 """
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+import shutil
+from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
 from ..delta import DELTA_COL, consolidate, snapshot_diff
-from .spec import DbTable
+from .spec import DbTable, Union
 from .sqlite import SqliteSink
 
 
@@ -28,28 +47,121 @@ def deltas_to_rows(delta_df: DataFrame, table: DbTable) -> list[tuple[tuple, int
     return [(tuple(r[c] for c in cols), r[DELTA_COL]) for r in rows]
 
 
+def _epoch_key(offsets: Mapping[str, int]) -> str:
+    """Deterministic directory key for the offsets a snapshot reflects —
+    a retried batch maps to the same epoch and overwrites itself."""
+    return "_".join(f"{k}-{v}" for k, v in sorted(offsets.items())) or "empty"
+
+
+class SnapshotMirror:
+    """Parquet mirror of each table's last committed snapshot, the
+    distributed 'old side' of the per-epoch diff."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+
+    def _dir(self, table: DbTable, epoch: str) -> str:
+        return f"{self.root}/{table.name}/{epoch}"
+
+    def read_previous(self, sink: SqliteSink, table: DbTable, schema) -> DataFrame:
+        """The snapshot the sink's rows currently reflect, as a
+        DataFrame. Empty if nothing committed yet; rebuilt from the sink
+        (recovery path) if the pointer names a missing directory."""
+        epoch = sink.mirror_epoch(table.name)
+        if epoch is None:
+            if sink.rows(table):
+                # sink predates the mirror (or mirror state was cleared):
+                # one-time rebuild from stored rows.
+                return self.spark.createDataFrame(sink.rows(table), schema=schema)
+            return self.spark.createDataFrame([], schema=schema)
+        try:
+            return self.spark.read.schema(schema).parquet(self._dir(table, epoch))
+        except Exception:  # noqa: BLE001 — dir lost: recovery rebuild
+            return self.spark.createDataFrame(sink.rows(table), schema=schema)
+
+    def write(self, table: DbTable, snapshot: DataFrame, epoch: str) -> None:
+        snapshot.write.mode("overwrite").parquet(self._dir(table, epoch))
+
+    def prune(self, table: DbTable, keep_epoch: str) -> None:
+        """Best-effort removal of superseded epoch directories."""
+        shutil.rmtree(f"{self.root}/{table.name}/_tmp", ignore_errors=True)
+        try:
+            import os
+
+            for d in os.listdir(f"{self.root}/{table.name}"):
+                if d != keep_epoch:
+                    shutil.rmtree(f"{self.root}/{table.name}/{d}", ignore_errors=True)
+        except FileNotFoundError:
+            pass
+
+
+def snapshot_delta(
+    spark: SparkSession,
+    sink: SqliteSink,
+    table: DbTable,
+    new_snapshot: DataFrame,
+    mirror: SnapshotMirror,
+) -> DataFrame:
+    """The (distributed, uncollected) net-delta plan for one table:
+    full-outer count-diff of the mirror vs the new snapshot. Exposed so
+    tests can assert the physical plan has no single-partition
+    exchange."""
+    cols = [c.name for c in table.written_columns]
+    new = new_snapshot.select(*cols)
+    old = mirror.read_previous(sink, table, schema=new.schema)
+    return snapshot_diff(old, new)
+
+
+def write_snapshots(
+    spark: SparkSession,
+    sink: SqliteSink,
+    views: Sequence[tuple[DbTable, DataFrame]],
+    offsets: Mapping[str, int],
+    mirror: SnapshotMirror,
+    offsets_table: str | None = None,
+) -> dict[str, int]:
+    """Materialize several snapshots (one input stream → up to N record
+    types, /root/reference/src/db/mod.rs:230-244) in ONE transaction
+    with the offsets they reflect. Returns per-table applied delta-row
+    counts.
+
+    Per table: diff distributed against the parquet mirror, collect only
+    the net delta, stage the new snapshot under this epoch's directory;
+    then a single sink transaction applies every delta + offsets + the
+    mirror pointers. Idempotent per the module docstring."""
+    epoch = _epoch_key(offsets)
+    batches: dict[DbTable, list[tuple[tuple, int]]] = {}
+    for table, new_snapshot in views:
+        cols = [c.name for c in table.written_columns]
+        new = new_snapshot.select(*cols)
+        delta = snapshot_delta(spark, sink, table, new, mirror)
+        # materialize the (churn-sized) delta BEFORE overwriting the
+        # mirror — on a same-epoch retry old and new share the directory
+        batches[table] = [
+            (tuple(r[c] for c in cols), r[DELTA_COL]) for r in delta.collect()
+        ]
+        mirror.write(table, new, epoch)
+    sink.advance_offsets(
+        batches,
+        dict(offsets),
+        offsets_table=offsets_table,
+        mirror_epochs={t.name: epoch for t, _ in views},
+    )
+    for table, _ in views:
+        mirror.prune(table, epoch)
+    return {t.name: len(b) for t, b in batches.items()}
+
+
 def write_snapshot(
     spark: SparkSession,
     sink: SqliteSink,
     table: DbTable,
     new_snapshot: DataFrame,
     offsets: Mapping[str, int],
+    mirror: SnapshotMirror,
 ) -> int:
-    """Materialize ``new_snapshot`` into ``table`` by diffing against the
-    rows currently stored, applying only the ±delta in one transaction
-    with ``offsets``. Returns the number of delta rows applied.
-
-    This is the batch/foreachBatch materialization path: recompute the
-    view, diff snapshots (exact for arbitrary DAGs), ship the net
-    change. Repeated calls with the same input are idempotent (empty
-    diff), which is what makes micro-batch retries exactly-once."""
-    cols = [c.name for c in table.written_columns]
-    stored = sink.rows(table)
-    old = spark.createDataFrame(stored, schema=new_snapshot.select(*cols).schema)
-    delta = snapshot_diff(old, new_snapshot.select(*cols))
-    batch = [
-        (tuple(r[c] for c in cols), r[DELTA_COL])
-        for r in delta.collect()
+    """Single-table convenience over :func:`write_snapshots`."""
+    return write_snapshots(spark, sink, [(table, new_snapshot)], offsets, mirror)[
+        table.name
     ]
-    sink.advance_offsets({table: batch}, dict(offsets))
-    return len(batch)

@@ -19,6 +19,6 @@ In Spark these collapse into micro-batch semantics:
 """
 
 from .runner import IncrementalRunner
-from .structured import events_stream, run_available_now
+from .structured import events_stream, run_available_now, run_live
 
-__all__ = ["IncrementalRunner", "events_stream", "run_available_now"]
+__all__ = ["IncrementalRunner", "events_stream", "run_available_now", "run_live"]

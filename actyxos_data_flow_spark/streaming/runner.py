@@ -6,55 +6,93 @@ the accumulated deltas are shipped to the DB in one transaction with
 the offsets they reflect; on restart the stored offsets bound what to
 skip. Our epoch = one offset-bounded prefix of the log; instead of
 maintaining differential operator state we recompute the view on the
-prefix and diff against the sink (exact for arbitrary DAGs — SURVEY.md
-§4). The reference's ``Stateless``/``Stateful`` marker
-(/root/reference/src/flow.rs:160-177) decides whether restart must
-replay history; recompute-from-log subsumes replay, and bounded
-look-back (``Flow::new_limited``, /root/reference/src/flow.rs:103-123)
-becomes a source-side timestamp filter.
+prefix and diff against the previous snapshot's parquet mirror
+(distributed — sinks/writer.py). The reference's
+``Stateless``/``Stateful`` marker (/root/reference/src/flow.rs:160-177)
+decides whether restart must replay history; recompute-from-log
+subsumes replay, and bounded look-back (``Flow::new_limited``,
+/root/reference/src/flow.rs:103-123) becomes a source-side timestamp
+filter.
+
+The runner also carries the reference's multi-table Union contract
+(/root/reference/src/db/mod.rs:230-244, 273-458): several views over
+the same input stream materialize into their tables in ONE transaction
+sharing ONE offsets table.
 """
 
 from __future__ import annotations
 
+import math
+import tempfile
 from collections.abc import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks import DbTable, SqliteSink
-from ..sinks.writer import write_snapshot
+from ..sinks import DbTable, SqliteSink, Union
+from ..sinks.writer import SnapshotMirror, write_snapshots
 
 ViewFn = Callable[[DataFrame], DataFrame]
 
 
 class IncrementalRunner:
     """Materialize ``view_fn(events ≤ offsets)`` into ``table`` batch by
-    batch with exactly-once resume from the sink's offsets table."""
+    batch with exactly-once resume from the sink's offsets table.
+
+    Multi-table form: pass ``views=[(table_a, fn_a), (table_b, fn_b)]``
+    (or use :meth:`for_union`) — every batch computes all views on the
+    same prefix and commits them with shared offsets in one transaction.
+    """
 
     def __init__(
         self,
         spark: SparkSession,
         sink: SqliteSink,
-        table: DbTable,
-        view_fn: ViewFn,
+        table: DbTable | None = None,
+        view_fn: ViewFn | None = None,
         source_name: str = "events",
         offset_col: str = "event_id",
         lookback_filter: F.Column | None = None,
+        views: Sequence[tuple[DbTable, ViewFn]] | None = None,
+        mirror_dir: str | None = None,
     ):
+        if views is None:
+            if table is None or view_fn is None:
+                raise ValueError("pass (table, view_fn) or views=[...]")
+            views = [(table, view_fn)]
         self.spark = spark
         self.sink = sink
-        self.table = table
-        self.view_fn = view_fn
+        self.views = list(views)
+        self.spec: DbTable | Union = (
+            self.views[0][0] if len(self.views) == 1 else Union(tuple(t for t, _ in self.views))
+        )
         self.source_name = source_name
         self.offset_col = offset_col
         # S2/new_limited: restart optimization — only events passing this
         # predicate participate in recompute (bounded look-back horizon).
         self.lookback_filter = lookback_filter
-        sink.ensure(table)
+        # Previous-snapshot parquet mirror. Production passes a durable
+        # shared path; the temp default still keeps every epoch's diff
+        # distributed (a lost mirror costs one recovery rebuild, not
+        # correctness — sinks/writer.py crash-consistency notes).
+        self.mirror = SnapshotMirror(
+            spark, mirror_dir or tempfile.mkdtemp(prefix="adf_mirror_")
+        )
+        sink.ensure(self.spec)
+
+    @classmethod
+    def for_union(
+        cls,
+        spark: SparkSession,
+        sink: SqliteSink,
+        views: Sequence[tuple[DbTable, ViewFn]],
+        **kwargs,
+    ) -> "IncrementalRunner":
+        return cls(spark, sink, views=views, **kwargs)
 
     def resume_offset(self) -> int:
         """Offset already reflected in the sink (−1 = nothing yet)."""
-        return self.sink.read_offsets(self.table).get(self.source_name, -1)
+        return self.sink.read_offsets(self.spec).get(self.source_name, -1)
 
     def _bounded(self, events: DataFrame, upto: int) -> DataFrame:
         df = events.filter(F.col(self.offset_col) <= upto)
@@ -63,35 +101,54 @@ class IncrementalRunner:
         return df
 
     def run_batch(self, events: DataFrame, upto: int) -> int:
-        """One epoch: recompute on the prefix ≤ upto, apply net delta +
-        offsets transactionally. Idempotent (retry ⇒ empty diff)."""
-        snapshot = self.view_fn(self._bounded(events, upto))
-        return write_snapshot(
-            self.spark, self.sink, self.table, snapshot, {self.source_name: upto}
+        """One epoch: recompute all views on the prefix ≤ upto, apply the
+        net deltas + offsets in one transaction. Idempotent (retry ⇒
+        empty diff). Returns total delta rows applied."""
+        bounded = self._bounded(events, upto)
+        applied = write_snapshots(
+            self.spark,
+            self.sink,
+            [(t, fn(bounded)) for t, fn in self.views],
+            {self.source_name: upto},
+            self.mirror,
+            offsets_table=self.spec.offsets_table,
         )
+        return sum(applied.values())
+
+    def _batch_bounds(self, pending: DataFrame, events_per_txn: int) -> list[int]:
+        """Commit-boundary offsets, one per ~``events_per_txn`` pending
+        events. Distributed: one count/max aggregate plus a
+        Greenwald-Khanna quantile sketch (``approxQuantile``) — never a
+        global sort or single-partition exchange; only the boundary
+        values (one per future transaction) reach the driver. Boundary
+        positions are approximate (GK error ≤ ~5% of a batch), the
+        boundary COUNT is exact: ceil(pending / events_per_txn), and the
+        last bound is exactly the max pending offset, so the final
+        commit always lands on the log head."""
+        n, max_off = pending.agg(
+            F.count(F.lit(1)).alias("n"), F.max(self.offset_col).alias("m")
+        ).first()
+        if not n:
+            return []
+        n_batches = math.ceil(n / events_per_txn)
+        if n_batches == 1:
+            return [max_off]
+        probs = [i * events_per_txn / n for i in range(1, n_batches)]
+        rel_err = max(1e-6, min(0.01, 0.05 * events_per_txn / n))
+        qs = pending.approxQuantile(self.offset_col, probs, rel_err)
+        bounds = [int(q) for q in qs]
+        # monotone + exact head: quantile jitter must never reorder
+        # commits or skip the final offset
+        for i in range(1, len(bounds)):
+            bounds[i] = max(bounds[i], bounds[i - 1])
+        return [min(b, max_off) for b in bounds] + [max_off]
 
     def catch_up(self, events: DataFrame, events_per_txn: int = 1000) -> list[int]:
         """Process everything beyond the stored offsets in commit units
         of ``events_per_txn`` (reference default 1,000 —
         /root/reference/examples/machine-dashboard/main.rs:44). Returns
         the per-batch applied delta counts."""
-        from pyspark.sql import Window as W
-
         start = self.resume_offset()
         pending = events.filter(F.col(self.offset_col) > start).select(self.offset_col)
-        n = pending.count()
-        if n == 0:
-            return []
-        # batch boundaries: every events_per_txn-th offset. Only the
-        # boundary rows (one per future transaction) reach the driver;
-        # the rank runs distributed. The global-order window sorts just
-        # the projected offset column.
-        w = W.orderBy(self.offset_col)
-        bounds_df = (
-            pending.withColumn("_rn", F.row_number().over(w))
-            .filter((F.col("_rn") % events_per_txn == 0) | (F.col("_rn") == n))
-            .select(self.offset_col)
-            .orderBy(self.offset_col)
-        )
-        bounds: Sequence[int] = [r[0] for r in bounds_df.collect()]
+        bounds = self._batch_bounds(pending, events_per_txn)
         return [self.run_batch(events, b) for b in bounds]
