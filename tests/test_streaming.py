@@ -129,3 +129,87 @@ def test_structured_streaming_foreach_batch(spark, events, tmp_path):
     assert sorted(sink.rows(DASH)) == expected_rows(events)
     assert sink.read_offsets(DASH)["events"] == events.agg(F.max("event_id")).first()[0]
     sink.close()
+
+
+def _await_offset(sink, spec, target, query, timeout=90.0):
+    """Poll the sink until its committed offset reaches ``target`` (the
+    live-phase analogue of awaitTermination for availableNow)."""
+    import time
+
+    deadline = time.time() + timeout
+    while time.time() < deadline:
+        if query.exception() is not None:
+            raise AssertionError(f"query failed: {query.exception()}")
+        if sink.read_offsets(spec).get("events", -1) >= target:
+            return
+        time.sleep(0.5)
+    raise AssertionError(
+        f"offset never reached {target}; at {sink.read_offsets(spec)}"
+    )
+
+
+def test_live_streaming_ticks_and_resumes(spark, events, tmp_path):
+    """Live phase (S5, /root/reference/src/runner.rs:322-355): the query
+    keeps running on a periodic tick, flushing one sink transaction per
+    micro-batch that made progress; at every observed commit point the
+    table equals the view over exactly the events the offsets claim.
+    Restart with the same checkpoint resumes (live-mode mirror of
+    test_restart_resumes_from_offsets)."""
+    from actyxos_data_flow_spark.streaming import run_live
+
+    watch = str(tmp_path / "watch")
+    max_off = events.agg(F.max("event_id")).first()[0]
+    cuts = [max_off // 3, (2 * max_off) // 3, max_off]
+
+    def append_slice(lo, hi):
+        events.filter(
+            (F.col("event_id") > lo) & (F.col("event_id") <= hi)
+        ).coalesce(1).write.mode("append").parquet(watch)
+
+    append_slice(-1, cuts[0])
+    schema = events.schema
+    sink = SqliteSink(str(tmp_path / "live.db"))
+    q = run_live(
+        spark,
+        events_stream(spark, watch, schema, max_files_per_trigger=1),
+        dashboard_view,
+        sink,
+        DASH,
+        stage_dir=str(tmp_path / "stage"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        mirror_dir=str(tmp_path / "mirror"),
+        tick="1 second",
+    )
+    try:
+        _await_offset(sink, DASH, cuts[0], q)
+        assert sorted(sink.rows(DASH)) == expected_rows(events, cuts[0])
+
+        # live arrival: a new file lands while the query runs; the next
+        # tick flushes it in its own transaction
+        append_slice(cuts[0], cuts[1])
+        _await_offset(sink, DASH, cuts[1], q)
+        assert sorted(sink.rows(DASH)) == expected_rows(events, cuts[1])
+    finally:
+        q.stop()
+
+    # restart: data arrives while down; same checkpoint resumes and
+    # catches up without reprocessing committed batches
+    append_slice(cuts[1], cuts[2])
+    q2 = run_live(
+        spark,
+        events_stream(spark, watch, schema, max_files_per_trigger=1),
+        dashboard_view,
+        sink,
+        DASH,
+        stage_dir=str(tmp_path / "stage"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        mirror_dir=str(tmp_path / "mirror"),
+        tick="1 second",
+    )
+    try:
+        _await_offset(sink, DASH, cuts[2], q2)
+        assert sorted(sink.rows(DASH)) == expected_rows(events)
+        assert sink.read_offsets(DASH)["events"] == max_off
+    finally:
+        q2.stop()
+    sink.close()
