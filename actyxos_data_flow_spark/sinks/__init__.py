@@ -16,6 +16,10 @@ multi-writer JDBC target would instead apply per-partition inside
 ``foreachPartition`` with the same offsets-in-transaction protocol.
 """
 
+from .dbapi import DbapiSink
+from .dialect import Dialect, MssqlDialect, PostgresDialect, SqliteDialect
+from .mssql import MssqlSink
+from .postgres import PostgresSink
 from .spec import DbColumn, DbTable, Union
 from .sqlite import SqliteSink
 from .writer import SnapshotMirror, deltas_to_rows, write_snapshot, write_snapshots
@@ -24,7 +28,14 @@ __all__ = [
     "DbColumn",
     "DbTable",
     "Union",
+    "DbapiSink",
+    "Dialect",
+    "SqliteDialect",
+    "PostgresDialect",
+    "MssqlDialect",
     "SqliteSink",
+    "PostgresSink",
+    "MssqlSink",
     "SnapshotMirror",
     "deltas_to_rows",
     "write_snapshot",

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..delta import DELTA_COL, consolidate, snapshot_diff
 from .spec import DbTable, Union
-from .sqlite import SqliteSink
+from .dbapi import DbapiSink
 
 
 def deltas_to_rows(delta_df: DataFrame, table: DbTable) -> list[tuple[tuple, int]]:
@@ -64,7 +64,7 @@ class SnapshotMirror:
     def _dir(self, table: DbTable, epoch: str) -> str:
         return f"{self.root}/{table.name}/{epoch}"
 
-    def read_previous(self, sink: SqliteSink, table: DbTable, schema) -> DataFrame:
+    def read_previous(self, sink: DbapiSink, table: DbTable, schema) -> DataFrame:
         """The snapshot the sink's rows currently reflect, as a
         DataFrame. Empty if nothing committed yet; rebuilt from the sink
         (recovery path) if the pointer names a missing directory."""
@@ -98,7 +98,7 @@ class SnapshotMirror:
 
 def snapshot_delta(
     spark: SparkSession,
-    sink: SqliteSink,
+    sink: DbapiSink,
     table: DbTable,
     new_snapshot: DataFrame,
     mirror: SnapshotMirror,
@@ -115,7 +115,7 @@ def snapshot_delta(
 
 def write_snapshots(
     spark: SparkSession,
-    sink: SqliteSink,
+    sink: DbapiSink,
     views: Sequence[tuple[DbTable, DataFrame]],
     offsets: Mapping[str, int],
     mirror: SnapshotMirror,
@@ -155,7 +155,7 @@ def write_snapshots(
 
 def write_snapshot(
     spark: SparkSession,
-    sink: SqliteSink,
+    sink: DbapiSink,
     table: DbTable,
     new_snapshot: DataFrame,
     offsets: Mapping[str, int],

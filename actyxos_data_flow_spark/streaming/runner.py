@@ -29,7 +29,7 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sinks import DbTable, SqliteSink, Union
+from ..sinks import DbapiSink, DbTable, Union
 from ..sinks.writer import SnapshotMirror, write_snapshots
 
 ViewFn = Callable[[DataFrame], DataFrame]
@@ -47,7 +47,7 @@ class IncrementalRunner:
     def __init__(
         self,
         spark: SparkSession,
-        sink: SqliteSink,
+        sink: DbapiSink,
         table: DbTable | None = None,
         view_fn: ViewFn | None = None,
         source_name: str = "events",
@@ -84,7 +84,7 @@ class IncrementalRunner:
     def for_union(
         cls,
         spark: SparkSession,
-        sink: SqliteSink,
+        sink: DbapiSink,
         views: Sequence[tuple[DbTable, ViewFn]],
         **kwargs,
     ) -> "IncrementalRunner":

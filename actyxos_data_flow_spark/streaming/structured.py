@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQuery
 
-from ..sinks import DbTable, SqliteSink, Union
+from ..sinks import DbapiSink, DbTable, Union
 from ..sinks.writer import SnapshotMirror, write_snapshots
 
 ViewFn = Callable[[DataFrame], DataFrame]
@@ -57,7 +57,7 @@ def events_stream(
 def _foreach_batch_handler(
     spark: SparkSession,
     views: Sequence[tuple[DbTable, ViewFn]],
-    sink: SqliteSink,
+    sink: DbapiSink,
     stage_dir: str,
     mirror: SnapshotMirror,
     source_name: str,
@@ -100,7 +100,7 @@ def run_available_now(
     spark: SparkSession,
     stream_df: DataFrame,
     view_fn: ViewFn | Sequence[tuple[DbTable, ViewFn]],
-    sink: SqliteSink,
+    sink: DbapiSink,
     table: DbTable | None = None,
     stage_dir: str = "",
     checkpoint_dir: str = "",
@@ -132,7 +132,7 @@ def run_live(
     spark: SparkSession,
     stream_df: DataFrame,
     view_fn: ViewFn | Sequence[tuple[DbTable, ViewFn]],
-    sink: SqliteSink,
+    sink: DbapiSink,
     table: DbTable | None = None,
     stage_dir: str = "",
     checkpoint_dir: str = "",

@@ -1,0 +1,206 @@
+"""K4/K5 sink dialects: SQL-shape goldens for PostgreSQL and MSSQL, a
+serverless integration run of the shared DB-API core against DuckDB
+speaking the Postgres shapes, and env-gated real-server round-trips
+mirroring the reference's connection-string-driven tests
+(/root/reference/src/db/postgre.rs:301-342 ``POSTGRES_CONNECT``,
+/root/reference/src/db/mssql.rs harness ``MSSQL_CONNECT``).
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+from actyxos_data_flow_spark.sinks import (
+    DbapiSink,
+    DbColumn,
+    DbTable,
+    MssqlDialect,
+    PostgresDialect,
+    SqliteDialect,
+)
+
+RECORD = DbTable(
+    name="dlx_records",
+    columns=(DbColumn("a", "text", index=True), DbColumn("b", "bigint")),
+    version=1,
+)
+
+
+# -- SQL-shape goldens (no server needed) -------------------------------
+
+
+def test_postgres_dialect_shapes():
+    d = PostgresDialect()
+    assert d.insert_sql("t", ["a", "b"]) == "INSERT INTO t (a, b) VALUES (%s, %s)"
+    where, nxt = d.where_nullsafe(["a", "b"])
+    assert where == "a IS NOT DISTINCT FROM %s AND b IS NOT DISTINCT FROM %s"
+    assert nxt == 3
+    sql, params = d.delete_exact("t", ["a", "b"])
+    # ctid-subquery LIMIT: delete EXACTLY n (the reference's pg driver
+    # instead deletes all + re-inserts, postgre.rs:243-252)
+    assert sql == (
+        "DELETE FROM t WHERE ctid IN (SELECT ctid FROM t WHERE "
+        "a IS NOT DISTINCT FROM %s AND b IS NOT DISTINCT FROM %s LIMIT %s)"
+    )
+    assert params(("x", None), 3) == ("x", None, 3)
+
+
+def test_mssql_dialect_shapes():
+    d = MssqlDialect()
+    # TOP count is the FIRST parameter (mssql.rs:216-218, :288); each
+    # value binds twice for the CASE-based NULL-safe compare (:219-227)
+    sql, params = d.delete_exact("t", ["a", "b"])
+    assert sql.startswith("DELETE TOP (?) FROM t WHERE ")
+    assert "(a = ? OR (CASE WHEN a IS NULL AND ? IS NULL THEN 1 ELSE 0 END) = 1)" in sql
+    assert params(("x", None), 2) == (2, "x", "x", None, None)
+    assert "sys.tables" in d.create_table("t", "a text")
+    assert "sys.indexes" in d.create_index("i", "t", "a")
+    assert d.begin_stmts() == ["SET TRANSACTION ISOLATION LEVEL SERIALIZABLE"]
+    # pymssql flavor switches placeholders
+    assert MssqlDialect(ph_text="%s").delete_exact("t", ["a"])[0].startswith(
+        "DELETE TOP (%s)"
+    )
+
+
+def test_sqlite_dialect_shapes():
+    d = SqliteDialect()
+    sql, params = d.delete_exact("t", ["a"])
+    assert sql == (
+        "DELETE FROM t WHERE rowid IN (SELECT rowid FROM t WHERE a IS ? LIMIT ?)"
+    )
+    assert params((None,), 1) == (None, 1)
+
+
+# -- the shared core against a second real engine (DuckDB) --------------
+
+
+class DuckPgDialect(PostgresDialect):
+    """Postgres shapes executed against DuckDB — which also speaks
+    ``IS NOT DISTINCT FROM`` and exposes ``rowid`` — so the whole
+    DbapiSink algorithm (migration, NULL-safe limited delete, offsets
+    upsert, mirror pointer) runs end-to-end with the pg compare/delete
+    forms, no server required. Only the placeholder text and explicit
+    BEGIN differ (DuckDB is qmark + autocommit)."""
+
+    rowid = "rowid"
+
+    def ph(self, i: int) -> str:
+        return "?"
+
+    def begin_stmts(self) -> list[str]:
+        return ["BEGIN TRANSACTION"]
+
+
+class _DuckConn:
+    """DB-API facade: duckdb's .cursor() opens a NEW connection (own
+    transaction context), so hand the sink the connection itself."""
+
+    def __init__(self, conn):
+        self._c = conn
+
+    def cursor(self):
+        return self._c
+
+    def commit(self):
+        self._c.commit()
+
+    def rollback(self):
+        self._c.rollback()
+
+    def close(self):
+        self._c.close()
+
+
+@pytest.fixture()
+def duck_sink():
+    duckdb = pytest.importorskip("duckdb")
+    s = DbapiSink(_DuckConn(duckdb.connect()), DuckPgDialect())
+    s.ensure(RECORD)
+    yield s
+    s.close()
+
+
+def test_duckdb_round_trip_multiplicities(duck_sink):
+    duck_sink.advance_offsets(
+        {RECORD: [(("x", 1), 1), (("y", 2), 2), (("x", 1), 1)]},
+        {"src-a": 10},
+    )
+    assert duck_sink.rows(RECORD) == [("x", 1), ("x", 1), ("y", 2), ("y", 2)]
+    assert duck_sink.read_offsets(RECORD) == {"src-a": 10}
+
+    duck_sink.advance_offsets({RECORD: [(("y", 2), -1)]}, {"src-a": 11, "src-b": 5})
+    assert duck_sink.rows(RECORD) == [("x", 1), ("x", 1), ("y", 2)]
+    assert duck_sink.read_offsets(RECORD) == {"src-a": 11, "src-b": 5}
+
+
+def test_duckdb_delete_null_safe(duck_sink):
+    duck_sink.advance_offsets({RECORD: [((None, 7), 2)]}, {"s": 1})
+    duck_sink.advance_offsets({RECORD: [((None, 7), -1)]}, {"s": 2})
+    assert duck_sink.rows(RECORD) == [(None, 7)]
+
+
+def test_duckdb_version_bump_and_mirror(duck_sink):
+    duck_sink.advance_offsets(
+        {RECORD: [(("x", 1), 1)]}, {"s": 3}, mirror_epochs={RECORD.name: "s-3"}
+    )
+    assert duck_sink.mirror_epoch(RECORD.name) == "s-3"
+    v2 = DbTable(name=RECORD.name, columns=RECORD.columns, version=2)
+    assert duck_sink.ensure(v2)
+    assert duck_sink.rows(v2) == []
+    assert duck_sink.read_offsets(v2) == {}
+    assert duck_sink.mirror_epoch(RECORD.name) is None
+    assert not duck_sink.ensure(v2)
+
+
+# -- env-gated real-server round-trips ----------------------------------
+
+
+def _roundtrip(sink):
+    """The reference's must-store sequence (postgre.rs:301-342): write
+    with mults {+2, +1}, verify offsets + rows, retract, verify."""
+    t = DbTable(
+        name="adf_roundtrip",
+        columns=(DbColumn("a", "varchar(64)"), DbColumn("b", "bigint")),
+        version=1,
+    )
+    # clear_database analogue (postgre.rs:128-135): fresh tables per run
+    with sink._txn() as cur:
+        cur.execute(sink.dialect.drop_table(t.name))
+        cur.execute(sink.dialect.drop_table(t.offsets_table))
+    sink.ensure(t)
+    assert sink.read_offsets(t) == {}
+    sink.advance_offsets(
+        {t: [(("aa", 12), 2), (("bb", 14), 1), ((None, 22), 1)]},
+        {"abc": 42, "def": 22},
+    )
+    assert sink.read_offsets(t) == {"abc": 42, "def": 22}
+    assert sorted(sink.rows(t), key=lambda r: (r[0] is None, r)) == [
+        ("aa", 12),
+        ("aa", 12),
+        ("bb", 14),
+        (None, 22),
+    ]
+    sink.advance_offsets(
+        {t: [(("aa", 12), -1), (("bb", 14), -1), ((None, 22), -1)]},
+        {"abc": 43},
+    )
+    assert sorted(sink.rows(t), key=lambda r: (r[0] is None, r)) == [("aa", 12)]
+    assert sink.read_offsets(t) == {"abc": 43, "def": 22}
+
+
+@pytest.mark.skipif(
+    "POSTGRES_CONNECT" not in os.environ, reason="POSTGRES_CONNECT not set"
+)
+def test_postgres_round_trip_env_gated():
+    from actyxos_data_flow_spark.sinks import PostgresSink
+
+    _roundtrip(PostgresSink(os.environ["POSTGRES_CONNECT"]))
+
+
+@pytest.mark.skipif("MSSQL_CONNECT" not in os.environ, reason="MSSQL_CONNECT not set")
+def test_mssql_round_trip_env_gated():
+    from actyxos_data_flow_spark.sinks import MssqlSink
+
+    _roundtrip(MssqlSink(os.environ["MSSQL_CONNECT"]))
