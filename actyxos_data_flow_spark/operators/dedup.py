@@ -80,13 +80,46 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, id_col: str = "doc_id", num_hashes: int = 8, band_size: int = 2
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Band the signature (num_hashes/band_size bands) and emit unordered
     candidate pairs sharing any band bucket. Pure equi-join on
-    (band, bucket_sig); distinct to dedupe multi-band hits."""
+    (band, bucket_sig); distinct to dedupe multi-band hits.
+
+    ``max_bucket`` is the skew guard for 100 TB: a degenerate bucket (one
+    signature shared by millions of near-identical docs) makes the
+    self-join quadratic in that bucket. Buckets larger than the cap are
+    excluded from pair generation (their members still pair through
+    their other, non-degenerate bands). The pre-filter joins on the SAME
+    (band, sig) key as the pair join, so AQE co-partitions it for free.
+    Use :func:`lsh_oversized_buckets` to inspect/log what a cap drops."""
+    bands = _lsh_bands(sig, id_col, num_hashes, band_size)
+    if max_bucket is not None:
+        ok = (
+            bands.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_bn"))
+            .filter(F.col("_bn") <= max_bucket)
+            .drop("_bn")
+        )
+        bands = bands.join(ok, ["band", "sig"])
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")), "inner")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def _lsh_bands(sig: DataFrame, id_col: str, num_hashes: int, band_size: int) -> DataFrame:
     n_bands = num_hashes // band_size
-    bands = sig.select(
+    return sig.select(
         F.col(id_col),
         F.explode(
             F.array(
@@ -102,15 +135,24 @@ def lsh_candidate_pairs(
             )
         ).alias("bs"),
     ).select(id_col, "bs.band", "bs.sig")
-    a = bands.alias("a")
-    b = bands.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")), "inner")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+
+
+def lsh_oversized_buckets(
+    sig: DataFrame,
+    max_bucket: int,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+) -> DataFrame:
+    """The (band, sig, size) buckets a ``max_bucket`` cap would drop —
+    the operator pipeline stays lazy, so drop accounting is a separate
+    plan the caller runs (and logs) when the cap is in force."""
+    return (
+        _lsh_bands(sig, id_col, num_hashes, band_size)
+        .groupBy("band", "sig")
+        .agg(F.count(F.lit(1)).alias("size"))
+        .filter(F.col("size") > max_bucket)
     )
-    return pairs
 
 
 def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -171,16 +213,38 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
     return bit_sums.select(id_col, bits.alias("simhash"))
 
 
+def simhash_bands(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int, int]]:
+    """(start, width) 1-based slices splitting ``bits`` into
+    ``max_hamming + 1`` contiguous bands. Pigeonhole: two signatures
+    differing in ≤ max_hamming bits must agree on at least one of
+    max_hamming + 1 disjoint bands, so banded blocking has FULL recall
+    at the ``hamming <= max_hamming`` threshold. (The previous fixed
+    4-byte layout only guaranteed recall to hamming ≤ 3.)"""
+    n_bands = max_hamming + 1
+    base, extra = divmod(bits, n_bands)
+    widths = [base + 1] * extra + [base] * (n_bands - extra)
+    starts, pos = [], 1
+    for w in widths:
+        starts.append((pos, w))
+        pos += w
+    return starts
+
+
 def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 6) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 32 bits into 4 bytes; pairs
-    sharing any full byte are candidates (guaranteed to catch all pairs
-    with hamming < 8 in some byte; standard pigeonhole blocking), then
-    exact hamming ≤ max_hamming via positionwise compare."""
+    """Near-dup pairs by SimHash: band the 32 bits into max_hamming + 1
+    slices; pairs sharing any full band are candidates (pigeonhole —
+    see :func:`simhash_bands` — so recall is exact at the threshold),
+    then exact hamming ≤ max_hamming via positionwise compare."""
     bands = sig.select(
         id_col,
         "simhash",
         F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.substring("simhash", b * 8 + 1, 8).alias("piece")) for b in range(4)])
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.substring("simhash", st, w).alias("piece"))
+                    for b, (st, w) in enumerate(simhash_bands(max_hamming))
+                ]
+            )
         ).alias("bp"),
     ).select(id_col, "simhash", "bp.band", "bp.piece")
     a, b = bands.alias("a"), bands.alias("b")

@@ -122,7 +122,11 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs)
     sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
-    cand = D.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    # skew guard armed (no-op at test SF, where no bucket nears the cap;
+    # the oracle is the uncapped pipeline, so the gate also proves it)
+    cand = D.lsh_candidate_pairs(
+        sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
+    )
     return D.jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
@@ -193,6 +197,11 @@ _hamming = " + ".join(
     f"(CASE WHEN substr(a.simhash, {j}, 1) <> substr(b.simhash, {j}, 1) THEN 1 ELSE 0 END)"
     for j in range(1, SIMHASH_BITS + 1)
 )
+# max_hamming + 1 contiguous bands (pigeonhole full recall at the
+# threshold — operators/dedup.simhash_bands); mirrored exactly here
+_simhash_band_rows = ", ".join(
+    f"({b}, {st}, {w})" for b, (st, w) in enumerate(D.simhash_bands(6))
+)
 SIMHASH_PAIRS_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
@@ -206,8 +215,8 @@ sums AS (
 ),
 sig AS (SELECT doc_id, {_bits} AS simhash FROM sums),
 bands AS (
-  SELECT doc_id, simhash, b.band, substr(simhash, b.band * 8 + 1, 8) AS piece
-  FROM sig, LATERAL (VALUES (0), (1), (2), (3)) AS b(band)
+  SELECT doc_id, simhash, b.band, substr(simhash, b.st, b.w) AS piece
+  FROM sig, LATERAL (VALUES {_simhash_band_rows}) AS b(band, st, w)
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sh_a, b.simhash AS sh_b

@@ -85,3 +85,58 @@ def test_fingerprint_equal_for_exact_dups(spark):
     fp = {r.doc_id: r.fingerprint for r in X.fingerprint(_docs(spark)).collect()}
     assert fp[1] == fp[4]
     assert fp[1] != fp[3]
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """A signature bucket over the cap is excluded from pair generation
+    (the 100 TB skew guard); its members still pair through other
+    bands. With every doc identical, ALL buckets are degenerate, so a
+    cap below the corpus size must yield zero pairs — and the companion
+    accounting plan must name the dropped buckets."""
+    clones = spark.createDataFrame(
+        [(i, "same same same same same") for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signatures(D.shingles(clones))
+    assert D.lsh_candidate_pairs(sig, max_bucket=5).count() == 0
+    dropped = D.lsh_oversized_buckets(sig, max_bucket=5).collect()
+    assert dropped and all(r.size == 6 for r in dropped)
+    # cap above the bucket size: identical to uncapped
+    uncapped = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig).collect()}
+    capped = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig, max_bucket=6).collect()}
+    assert capped == uncapped == {(a, b) for a in range(1, 7) for b in range(1, 7) if a < b}
+
+
+def test_simhash_banding_full_recall_at_threshold(spark):
+    """Pigeonhole guarantee: with max_hamming + 1 bands, EVERY pair with
+    true hamming <= max_hamming must be emitted (the fixed 4-byte layout
+    this replaced missed pairs whose 4-6 diffs spread across all four
+    bytes). Brute-force ground truth over all signature pairs."""
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate([
+            "alpha beta gamma delta epsilon zeta",
+            "alpha beta gamma delta epsilon eta",
+            "alpha beta gamma delta theta iota",
+            "totally different content over here",
+            "alpha beta gamma delta epsilon zeta extra",
+            "more words that share nothing at all",
+        ])],
+        "doc_id long, text string",
+    )
+    sig = D.simhash(docs)
+    sigs = {r.doc_id: r.simhash for r in sig.collect()}
+    truth = {
+        (a, b)
+        for a in sigs
+        for b in sigs
+        if a < b and sum(x != y for x, y in zip(sigs[a], sigs[b])) <= 6
+    }
+    got = {(r.id_a, r.id_b) for r in D.simhash_near_pairs(sig, max_hamming=6).collect()}
+    assert got == truth
+
+
+def test_simhash_bands_layout():
+    bands = D.simhash_bands(6)
+    assert len(bands) == 7  # max_hamming + 1
+    assert sum(w for _, w in bands) == D.SIMHASH_BITS
+    assert bands[0] == (1, 5) and bands[-1] == (29, 4)
