@@ -134,12 +134,27 @@ class Flow:
 
     def threshold(self, fn: Callable[[Column], Column]) -> "Flow":
         """U4 — arbitrary multiplicity rewrite ``f(mult)->mult``
-        (/root/reference/src/flow.rs:452-457). Materialized-row space:
-        count copies per value, rewrite the count, re-expand. The
-        re-expansion uses ``explode(array_repeat)`` — fine for small
-        multiplicities (the only use in the wild is distinct-like
-        clipping); delta-space pipelines keep the count as ``delta``."""
+        (/root/reference/src/flow.rs:452-457).
+
+        Delta space (``delta`` column present): multiplicity is the SIGNED
+        NET sum(delta) per distinct record — consolidate first, rewrite
+        the net, emit it back into ``delta`` (zero-net records vanish,
+        matching the reference's consolidated arrangement).
+
+        Materialized-row space: count copies per value, rewrite, re-expand
+        via ``explode(array_repeat)`` — fine for small multiplicities (the
+        only use in the wild is distinct-like clipping)."""
         cols = [c for c in self.df.columns if c != DELTA_COL]
+        if DELTA_COL in self.df.columns:
+            net = (
+                self.df.groupBy(*cols)
+                .agg(F.sum(DELTA_COL).alias("_m"))
+                .filter(F.col("_m") != 0)
+            )
+            out = net.select(
+                *cols, fn(F.col("_m")).cast("long").alias(DELTA_COL)
+            ).filter(F.col(DELTA_COL) != 0)
+            return self._wrap(out, stateful=True)
         counted = self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_mult"))
         rewritten = counted.withColumn("_mult", fn(F.col("_mult")).cast("int")).filter(F.col("_mult") > 0)
         expanded = rewritten.select(*cols, F.explode(F.array_repeat(F.lit(1), F.col("_mult"))).alias("_one")).drop(
@@ -148,8 +163,20 @@ class Flow:
         return self._wrap(expanded, stateful=True)
 
     def count_values(self) -> "Flow":
-        """U5 — global per-value count: ``Flow<T> -> Flow<(T, count)>``."""
+        """U5 — global per-value count: ``Flow<T> -> Flow<(T, count)>``.
+        In delta space the count is the signed net sum(delta) per value
+        (consolidated; zero-net values vanish) and each surviving
+        (value, count) record carries delta=1 — the count view's snapshot
+        as a net multiset."""
         cols = [c for c in self.df.columns if c != DELTA_COL]
+        if DELTA_COL in self.df.columns:
+            out = (
+                self.df.groupBy(*cols)
+                .agg(F.sum(DELTA_COL).alias("count"))
+                .filter(F.col("count") != 0)
+                .withColumn(DELTA_COL, F.lit(1))
+            )
+            return self._wrap(out, stateful=True)
         return self._wrap(self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count")), stateful=True)
 
     def except_all(self, other: "Flow") -> "Flow":
@@ -170,9 +197,12 @@ class Flow:
         k = F.col(key) if isinstance(key, str) else key
         s = F.col(sort_key) if isinstance(sort_key, str) else sort_key
         all_struct = F.struct(*[F.col(c) for c in self.df.columns])
+        # order by (sort_key, full record): ties on sort_key resolve by
+        # full-record Ord, as the reference's arrangement compare does
+        # (and as Grouped.max_by already does)
         out = (
             self.df.groupBy(k.alias("_k"))
-            .agg(F.max_by(all_struct, s).alias("_rec"))
+            .agg(F.max_by(all_struct, F.struct(s.alias("_s"), all_struct.alias("_r"))).alias("_rec"))
             .select("_rec.*")
         )
         return self._wrap(out, stateful=True)
@@ -188,7 +218,7 @@ class Flow:
         all_struct = F.struct(*[F.col(c) for c in self.df.columns])
         out = (
             self.df.groupBy(k.alias("_k"))
-            .agg(F.min_by(all_struct, o).alias("_rec"))
+            .agg(F.min_by(all_struct, F.struct(o.alias("_s"), all_struct.alias("_r"))).alias("_rec"))
             .select("_rec.*")
         )
         return self._wrap(out, stateful=True)
@@ -200,7 +230,7 @@ class Flow:
         the distributed equivalent and Catalyst plans/reuses it."""
         from .grouped import Grouped
 
-        return Grouped(self.df, _cols(key_exprs), stateful=True)
+        return Grouped(self.df, list(key_exprs), stateful=True)
 
     # -- diagnostics (F8/F9) -------------------------------------------
     def inspect(self, *metrics: Column) -> "Flow":

@@ -50,21 +50,29 @@ class Grouped:
     """A keyed collection (the reference's arranged ``Grouped<K,V>``,
     /root/reference/src/flow.rs:472-485)."""
 
-    def __init__(self, df: DataFrame, keys: Sequence[Column], stateful: bool = True):
-        # materialize key columns so self-describing downstream ops can
-        # reference them by name
-        self._key_names = []
+    def __init__(self, df: DataFrame, keys: Sequence[Column | str], stateful: bool = True):
+        # Materialize key columns so downstream ops can reference them by
+        # name. str keys name existing columns; computed Column keys must
+        # carry an explicit .alias() (resolved via the public
+        # ``df.select(col).columns`` path — no py4j internals, so this
+        # works identically under Spark Connect).
+        self._key_names: list[str] = []
         out = df
-        for i, k in enumerate(keys):
-            name = df.columns[i] if isinstance(k, str) else None
-            # alias computed keys deterministically
-            jc_name = k._jc.toString() if hasattr(k, "_jc") else str(k)
-            if jc_name in df.columns:
-                self._key_names.append(jc_name)
-            else:
-                name = f"_key{i}" if name is None else name
-                out = out.withColumn(name, k)
-                self._key_names.append(name)
+        for k in keys:
+            if isinstance(k, str):
+                if k not in df.columns:
+                    raise ValueError(f"unknown group key column {k!r}")
+                self._key_names.append(k)
+                continue
+            name = df.select(k).columns[0]
+            if name not in df.columns and not name.isidentifier():
+                raise ValueError(
+                    f"computed group key {name!r} needs an explicit .alias()"
+                )
+            # withColumn (not a membership test) so an aliased expression
+            # shadowing an existing column groups by the EXPRESSION
+            out = out.withColumn(name, k)
+            self._key_names.append(name)
         self.df = out
         self.stateful = stateful
 
@@ -172,4 +180,4 @@ class Grouped:
 
     def regroup(self, *key_exprs: Column | str) -> "Grouped":
         """G13 — re-key."""
-        return Grouped(self.df, [F.col(e) if isinstance(e, str) else e for e in key_exprs], stateful=True)
+        return Grouped(self.df, list(key_exprs), stateful=True)

@@ -98,3 +98,36 @@ def test_source_limited_lookback(spark):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     f = Flow.source_limited(df, "ts", "INTERVAL 30 DAYS")
     assert rows(f.df, "id") == [(2,), (3,)]
+
+
+def test_threshold_delta_space_rewrites_net_multiplicity(spark):
+    """U4 in delta space: multiplicity is the signed NET sum(delta) per
+    record, consolidated first, rewritten back into the delta column
+    (reference threshold_total semantics) — NOT physical-row count."""
+    df = spark.createDataFrame(
+        [(1, 5), (2, 1), (2, -1), (3, -2)], "value int, delta int"
+    )
+    # clip to at most 1 (distinct-like): net 5 -> 1, net 0 -> gone,
+    # net -2 -> -2 (clip only caps positives)
+    got = Flow(df).threshold(lambda m: F.least(m, F.lit(1)))
+    assert sorted(tuple(r) for r in got.df.collect()) == [(1, 1), (3, -2)]
+
+
+def test_count_values_delta_space_nets_out(spark):
+    df = spark.createDataFrame(
+        [(7, 1), (7, 1), (7, -1), (8, 1), (9, 1), (9, -1)], "value int, delta int"
+    )
+    got = Flow(df).count_values()
+    # value 9 nets to zero and vanishes; outputs carry delta=1
+    assert sorted(tuple(r) for r in got.df.collect()) == [(7, 1, 1), (8, 1, 1)]
+    assert got.df.columns == ["value", "count", "delta"]
+
+
+def test_monotonic_max_by_full_record_tiebreak(spark):
+    """Two records sharing the max sort_key: winner is the full-record
+    max (deterministic), matching the reference's Ord compare."""
+    df = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "z"), (1, 9, "m")], "k int, s int, payload string"
+    )
+    got = Flow(df).monotonic_max_by("k", "s").df.collect()
+    assert [(r.k, r.s, r.payload) for r in got] == [(1, 10, "z")]

@@ -4,6 +4,7 @@ intra-group sort contract), named aggregates, regroup."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from actyxos_data_flow_spark.flow import Flow
@@ -66,3 +67,26 @@ def test_computed_group_key(spark):
     df = _kv(spark, [("a", 1), ("b", 2), ("c", 3), ("d", 4)])
     got = Flow.source(df).group_by((F.col("v") % 2).alias("parity")).count()
     assert rows(got.df) == [(0, 2), (1, 2)]
+
+
+def test_string_key_resolution_no_positional_fallback(spark):
+    df = _kv(spark, [("a", 1), ("b", 2)])
+    # str key resolves by NAME even though 'v' is not the 0th column
+    got = Flow.source(df).group_by("v").count()
+    assert sorted(rows(got.df)) == [(1, 1), (2, 1)]
+    with pytest.raises(ValueError, match="unknown group key"):
+        Flow.source(df).group_by("nope")
+
+
+def test_computed_key_requires_alias(spark):
+    df = _kv(spark, [("a", 1)])
+    with pytest.raises(ValueError, match="alias"):
+        Flow.source(df).group_by(F.col("v") % 2)
+
+
+def test_aliased_key_shadowing_column_groups_by_expression(spark):
+    df = _kv(spark, [("a", 1), ("b", 2), ("c", 3)])
+    # alias collides with existing column 'v': must group by the
+    # EXPRESSION, not the original column
+    got = Flow.source(df).group_by((F.col("v") % 2).alias("v")).count()
+    assert sorted(rows(got.df)) == [(0, 1), (1, 2)]
