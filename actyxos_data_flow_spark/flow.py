@@ -86,17 +86,49 @@ class Flow:
         """F1 — native predicate; Catalyst pushes it to the scan."""
         return self._wrap(self.df.filter(predicate))
 
-    def filter_mut(self, predicate: Column | str) -> "Flow":
-        """F2 — semantically identical in plan space, but flips the
-        stateful marker (reference poisons the flow, src/flow.rs:241-243)."""
+    def filter_mut(
+        self,
+        predicate: Column | str | None = None,
+        *,
+        fn: Callable | None = None,
+        keys: Sequence[str] = (),
+        order_by: Sequence[str] | None = None,
+        init_state=None,
+    ) -> "Flow":
+        """F2 (/root/reference/src/flow.rs:241-243). Column form: same
+        plan as filter but flips the stateful marker. Callable form
+        (``fn(state, row) -> (state, keep_bool)``): a REAL stateful
+        predicate — per-key ordered fold via :meth:`map_with_state`
+        keeping rows where ``keep_bool`` (e.g. 'emit only on change')."""
+        if fn is not None:
+            def _pred(state, row):
+                state, keep = fn(state, row)
+                return state, (row._asdict() if keep else None)
+
+            return self.map_with_state(
+                list(keys), _pred, self.df.schema, order_by, init_state
+            )
         return self._wrap(self.df.filter(predicate), stateful=True)
 
     def map(self, *exprs: Column | str) -> "Flow":
         """F3 — 1:1, type-changing transform = projection."""
         return self._wrap(self.df.select(*_cols(exprs)))
 
-    def map_mut(self, *exprs: Column | str) -> "Flow":
-        """F4 — stateful-marked map."""
+    def map_mut(
+        self,
+        *exprs: Column | str,
+        fn: Callable | None = None,
+        schema=None,
+        keys: Sequence[str] = (),
+        order_by: Sequence[str] | None = None,
+        init_state=None,
+    ) -> "Flow":
+        """F4 (/root/reference/src/flow.rs:251-256). Expression form:
+        stateful-marked projection. Callable form (``fn(state, row) ->
+        (state, out_dict)`` + ``schema``): a real stateful 1:1 transform
+        via :meth:`map_with_state`."""
+        if fn is not None:
+            return self.map_with_state(list(keys), fn, schema, order_by, init_state)
         return self._wrap(self.df.select(*_cols(exprs)), stateful=True)
 
     def map_in_place(self, **named_exprs: Column) -> "Flow":
@@ -111,6 +143,55 @@ class Flow:
         """F3/F6 escape hatch for non-expressible transforms: Arrow-batched
         ``mapInPandas`` (never row-at-a-time Python UDFs in the hot path)."""
         return self._wrap(self.df.mapInPandas(fn, schema), stateful=True)
+
+    def map_with_state(
+        self,
+        keys: Sequence[str],
+        fn: Callable,
+        schema,
+        order_by: Sequence[str] | None = None,
+        init_state=None,
+    ) -> "Flow":
+        """The genuinely-stateful closure surface (F2/F4 ``FnMut``,
+        /root/reference/src/flow.rs:241-256): a per-key ordered fold with
+        mutable state. ``fn(state, row) -> (state, emit)`` sees each
+        key's rows in ``order_by`` order (default: all columns — record
+        Ord, like Grouped.reduce); ``emit`` is a dict for one output row
+        or None.
+
+        Distributed deviation (documented): the reference's FnMut runs
+        globally sequential on one thread; on a cluster state is
+        per-key. A constant key forces global sequencing at the cost of
+        parallelism. In the batch/recompute model state is rebuilt from
+        the log prefix every epoch — exact, since the fold replays the
+        whole ordered history (SURVEY.md §4). For state that must
+        SURVIVE across live micro-batches without replay, use
+        :func:`actyxos_data_flow_spark.streaming.stateful.map_with_state`,
+        which runs the same ``fn`` under ``applyInPandasWithState``."""
+        import pandas as pd
+
+        from pyspark.sql.types import StructType
+
+        order_cols = list(order_by) if order_by else [c for c in self.df.columns]
+        out_cols = (
+            [f.name for f in schema.fields]
+            if isinstance(schema, StructType)
+            else [s.strip().split()[0] for s in schema.split(",")]
+        )
+
+        def _apply(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values(order_cols, kind="mergesort")
+            state = init_state() if callable(init_state) else init_state
+            out = []
+            for row in pdf.itertuples(index=False):
+                state, emit = fn(state, row)
+                if emit is not None:
+                    out.append(emit)
+            return pd.DataFrame(out, columns=out_cols)
+
+        return self._wrap(
+            self.df.groupBy(*keys).applyInPandas(_apply, schema), stateful=True
+        )
 
     # -- union / set-like (U1-U5, F7) ----------------------------------
     def concat(self, other: "Flow") -> "Flow":

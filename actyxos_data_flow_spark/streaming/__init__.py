@@ -19,6 +19,14 @@ In Spark these collapse into micro-batch semantics:
 """
 
 from .runner import IncrementalRunner
+from .stateful import map_with_state, usage_intervals_stream
 from .structured import events_stream, run_available_now, run_live
 
-__all__ = ["IncrementalRunner", "events_stream", "run_available_now", "run_live"]
+__all__ = [
+    "IncrementalRunner",
+    "events_stream",
+    "run_available_now",
+    "run_live",
+    "map_with_state",
+    "usage_intervals_stream",
+]

@@ -1,0 +1,111 @@
+"""Keyed mutable state ACROSS micro-batches — the live-streaming form of
+the reference's stateful closures (``FnMut``,
+/root/reference/src/flow.rs:241-256) and stateful operators (E2's
+pending-interval BTreeMap, /root/reference/examples/machine-usage/
+logic.rs:28-54).
+
+The batch engine never needs this: recompute-from-log rebuilds operator
+state each epoch by replaying the prefix (SURVEY.md §4), which is what
+``Flow.map_with_state`` does. In live mode replaying from offset 0 every
+tick is wasted work, so here the SAME ``fn(state, row) -> (state, emit)``
+fold runs under ``applyInPandasWithState``: Spark checkpoints the
+per-key state between micro-batches and hands it back on the next one.
+One fold contract, two execution regimes — batch replay and live
+incremental — mirroring the reference's replay → live phase switch
+(/root/reference/src/runner.rs:169-173).
+
+State crosses the boundary as a tuple matching ``state_schema`` (None =
+key never seen). Rows are folded in ``order_by`` order WITHIN a
+micro-batch; cross-batch order is the stream's arrival order, as in the
+reference's live phase.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import StructType
+
+
+def map_with_state(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable,
+    output_schema: StructType | str,
+    state_schema: StructType | str,
+    order_by: Sequence[str] | None = None,
+    init_state: tuple | None = None,
+) -> DataFrame:
+    """Fold ``fn`` over each key's rows with state persisted across
+    micro-batches. ``fn(state, row) -> (state, emit)`` — the same
+    contract as ``Flow.map_with_state``; ``state`` is a tuple matching
+    ``state_schema`` (or ``init_state``/None before first update);
+    ``emit`` is a dict for one output row or None."""
+    if isinstance(output_schema, StructType):
+        out_cols = [f.name for f in output_schema.fields]
+    else:
+        out_cols = [s.strip().split()[0] for s in output_schema.split(",")]
+    order_cols = list(order_by) if order_by else None
+
+    def handler(key, pdf_iter, state: GroupState):
+        s = tuple(state.get) if state.exists else init_state
+        out = []
+        for pdf in pdf_iter:
+            if order_cols:
+                pdf = pdf.sort_values(order_cols, kind="mergesort")
+            for row in pdf.itertuples(index=False):
+                s, emit = fn(s, row)
+                if emit is not None:
+                    out.append(emit)
+        if s is not None:
+            state.update(s)
+        yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        stream_df.groupBy(*keys)
+        .applyInPandasWithState(
+            handler,
+            output_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def usage_intervals_stream(tagged: DataFrame) -> DataFrame:
+    """E2 in live mode (/root/reference/examples/machine-usage/
+    logic.rs:28-54): pair each 'stop' with the most recent unconsumed
+    'start' of the same (user_id, order_id); a re-start overwrites the
+    pending one; a stop without a pending start emits nothing. State is
+    one pending-start timestamp per key — the reference's BTreeMap entry
+    — persisted across micro-batches, so a start in one epoch pairs with
+    a stop arriving epochs later without replay.
+
+    ``tagged`` columns: user_id, order_id, kind ('start'|'stop'),
+    ts_micros, event_id (fold order within a batch)."""
+
+    def pair(state, row):
+        open_ts = state[0] if state is not None else None
+        if row.kind == "start":
+            return (row.ts_micros,), None
+        if open_ts is None:
+            return (None,), None
+        return (None,), {
+            "user_id": row.user_id,
+            "order_id": row.order_id,
+            "started_micros": open_ts,
+            "duration_micros": row.ts_micros - open_ts,
+        }
+
+    return map_with_state(
+        tagged,
+        ["user_id", "order_id"],
+        pair,
+        "user_id bigint, order_id bigint, started_micros bigint, duration_micros bigint",
+        "open_ts bigint",
+        order_by=["event_id"],
+    )
