@@ -99,13 +99,16 @@ def lsh_candidate_pairs(
     Use :func:`lsh_oversized_buckets` to inspect/log what a cap drops."""
     bands = _lsh_bands(sig, id_col, num_hashes, band_size)
     if max_bucket is not None:
-        ok = (
-            bands.groupBy("band", "sig")
-            .agg(F.count(F.lit(1)).alias("_bn"))
-            .filter(F.col("_bn") <= max_bucket)
-            .drop("_bn")
-        )
-        bands = bands.join(ok, ["band", "sig"])
+        from pyspark.sql import Window as W
+
+        # window count over the SAME (band, sig) partitioning the pair
+        # join shuffles on anyway — one pass, no second evaluation of
+        # the signature pipeline, and both self-join sides stay an
+        # identical subplan so the exchange is reused. (A groupBy+join
+        # formulation re-ran the whole minhash DAG per reference and
+        # regressed the bench 7s → 58s.)
+        bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "sig"))
+        bands = bands.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket).drop("_bn")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
