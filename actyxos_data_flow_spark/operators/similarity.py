@@ -121,3 +121,133 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, partition_col: 
     cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
     scores = pairs.select("qid", "vec_id", cos.alias("cosine"))
     return topk(scores, k)
+
+
+# -- random-hyperplane LSH (signature + banded blocking) --------------------
+#
+# The label-free ANN/near-dup scale path: P signed projections give a
+# P-bit signature (cos(θ) concentration: P(bit equal) = 1 − θ/π); banding
+# the bits turns "probably similar" into an equi-join, exactly like the
+# MinHash/SimHash text paths (operators/dedup.py). Hyperplanes are
+# DERANDOMIZED — component (p, d) is ±1 from a seeded md5 — so DuckDB
+# oracles replicate the whole pipeline bit-for-bit and results are
+# reproducible across runs and cluster topologies.
+
+
+def hyperplane_signs(planes: int, dim: int, seed: int = 1) -> list[list[float]]:
+    """±1 hyperplane matrix [planes][dim], derived from md5(seed:p:d)
+    (d 1-based). Shared verbatim by the Spark plan and the SQL oracle."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"{seed}:{p}:{d}".encode()).hexdigest()[0], 16) >= 8
+            else -1.0
+            for d in range(1, dim + 1)
+        ]
+        for p in range(planes)
+    ]
+
+
+def hyperplane_signature(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    planes: int = 16,
+    seed: int = 1,
+    keep: tuple[str, ...] = (),
+) -> DataFrame:
+    """P-bit signature string per vector: bit p = sign of vec · h_p.
+    Pure JVM column expressions (zip_with + aggregate fold, same exact
+    float→double arithmetic as the cosine kernels) — whole-stage codegen,
+    no Python, no shuffle."""
+    signs = hyperplane_signs(planes, dim, seed)
+    bits = []
+    for p in range(planes):
+        arr = F.array(*[F.lit(s) for s in signs[p]])
+        proj = _dot(F.col(vec_col), arr)
+        bits.append(F.when(proj > 0, "1").otherwise("0"))
+    return df.select(id_col, *keep, F.concat(*bits).alias("hsig"))
+
+
+def hyperplane_bands(planes: int, n_bands: int) -> list[tuple[int, int]]:
+    """(start, width) 1-based slices splitting the P bits into n_bands
+    contiguous bands (same layout rule as dedup.simhash_bands)."""
+    base, extra = divmod(planes, n_bands)
+    widths = [base + 1] * extra + [base] * (n_bands - extra)
+    out, pos = [], 1
+    for w in widths:
+        out.append((pos, w))
+        pos += w
+    return out
+
+
+def _banded(sig: DataFrame, id_col: str, planes: int, n_bands: int, extra: tuple[str, ...] = ()) -> DataFrame:
+    return sig.select(
+        id_col,
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.substring("hsig", st, w).alias("piece"))
+                    for b, (st, w) in enumerate(hyperplane_bands(planes, n_bands))
+                ]
+            )
+        ).alias("bp"),
+    ).select(id_col, *extra, "bp.band", "bp.piece")
+
+
+def hyperplane_near_pairs(
+    sig: DataFrame, id_col: str = "vec_id", planes: int = 16, n_bands: int = 4
+) -> DataFrame:
+    """Unordered candidate pairs sharing any band of the hyperplane
+    signature — the equi-join blocking step; verify with exact cosine on
+    the (few) candidates."""
+    bands = _banded(sig, id_col, planes, n_bands)
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.piece") == F.col("b.piece")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def hyperplane_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    dim: int,
+    k: int = 10,
+    planes: int = 16,
+    n_bands: int = 4,
+    seed: int = 1,
+) -> DataFrame:
+    """ANN top-k via hyperplane-band candidate generation + exact cosine
+    rerank. ``queries``: (qid, qe), ``corpus``: (vec_id, embedding).
+
+    Scale shape: both sides get signatures in-scan (no shuffle), the
+    band equi-join replaces the cross join — the scanned fraction is the
+    band collision rate, tunable by (planes, n_bands) — and the rerank
+    touches candidates only. Recall < 1 by construction (a true
+    neighbor sharing no band is missed); raise n_bands or lower planes
+    for recall, the inverse for speed."""
+    qs = hyperplane_signature(
+        queries.withColumnRenamed("qe", "embedding"), dim, id_col="qid", planes=planes, seed=seed
+    ).withColumnRenamed("hsig", "qsig")
+    cs = hyperplane_signature(corpus, dim, planes=planes, seed=seed)
+    qb = _banded(qs.withColumnRenamed("qsig", "hsig"), "qid", planes, n_bands)
+    cb = _banded(cs, "vec_id", planes, n_bands)
+    cand = (
+        F.broadcast(qb)
+        .join(cb, ["band", "piece"])
+        .select("qid", "vec_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(queries), "qid")
+        .join(corpus, "vec_id")
+        .select("qid", "vec_id", (_dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))).alias("cosine"))
+    )
+    return topk(scored, k)

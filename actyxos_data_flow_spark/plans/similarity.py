@@ -102,3 +102,109 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_c") >= NEAR_DUP_THRESHOLD)
         .select("id_a", "id_b", F.round("_c", 6).alias("cosine"))
     )
+
+
+# -- random-hyperplane LSH (label-free blocking) ---------------------------
+#
+# The hyperplane matrix is derandomized (seeded md5 — operators/
+# similarity.hyperplane_signs), so the SAME ±1 literals are embedded in
+# the Spark plan and in this SQL: the oracle replicates signature,
+# banding, candidate join, and rerank end-to-end.
+
+DIM = 64
+PLANES = 16
+N_BANDS = 4
+
+_sign_rows = ", ".join(
+    f"({p}, {d + 1}, {s})"
+    for p, row in enumerate(S.hyperplane_signs(PLANES, DIM))
+    for d, s in enumerate(row)
+)
+_hp_band_rows = ", ".join(
+    f"({b}, {st}, {w})" for b, (st, w) in enumerate(S.hyperplane_bands(PLANES, N_BANDS))
+)
+
+_HSIG_CTE = f"""
+e AS (SELECT vec_id, embedding, label FROM embeddings),
+signs AS (SELECT * FROM (VALUES {_sign_rows}) AS t(p, d, s)),
+hu AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+             unnest(range(1, 1 + len(embedding))) AS d
+      FROM e),
+proj AS (SELECT hu.vec_id, signs.p, sum(hu.x * signs.s) AS pr
+         FROM hu JOIN signs ON signs.d = hu.d GROUP BY 1, 2),
+bits AS (SELECT vec_id, string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS hsig
+         FROM proj GROUP BY 1),
+bands AS (SELECT vec_id, b.band, substr(hsig, b.st, b.w) AS piece
+          FROM bits, LATERAL (VALUES {_hp_band_rows}) AS b(band, st, w)),
+"""
+
+EMB_LSH_NEARDUP_ORACLE = f"""
+WITH {_HSIG_CTE}
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.piece = b.piece
+  WHERE a.vec_id < b.vec_id
+),
+p AS (
+  SELECT c.id_a, c.id_b, ea.embedding AS ea, eb.embedding AS eb
+  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+),
+u2 AS (SELECT id_a, id_b, unnest(ea)::DOUBLE x, unnest(eb)::DOUBLE y FROM p),
+s2 AS (SELECT id_a, id_b, sum(x*y) AS dot, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+       FROM u2 GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot/(na*nb), 6) AS cosine
+FROM s2 WHERE dot/(na*nb) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_lsh", oracle=EMB_LSH_NEARDUP_ORACLE)
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs with random-hyperplane LSH blocking
+    (label-free — no pretrained coarse assignment needed): candidates
+    share a signature band; exact cosine verifies. The 100 TB shape:
+    signatures in-scan, one equi-join, rerank on candidates only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = S.hyperplane_signature(emb, DIM, planes=PLANES)
+    cand = S.hyperplane_near_pairs(sig, planes=PLANES, n_bands=N_BANDS)
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = S._dot(F.col("ea"), F.col("eb")) / (S._norm(F.col("ea")) * S._norm(F.col("eb")))
+    return (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("_c"))
+        .filter(F.col("_c") >= NEAR_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("_c", 6).alias("cosine"))
+    )
+
+
+ANN_HYPERPLANE_ORACLE = (
+    "WITH "
+    + _HSIG_CTE
+    + f"""
+q AS (SELECT vec_id AS qid, embedding AS qe FROM e WHERE vec_id < {N_QUERIES}),
+qbands AS (SELECT b.vec_id AS qid, b.band, b.piece FROM bands b WHERE b.vec_id < {N_QUERIES}),
+cand AS (
+  SELECT DISTINCT qb.qid, cb.vec_id
+  FROM qbands qb JOIN bands cb ON cb.band = qb.band AND cb.piece = qb.piece
+),
+p AS (
+  SELECT c.qid, c.vec_id, q.qe, e.embedding
+  FROM cand c JOIN q ON q.qid = c.qid JOIN e ON e.vec_id = c.vec_id
+),
+"""
+    + _SCORE.format(k=K)
+)
+
+
+@register("ann_hyperplane_topk", oracle=ANN_HYPERPLANE_ORACLE, bench=True)
+def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via hyperplane-band candidates + exact-cosine rerank —
+    the label-free LSH scale path (vs ivf's pretrained partition)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return S.hyperplane_topk(
+        queries, emb.select("vec_id", "embedding"), DIM, k=K, planes=PLANES, n_bands=N_BANDS
+    )

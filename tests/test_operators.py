@@ -140,3 +140,26 @@ def test_simhash_bands_layout():
     assert len(bands) == 7  # max_hamming + 1
     assert sum(w for _, w in bands) == D.SIMHASH_BITS
     assert bands[0] == (1, 5) and bands[-1] == (29, 4)
+
+
+def test_hyperplane_lsh_recall_on_near_dups(spark):
+    """Identical vectors share all bands (always candidates, cosine 1);
+    orthogonal-ish random vectors are not near-dups. Signature is
+    deterministic across runs (seeded hyperplanes)."""
+    import random
+
+    rnd = random.Random(7)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    rows = [
+        (1, base),
+        (2, list(base)),  # exact dup
+        (3, [x + rnd.uniform(-0.01, 0.01) for x in base]),  # near dup
+        (4, [rnd.uniform(-1, 1) for _ in range(16)]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    sig = S.hyperplane_signature(df, 16, planes=16)
+    sigs = {r.vec_id: r.hsig for r in sig.collect()}
+    assert sigs[1] == sigs[2] and len(sigs[1]) == 16
+    assert sig.collect() == S.hyperplane_signature(df, 16, planes=16).collect()
+    pairs = {(r.id_a, r.id_b) for r in S.hyperplane_near_pairs(sig).collect()}
+    assert (1, 2) in pairs and (1, 3) in pairs
