@@ -18,6 +18,7 @@ multi-writer JDBC target would instead apply per-partition inside
 
 from .dbapi import DbapiSink
 from .dialect import Dialect, MssqlDialect, PostgresDialect, SqliteDialect
+from .distributed import DistributedApplier
 from .mssql import MssqlSink
 from .postgres import PostgresSink
 from .spec import DbColumn, DbTable, Union
@@ -33,6 +34,7 @@ __all__ = [
     "SqliteDialect",
     "PostgresDialect",
     "MssqlDialect",
+    "DistributedApplier",
     "SqliteSink",
     "PostgresSink",
     "MssqlSink",

@@ -40,6 +40,11 @@ class Dialect:
         """Statements to run at the start of every write transaction."""
         return []
 
+    def recursive_kw(self) -> str:
+        """Keyword introducing a recursive CTE (empty on MSSQL, where
+        WITH is implicitly recursive)."""
+        return "RECURSIVE"
+
     # -- DDL ------------------------------------------------------------
 
     def create_table(self, name: str, cols_def: str) -> str:
@@ -124,6 +129,9 @@ class MssqlDialect(Dialect):
 
     def ph(self, i: int) -> str:
         return self._ph
+
+    def recursive_kw(self) -> str:
+        return ""
 
     def begin_stmts(self) -> list[str]:
         # /root/reference/src/db/mssql.rs:266-270 runs every write batch

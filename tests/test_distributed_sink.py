@@ -1,0 +1,90 @@
+"""Distributed two-phase sink apply: executor-parallel staging +
+one-transaction finalize, against a file-backed SQLite target (the
+same shape a JDBC target gets with per-partition connections)."""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pyspark.sql.functions as F  # noqa: F401
+
+from actyxos_data_flow_spark.sinks import DbColumn, DbTable, SqliteSink
+from actyxos_data_flow_spark.sinks.dialect import SqliteDialect
+from actyxos_data_flow_spark.sinks.distributed import DistributedApplier
+
+T = DbTable(
+    name="dist_records",
+    columns=(DbColumn("a", "text", index=True), DbColumn("b", "bigint")),
+    version=1,
+)
+
+
+def _factory(path):
+    def connect():
+        conn = sqlite3.connect(path, timeout=30.0)
+        conn.execute("PRAGMA busy_timeout=30000")
+        return conn
+
+    return connect
+
+
+def _setup(tmp_path):
+    path = str(tmp_path / "dist.db")
+    sink = SqliteSink(path)
+    sink.ensure(T)
+    applier = DistributedApplier(_factory(path), SqliteDialect())
+    applier.ensure_stage(sink, T)
+    return sink, applier
+
+
+def test_stage_finalize_round_trip(spark, tmp_path):
+    sink, applier = _setup(tmp_path)
+    delta = spark.createDataFrame(
+        [("x", 1, 2), ("y", 2, 1), ("z", 3, 3)], "a string, b long, delta long"
+    ).repartition(4)
+    applier.stage(delta, T, epoch="e1")
+    ins, dels = applier.finalize(sink, T, "e1", {"src": 10})
+    assert (ins, dels) == (6, 0)
+    assert sink.rows(T) == [("x", 1)] * 2 + [("y", 2)] + [("z", 3)] * 3
+    assert sink.read_offsets(T) == {"src": 10}
+
+    # retractions (negative mult: delete exactly n) + a NULL key
+    d2 = spark.createDataFrame(
+        [("x", 1, -1), ("z", 3, -2), (None, 7, 1)], "a string, b long, delta long"
+    ).repartition(2)
+    applier.stage(d2, T, epoch="e2")
+    ins, dels = applier.finalize(sink, T, "e2", {"src": 20})
+    assert (ins, dels) == (1, 2)
+    assert sink.rows(T) == [(None, 7), ("x", 1), ("y", 2), ("z", 3)]
+    assert sink.read_offsets(T) == {"src": 20}
+    sink.close()
+
+
+def test_stage_task_retry_idempotent(spark, tmp_path):
+    """Re-running stage for the same epoch (task retry / whole-stage
+    retry) converges: each partition clears its own slice first."""
+    sink, applier = _setup(tmp_path)
+    delta = spark.createDataFrame(
+        [("x", 1, 1), ("y", 2, 2)], "a string, b long, delta long"
+    ).repartition(3)
+    applier.stage(delta, T, epoch="e1")
+    applier.stage(delta, T, epoch="e1")  # retry: no duplication
+    ins, _ = applier.finalize(sink, T, "e1", {"src": 1})
+    assert ins == 3
+    assert sink.rows(T) == [("x", 1), ("y", 2), ("y", 2)]
+    sink.close()
+
+
+def test_finalize_clears_stage_in_same_txn(spark, tmp_path):
+    sink, applier = _setup(tmp_path)
+    delta = spark.createDataFrame([("x", 1, 1)], "a string, b long, delta long")
+    applier.stage(delta, T, epoch="e1")
+    applier.finalize(sink, T, "e1", {"src": 1})
+    cur = sink.conn.cursor()
+    cur.execute("SELECT count(*) FROM dist_records_stage")
+    assert cur.fetchone()[0] == 0
+    # a second finalize of the (now empty) epoch is a no-op
+    ins, dels = applier.finalize(sink, T, "e1", {"src": 1})
+    assert (ins, dels) == (0, 0)
+    assert sink.rows(T) == [("x", 1)]
+    sink.close()
