@@ -156,8 +156,8 @@ class Flow:
         /root/reference/src/flow.rs:241-256): a per-key ordered fold with
         mutable state. ``fn(state, row) -> (state, emit)`` sees each
         key's rows in ``order_by`` order (default: all columns — record
-        Ord, like Grouped.reduce); ``emit`` is a dict for one output row
-        or None.
+        Ord, like Grouped.reduce); ``emit`` is None, a dict for one
+        output row, or a list of dicts (e.g. a retract/assert pair).
 
         Distributed deviation (documented): the reference's FnMut runs
         globally sequential on one thread; on a cluster state is
@@ -186,7 +186,7 @@ class Flow:
             for row in pdf.itertuples(index=False):
                 state, emit = fn(state, row)
                 if emit is not None:
-                    out.append(emit)
+                    out.extend(emit if isinstance(emit, list) else [emit])
             return pd.DataFrame(out, columns=out_cols)
 
         return self._wrap(

@@ -43,7 +43,8 @@ def map_with_state(
     micro-batches. ``fn(state, row) -> (state, emit)`` — the same
     contract as ``Flow.map_with_state``; ``state`` is a tuple matching
     ``state_schema`` (or ``init_state``/None before first update);
-    ``emit`` is a dict for one output row or None."""
+    ``emit`` is None, a dict for one output row, or a list of dicts
+    (e.g. a retract/assert pair)."""
     if isinstance(output_schema, StructType):
         out_cols = [f.name for f in output_schema.fields]
     else:
@@ -59,7 +60,7 @@ def map_with_state(
             for row in pdf.itertuples(index=False):
                 s, emit = fn(s, row)
                 if emit is not None:
-                    out.append(emit)
+                    out.extend(emit if isinstance(emit, list) else [emit])
         if s is not None:
             state.update(s)
         yield pd.DataFrame(out, columns=out_cols)
@@ -108,4 +109,50 @@ def usage_intervals_stream(tagged: DataFrame) -> DataFrame:
         "user_id bigint, order_id bigint, started_micros bigint, duration_micros bigint",
         "open_ts bigint",
         order_by=["event_id"],
+    )
+
+
+def monotonic_max_by_stream(
+    tagged: DataFrame,
+    keys: Sequence[str],
+    sort_col: str,
+    record_cols: Sequence[str],
+    record_schema: str,
+    order_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """M1 in live mode (/root/reference/src/flow.rs:286-321): per key
+    retain the max-by-``sort_col`` record ever seen; when a new record
+    wins, emit the previous winner with delta −1 and the new one with
+    delta +1 — the reference's exact retraction sequence
+    (src/flow.rs:616-627), produced incrementally instead of by
+    snapshot-diff. Ties resolve by full-record order, like the batch
+    ``Flow.monotonic_max_by``. State = the current winner.
+
+    ``record_schema`` is the comma schema of ``record_cols``; output
+    appends ``delta int``."""
+    fields = list(record_cols)
+    si = fields.index(sort_col)
+
+    def okey(rec: tuple):
+        return (rec[si], rec)
+
+    def step(state, row):
+        rec = tuple(getattr(row, c) for c in fields)
+        cur = tuple(state) if state is not None else None
+        if cur is None:
+            return rec, {**dict(zip(fields, rec)), "delta": 1}
+        if okey(rec) > okey(cur):
+            return rec, [
+                {**dict(zip(fields, cur)), "delta": -1},
+                {**dict(zip(fields, rec)), "delta": 1},
+            ]
+        return cur, None
+
+    return map_with_state(
+        tagged,
+        keys,
+        step,
+        record_schema + ", delta int",
+        record_schema,
+        order_by=order_by,
     )

@@ -115,3 +115,50 @@ def test_e2_streaming_two_epoch_golden_deltas(spark, tmp_path):
     assert sorted(per_batch) == [0, 1]
     assert per_batch[0] == []
     assert per_batch[1] == [(1, 1, 200, 300)]
+
+
+def test_m1_streaming_golden_retraction_sequence(spark, tmp_path):
+    """The reference's monotonic_max_by harness run LIVE
+    (/root/reference/src/flow.rs:616-627): batches [1], [1], [11, 2],
+    [6, 7] keyed on value % 5 must emit exactly
+    [+1], [], [(1,−1), (11,+1), (2,+1)], [(2,−1), (7,+1)] — winners
+    carried across micro-batches in the state store."""
+    from actyxos_data_flow_spark.streaming.stateful import monotonic_max_by_stream
+
+    src = str(tmp_path / "src")
+    batches = [[1], [1], [11, 2], [6, 7]]
+    now = time.time()
+    for i, vals in enumerate(batches):
+        d = src + f"/b={i}"
+        spark.createDataFrame([(v % 5, v) for v in vals], "k long, value long").coalesce(
+            1
+        ).write.parquet(d)
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (now - 60 + i, now - 60 + i))
+
+    stream = (
+        spark.readStream.schema("k long, value long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    out = monotonic_max_by_stream(
+        stream, ["k"], "value", ["value"], "value long", order_by=["value"]
+    )
+
+    per_batch: dict[int, list[tuple]] = {}
+
+    def record(batch_df, batch_id):
+        per_batch[batch_id] = sorted(tuple(r) for r in batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert per_batch[0] == [(1, 1)]
+    assert per_batch[1] == []
+    assert per_batch[2] == [(1, -1), (2, 1), (11, 1)]
+    assert per_batch[3] == [(2, -1), (7, 1)]
