@@ -125,6 +125,35 @@ class DistributedApplier:
 
     # -- phase 2: one finalize transaction ------------------------------
 
+    def _apply_staged(self, sink: DbapiSink, cur, table: DbTable, epoch: str) -> tuple[int, int]:
+        d = self.dialect
+        cols = [c.name for c in table.written_columns]
+        collist = ", ".join(cols)
+        stage = _stage_name(table)
+        # positives: set-wise multiplicity expansion inside the DB
+        cur.execute(
+            f"INSERT INTO {table.name} ({collist}) "
+            f"WITH {d.recursive_kw()} _x ({collist}, _d) AS ("
+            f"  SELECT {collist}, _delta FROM {stage} "
+            f"  WHERE _epoch = {d.ph(1)} AND _delta > 0"
+            f"  UNION ALL SELECT {collist}, _d - 1 FROM _x WHERE _d > 1"
+            f") SELECT {collist} FROM _x",
+            (epoch,),
+        )
+        inserted = cur.rowcount if cur.rowcount and cur.rowcount > 0 else 0
+        # negatives: churn-sized; standard exact-n loop
+        cur.execute(
+            f"SELECT {collist}, _delta FROM {stage} "
+            f"WHERE _epoch = {d.ph(1)} AND _delta < 0",
+            (epoch,),
+        )
+        negatives = cur.fetchall()
+        delete, delete_params = d.delete_exact(table.name, cols)
+        for row in negatives:
+            cur.execute(delete, delete_params(tuple(row[:-1]), -row[-1]))
+        cur.execute(f"DELETE FROM {stage} WHERE _epoch = {d.ph(1)}", (epoch,))
+        return inserted, len(negatives)
+
     def finalize(
         self,
         sink: DbapiSink,
@@ -137,37 +166,36 @@ class DistributedApplier:
         """Apply the staged epoch in ONE transaction; returns
         (inserted_rows, retraction_rows). Inserts expand DB-locally via
         recursive CTE; retractions run through delete-exactly-n."""
-        d = self.dialect
-        cols = [c.name for c in table.written_columns]
-        collist = ", ".join(cols)
-        stage = _stage_name(table)
+        res = self.finalize_many(
+            sink,
+            [table],
+            epoch,
+            offsets,
+            offsets_table=offsets_table or table.offsets_table,
+            mirror_epochs=mirror_epochs,
+        )
+        return res[table.name]
+
+    def finalize_many(
+        self,
+        sink: DbapiSink,
+        tables: list[DbTable],
+        epoch: str,
+        offsets: Mapping[str, int],
+        offsets_table: str | None = None,
+        mirror_epochs: Mapping[str, str] | None = None,
+    ) -> dict[str, tuple[int, int]]:
+        """Multi-table finalize: apply every table's staged epoch + the
+        shared offsets + mirror pointers in ONE transaction (the Union
+        contract, /root/reference/src/db/mod.rs:230-244)."""
         if offsets_table is None:
-            offsets_table = table.offsets_table
+            offsets_table = tables[0].offsets_table
+        results: dict[str, tuple[int, int]] = {}
         with sink._txn() as cur:
-            # positives: set-wise multiplicity expansion inside the DB
-            cur.execute(
-                f"INSERT INTO {table.name} ({collist}) "
-                f"WITH {d.recursive_kw()} _x ({collist}, _d) AS ("
-                f"  SELECT {collist}, _delta FROM {stage} "
-                f"  WHERE _epoch = {d.ph(1)} AND _delta > 0"
-                f"  UNION ALL SELECT {collist}, _d - 1 FROM _x WHERE _d > 1"
-                f") SELECT {collist} FROM _x",
-                (epoch,),
-            )
-            inserted = cur.rowcount if cur.rowcount and cur.rowcount > 0 else 0
-            # negatives: churn-sized; standard exact-n loop
-            cur.execute(
-                f"SELECT {collist}, _delta FROM {stage} "
-                f"WHERE _epoch = {d.ph(1)} AND _delta < 0",
-                (epoch,),
-            )
-            negatives = cur.fetchall()
-            delete, delete_params = d.delete_exact(table.name, cols)
-            for row in negatives:
-                cur.execute(delete, delete_params(tuple(row[:-1]), -row[-1]))
+            for table in tables:
+                results[table.name] = self._apply_staged(sink, cur, table, epoch)
             for source, off in offsets.items():
                 sink._upsert(cur, offsets_table, "source", source, "offset_", off)
             for tname, ep in (mirror_epochs or {}).items():
                 sink._upsert(cur, MIRROR_TABLE, "table_name", tname, "epoch", ep)
-            cur.execute(f"DELETE FROM {stage} WHERE _epoch = {d.ph(1)}", (epoch,))
-        return inserted, len(negatives)
+        return results

@@ -120,17 +120,48 @@ def write_snapshots(
     offsets: Mapping[str, int],
     mirror: SnapshotMirror,
     offsets_table: str | None = None,
+    applier=None,
 ) -> dict[str, int]:
     """Materialize several snapshots (one input stream → up to N record
     types, /root/reference/src/db/mod.rs:230-244) in ONE transaction
     with the offsets they reflect. Returns per-table applied delta-row
     counts.
 
-    Per table: diff distributed against the parquet mirror, collect only
+    Per table: diff distributed against the parquet mirror, ship only
     the net delta, stage the new snapshot under this epoch's directory;
     then a single sink transaction applies every delta + offsets + the
-    mirror pointers. Idempotent per the module docstring."""
+    mirror pointers. Idempotent per the module docstring.
+
+    Delta shipping has two topologies:
+
+    - default: collect the churn-sized delta to the driver, apply via
+      the sink connection (the reference's shape — right when churn is
+      small);
+    - ``applier`` (a :class:`~..sinks.distributed.DistributedApplier`):
+      executors bulk-load each delta into the DB's staging table in
+      parallel and one ``finalize_many`` transaction applies all tables
+      + offsets — the huge-delta path (backfill, rebuild), same
+      exactly-once contract."""
     epoch = _epoch_key(offsets)
+    mirror_epochs = {t.name: epoch for t, _ in views}
+    if applier is not None:
+        staged: list[DbTable] = []
+        for table, new_snapshot in views:
+            new = new_snapshot.select(*[c.name for c in table.written_columns])
+            delta = snapshot_delta(spark, sink, table, new, mirror)
+            applier.ensure_stage(sink, table)
+            # stage BEFORE overwriting the mirror — on a same-epoch
+            # retry old and new share the directory
+            applier.stage(delta, table, epoch)
+            mirror.write(table, new, epoch)
+            staged.append(table)
+        results = applier.finalize_many(
+            sink, staged, epoch, dict(offsets),
+            offsets_table=offsets_table, mirror_epochs=mirror_epochs,
+        )
+        for table, _ in views:
+            mirror.prune(table, epoch)
+        return {name: ins + dels for name, (ins, dels) in results.items()}
     batches: dict[DbTable, list[tuple[tuple, int]]] = {}
     for table, new_snapshot in views:
         cols = [c.name for c in table.written_columns]
@@ -146,7 +177,7 @@ def write_snapshots(
         batches,
         dict(offsets),
         offsets_table=offsets_table,
-        mirror_epochs={t.name: epoch for t, _ in views},
+        mirror_epochs=mirror_epochs,
     )
     for table, _ in views:
         mirror.prune(table, epoch)

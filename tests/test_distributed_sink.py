@@ -88,3 +88,36 @@ def test_finalize_clears_stage_in_same_txn(spark, tmp_path):
     assert (ins, dels) == (0, 0)
     assert sink.rows(T) == [("x", 1)]
     sink.close()
+
+
+def test_write_snapshots_with_distributed_applier(spark, tmp_path):
+    """The full IVM loop (mirror diff -> delta -> apply) with the
+    distributed staging topology instead of driver collect: same
+    semantics as test_write_snapshot_ivm_loop, including idempotent
+    retry (empty diff against the committed mirror stages nothing)."""
+    from actyxos_data_flow_spark.sinks import SnapshotMirror
+    from actyxos_data_flow_spark.sinks.writer import write_snapshots
+
+    path = str(tmp_path / "wdist.db")
+    sink = SqliteSink(path)
+    sink.ensure(T)
+    applier = DistributedApplier(_factory(path), SqliteDialect())
+    mirror = SnapshotMirror(spark, str(tmp_path / "mirror"))
+
+    snap1 = spark.createDataFrame([("x", 1), ("y", 2)], "a string, b long")
+    n = write_snapshots(spark, sink, [(T, snap1)], {"src": 1}, mirror, applier=applier)
+    assert n == {T.name: 2}
+    assert sink.rows(T) == [("x", 1), ("y", 2)]
+    assert sink.mirror_epoch(T.name) == "src-1"
+
+    snap2 = spark.createDataFrame([("x", 1), ("z", 3)], "a string, b long")
+    n = write_snapshots(spark, sink, [(T, snap2)], {"src": 2}, mirror, applier=applier)
+    assert n == {T.name: 2}
+    assert sink.rows(T) == [("x", 1), ("z", 3)]
+    assert sink.read_offsets(T) == {"src": 2}
+
+    # idempotent retry: empty diff, nothing staged or applied
+    n = write_snapshots(spark, sink, [(T, snap2)], {"src": 2}, mirror, applier=applier)
+    assert n == {T.name: 0}
+    assert sink.rows(T) == [("x", 1), ("z", 3)]
+    sink.close()
