@@ -40,9 +40,29 @@ ENVELOPE_SCHEMA = T.StructType(
 
 def decode_payload(df: DataFrame, payload_schema: T.StructType | str, payload_col: str = "payload") -> DataFrame:
     """``from_json`` payload decode; drops unparseable events (counted as
-    skipped in the reference, /root/reference/src/runner.rs:180-196)."""
-    decoded = df.withColumn("_payload", F.from_json(F.col(payload_col), payload_schema))
-    return decoded.filter(F.col("_payload").isNotNull()).drop(payload_col).withColumnRenamed("_payload", "payload")
+    skipped in the reference, /root/reference/src/runner.rs:180-196).
+
+    PERMISSIVE ``from_json`` yields an all-null struct (not a null) for
+    malformed input, so the skip test rides on an explicit
+    corrupt-record column instead of struct null-ness."""
+    schema = (
+        T._parse_datatype_string(payload_schema)
+        if isinstance(payload_schema, str)
+        else payload_schema
+    )
+    with_corrupt = schema.add("_corrupt", T.StringType())
+    decoded = df.withColumn(
+        "_payload",
+        F.from_json(
+            F.col(payload_col), with_corrupt, {"columnNameOfCorruptRecord": "_corrupt"}
+        ),
+    )
+    return (
+        decoded.filter(F.col("_payload._corrupt").isNull())
+        .drop(payload_col)
+        .withColumn("payload", F.col("_payload").dropFields("_corrupt"))
+        .drop("_payload")
+    )
 
 
 def record_struct(*cols: str | Column) -> Column:
