@@ -87,3 +87,48 @@ def mm_features_topbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.array_position("features", top) - 1).cast("long").alias("top_bucket"),
         top.cast("long").alias("top_count"),
     )
+
+
+# -- frame-digest near-dup (video-level dedup) -----------------------------
+
+MIN_SHARED = 2
+
+MM_FRAME_DEDUP_ORACLE = f"""
+WITH f AS (
+  SELECT doc_id, text, unnest(generate_series(0, length(text) // {FRAME_BYTES} - 1)) AS i
+  FROM documents
+),
+d AS (
+  SELECT DISTINCT doc_id AS media_id,
+         md5(substr(text, i * {FRAME_BYTES} + 1, {FRAME_BYTES})) AS digest
+  FROM f WHERE i % {EVERY} = 0
+)
+SELECT a.media_id AS id_a, b.media_id AS id_b, count(*) AS shared_frames
+FROM d a JOIN d b ON a.digest = b.digest AND a.media_id < b.media_id
+GROUP BY 1, 2
+HAVING count(*) >= {MIN_SHARED}
+"""
+
+
+@register("mm_frame_dedup", oracle=MM_FRAME_DEDUP_ORACLE)
+def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style dedup by shared frame content: sample frames (the
+    real mapInPandas media path), digest each frame, pair media sharing
+    ≥ MIN_SHARED distinct frame digests. The pairing is the inverted-
+    index shape (join on digest) — pairwise work only within digest
+    groups, like the text shingle index; a degenerate digest (e.g. a
+    silence/black frame shared by everything) would get the same
+    bucket-cap treatment as LSH (operators/dedup.lsh_candidate_pairs)."""
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"), frame_bytes=FRAME_BYTES)
+    frames = M.sample_frames(media, every=EVERY, frame_bytes=FRAME_BYTES)
+    digests = frames.select(
+        "media_id", F.md5(F.col("frame")).alias("digest")
+    ).distinct()
+    a, b = digests.alias("a"), digests.alias("b")
+    return (
+        a.join(b, (F.col("a.digest") == F.col("b.digest")) & (F.col("a.media_id") < F.col("b.media_id")))
+        .select(F.col("a.media_id").alias("id_a"), F.col("b.media_id").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .filter(F.col("shared_frames") >= MIN_SHARED)
+    )
