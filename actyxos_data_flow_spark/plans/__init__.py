@@ -41,5 +41,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import similarity  # noqa: F401
     from . import text  # noqa: F401
     from . import multimodal  # noqa: F401
+    from . import pipeline  # noqa: F401
 
     return REGISTRY

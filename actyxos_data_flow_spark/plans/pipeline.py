@@ -1,0 +1,123 @@
+"""The flagship training-data pipeline: quality gate → exact dedup →
+MinHash-LSH near-dup removal, as ONE composed oracle-checked query.
+
+This is the shape a 100 TB pretraining-corpus cleaning job actually
+takes, assembled entirely from this engine's operators: a JVM-only
+quality score (operators/text), hash-groupBy exact dedup, and the
+banded-LSH near-dup path (operators/dedup) — candidates from a (band,
+signature) equi-join, exact Jaccard only on candidates, greedy
+keep-smallest-id canonicalization (drop every verified pair's larger
+id; deterministic, replicated identically in the oracle). Every stage
+is derandomized, so DuckDB replays the whole pipeline bit-for-bit.
+
+Scale shape: one scan of the corpus feeds the quality filter (pushed
+column pruning: text only), dedup shuffles (digest, id) not payloads,
+and pairwise work exists only inside LSH buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as X
+from ..sources import load_table
+from . import register
+from .dedup import BAND_SIZE, JACCARD_THRESHOLD, NUM_HASHES, _band_rows
+from .text import _EN
+
+QUALITY_MIN = 0.5
+
+PIPELINE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents
+), m AS (
+  SELECT doc_id, text,
+         len(tokens)::DOUBLE AS n_tok,
+         (length(text)::DOUBLE - (len(tokens)::DOUBLE - 1)) / len(tokens)::DOUBLE AS mean_wlen,
+         len(list_filter(tokens, x -> list_contains([{_EN}], x)))::DOUBLE / len(tokens)::DOUBLE AS stop_ratio,
+         len(list_distinct(tokens))::DOUBLE / len(tokens)::DOUBLE AS distinct_ratio
+  FROM t
+), scored AS (
+  SELECT doc_id, text,
+         round(least(n_tok / 100.0, 1.0) * 0.25
+               + least(stop_ratio * 5, 1.0) * 0.25
+               + distinct_ratio * 0.25
+               + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END) * 0.25, 6)
+           AS quality
+  FROM m
+), kept AS (
+  SELECT doc_id, text, quality FROM scored WHERE quality >= {QUALITY_MIN}
+), ex AS (
+  SELECT md5(text) AS digest, min(doc_id) AS representative, count(*) AS n_copies
+  FROM kept GROUP BY 1
+), reps AS (
+  SELECT k.doc_id, k.text, k.quality, e.n_copies
+  FROM kept k JOIN ex e ON e.representative = k.doc_id
+), tok2 AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM reps
+  WHERE len(string_split(text, ' ')) >= 3
+), sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(generate_series(1, len(tokens) - 2),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+  ) AS shingle
+  FROM tok2
+), pieces AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS p1,
+         ('0x' || substr(md5(shingle), 17, 15))::BIGINT AS p2
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(p1 + {s} * p2) AS h{s}" for s in range(NUM_HASHES))}
+  FROM pieces GROUP BY doc_id
+), bands AS (
+  SELECT doc_id, b.band, b.s1, b.s2
+  FROM sig, LATERAL (VALUES {_band_rows}) AS b(band, s1, s2)
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2
+  WHERE a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+), dropped AS (
+  SELECT DISTINCT i.id_b
+  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}
+)
+SELECT doc_id, n_copies, quality
+FROM reps WHERE doc_id NOT IN (SELECT id_b FROM dropped)
+"""
+
+
+@register("pipeline_clean_corpus", oracle=PIPELINE_ORACLE, bench=True)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality ≥ {QUALITY_MIN} → exact-dedup representatives (min id per
+    digest, carrying copy counts) → MinHash-LSH near-dup pairs verified
+    by exact Jaccard → drop each verified pair's larger id. Returns the
+    clean corpus (doc_id, n_copies, quality)."""
+    docs = load_table(spark, sf_dir, "documents")
+    quality = X.quality_score(docs).select("doc_id", "quality").filter(
+        F.col("quality") >= QUALITY_MIN
+    )
+    kept = docs.select("doc_id", "text").join(quality, "doc_id")
+    exact = D.exact_dedup(kept)
+    reps = kept.join(
+        exact.select(F.col("representative").alias("doc_id"), "n_copies"), "doc_id"
+    )
+    sh = D.shingles(reps)
+    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
+    cand = D.lsh_candidate_pairs(
+        sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
+    )
+    near = D.jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    dropped = near.select("id_b").distinct()
+    return (
+        reps.join(dropped, reps.doc_id == dropped.id_b, "left_anti")
+        .select("doc_id", "n_copies", "quality")
+    )
