@@ -1,0 +1,40 @@
+"""Event-time windowed aggregation with watermarked late-data handling.
+
+The reference has no windows or watermarks (SURVEY.md: its outputs
+treat time as data), but a Spark-native engine gets them for free and a
+training-data ingest pipeline wants them (per-window arrival counts,
+rate monitoring). This is the idiomatic Structured Streaming shape:
+``withWatermark`` bounds how late an event may arrive — state for
+closed windows is dropped, so memory is O(open windows × keys) at any
+scale — tumbling/sliding windows come from ``F.window``, and append
+mode emits each window exactly once, when the watermark passes its end.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def windowed_agg(
+    stream: DataFrame,
+    ts_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Per-(window, keys) event counts plus optional extra ``aggs`` over
+    event time; late events beyond ``watermark`` are dropped."""
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), *aggs)
+    )
+    return out.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        *[c for c in out.columns if c != "window"],
+    )

@@ -213,3 +213,54 @@ def test_live_streaming_ticks_and_resumes(spark, events, tmp_path):
     finally:
         q2.stop()
     sink.close()
+
+
+def test_windowed_agg_drops_late_events(spark, tmp_path):
+    """Watermarked tumbling windows: once the watermark (max event time
+    − delay, propagated with Spark's one-batch lag) has passed a
+    window's end, that window's state is evicted and a later arrival
+    for it is dropped instead of re-opening it — bounded state."""
+    import os as _os
+    import time as _time
+
+    from actyxos_data_flow_spark.streaming.windows import windowed_agg
+
+    src = str(tmp_path / "wsrc")
+
+    def write_file(i, rows):
+        d = src + f"/b={i}"
+        spark.createDataFrame(rows, "k long, ts string").selectExpr(
+            "k", "cast(ts as timestamp) ts"
+        ).coalesce(1).write.parquet(d)
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (_time.time() - 60 + i,) * 2)
+
+    write_file(1, [(1, "2024-01-01 10:00:10"), (1, "2024-01-01 10:00:40"), (1, "2024-01-01 10:05:00")])
+    write_file(2, [(1, "2024-01-01 10:09:00")])  # watermark → 10:07
+    write_file(3, [(1, "2024-01-01 10:00:30")])  # behind watermark: dropped
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    out = windowed_agg(stream, "ts", window="1 minute", watermark="2 minutes", keys=["k"])
+
+    batches = {}
+
+    def record(df, bid):
+        batches[bid] = sorted((str(r.window_start), r.n) for r in df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(record)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert batches[0] == [("2024-01-01 10:00:00", 2), ("2024-01-01 10:05:00", 1)]
+    assert batches[1] == [("2024-01-01 10:09:00", 1)]
+    # the late 10:00:30 arrival did NOT re-open the evicted 10:00 window
+    assert batches[2] == []
