@@ -123,6 +123,40 @@ def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, partition_col: 
     return topk(scores, k)
 
 
+def ivf_probe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    partition_col: str = "label",
+) -> DataFrame:
+    """IVF top-k with nprobe > 1: each query scores every coarse centroid
+    (``centroids``: (partition_col, ce array) — nlist rows, broadcast),
+    keeps its ``nprobe`` nearest cells (tie-break on the cell id for
+    determinism), and scans only corpus rows in those cells.
+
+    Scale shape: the centroid table is nlist rows regardless of corpus
+    size, so probing is a broadcast cross join over |Q| x nlist; the
+    probe set (|Q| x nprobe rows) broadcasts into the corpus equi-join —
+    the corpus itself never shuffles, and the scanned fraction is
+    nprobe/nlist. Recall improves monotonically with nprobe at linear
+    scan cost — the standard IVF recall/latency dial (nprobe=nlist
+    degenerates to brute force)."""
+    ccos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    pw = W.partitionBy("qid").orderBy(F.col("_ccos").desc(), F.col(partition_col).asc())
+    probe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("qid", "qe", partition_col, ccos.alias("_ccos"))
+        .withColumn("_prk", F.row_number().over(pw))
+        .filter(F.col("_prk") <= nprobe)
+        .select("qid", "qe", partition_col)
+    )
+    pairs = corpus.join(F.broadcast(probe), on=partition_col)
+    cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+    return topk(pairs.select("qid", "vec_id", cos.alias("cosine")), k)
+
+
 # -- random-hyperplane LSH (signature + banded blocking) --------------------
 #
 # The label-free ANN/near-dup scale path: P signed projections give a

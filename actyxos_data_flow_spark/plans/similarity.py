@@ -69,6 +69,50 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, emb.select("vec_id", "embedding", "label"), k=K)
 
 
+NPROBE = 3
+
+# Deterministic coarse centroids: the embedding of min(vec_id) per label
+# (a seed-vector quantizer — no floating-point mean, so Spark and DuckDB
+# derive bit-identical centroids; a production system would plug a
+# k-means fit here, persisted so both engines read the same table).
+ANN_IVF_NPROBE_ORACLE = (
+    "WITH "
+    + _COS_CTE
+    + f"""
+cent0 AS (SELECT label, min(vec_id) AS cid FROM e GROUP BY label),
+cent AS (SELECT c.label, ec.embedding AS ce FROM cent0 c JOIN e ec ON ec.vec_id = c.cid),
+cu AS (SELECT q.qid, cent.label, unnest(q.qe)::DOUBLE a, unnest(cent.ce)::DOUBLE b FROM q, cent),
+cs AS (SELECT qid, label, sum(a*b) AS dot, sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+       FROM cu GROUP BY 1, 2),
+cr AS (SELECT qid, label,
+              row_number() OVER (PARTITION BY qid ORDER BY dot/(na*nb) DESC, label ASC) AS prk
+       FROM cs),
+probe AS (SELECT qid, label FROM cr WHERE prk <= {NPROBE}),
+p AS (SELECT probe.qid, e.vec_id, q.qe, e.embedding
+      FROM probe JOIN e ON e.label = probe.label JOIN q ON q.qid = probe.qid),
+"""
+    + _SCORE.format(k=K)
+)
+
+
+@register("ann_ivf_nprobe_topk", oracle=ANN_IVF_NPROBE_ORACLE)
+def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k at nprobe=3: queries rank the (tiny, broadcast) centroid
+    table, probe their 3 nearest cells, and scan only those cells —
+    recall recovers toward brute force at 3/nlist of the scan cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    seeds = emb.groupBy("label").agg(F.min("vec_id").alias("_cid"))
+    cent = seeds.join(
+        emb.select(F.col("vec_id").alias("_cid"), F.col("embedding").alias("ce")), "_cid"
+    ).select("label", "ce")
+    return S.ivf_probe_topk(
+        queries, emb.select("vec_id", "embedding", "label"), cent, k=K, nprobe=NPROBE
+    )
+
+
 # -- embedding-cosine near-duplicate pairs (dedup by embedding) ------------
 
 NEAR_DUP_THRESHOLD = 0.95

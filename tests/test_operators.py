@@ -163,3 +163,43 @@ def test_hyperplane_lsh_recall_on_near_dups(spark):
     assert sig.collect() == S.hyperplane_signature(df, 16, planes=16).collect()
     pairs = {(r.id_a, r.id_b) for r in S.hyperplane_near_pairs(sig).collect()}
     assert (1, 2) in pairs and (1, 3) in pairs
+
+
+def test_ivf_nprobe_full_equals_brute_force(spark):
+    """nprobe = nlist probes every cell, so ivf_probe_topk must return
+    exactly the brute-force ranking (the IVF recall dial's endpoint)."""
+    import random
+
+    rng = random.Random(7)
+    emb = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(8)], i % 3) for i in range(30)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    queries = emb.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    seeds = emb.groupBy("label").agg(F.min("vec_id").alias("_cid"))
+    cent = seeds.join(
+        emb.select(F.col("vec_id").alias("_cid"), F.col("embedding").alias("ce")), "_cid"
+    ).select("label", "ce")
+    full = S.ivf_probe_topk(queries, emb, cent, k=5, nprobe=3)
+    brute = S.cosine_topk(queries, emb.select("vec_id", "embedding"), k=5)
+    assert rows(full, "qid", "vec_id", "rank", "cosine") == rows(brute, "qid", "vec_id", "rank", "cosine")
+
+
+def test_ivf_nprobe_scans_only_probed_cells(spark):
+    """nprobe=1 must never return a vector from an unprobed cell: every
+    hit shares the query's nearest centroid's label."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == j) for j in range(3)], i % 3) for i in range(12)],
+        "vec_id long, embedding array<double>, label long",
+    )
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    seeds = emb.groupBy("label").agg(F.min("vec_id").alias("_cid"))
+    cent = seeds.join(
+        emb.select(F.col("vec_id").alias("_cid"), F.col("embedding").alias("ce")), "_cid"
+    ).select("label", "ce")
+    got = S.ivf_probe_topk(queries, emb, cent, k=12, nprobe=1).collect()
+    assert got and all(r.vec_id % 3 == 0 for r in got)
