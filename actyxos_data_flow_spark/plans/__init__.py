@@ -42,5 +42,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import text  # noqa: F401
     from . import multimodal  # noqa: F401
     from . import pipeline  # noqa: F401
+    from . import skew  # noqa: F401
 
     return REGISTRY

@@ -203,3 +203,32 @@ def test_ivf_nprobe_scans_only_probed_cells(spark):
     ).select("label", "ce")
     got = S.ivf_probe_topk(queries, emb, cent, k=12, nprobe=1).collect()
     assert got and all(r.vec_id % 3 == 0 for r in got)
+
+
+def test_salted_join_matches_plain_join(spark):
+    from actyxos_data_flow_spark.operators import skew as SK
+
+    left = spark.createDataFrame(
+        [(i, i % 3) for i in range(50)] + [(100 + i, 0) for i in range(50)],  # key 0 is hot
+        "id long, k long",
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b"), (2, "c"), (9, "z")], "rk long, v string")
+    got = SK.salted_join(left, right, "k", "rk", n=4)
+    want = left.join(right, left.k == right.rk)
+    assert rows(got, "id", "k", "rk", "v") == rows(want, "id", "k", "rk", "v")
+    # left join keeps unmatched left rows exactly once
+    l2 = left.union(spark.createDataFrame([(999, 7)], "id long, k long"))
+    got_l = SK.salted_join(l2, right, "k", "rk", n=4, how="left")
+    want_l = l2.join(right, l2.k == right.rk, "left")
+    assert rows(got_l, "id", "k", "rk", "v") == rows(want_l, "id", "k", "rk", "v")
+
+
+def test_salted_count_distinct_exact(spark):
+    from actyxos_data_flow_spark.operators import skew as SK
+
+    df = spark.createDataFrame(
+        [("a", i % 7) for i in range(100)] + [("b", i) for i in range(25)],
+        "g string, u long",
+    )
+    got = rows(SK.salted_count_distinct(df, ["g"], "u", n=5, out="d"), "g", "d")
+    assert got == [("a", 7), ("b", 25)]
