@@ -318,4 +318,24 @@ class Flow:
         """F8 — side-effect-free observation via ``df.observe`` metrics."""
         return self._wrap(self.df.observe(f"inspect_{id(self)}", *metrics))
 
+    def inspect_triples(self, fn: Callable, limit: int = 100) -> "Flow":
+        """F8 at triple granularity — deliver up to ``limit`` ``(data,
+        time, mult)`` triples to ``fn``, mirroring the reference's debug
+        inspect closure over individual deltas
+        (/root/reference/src/flow.rs:383-394).
+
+        Driver-side and bounded BY DESIGN: this is the debug hook the
+        reference uses for println-style tracing, not a data path —
+        collecting every triple of a 100 TB flow is exactly the
+        anti-pattern the engine avoids. Production counters belong in
+        :meth:`inspect` (``df.observe`` aggregates, executor-side).
+        ``time`` is the ``timestamp`` column when the flow carries one,
+        ``mult`` the delta column (+1 in set space)."""
+        ts = "timestamp" if "timestamp" in self.df.columns else None
+        for row in self.df.limit(limit).collect():
+            d = row.asDict()
+            mult = d.pop(DELTA_COL, 1)
+            fn(d, d.get(ts) if ts else None, mult)
+        return self
+
     # probe (F9) has no batch analog: completion of an action == epoch done.

@@ -50,7 +50,11 @@ def decode_payload(df: DataFrame, payload_schema: T.StructType | str, payload_co
         if isinstance(payload_schema, str)
         else payload_schema
     )
-    with_corrupt = schema.add("_corrupt", T.StringType())
+    # fresh field list — .add() mutates in place, which would grow a
+    # caller-owned schema on every call
+    with_corrupt = T.StructType(
+        list(schema.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
     decoded = df.withColumn(
         "_payload",
         F.from_json(

@@ -85,3 +85,79 @@ def stream_envelopes(
         .json(path)
     )
     return df.filter(subscription_filter(subs))
+
+
+# -- Kafka-shaped source -----------------------------------------------------
+#
+# The wire shape of `spark.read[Stream].format("kafka")`: the envelope
+# arrives as JSON bytes in `value`, plus broker metadata. The decode is
+# pure column work, so it applies identically to a real Kafka frame and
+# to a synthesized one (how tests drive it — the Kafka connector JAR is
+# not in this container).
+
+#: Columns the Spark Kafka connector produces.
+KAFKA_WIRE_SCHEMA = (
+    "key binary, value binary, topic string, partition int, offset long, "
+    "timestamp timestamp, timestampType int"
+)
+
+
+def kafka_envelopes(kafka_df: DataFrame, subs: Sequence[Subscription] = ()) -> DataFrame:
+    """Decode Kafka records whose ``value`` is a JSON envelope into
+    :data:`model.ENVELOPE_SCHEMA` rows (+ the broker offset as
+    ``kafka_partition``/``kafka_offset`` for exactly-once bookkeeping).
+
+    Malformed values follow the skip-not-fatal rule: detected via an
+    explicit corrupt-record column (Spark 4 PERMISSIVE ``from_json``
+    returns an all-null struct, never null, for broken JSON) and
+    filtered. Works on batch and streaming frames alike — the transform
+    is stateless column work."""
+    from pyspark.sql import types as T
+
+    # build a fresh field list: StructType holds the list by reference,
+    # so .add() on a shared list would grow ENVELOPE_SCHEMA itself
+    with_corrupt = T.StructType(
+        list(ENVELOPE_SCHEMA.fields) + [T.StructField("_corrupt", T.StringType())]
+    )
+    env = F.from_json(
+        F.col("value").cast("string"), with_corrupt, {"columnNameOfCorruptRecord": "_corrupt"}
+    )
+    decoded = (
+        kafka_df.withColumn("_env", env)
+        .filter(F.col("_env._corrupt").isNull())
+        .select(
+            F.col("_env.stream_name").alias("stream_name"),
+            F.col("_env.semantics").alias("semantics"),
+            F.col("_env.source").alias("source"),
+            F.col("_env.lamport").alias("lamport"),
+            F.col("_env.offset").alias("offset"),
+            F.col("_env.timestamp").alias("timestamp"),
+            F.col("_env.payload").alias("payload"),
+            F.col("partition").alias("kafka_partition"),
+            F.col("offset").alias("kafka_offset"),
+        )
+    )
+    return decoded.filter(subscription_filter(subs))
+
+
+def kafka_source(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    subs: Sequence[Subscription] = (),
+    streaming: bool = True,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Production entry for a Kafka-backed event log: requires the
+    ``spark-sql-kafka`` connector on the classpath (absent here — the
+    ``.load()`` raises in this container; :func:`kafka_envelopes` holds
+    all engine logic and is what the tests exercise)."""
+    reader = spark.readStream if streaming else spark.read
+    raw = (
+        reader.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return kafka_envelopes(raw, subs)
