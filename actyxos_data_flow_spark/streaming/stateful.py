@@ -156,3 +156,74 @@ def monotonic_max_by_stream(
         record_schema,
         order_by=order_by,
     )
+
+
+# -- transformWithState runtime (the newer keyed-state API) ------------------
+#
+# Spark 4 ships a second keyed-state runtime: ``transformWithStateInPandas``
+# (StatefulProcessor + typed state handles, RocksDB-backed, timers,
+# TTL). Same fold contract as :func:`map_with_state` so pipelines can
+# switch runtimes without touching operator logic; prefer this one on
+# clusters where the state store outgrows memory — value state lives in
+# RocksDB rather than the executor heap.
+#
+# Runtime dependency: the TWS state-channel protocol speaks protobuf
+# (pyspark.sql.streaming.proto) — requires the ``protobuf`` package on
+# driver and executors. The pytest gates on its presence
+# (tests/test_stateful.py::test_tws_runtime_same_fold_cross_batch).
+
+
+def map_with_state_tws(
+    stream_df: DataFrame,
+    keys: Sequence[str],
+    fn: Callable,
+    output_schema: StructType | str,
+    state_schema: StructType | str,
+    order_by: Sequence[str] | None = None,
+    init_state: tuple | None = None,
+) -> DataFrame:
+    """:func:`map_with_state` on the ``transformWithStateInPandas``
+    runtime. ``fn(state, row) -> (state, emit)`` exactly as there; state
+    is a tuple matching ``state_schema``, persisted in the operator's
+    value-state handle across micro-batches."""
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    if isinstance(output_schema, StructType):
+        out_cols = [f.name for f in output_schema.fields]
+    else:
+        out_cols = [s.strip().split()[0] for s in output_schema.split(",")]
+    state_struct = (
+        state_schema
+        if isinstance(state_schema, StructType)
+        else T._parse_datatype_string(state_schema)
+    )
+    order_cols = list(order_by) if order_by else None
+
+    class _FoldProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState("fold", state_struct)
+
+        def handleInputRows(self, key, rows, timerValues):
+            s = tuple(self._state.get()) if self._state.exists() else init_state
+            out = []
+            for pdf in rows:
+                if order_cols:
+                    pdf = pdf.sort_values(order_cols, kind="mergesort")
+                for row in pdf.itertuples(index=False):
+                    s, emit = fn(s, row)
+                    if emit is not None:
+                        out.extend(emit if isinstance(emit, list) else [emit])
+            if s is not None:
+                self._state.update(s)
+            yield pd.DataFrame(out, columns=out_cols)
+
+        def close(self):
+            pass
+
+    return stream_df.groupBy(*keys).transformWithStateInPandas(
+        statefulProcessor=_FoldProcessor(),
+        outputStructType=output_schema,
+        outputMode="Append",
+        timeMode="None",
+    )

@@ -162,3 +162,74 @@ def test_m1_streaming_golden_retraction_sequence(spark, tmp_path):
     assert per_batch[1] == []
     assert per_batch[2] == [(1, -1), (2, 1), (11, 1)]
     assert per_batch[3] == [(2, -1), (7, 1)]
+
+
+def test_tws_runtime_same_fold_cross_batch(spark, tmp_path):
+    """The transformWithStateInPandas runtime runs the SAME fold with
+    the same cross-batch semantics: E2's pairing over two epochs emits
+    [] then [(1, 1, 200, 300)] exactly as the applyInPandasWithState
+    path above — one fold contract, two state runtimes."""
+    import pytest
+
+    pytest.importorskip(
+        "google.protobuf", reason="transformWithState's state channel requires protobuf"
+    )
+    from actyxos_data_flow_spark.streaming.stateful import map_with_state_tws
+
+    src = str(tmp_path / "src")
+    schema = "user_id long, order_id long, kind string, ts_micros long, event_id long"
+    e1 = spark.createDataFrame(
+        [(1, 1, "start", 100, 1), (1, 1, "start", 200, 2), (2, 1, "stop", 50, 3)], schema
+    )
+    e2 = spark.createDataFrame([(1, 1, "stop", 500, 4), (2, 1, "start", 600, 5)], schema)
+    e1.coalesce(1).write.parquet(src + "/epoch=1")
+    e2.coalesce(1).write.parquet(src + "/epoch=2")
+    now = time.time()
+    for d, t in ((src + "/epoch=1", now - 60), (src + "/epoch=2", now)):
+        for f in os.listdir(d):
+            os.utime(os.path.join(d, f), (t, t))
+
+    stream = (
+        spark.readStream.schema(e1.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/epoch=*")
+    )
+
+    def pair(state, row):
+        open_ts = state[0] if state is not None else None
+        if row.kind == "start":
+            return (row.ts_micros,), None
+        if open_ts is None:
+            return None, None
+        return (None,), {
+            "user_id": row.user_id,
+            "order_id": row.order_id,
+            "started_micros": open_ts,
+            "duration_micros": row.ts_micros - open_ts,
+        }
+
+    out = map_with_state_tws(
+        stream,
+        ["user_id", "order_id"],
+        pair,
+        "user_id bigint, order_id bigint, started_micros bigint, duration_micros bigint",
+        "open_ts bigint",
+        order_by=["event_id"],
+    )
+
+    per_batch: dict[int, list[tuple]] = {}
+
+    def record(batch_df, batch_id):
+        per_batch[batch_id] = sorted(tuple(r) for r in batch_df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert sorted(per_batch) == [0, 1]
+    assert per_batch[0] == []
+    assert per_batch[1] == [(1, 1, 200, 300)]
