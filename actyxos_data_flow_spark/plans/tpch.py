@@ -449,7 +449,7 @@ GROUP BY n1.n_name, n2.n_name, year(l.l_shipdate)
 """
 
 
-@register("q7_volume_shipping", oracle=Q7_ORACLE)
+@register("q7_volume_shipping", oracle=Q7_ORACLE, bench=True)
 def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Nation-pair disjunction: each nation filter pushes below its own
     dim join (supplier and customer sides keep only the two nations
@@ -512,7 +512,7 @@ GROUP BY year(o.o_orderdate)
 """
 
 
-@register("q8_market_share", oracle=Q8_ORACLE)
+@register("q8_market_share", oracle=Q8_ORACLE, bench=True)
 def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Share-of-total: one pass, two conditional decimal sums, divided
     after aggregation -- no self-join on the grouped result. The part
