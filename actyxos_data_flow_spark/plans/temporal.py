@@ -1,0 +1,101 @@
+"""Temporal-join queries over ``events`` (operators/temporal.py).
+
+Timestamps cross the oracle boundary as epoch microseconds
+(``ns_micros`` on the Spark side, ``epoch_us`` in DuckDB — same
+convention as plans/reference.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.scalar import ns_micros
+from ..operators import temporal as TJ
+from ..sources import load_table
+from . import register
+
+
+ASOF_ORACLE = """
+WITH base AS (
+  SELECT event_id, epoch_us(ts) AS ts_micros, user_id, event_type, value FROM events
+),
+clicks AS (SELECT user_id, ts_micros AS cts, event_id AS cid FROM base WHERE event_type = 'click'),
+purch AS (SELECT event_id, user_id, ts_micros, value FROM base WHERE event_type = 'purchase'),
+j AS (
+  SELECT p.event_id, p.user_id, p.ts_micros, p.value, c.cts, c.cid,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.cts DESC NULLS LAST, c.cid DESC
+         ) AS rn
+  FROM purch p LEFT JOIN clicks c ON c.user_id = p.user_id AND c.cts <= p.ts_micros
+)
+SELECT event_id, user_id, ts_micros, value, cts AS click_micros, cid AS click_id
+FROM j WHERE rn = 1
+"""
+
+
+@register("asof_latest_click", oracle=ASOF_ORACLE)
+def asof_latest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase picks up the user's latest
+    click at-or-before it (null if none — left semantics). The oracle
+    says it with a theta join + rank (quadratic per user); the engine
+    runs the union-merge window — one shuffle on user_id, one sort, no
+    pair explosion — and must produce identical rows, ties (equal click
+    timestamps) resolved to the max click_id on both sides."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", ns_micros("ts").alias("ts_micros"), "user_id", "event_type", "value"
+    )
+    build = base.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts_micros",
+        "event_id",
+        F.col("ts_micros").alias("click_micros"),
+        F.col("event_id").alias("click_id"),
+    )
+    probe = base.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts_micros", "event_id", "value"
+    )
+    out = TJ.asof_join(probe, build, ["user_id"], "ts_micros", order_col="event_id")
+    return out.select("event_id", "user_id", "ts_micros", "value", "click_micros", "click_id")
+
+
+HALF_HOUR_US = 30 * 60 * 1_000_000
+
+INTERVAL_ORACLE = f"""
+WITH base AS (
+  SELECT event_id, epoch_us(ts) AS ts_micros, user_id, event_type FROM events
+),
+err AS (
+  SELECT user_id, event_id AS err_id, ts_micros AS r_start, ts_micros + {HALF_HOUR_US} AS r_end
+  FROM base WHERE event_type = 'error'
+),
+clk AS (SELECT user_id, ts_micros FROM base WHERE event_type = 'click')
+SELECT e.err_id, e.user_id, count(*) AS n_clicks
+FROM err e JOIN clk c
+  ON c.user_id = e.user_id AND c.ts_micros >= e.r_start AND c.ts_micros < e.r_end
+GROUP BY e.err_id, e.user_id
+"""
+
+
+@register("interval_clicks_after_error", oracle=INTERVAL_ORACLE)
+def interval_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval join: clicks landing inside the half-hour
+    window after each error, counted per error. The engine buckets both
+    sides at the window width so the range predicate only sees
+    candidates from overlapping buckets — an equi-join on (user, bucket)
+    plus residual, never the full per-user cross product the oracle's
+    theta join implies."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", ns_micros("ts").alias("ts_micros"), "user_id", "event_type"
+    )
+    ranges = base.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("err_id"),
+        F.col("ts_micros").alias("r_start"),
+        (F.col("ts_micros") + HALF_HOUR_US).alias("r_end"),
+    )
+    points = base.filter(F.col("event_type") == "click").select("user_id", "ts_micros")
+    joined = TJ.interval_join(
+        points, ranges, ["user_id"], "ts_micros", "r_start", "r_end", bucket_width=HALF_HOUR_US
+    )
+    return joined.groupBy("err_id", "user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
