@@ -99,3 +99,51 @@ def interval_clicks_after_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         points, ranges, ["user_id"], "ts_micros", "r_start", "r_end", bucket_width=HALF_HOUR_US
     )
     return joined.groupBy("err_id", "user_id").agg(F.count(F.lit(1)).alias("n_clicks"))
+
+
+# -- Sessionization (batch form of streaming/windows.session_agg) ----------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+SESSION_ORACLE = f"""
+WITH base AS (SELECT user_id, epoch_us(ts) AS tsu FROM events),
+o AS (
+  SELECT user_id, tsu,
+         CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) >= {SESSION_GAP_US}
+              THEN 1 ELSE 0 END AS brk
+  FROM base
+),
+s AS (
+  SELECT user_id, tsu,
+         sum(brk) OVER (PARTITION BY user_id ORDER BY tsu ROWS UNBOUNDED PRECEDING) AS sid
+  FROM o
+)
+SELECT user_id,
+       min(tsu) AS session_start_micros,
+       max(tsu) + {SESSION_GAP_US} AS session_end_micros,
+       count(*) AS n_events
+FROM s GROUP BY user_id, sid
+"""
+
+
+@register("session_windows", oracle=SESSION_ORACLE)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessions with a 30-minute inactivity gap, computed with
+    the native ``session_window`` aggregate (one shuffle on user_id,
+    sessions merged inside the aggregate — no self-join, no window-sort
+    pass). The oracle derives the same islands with lag + running sum:
+    a new session starts when the gap is >= 30 min (session end is
+    exclusive: last event + gap), Spark's session-window rule."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", ns_micros("ts").alias("ts_micros")
+    )
+    sess = ev.groupBy(
+        "user_id",
+        F.session_window(F.timestamp_micros(F.col("ts_micros")), "30 minutes"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    return sess.select(
+        "user_id",
+        F.unix_micros(F.col("session_window.start")).alias("session_start_micros"),
+        F.unix_micros(F.col("session_window.end")).alias("session_end_micros"),
+        "n_events",
+    )

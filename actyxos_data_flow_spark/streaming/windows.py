@@ -38,3 +38,29 @@ def windowed_agg(
         F.col("window.end").alias("window_end"),
         *[c for c in out.columns if c != "window"],
     )
+
+
+def session_agg(
+    stream: DataFrame,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str = "2 minutes",
+    keys: Sequence[str] = (),
+    aggs: Sequence[Column] = (),
+) -> DataFrame:
+    """Session windows: per key, events closer than ``gap`` merge into
+    one session spanning [first event, last event + gap). State is one
+    open session per key (plus any not-yet-watermarked late ones) —
+    Spark merges overlapping session windows at update time, and the
+    watermark closes sessions so their state is dropped; append mode
+    emits each session exactly once when it can no longer grow."""
+    out = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap), *keys)
+        .agg(F.count(F.lit(1)).alias("n"), *aggs)
+    )
+    return out.select(
+        F.col("session_window.start").alias("session_start"),
+        F.col("session_window.end").alias("session_end"),
+        *[c for c in out.columns if c != "session_window"],
+    )

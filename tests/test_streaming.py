@@ -264,3 +264,57 @@ def test_windowed_agg_drops_late_events(spark, tmp_path):
     assert batches[1] == [("2024-01-01 10:09:00", 1)]
     # the late 10:00:30 arrival did NOT re-open the evicted 10:00 window
     assert batches[2] == []
+
+
+def test_session_agg_merges_and_closes(spark, tmp_path):
+    """Session windows live (append mode — the only mode session
+    aggregations support): events within the gap merge into one growing
+    session across micro-batches; the session is emitted exactly once,
+    when the watermark passes its end, with the fully-merged span."""
+    import os as _os
+    import time as _time
+
+    from actyxos_data_flow_spark.streaming.windows import session_agg
+
+    src = str(tmp_path / "ssrc")
+
+    def write_file(i, rows):
+        d = src + f"/b={i}"
+        spark.createDataFrame(rows, "k long, ts string").selectExpr(
+            "k", "cast(ts as timestamp) ts"
+        ).coalesce(1).write.parquet(d)
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (_time.time() - 60 + i,) * 2)
+
+    write_file(1, [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:00:30")])
+    write_file(2, [(1, "2024-01-01 10:01:10")])  # within gap: merges, n=3
+    write_file(3, [(1, "2024-01-01 10:30:00")])  # advances watermark past the session
+
+    stream = (
+        spark.readStream.schema("k long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+    )
+    out = session_agg(stream, "ts", gap="1 minute", watermark="2 minutes", keys=["k"])
+
+    emitted = []
+
+    def record(df, bid):
+        emitted.extend((bid, str(r.session_start), str(r.session_end), r.n) for r in df.collect())
+
+    q = (
+        out.writeStream.foreachBatch(record)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # exactly one emission: the MERGED session (3 events, widened end),
+    # closed only after the 10:30 event pushed the watermark past it —
+    # the still-open 10:30 session is withheld in append mode
+    assert [(s0, s1, n) for _, s0, s1, n in emitted] == [
+        ("2024-01-01 10:00:00", "2024-01-01 10:02:10", 3)
+    ]
+    assert emitted[0][0] >= 2  # not emitted before the closing batch
