@@ -352,3 +352,77 @@ def ivm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     old = ev.filter(F.col("event_id") < 500).groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     new = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
     return snapshot_diff(old, new)
+
+
+# -- pivot: long -> wide conditional aggregation ----------------------------
+
+PIVOT_ORACLE = """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
+       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+FROM events GROUP BY user_id
+"""
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@register("pivot_event_counts", oracle=PIVOT_ORACLE)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long→wide pivot with the value list pinned: Spark plans one hash
+    aggregate of conditional counts (no second pass to discover values,
+    no extra shuffle — exactly the oracle's CASE sums). Always pin the
+    value list at 100 TB: value discovery is a full extra scan."""
+    events = load_table(spark, sf_dir, "events")
+    out = events.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return out.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(t) for t in _EVENT_TYPES]
+    )
+
+
+# -- grouped top-k: two-phase (salt-pruned) window ranking ------------------
+
+TOPK_ORACLE = """
+WITH ranked AS (
+  SELECT c.c_nationkey, o.o_orderkey,
+         CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+         row_number() OVER (
+           PARTITION BY c.c_nationkey ORDER BY o.o_totalprice DESC, o.o_orderkey ASC
+         ) AS rank
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT c_nationkey, o_orderkey, o_totalprice, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@register("topk_orders_per_nation", oracle=TOPK_ORACLE)
+def topk_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per nation WITHOUT a per-nation global sort: phase 1
+    ranks within (nation, salt) shards — 16 parallel sorts of 1/16 of a
+    hot nation each — and keeps 3 per shard; phase 2 ranks the <= 48
+    survivors per nation. Identical output to the oracle's single
+    window, but the full-data sort never concentrates one nation's rows
+    in one task (the low-cardinality-partition trap of naive
+    row_number top-N at scale)."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select("c_nationkey", "o_orderkey", F.col("o_totalprice").cast("double").alias("o_totalprice"))
+        .withColumn("_salt", F.pmod(F.xxhash64("o_orderkey"), F.lit(16)))
+    )
+    order_cols = [F.col("o_totalprice").desc(), F.col("o_orderkey").asc()]
+    w1 = W.partitionBy("c_nationkey", "_salt").orderBy(*order_cols)
+    survivors = (
+        base.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= 3).drop("_r1", "_salt")
+    )
+    w2 = W.partitionBy("c_nationkey").orderBy(*order_cols)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= 3)
+        .select("c_nationkey", "o_orderkey", "o_totalprice", "rank")
+    )

@@ -74,3 +74,44 @@ def test_tpch_filters_reach_scans(spark, registry):
         ("q6_revenue_change", "GreaterThanOrEqual(l_shipda"),
     ]:
         assert needle in _plan(registry[name].fn(spark, SF)), name
+
+
+def test_asof_one_shuffle_no_pair_blowup(spark, registry):
+    """The as-of join must be the union-merge window: exactly one
+    exchange (on the join key), no nested-loop/cartesian pair
+    explosion anywhere."""
+    plan = _plan(registry["asof_latest_click"].fn(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Window" in plan
+
+
+def test_interval_join_is_equi_join(spark, registry):
+    """The bucketed interval join must plan as an equi-join on
+    (key, bucket) with the range as residual — never a nested loop
+    over per-key pairs."""
+    plan = _plan(registry["interval_clicks_after_error"].fn(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "__bucket" in plan  # the equi-join carries the bucket key
+
+
+def test_salted_join_replicates_right_side(spark, registry):
+    """The salted join's right side is exploded over the salt range
+    (Generate) and the join keys carry the salt column."""
+    plan = _plan(registry["skew_salted_join"].fn(spark, SF))
+    assert "Generate explode" in plan
+    assert "__salt" in plan
+
+
+def test_topk_two_phase_windows(spark, registry):
+    """Two Window nodes — the salt-sharded partial rank and the final
+    rank over survivors — never one global per-nation sort of raw data."""
+    plan = _plan(registry["topk_orders_per_nation"].fn(spark, SF))
+    assert plan.count("RunningWindowFunction") >= 2 or plan.count("Window") >= 2
+
+
+def test_pivot_single_aggregate_no_value_scan(spark, registry):
+    """A pinned-values pivot is one aggregate pass: no second scan of
+    events to discover pivot values."""
+    plan = _plan(registry["pivot_event_counts"].fn(spark, SF))
+    assert plan.count("FileScan parquet") == 1
