@@ -426,3 +426,31 @@ def topk_orders_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("c_nationkey", "o_orderkey", "o_totalprice", "rank")
     )
+
+
+# -- exact percentiles (sort-based distribution statistics) -----------------
+
+PCTL_ORACLE = """
+SELECT o_orderstatus,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS median_price,
+       quantile_cont(CAST(o_totalprice AS DOUBLE), 0.9) AS p90_price,
+       count(*) AS n
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@register("percentiles_order_price", oracle=PCTL_ORACLE)
+def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles via the native ``percentile`` aggregate
+    (per-group sort inside the hash aggregate; both engines interpolate
+    linearly over the same doubles, hash-verified). At 100 TB prefer
+    ``approx_percentile`` (t-digest, mergeable, no per-group sort) when
+    the consumer tolerates bounded error — exact percentile is the
+    oracle-checkable form."""
+    orders = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("double")
+    return orders.groupBy("o_orderstatus").agg(
+        F.percentile(price, F.lit(0.5)).alias("median_price"),
+        F.percentile(price, F.lit(0.9)).alias("p90_price"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -55,3 +55,28 @@ def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TA
     """Register each table as a temp view for the SQL API."""
     for n in names:
         load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def save_bucketed(
+    df: DataFrame,
+    table: str,
+    buckets: int,
+    keys: tuple[str, ...] | list[str],
+    sort: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize ``df`` as a bucketed (and bucket-sorted) parquet
+    table: rows are hash-partitioned into ``buckets`` files per
+    partition by ``keys`` AT WRITE TIME, so every later join or
+    aggregation on those keys reads co-located data and plans with NO
+    exchange — the shuffle is paid once, at write, instead of per query.
+
+    This is the 100 TB answer for fact-fact joins too big to broadcast
+    and too hot to re-shuffle per query (e.g. lineitem x orders on
+    orderkey): bucket both sides with the same key and count. Requires a
+    table catalog (``saveAsTable``); plain ``.parquet(path)`` cannot
+    record bucket metadata."""
+    w = df.write.mode(mode).format("parquet").bucketBy(buckets, *keys)
+    if sort:
+        w = w.sortBy(*keys)
+    w.saveAsTable(table)

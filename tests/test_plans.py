@@ -115,3 +115,32 @@ def test_pivot_single_aggregate_no_value_scan(spark, registry):
     events to discover pivot values."""
     plan = _plan(registry["pivot_event_counts"].fn(spark, SF))
     assert plan.count("FileScan parquet") == 1
+
+
+def test_bucketed_join_no_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key -> the sort-merge join reads
+    co-located buckets and the plan carries NO exchange: the write-once
+    shuffle amortizes across every subsequent keyed query."""
+    import uuid
+
+    from actyxos_data_flow_spark.sources.tables import load_table, save_bucketed
+
+    suffix = uuid.uuid4().hex[:8]
+    ta, tb = f"b_orders_{suffix}", f"b_lineitem_{suffix}"
+    orders = load_table(spark, SF, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    save_bucketed(orders, ta, 4, ["o_orderkey"])
+    save_bucketed(li, tb, 4, ["l_orderkey"])
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        a, b = spark.table(ta), spark.table(tb)
+        joined = a.join(b, a.o_orderkey == b.l_orderkey)
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
