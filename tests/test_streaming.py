@@ -318,3 +318,109 @@ def test_session_agg_merges_and_closes(spark, tmp_path):
         ("2024-01-01 10:00:00", "2024-01-01 10:02:10", 3)
     ]
     assert emitted[0][0] >= 2  # not emitted before the closing batch
+
+
+def test_stream_stream_join_with_watermarks(spark, tmp_path):
+    """Stream-stream inner join with event-time range: each click joins
+    purchases of the same user within 10 minutes after it. Both sides
+    watermarked so Spark can discard buffered rows once they can no
+    longer match — bounded state, the only way a stream-stream join
+    survives unbounded input."""
+    import os as _os
+    import time as _time
+
+    clicks_src = str(tmp_path / "clicks")
+    buys_src = str(tmp_path / "buys")
+
+    def write(base, i, rows, schema):
+        d = base + f"/b={i}"
+        spark.createDataFrame(rows, schema).selectExpr(
+            "id", "k", "cast(ts as timestamp) ts"
+        ).coalesce(1).write.parquet(d)
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (_time.time() - 60 + i,) * 2)
+
+    schema = "id long, k long, ts string"
+    write(clicks_src, 1, [(1, 7, "2024-01-01 10:00:00"), (2, 7, "2024-01-01 10:20:00")], schema)
+    write(buys_src, 1, [(100, 7, "2024-01-01 10:05:00"), (101, 7, "2024-01-01 10:45:00")], schema)
+
+    clicks = (
+        spark.readStream.schema("id long, k long, ts timestamp").parquet(clicks_src + "/b=*")
+        .withColumnRenamed("id", "click_id").withColumnRenamed("ts", "click_ts")
+        .withWatermark("click_ts", "30 minutes")
+    )
+    buys = (
+        spark.readStream.schema("id long, k long, ts timestamp").parquet(buys_src + "/b=*")
+        .withColumnRenamed("id", "buy_id").withColumnRenamed("ts", "buy_ts")
+        .withColumnRenamed("k", "bk")
+        .withWatermark("buy_ts", "30 minutes")
+    )
+    import pyspark.sql.functions as F
+
+    joined = clicks.join(
+        buys,
+        (clicks.k == buys.bk)
+        & (buys.buy_ts >= clicks.click_ts)
+        & (buys.buy_ts < clicks.click_ts + F.expr("INTERVAL 10 MINUTES")),
+    ).select("click_id", "buy_id")
+
+    got = []
+
+    def record(df, bid):
+        got.extend((r.click_id, r.buy_id) for r in df.collect())
+
+    q = (
+        joined.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # click 1 (10:00) matches buy 100 (10:05); click 2 (10:20) matches
+    # nothing (10:45 is outside its 10-minute horizon)
+    assert sorted(got) == [(1, 100)]
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming exact dedup with bounded state: a duplicate id arriving
+    within the watermark horizon is dropped; state for expired keys is
+    evicted (dropDuplicatesWithinWatermark — the streaming form of
+    operators/dedup exact dedup)."""
+    import os as _os
+    import time as _time
+
+    src = str(tmp_path / "src")
+
+    def write_file(i, rows):
+        d = src + f"/b={i}"
+        spark.createDataFrame(rows, "id long, ts string").selectExpr(
+            "id", "cast(ts as timestamp) ts"
+        ).coalesce(1).write.parquet(d)
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (_time.time() - 60 + i,) * 2)
+
+    write_file(1, [(1, "2024-01-01 10:00:00"), (2, "2024-01-01 10:00:05")])
+    write_file(2, [(1, "2024-01-01 10:00:30")])  # dup within horizon: dropped
+    write_file(3, [(3, "2024-01-01 10:30:00")])
+
+    stream = (
+        spark.readStream.schema("id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b=*")
+        .withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["id"])
+    )
+
+    seen = []
+
+    def record(df, bid):
+        seen.extend(r.id for r in df.collect())
+
+    q = (
+        stream.writeStream.foreachBatch(record)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == [1, 2, 3]  # the batch-2 duplicate of id 1 never re-emits
