@@ -454,3 +454,67 @@ def percentiles_order_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(price, F.lit(0.9)).alias("p90_price"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# -- fixed-width histogram --------------------------------------------------
+
+HIST_ORACLE = """
+SELECT event_type,
+       CAST(floor(value / 5.0) AS BIGINT) AS bucket,
+       count(*) AS n,
+       CAST(min(value) AS DOUBLE) AS lo,
+       CAST(max(value) AS DOUBLE) AS hi
+FROM events GROUP BY event_type, CAST(floor(value / 5.0) AS BIGINT)
+"""
+
+
+@register("histogram_event_values", oracle=HIST_ORACLE)
+def histogram_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a plain two-key hash aggregate — the
+    bucket id is a scan-side expression, so the whole histogram is one
+    map-side-combinable pass (no sort, no window)."""
+    events = load_table(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 5.0).cast("long")
+    return events.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").cast("double").alias("lo"),
+        F.max("value").cast("double").alias("hi"),
+    )
+
+
+# -- ntile quartiles --------------------------------------------------------
+
+NTILE_ORACLE = """
+WITH t AS (
+  SELECT c_nationkey, c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
+         ntile(4) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal ASC, c_custkey ASC)
+           AS quartile
+  FROM customer
+)
+SELECT c_nationkey, quartile, count(*) AS n,
+       CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+FROM t GROUP BY c_nationkey, quartile
+"""
+
+
+@register("ntile_customer_quartiles", oracle=NTILE_ORACLE)
+def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation balance quartiles: one keyed window sort (deterministic
+    tie-break on the key) feeding a hash aggregate. Partition count =
+    nations; at scale with few partitions, shard first as in
+    topk_orders_per_nation — ntile is the one window function a salt
+    two-phase CANNOT replicate (tile boundaries are global per key), so
+    it stays a per-key sort by construction."""
+    from pyspark.sql import Window as W
+
+    cust = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
+    tiled = cust.select(
+        "c_nationkey",
+        F.col("c_acctbal").cast("decimal(18,2)").alias("_bal"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return tiled.groupBy("c_nationkey", "quartile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_bal").cast("double").alias("sum_bal"),
+    )
