@@ -78,3 +78,90 @@ def apply_delta(snapshot: DataFrame, delta: DataFrame) -> DataFrame:
         *cols, F.explode(F.array_repeat(F.lit(1), F.col(DELTA_COL).cast("int"))).alias("_one")
     )
     return expanded.drop("_one")
+
+
+def _mul_join(x: DataFrame, y: DataFrame, on) -> DataFrame:
+    """Equi-join two delta frames; multiplicities multiply (the
+    bilinear rule of join over signed multisets)."""
+    xd = x.withColumnRenamed(DELTA_COL, "_dx")
+    yd = y.withColumnRenamed(DELTA_COL, "_dy")
+    return (
+        xd.join(yd, on=on)
+        .withColumn(DELTA_COL, (F.col("_dx") * F.col("_dy")).cast("long"))
+        .drop("_dx", "_dy")
+    )
+
+
+def delta_join(a_old: DataFrame, da: DataFrame, b_old: DataFrame, db: DataFrame, on) -> DataFrame:
+    """Incremental equi-join maintenance: the exact delta of A ⋈ B given
+    base snapshots and their deltas, WITHOUT recomputing the join —
+
+        Δ(A ⋈ B) = ΔA ⋈ B ∪ A ⋈ ΔB ∪ ΔA ⋈ ΔB
+
+    (join is bilinear over signed multisets; row multiplicities
+    multiply). Cost scales with CHURN × match-degree, not |A| × |B| —
+    the true-IVM alternative to ``snapshot_diff`` recompute when deltas
+    are small and the bases are already materialized. All three terms
+    shuffle on the same join key, so a cluster co-partitions them once;
+    non-key columns of the two sides must be disjoint (pre-alias).
+    ``a_old``/``b_old`` are plain snapshots (lifted to ×1); the result
+    is consolidated (zero-net rows dropped)."""
+    a0 = with_delta(a_old) if DELTA_COL not in a_old.columns else a_old
+    b0 = with_delta(b_old) if DELTA_COL not in b_old.columns else b_old
+    parts = [
+        _mul_join(da, b0, on),
+        _mul_join(a0, db, on),
+        _mul_join(da, db, on),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return consolidate(out)
+
+
+def delta_agg_sum(old_agg: DataFrame, delta: DataFrame, keys, val: str, out: str) -> DataFrame:
+    """Incremental grouped-SUM maintenance: given the previous aggregate
+    snapshot ``old_agg`` (keys + ``out`` sum + ``_n`` count) and a
+    consolidated source delta, emit the reference-style retraction pairs
+    — (old row, −1), (new row, +1) — for exactly the touched keys:
+
+        contribution per key = Σ delta·value  (and Σ delta rows)
+
+    One aggregate over the delta (churn-sized), one equi-join against
+    the touched keys of the old snapshot. Keys whose row count reaches
+    zero emit only the retraction; brand-new keys only the insert. Use
+    ``delta_agg_next`` to also get the updated snapshot."""
+    keys = list(keys)
+    contrib = delta.groupBy(*keys).agg(
+        F.sum(F.col(val) * F.col(DELTA_COL)).alias("_dv"),
+        F.sum(DELTA_COL).cast("long").alias("_dn"),
+    )
+    old = old_agg.select(*keys, F.col(out).alias("_ov"), F.col("_n").alias("_on"))
+    j = contrib.join(old, on=keys, how="left")
+    new_rows = j.select(
+        *keys,
+        (F.coalesce(F.col("_ov"), F.lit(0)) + F.col("_dv")).alias(out),
+        (F.coalesce(F.col("_on"), F.lit(0)) + F.col("_dn")).cast("long").alias("_n"),
+    )
+    retract = (
+        j.filter(F.col("_ov").isNotNull())
+        .select(*keys, F.col("_ov").alias(out), F.col("_on").alias("_n"), F.lit(-1).alias(DELTA_COL))
+    )
+    insert = (
+        new_rows.filter(F.col("_n") > 0)
+        .select(*keys, out, "_n", F.lit(1).alias(DELTA_COL))
+    )
+    return consolidate(retract.unionByName(insert))
+
+
+def delta_agg_next(old_agg: DataFrame, agg_delta: DataFrame) -> DataFrame:
+    """Fold a :func:`delta_agg_sum` result back into the snapshot form
+    (keys + sum + _n): apply the +1 rows, drop the −1 rows."""
+    cols = [c for c in agg_delta.columns if c != DELTA_COL]
+    keys = [c for c in cols if c not in ("_n",) and not c.startswith("_")]
+    plus = agg_delta.filter(F.col(DELTA_COL) == 1).select(*cols)
+    minus_keys = agg_delta.filter(F.col(DELTA_COL) == -1).select(*keys).distinct()
+    untouched = old_agg.join(minus_keys, on=keys, how="left_anti").join(
+        plus.select(*keys).distinct(), on=keys, how="left_anti"
+    )
+    return untouched.unionByName(plus)

@@ -518,3 +518,55 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("_bal").cast("double").alias("sum_bal"),
     )
+
+
+# -- incremental join maintenance (delta_join) ------------------------------
+
+DELTA_JOIN_ORACLE = """
+WITH e AS (SELECT event_id, user_id, event_type FROM events),
+ao AS (SELECT user_id, event_id AS click_id FROM e WHERE event_type = 'click' AND event_id < 5000),
+an AS (SELECT user_id, event_id AS click_id FROM e WHERE event_type = 'click' AND event_id < 6000),
+bo AS (SELECT user_id, event_id AS buy_id FROM e WHERE event_type = 'purchase' AND event_id < 5000),
+bn AS (SELECT user_id, event_id AS buy_id FROM e
+       WHERE event_type = 'purchase' AND event_id >= 1000 AND event_id < 6000),
+oc AS (SELECT a.user_id, a.click_id, b.buy_id, count(*) AS n
+       FROM ao a JOIN bo b ON a.user_id = b.user_id GROUP BY 1, 2, 3),
+nc AS (SELECT a.user_id, a.click_id, b.buy_id, count(*) AS n
+       FROM an a JOIN bn b ON a.user_id = b.user_id GROUP BY 1, 2, 3)
+SELECT coalesce(oc.user_id, nc.user_id) AS user_id,
+       coalesce(oc.click_id, nc.click_id) AS click_id,
+       coalesce(oc.buy_id, nc.buy_id) AS buy_id,
+       coalesce(nc.n, 0) - coalesce(oc.n, 0) AS delta
+FROM oc FULL OUTER JOIN nc
+  ON oc.user_id = nc.user_id AND oc.click_id = nc.click_id AND oc.buy_id = nc.buy_id
+WHERE coalesce(nc.n, 0) - coalesce(oc.n, 0) != 0
+"""
+
+
+@register("ivm_delta_join", oracle=DELTA_JOIN_ORACLE)
+def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True-IVM join maintenance: clicks gain an insert batch, purchases
+    gain inserts AND retract their oldest rows; ``delta_join`` emits the
+    exact signed delta of the join from the three churn-sized terms
+    (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB). The oracle brute-forces it as the diff of
+    the old and new joins — the gate proves the algebra, churn-only
+    cost is the point (operators cited in delta.py)."""
+    from ..delta import delta_join
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id")
+    )
+    buys = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id")
+    )
+    a_old = clicks.filter(F.col("click_id") < 5000)
+    da = clicks.filter(F.col("click_id").between(5000, 5999)).withColumn("delta", F.lit(1))
+    b_old = buys.filter(F.col("buy_id") < 5000)
+    db = (
+        buys.filter(F.col("buy_id").between(5000, 5999)).withColumn("delta", F.lit(1))
+        .unionByName(buys.filter(F.col("buy_id") < 1000).withColumn("delta", F.lit(-1)))
+    )
+    return delta_join(a_old, da, b_old, db, on="user_id").select(
+        "user_id", "click_id", "buy_id", "delta"
+    )
