@@ -110,3 +110,20 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k
         id_col,
         F.array_join(F.slice("hs", 1, k), "").alias("fingerprint"),
     )
+
+
+def normalize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Canonical text cleanup for dedup/fingerprint pipelines: lowercase,
+    non-alphanumerics → space, whitespace collapsed, trimmed. Pure JVM
+    column expressions (regexp_replace in codegen) — zero Python, and a
+    deterministic pre-step that makes exact-dedup digests robust to
+    case/punctuation noise. Patterns are RE2-compatible so SQL oracles
+    replicate them verbatim."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return df.select(id_col, norm.alias("norm_text"))

@@ -570,3 +570,24 @@ def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return delta_join(a_old, da, b_old, db, on="user_id").select(
         "user_id", "click_id", "buy_id", "delta"
     )
+
+
+# -- mergeable sketches (approximate aggregates; rows-only check) -----------
+
+
+@register("sketch_user_stats")  # no oracle: approximations are engine-specific
+def sketch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch aggregates per event_type: HyperLogLog++ distinct users
+    (`approx_count_distinct`) and a mergeable approximate median
+    (`approx_percentile`). Both are constant-space, partial-aggregable
+    sketches — the 100 TB substitutes for exact distinct/percentile
+    (exact forms: skew_salted_distinct, percentiles_order_price). No
+    DuckDB oracle on purpose: sketch estimates are engine-specific, so
+    the driver records the weaker rows-only check; the exact-form
+    queries carry the value correctness."""
+    events = load_table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("approx_median_value"),
+        F.count(F.lit(1)).alias("n"),
+    )

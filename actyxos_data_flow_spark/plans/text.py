@@ -6,6 +6,7 @@ operators so the two sides cannot drift.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import text as X
 from ..sources import load_table
@@ -121,3 +122,27 @@ FROM r WHERE rn <= 4 GROUP BY doc_id
 @register("text_fingerprint", oracle=FINGERPRINT_ORACLE)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+NORMALIZE_ORACLE = """
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))
+         AS norm_text,
+       len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' '))
+         AS n_tokens
+FROM documents
+"""
+
+
+@register("text_normalize", oracle=NORMALIZE_ORACLE)
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic normalization (lower / strip punctuation / collapse
+    whitespace) + token count — the canonical pre-step before digest
+    dedup, all in codegen'd JVM expressions."""
+    from ..operators.text import normalize
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = normalize(docs)
+    return out.select(
+        "doc_id", "norm_text", F.size(F.split("norm_text", " ")).alias("n_tokens")
+    )
