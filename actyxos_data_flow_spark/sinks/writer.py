@@ -196,3 +196,27 @@ def write_snapshot(
     return write_snapshots(spark, sink, [(table, new_snapshot)], offsets, mirror)[
         table.name
     ]
+
+
+def write_delta(
+    spark: SparkSession,
+    sink: DbapiSink,
+    table: DbTable,
+    delta_df: DataFrame,
+    offsets: Mapping[str, int],
+    offsets_table: str | None = None,
+) -> int:
+    """Apply a PRECOMPUTED consolidated delta — the true-IVM epoch.
+
+    Where :func:`write_snapshot` recomputes the view and diffs against
+    the mirror (exact for arbitrary DAGs, cost O(|view|) cluster-side),
+    this path takes the delta straight from the incremental operators
+    (``delta.delta_join`` / ``delta.delta_agg_sum``) — cost O(churn)
+    end-to-end — and applies it with the offsets in ONE transaction,
+    same exactly-once contract. The caller owns snapshot consistency
+    (``delta.delta_agg_next`` folds the delta into the next base); the
+    offsets table remains the resume point, so a crashed epoch replays
+    from its source offsets rather than re-applying a remembered delta."""
+    batch = deltas_to_rows(delta_df, table)
+    sink.advance_offsets({table: batch}, dict(offsets), offsets_table=offsets_table)
+    return len(batch)

@@ -177,3 +177,40 @@ def test_snapshot_diff_matches_sink_apply(spark):
     new = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v long")
     d = {(r["k"], r["v"]): r[DELTA_COL] for r in snapshot_diff(old, new).collect()}
     assert d == {("a", 1): -1, ("c", 3): 1}
+
+
+def test_write_delta_incremental_agg_epoch(spark):
+    """True-IVM lifecycle: epoch 1 seeds a grouped-sum view; epoch 2
+    applies ONLY the delta_agg_sum retraction pairs (no recompute, no
+    mirror) — the stored table must land exactly on the recomputed
+    aggregate, offsets advancing in the same transaction."""
+    import pyspark.sql.functions as F
+
+    from actyxos_data_flow_spark.delta import delta_agg_sum, with_delta
+    from actyxos_data_flow_spark.sinks.sqlite import SqliteSink
+    from actyxos_data_flow_spark.sinks.spec import DbColumn, DbTable
+    from actyxos_data_flow_spark.sinks.writer import write_delta
+
+    agg_table = DbTable(
+        "agg_totals",
+        (DbColumn("g", "text"), DbColumn("total", "bigint"), DbColumn("_n", "bigint")),
+        version=1,
+    )
+    s = SqliteSink(":memory:")
+    s.ensure(agg_table)
+
+    src_old = spark.createDataFrame([("a", 10), ("a", 5), ("b", 7)], "g string, v long")
+    old_agg = src_old.groupBy("g").agg(F.sum("v").alias("total"), F.count("*").alias("_n"))
+    n = write_delta(spark, s, agg_table, with_delta(old_agg), {"src": 1})
+    assert n == 2 and sorted(s.rows(agg_table)) == [("a", 15, 2), ("b", 7, 1)]
+
+    d = spark.createDataFrame(
+        [("a", 3, 1), ("b", 7, -1), ("c", 4, 1)], "g string, v long, delta long"
+    )
+    agg_delta = delta_agg_sum(old_agg, d, ["g"], "v", "total")
+    n = write_delta(spark, s, agg_table, agg_delta, {"src": 2})
+    # a updated (retract+insert), b emptied (retract), c new (insert)
+    assert n == 4
+    assert sorted(s.rows(agg_table)) == [("a", 18, 3), ("c", 4, 1)]
+    assert s.read_offsets(agg_table) == {"src": 2}
+    s.close()
