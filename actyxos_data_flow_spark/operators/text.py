@@ -127,3 +127,30 @@ def normalize(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         )
     )
     return df.select(id_col, norm.alias("norm_text"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    default: float = 0.0,
+    salt: str = "sample:1",
+) -> DataFrame:
+    """Deterministic per-stratum subsampling — the training-data
+    rebalancing primitive (e.g. downsample dominant languages). A row
+    survives iff a 60-bit hash of (salt, id) falls under its stratum's
+    fraction: pure filter, no shuffle, no RNG state — the SAME rows are
+    kept on every run, every cluster topology, and in the SQL oracle
+    (md5 is the engine-portable hash, as in operators/dedup). Fractions
+    are exact in distribution over the hash space, not row-exact."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    scale = 1 << 60
+    frac = F.lit(default)
+    for k, v in fractions.items():
+        frac = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(frac)
+    return df.filter(h < (frac * scale).cast("long"))

@@ -146,3 +146,59 @@ def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "norm_text", F.size(F.split("norm_text", " ")).alias("n_tokens")
     )
+
+
+# -- deterministic stratified sampling --------------------------------------
+
+_SAMPLE_FRACS = {"en": 0.5, "zh": 1.0, "de": 1.0, "fr": 1.0, "es": 0.25}
+_SAMPLE_SALT = "sample:1"
+_SCALE = 1 << 60
+
+_frac_sql = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {int(v * _SCALE)}" for k, v in _SAMPLE_FRACS.items()
+) + " ELSE 0 END"
+
+SAMPLE_ORACLE = f"""
+SELECT doc_id, lang
+FROM documents
+WHERE ('0x' || substr(md5('{_SAMPLE_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < {_frac_sql}
+"""
+
+
+@register("sample_stratified_docs", oracle=SAMPLE_ORACLE)
+def sample_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-rebalancing subsample: keep 50% of English, 25% of
+    Spanish, all minority languages — decided per row by a salted
+    60-bit md5 threshold, so the kept set is identical across runs,
+    partitionings, and engines (no RNG, no shuffle; the filter runs
+    at the scan)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return X.stratified_sample(docs, "lang", _SAMPLE_FRACS).select("doc_id", "lang")
+
+
+# -- class-balance weights --------------------------------------------------
+
+REWEIGHT_ORACLE = """
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+SELECT c.lang, c.n,
+       CAST(t.total AS DOUBLE) / (t.k * c.n) AS weight
+FROM c, t
+"""
+
+
+@register("class_weights_by_lang", oracle=REWEIGHT_ORACLE)
+def class_weights_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse-frequency class weights (total / (k·count)) — the
+    balanced-sampling dual of stratified_sample: one tiny aggregate
+    cross-joined back, so the weight table broadcasts to any consumer
+    join at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_k"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        "n",
+        (F.col("_total").cast("double") / (F.col("_k") * F.col("n"))).alias("weight"),
+    )
