@@ -80,3 +80,21 @@ def save_bucketed(
     if sort:
         w = w.sortBy(*keys)
     w.saveAsTable(table)
+
+
+def save_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: tuple[str, ...] | list[str],
+    sort_cols: tuple[str, ...] | list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize ``df`` as hive-partitioned parquet: one directory per
+    ``partition_cols`` value, rows optionally sorted within files (run-
+    length/dictionary friendly, and range metadata makes row-group skip
+    effective). Any later filter on the partition columns prunes whole
+    directories at PLANNING time — the scan never lists them — which is
+    the first and cheapest lever at 100 TB: partition by what you filter
+    by (date, source, language), sort by what you range-scan."""
+    w = df.sortWithinPartitions(*sort_cols) if sort_cols else df
+    w.write.mode(mode).partitionBy(*partition_cols).parquet(path)

@@ -144,3 +144,29 @@ def test_bucketed_join_no_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_partitioned_write_prunes_at_planning(spark, tmp_path):
+    """A filter on the partition column becomes a PartitionFilter: the
+    scan lists ONE directory; non-partition filters stay as data
+    filters. The write-side dual of predicate pushdown."""
+    from actyxos_data_flow_spark.sources.tables import load_table, save_partitioned
+
+    out = str(tmp_path / "events_by_type")
+    events = load_table(spark, SF, "events")
+    save_partitioned(events, out, ["event_type"], sort_cols=["user_id"])
+
+    scan = spark.read.parquet(out).filter("event_type = 'click' AND user_id > 10")
+    plan = _plan(scan)
+    # the partition predicate is a PartitionFilter (planning-time dir
+    # pruning), the row predicate a pushed data filter — not vice versa
+    part = plan.split("PartitionFilters")[1][:160]
+    assert "PartitionFilters" in plan and "event_type" in part and "click" in part
+    pushed = plan.split("PushedFilters")[1][:160]
+    assert "user_id" in pushed
+    want = (
+        load_table(spark, SF, "events")
+        .filter("event_type = 'click' AND user_id > 10")
+        .count()
+    )
+    assert scan.count() == want > 0
