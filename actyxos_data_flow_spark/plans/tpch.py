@@ -751,3 +751,38 @@ def cube_lineitem_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_qty",
         )
     )
+
+
+# -- Q12-shape: shipping-lateness by priority ------------------------------
+# Adapted: no l_shipmode/commitdate in this schema — lateness is
+# shipdate > orderdate + 90 days, classes are order priorities.
+
+Q12_ORACLE = """
+SELECT o.o_orderpriority,
+       sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+         AS late_count,
+       count(*) AS total_count
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY o.o_orderpriority
+"""
+
+
+@register("q12_late_shipments", oracle=Q12_ORACLE)
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-count rollup over a fact-fact join: the year filter
+    prunes lineitem at the scan, the join shuffles both sides on
+    orderkey once, and the CASE sums ride the same hash aggregate
+    (no second pass per class)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    late = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1
+    ).otherwise(0)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum(late).alias("late_count"), F.count(F.lit(1)).alias("total_count"))
+    )
