@@ -128,15 +128,18 @@ def interval_join(
 
     if how != "inner":
         raise ValueError("bucketed interval_join supports inner joins only")
-    pb = points.withColumn("__bucket", (F.col(point_ts) / bucket_width).cast("long"))
+    # integer `div`, NOT `/`: float division of epoch-scale longs can
+    # round a point sitting exactly on a bucket boundary into the
+    # neighboring bucket, silently dropping its matches
+    pb = points.withColumn("__bucket", F.expr(f"{point_ts} div {bucket_width}"))
     rb = ranges.withColumn(
         "__bucket",
         F.explode(
             F.sequence(
-                (F.col(range_start) / bucket_width).cast("long"),
+                F.expr(f"{range_start} div {bucket_width}"),
                 # end is exclusive: a range ending exactly on a bucket
                 # boundary does not reach into that bucket
-                ((F.col(range_end) - 1) / bucket_width).cast("long"),
+                F.expr(f"({range_end} - 1) div {bucket_width}"),
             )
         ),
     )

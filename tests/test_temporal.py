@@ -51,3 +51,27 @@ def test_interval_join_bucketed_matches_plain(spark):
     got = rows(bucketed, "pid", "rid")
     assert (130, 1) not in got and (130, 2) in got  # ts=30: range 1 ended, range 2 covers
     assert (100, 1) in got  # ts=0 == start: included
+
+
+def test_interval_join_exact_at_epoch_scale_boundaries(spark):
+    """Bucket ids must come from integer division: at epoch-microsecond
+    magnitudes a float-divided point on an exact bucket boundary can
+    round into the wrong bucket and lose its matches."""
+    width = 1_800_000_000  # 30 min in micros
+    base = 1_704_067_200_000_000  # 2024-01-01 epoch micros (multiple of width? not required)
+    # points exactly on, just below, and just above a bucket boundary
+    boundary = (base // width + 7) * width
+    points = spark.createDataFrame(
+        [(1, boundary - 1, 1), (1, boundary, 2), (1, boundary + 1, 3)],
+        "k long, ts long, pid long",
+    )
+    ranges = spark.createDataFrame(
+        [(1, boundary - width, boundary, 10), (1, boundary, boundary + width, 11)],
+        "k long, s long, e long, rid long",
+    )
+    got = rows(
+        TJ.interval_join(points, ranges, ["k"], "ts", "s", "e", bucket_width=width),
+        "pid", "rid",
+    )
+    # end-exclusive: pid 1 -> range 10 only; pid 2,3 -> range 11 only
+    assert got == [(1, 10), (2, 11), (3, 11)]
