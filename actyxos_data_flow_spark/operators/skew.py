@@ -68,6 +68,8 @@ def salted_join(
     for ``inner`` and ``left`` joins (right/full would need the salting
     mirrored). Cost model: right side is scanned/shuffled n×; pick n ≈
     (hot-key row count) / (rows a task should hold)."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left; mirror the salting for right/full")
     lf = with_salt(left, n, salt_expr)
     rt = explode_salt(right, n)
     cond = (lf[left_on] == rt[right_on]) & (lf[SALT_COL] == rt[SALT_COL])

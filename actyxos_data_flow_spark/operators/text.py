@@ -154,3 +154,30 @@ def stratified_sample(
     for k, v in fractions.items():
         frac = F.when(F.col(strata_col) == k, F.lit(v)).otherwise(frac)
     return df.filter(h < (frac * scale).cast("long"))
+
+
+# RE2-compatible (no lookaround), so SQL oracles replicate verbatim.
+PII_PATTERNS = (
+    # order matters: IPs before phones — dotted quads are a subset of
+    # the permissive phone charset and must claim their token first
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    (r"\+?[0-9][0-9() .-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Replace emails, phone-like digit runs, and IPv4 literals with
+    typed placeholder tokens — the standard pre-training privacy scrub.
+    Chained ``regexp_replace`` JVM expressions (one projection, codegen,
+    no Python); patterns are deliberately RE2-safe so the same literals
+    run in any engine. Emits the scrubbed text plus a per-row count of
+    redactions (cheap drift monitor: a corpus whose redaction rate jumps
+    changed upstream)."""
+    scrubbed = F.col(text_col)
+    for pat, token in PII_PATTERNS:
+        scrubbed = F.regexp_replace(scrubbed, pat, token)
+    n_redacted = F.lit(0)
+    for _, token in PII_PATTERNS:
+        n_redacted = n_redacted + F.size(F.split(scrubbed, F.lit(token))) - 1
+    return df.select(id_col, scrubbed.alias("scrubbed_text"), n_redacted.alias("n_redacted"))

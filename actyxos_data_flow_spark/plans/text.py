@@ -202,3 +202,26 @@ def class_weights_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         (F.col("_total").cast("double") / (F.col("_k") * F.col("n"))).alias("weight"),
     )
+
+
+# -- PII scrub ---------------------------------------------------------------
+
+_PII_SQL = "text"
+for _pat, _tok in X.PII_PATTERNS:
+    _esc = _pat.replace("\\", "\\\\").replace("'", "''")
+    _PII_SQL = f"regexp_replace({_PII_SQL}, '{_esc}', '{_tok}', 'g')"
+_REDACT_SQL = " + ".join(
+    f"(len(string_split({_PII_SQL}, '{_tok}')) - 1)" for _, _tok in X.PII_PATTERNS
+)
+
+PII_ORACLE = f"""
+SELECT doc_id, {_PII_SQL} AS scrubbed_text, {_REDACT_SQL} AS n_redacted
+FROM documents
+"""
+
+
+@register("text_scrub_pii", oracle=PII_ORACLE)
+def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Email/phone/IP redaction with per-row counts; same RE2 literals
+    on both sides of the gate."""
+    return X.scrub_pii(load_table(spark, sf_dir, "documents"))

@@ -232,3 +232,19 @@ def test_salted_count_distinct_exact(spark):
     )
     got = rows(SK.salted_count_distinct(df, ["g"], "u", n=5, out="d"), "g", "d")
     assert got == [("a", 7), ("b", 25)]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at jane.doe+x@example.co.uk or call +1 (415) 555-0199."),
+            (2, "server at 10.0.42.7 went down"),
+            (3, "nothing sensitive here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: (r.scrubbed_text, r.n_redacted) for r in X.scrub_pii(df).collect()}
+    assert "<EMAIL>" in got[1][0] and "<PHONE>" in got[1][0] and got[1][1] == 2
+    assert "jane" not in got[1][0] and "555" not in got[1][0]
+    assert got[2] == ("server at <IP> went down", 1)
+    assert got[3] == ("nothing sensitive here", 0)
