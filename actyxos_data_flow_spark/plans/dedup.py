@@ -277,3 +277,44 @@ def dedup_editdistance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= EDIT_MAX)
         .select("id_a", "id_b", "edit_dist")
     )
+
+
+# -- cross-modal triage: text near-dup pairs scored by embedding cosine ----
+
+CROSSMODAL_ORACLE = f"""
+WITH mp AS ({MINHASH_PAIRS_ORACLE}),
+xme AS (SELECT vec_id, embedding FROM embeddings),
+xmu AS (
+  SELECT mp.id_a, mp.id_b, mp.jaccard,
+         unnest(a.embedding)::DOUBLE AS x, unnest(b.embedding)::DOUBLE AS y
+  FROM mp JOIN xme a ON a.vec_id = mp.id_a JOIN xme b ON b.vec_id = mp.id_b
+),
+xms AS (
+  SELECT id_a, id_b, jaccard, sum(x*y) AS dot, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+  FROM xmu GROUP BY 1, 2, 3
+)
+SELECT id_a, id_b, jaccard, round(dot / (na * nb), 6) AS emb_cosine FROM xms
+"""
+
+
+@register("dedup_crossmodal", oracle=CROSSMODAL_ORACLE)
+def dedup_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal dedup triage: every VERIFIED text near-dup pair
+    (MinHash-LSH → exact Jaccard) annotated with the same ids' embedding
+    cosine — the agreement signal a cleaning pipeline thresholds when
+    one modality alone is noisy. Composition stays churn-sized: the
+    pair set (already tiny) broadcasts into two id-equi-joins against
+    the embedding table; no new pairwise work."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    from ..operators import similarity as S
+
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_eb"))
+    cos = S._dot(F.col("_ea"), F.col("_eb")) / (S._norm(F.col("_ea")) * S._norm(F.col("_eb")))
+    return (
+        F.broadcast(pairs)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", "jaccard", F.round(cos, 6).alias("emb_cosine"))
+    )
