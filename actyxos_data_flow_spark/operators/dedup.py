@@ -266,3 +266,54 @@ def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id", max_hamming: int 
         (F.substring("sh_a", j, 1) != F.substring("sh_b", j, 1)).cast("int") for j in range(1, SIMHASH_BITS + 1)
     )
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: every node gets the MIN
+    node id reachable from it — the dedup endgame (keep one
+    representative per cluster, drop the rest).
+
+    Iterative min-label propagation: each round, a node's label becomes
+    the min of its own and its neighbors' labels; converged when no
+    label changes. Rounds = graph diameter (near-dup clusters are
+    shallow — a handful), each round one join + one aggregate on the
+    edge list, all distributed; the driver sees only the changed-count.
+    For adversarial long-chain graphs swap in the large-star/small-star
+    contraction (same interface, O(log n) rounds); min-label is the
+    right default for the short, dense clusters dedup produces.
+    Checkpoint-friendly: each round's labels are a plain DataFrame.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("_nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                "label",
+                F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias("_new"),
+            )
+        )
+        changed = updated.filter(F.col("_new") < F.col("label")).count()
+        labels = updated.select("node", F.col("_new").alias("label"))
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

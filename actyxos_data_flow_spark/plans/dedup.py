@@ -318,3 +318,30 @@ def dedup_crossmodal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(b, "id_b")
         .select("id_a", "id_b", "jaccard", F.round(cos, 6).alias("emb_cosine"))
     )
+
+
+# -- near-dup clusters (connected components over the pair graph) ----------
+
+CLUSTERS_ORACLE = f"""
+WITH RECURSIVE mp AS ({MINHASH_PAIRS_ORACLE}),
+cce AS (
+  SELECT id_a AS src, id_b AS dst FROM mp
+  UNION SELECT id_b, id_a FROM mp
+),
+reach(src, dst) AS (
+  SELECT src, src FROM cce
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN cce e ON e.src = r.dst
+)
+SELECT src AS node, min(dst) AS component FROM reach GROUP BY src
+"""
+
+
+@register("dedup_clusters", oracle=CLUSTERS_ORACLE)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup endgame: verified near-dup pairs collapsed into
+    clusters (min-reachable-id labels). The oracle brute-forces the
+    transitive closure recursively; the engine converges in
+    diameter-many distributed label-propagation rounds."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    return D.connected_components(pairs)

@@ -248,3 +248,13 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert "jane" not in got[1][0] and "555" not in got[1][0]
     assert got[2] == ("server at <IP> went down", 1)
     assert got[3] == ("nothing sensitive here", 0)
+
+
+def test_connected_components_chain_and_singleton_pair(spark):
+    """A 4-node chain collapses to one component (needs >1 propagation
+    round — labels cross the chain); a disjoint pair keeps its own."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = rows(D.connected_components(pairs), "node", "component")
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
