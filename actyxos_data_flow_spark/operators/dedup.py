@@ -317,3 +317,42 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """Eval-set decontamination: flag training docs whose text shares
+    >= ``min_overlap`` distinct word n-grams with the eval corpus — the
+    standard "remove benchmark leakage before training" pass.
+
+    Output: (id, n_shingles, n_matched, overlap_ratio, contaminated).
+
+    Scale shape: the eval side collapses to its DISTINCT shingle set
+    before the join — eval corpora are orders of magnitude smaller than
+    the training corpus, so with ``broadcast_eval`` the probe is a
+    broadcast hash join and the 100 TB train side never shuffles for
+    the match; both per-doc counts are hash aggregates with map-side
+    partial combine. Set ``broadcast_eval=False`` when the eval shingle
+    set exceeds broadcast size (falls back to a shuffle equi-join on
+    the shingle hash). No cross product anywhere.
+    """
+    tr_sh = shingles(train, id_col, text_col, n)
+    ev_sh = shingles(eval_docs, id_col, text_col, n).select("shingle").distinct()
+    if broadcast_eval:
+        ev_sh = F.broadcast(ev_sh)
+    totals = tr_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
+    matched = tr_sh.join(ev_sh, "shingle").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matched"))
+    return totals.join(matched, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
+        F.round(F.coalesce("n_matched", F.lit(0)) / F.col("n_shingles"), 6).alias("overlap_ratio"),
+        (F.coalesce("n_matched", F.lit(0)) >= min_overlap).alias("contaminated"),
+    )

@@ -345,3 +345,57 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     diameter-many distributed label-propagation rounds."""
     pairs = dedup_minhash_pairs(spark, sf_dir)
     return D.connected_components(pairs)
+
+
+# -- decontamination -------------------------------------------------------
+
+EVAL_SOURCE = "src0"
+DECON_MIN_OVERLAP = 2
+
+DECON_ORACLE = f"""
+WITH ttok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  WHERE source <> '{EVAL_SOURCE}' AND len(string_split(text, ' ')) >= 3
+),
+tsh AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(generate_series(1, len(tokens) - 2),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+  ) AS shingle
+  FROM ttok
+),
+etok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  WHERE source = '{EVAL_SOURCE}' AND len(string_split(text, ' ')) >= 3
+),
+esh AS (
+  SELECT DISTINCT unnest(
+    list_transform(generate_series(1, len(tokens) - 2),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+  ) AS shingle
+  FROM etok
+),
+tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh GROUP BY doc_id),
+m AS (
+  SELECT t.doc_id, count(*) AS n_matched
+  FROM tsh t JOIN esh e USING (shingle)
+  GROUP BY t.doc_id
+)
+SELECT tot.doc_id, tot.n_shingles,
+       coalesce(m.n_matched, 0) AS n_matched,
+       round(coalesce(m.n_matched, 0) / tot.n_shingles::DOUBLE, 6) AS overlap_ratio,
+       coalesce(m.n_matched, 0) >= {DECON_MIN_OVERLAP} AS contaminated
+FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
+"""
+
+
+@register("decontaminate_vs_eval", oracle=DECON_ORACLE)
+def decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-leakage decontamination: docs from EVAL_SOURCE play the
+    held-out eval set; every other doc is scored by distinct-3-gram
+    overlap against the eval shingle set (broadcast — the eval side is
+    the small side by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != EVAL_SOURCE)
+    ev = docs.filter(F.col("source") == EVAL_SOURCE)
+    return D.decontaminate(train, ev, min_overlap=DECON_MIN_OVERLAP)

@@ -786,3 +786,86 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(F.sum(late).alias("late_count"), F.count(F.lit(1)).alias("total_count"))
     )
+
+
+# -- Q21 (adapted): suppliers who kept orders waiting ----------------------
+
+Q21_ORACLE = """
+WITH lo AS (
+  SELECT l.l_orderkey, l.l_suppkey,
+         l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS is_late
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY l_orderkey
+)
+SELECT s.s_name, count(*) AS numwait
+FROM lo l1
+JOIN per_order p ON l1.l_orderkey = p.l_orderkey
+JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_7'
+WHERE l1.is_late AND p.n_supp >= 2 AND p.n_late_supp = 1
+GROUP BY s.s_name
+ORDER BY numwait DESC, s.s_name
+LIMIT 100
+"""
+
+
+@register("q21_suppliers_waiting", oracle=Q21_ORACLE)
+def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 adapted (no l_commitdate/l_receiptdate in TESTDATA — "late"
+    is the q12 lateness predicate, shipped >90 days after order date;
+    no partsupp needed). The classic EXISTS / NOT-EXISTS pair over
+    lineitem self-joins is rewritten as ONE per-order aggregate:
+    EXISTS(other supplier)      <=> count(distinct supp)       >= 2
+    NOT EXISTS(other late supp) <=> count(distinct late supp)  == 1
+    (l1 itself is late, so its supplier is the one late supplier).
+    Scale shape: lineitem⋈orders shuffles on orderkey once; the
+    per-order aggregate and the qualifying join REUSE that same
+    orderkey partitioning (no extra lineitem-wide shuffle pattern);
+    supplier and nation are broadcast; count(distinct) runs as a
+    two-level hash aggregate with partial combine. The correlated
+    self-join form would shuffle lineitem twice more and explode on
+    multi-line orders; the aggregate form is O(|lineitem|).
+    Reference parity: the engine has no correlated-subquery surface
+    either — this is the flow-algebra composition of group/count +
+    join (src/flow.rs group_by/join)."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("is_late"),
+        )
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    sup = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.filter(F.col("is_late"))
+        .join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)), "l_orderkey")
+        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(100)
+    )

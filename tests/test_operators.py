@@ -257,4 +257,29 @@ def test_connected_components_chain_and_singleton_pair(spark):
         [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
     )
     got = rows(D.connected_components(pairs), "node", "component")
-    assert got == [(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10)]
+    # rows() sorts lexicographically by str: 1 < 10 < 11 < 2 < 3 < 4
+    assert got == [(1, 1), (10, 10), (11, 10), (2, 1), (3, 1), (4, 1)]
+
+
+def test_decontaminate_flags_overlap_and_keeps_clean(spark):
+    """Doc 1 shares two distinct 3-grams with the eval set (flagged);
+    doc 2 shares one (below min_overlap=2); doc 3 shares none."""
+    train = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps high today"),
+            (2, "the quick brown cat sleeps all day"),
+            (3, "completely different words entirely here now"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps far")], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_matched, r.contaminated)
+        for r in D.decontaminate(train, ev, min_overlap=2).collect()
+    }
+    # doc 1: "the quick brown", "quick brown fox", "brown fox jumps" = 3
+    assert got[1] == (3, True)
+    assert got[2] == (1, False)
+    assert got[3] == (0, False)
