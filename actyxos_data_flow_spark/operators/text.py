@@ -181,3 +181,76 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     for _, token in PII_PATTERNS:
         n_redacted = n_redacted + F.size(F.split(scrubbed, F.lit(token))) - 1
     return df.select(id_col, scrubbed.alias("scrubbed_text"), n_redacted.alias("n_redacted"))
+
+
+# Repetition thresholds (token-fraction analogues of the Gopher paper's
+# repetitive-text filters, adapted to single-line token streams).
+TOP_BIGRAM_MAX = 0.10
+DUP_TRIGRAM_MAX = 0.20
+
+
+def _max_run_length(arr_sql: str) -> str:
+    """SQL expr: highest frequency of any element in an array, computed
+    per-row as sort + linear run-length scan — no explode, no shuffle.
+    O(n log n) per document regardless of corpus size."""
+    step = "if(x <=> acc.prev, acc.run + 1, 1)"
+    return f"""aggregate(
+        array_sort({arr_sql}),
+        struct(cast(null as string) as prev, 0 as run, 0 as best),
+        (acc, x) -> struct(x as prev, {step} as run, greatest(acc.best, {step}) as best),
+        acc -> acc.best)"""
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_bigram_max: float = TOP_BIGRAM_MAX,
+    dup_trigram_max: float = DUP_TRIGRAM_MAX,
+) -> DataFrame:
+    """Gopher-style repetition filters over token n-grams: fraction of
+    tokens taken by the single most frequent unigram / bigram, and the
+    fraction of trigram occurrences that are repeats. Docs with < 3
+    tokens drop out (no trigram denominator).
+
+    ``repetitive`` flags docs over either threshold — the signal a
+    corpus-cleaning pipeline gates on (boilerplate, keyword stuffing,
+    generation loops).
+
+    Scale shape: entirely per-row JVM column expressions (array_sort +
+    run-length fold, array_distinct) — zero shuffles, zero Python, so
+    the operator is embarrassingly parallel at any corpus size; the
+    explode/groupBy formulation would shuffle every token in the
+    corpus instead."""
+    t = with_tokens(df, text_col).filter(F.size("tokens") >= 3)
+    bigrams = (
+        "transform(sequence(1, size(tokens) - 1),"
+        " i -> concat(element_at(tokens, i), ' ', element_at(tokens, i + 1)))"
+    )
+    trigrams = (
+        "transform(sequence(1, size(tokens) - 2),"
+        " i -> concat_ws(' ', slice(tokens, i, 3)))"
+    )
+    n = F.size("tokens").cast("double")
+    t = t.select(
+        id_col,
+        F.size("tokens").alias("n_tokens"),
+        F.expr(_max_run_length("tokens")).alias("_uc"),
+        F.expr(_max_run_length(bigrams)).alias("_bc"),
+        F.expr(f"size({trigrams})").alias("_tt"),
+        F.expr(f"size(array_distinct({trigrams}))").alias("_td"),
+        n.alias("_n"),
+    )
+    t = t.select(
+        id_col,
+        "n_tokens",
+        F.round(F.col("_uc") / F.col("_n"), 6).alias("top_unigram_frac"),
+        F.round(F.col("_bc") / (F.col("_n") - 1), 6).alias("top_bigram_frac"),
+        F.round((F.col("_tt") - F.col("_td")) / (F.col("_tt").cast("double")), 6).alias("dup_trigram_frac"),
+        # the top bigram must actually REPEAT to count against the doc —
+        # otherwise every short all-distinct doc trips the ratio gate
+        ((F.col("_bc") >= 2) & (F.round(F.col("_bc") / (F.col("_n") - 1), 6) >= top_bigram_max)).alias("_brep"),
+    )
+    return t.withColumn(
+        "repetitive", F.col("_brep") | (F.col("dup_trigram_frac") >= dup_trigram_max)
+    ).drop("_brep")

@@ -225,3 +225,52 @@ def text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Email/phone/IP redaction with per-row counts; same RE2 literals
     on both sides of the gate."""
     return X.scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+# -- repetition stats ------------------------------------------------------
+
+REPETITION_ORACLE = f"""
+WITH rtok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  WHERE len(string_split(text, ' ')) >= 3
+),
+runi AS (SELECT doc_id, unnest(tokens) AS g FROM rtok),
+ruc AS (SELECT doc_id, g, count(*) AS c FROM runi GROUP BY doc_id, g),
+rutop AS (SELECT doc_id, max(c) AS mc FROM ruc GROUP BY doc_id),
+rbig AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(1, len(tokens) - 1),
+                   i -> tokens[i] || ' ' || tokens[i + 1])
+  ) AS g
+  FROM rtok
+),
+rbc AS (SELECT doc_id, g, count(*) AS c FROM rbig GROUP BY doc_id, g),
+rbtop AS (SELECT doc_id, max(c) AS mc FROM rbc GROUP BY doc_id),
+rtri AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, len(tokens) - 2),
+                        i -> array_to_string(list_slice(tokens, i, i + 2), ' ')) AS tg
+  FROM rtok
+),
+rts AS (SELECT doc_id, len(tg) AS tot, len(list_distinct(tg)) AS dis FROM rtri)
+SELECT t.doc_id,
+       len(t.tokens) AS n_tokens,
+       round(u.mc / len(t.tokens)::DOUBLE, 6) AS top_unigram_frac,
+       round(b.mc / (len(t.tokens) - 1)::DOUBLE, 6) AS top_bigram_frac,
+       round((s.tot - s.dis) / s.tot::DOUBLE, 6) AS dup_trigram_frac,
+       (b.mc >= 2 AND round(b.mc / (len(t.tokens) - 1)::DOUBLE, 6) >= {X.TOP_BIGRAM_MAX})
+         OR round((s.tot - s.dis) / s.tot::DOUBLE, 6) >= {X.DUP_TRIGRAM_MAX} AS repetitive
+FROM rtok t
+JOIN rutop u ON t.doc_id = u.doc_id
+JOIN rbtop b ON t.doc_id = b.doc_id
+JOIN rts s ON t.doc_id = s.doc_id
+"""
+
+
+@register("text_repetition_stats", oracle=REPETITION_ORACLE)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition gate: top-unigram/bigram token fractions
+    and duplicate-trigram fraction, computed per-row with sort +
+    run-length array folds (zero shuffles; the oracle's unnest/groupBy
+    formulation is the shape this operator deliberately avoids)."""
+    return X.repetition_stats(load_table(spark, sf_dir, "documents"))

@@ -283,3 +283,23 @@ def test_decontaminate_flags_overlap_and_keeps_clean(spark):
     assert got[1] == (3, True)
     assert got[2] == (1, False)
     assert got[3] == (0, False)
+
+
+def test_repetition_stats_flags_loops_not_prose(spark):
+    """A generation-loop doc is flagged (top bigram dominates, trigrams
+    repeat); normal prose with all-distinct bigrams is NOT flagged even
+    though its top-bigram *ratio* clears the threshold (count must be
+    >= 2); docs under 3 tokens drop out."""
+    df = spark.createDataFrame(
+        [
+            (1, "buy now buy now buy now buy now"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "a b"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.repetition_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert got[1].repetitive and got[1].dup_trigram_frac > 0.5
+    assert not got[2].repetitive and got[2].dup_trigram_frac == 0.0
+    assert got[2].top_unigram_frac == round(2 / 9, 6)  # "the" twice
