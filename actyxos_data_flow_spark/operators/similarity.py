@@ -285,3 +285,57 @@ def hyperplane_topk(
         .select("qid", "vec_id", (_dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))).alias("cosine"))
     )
     return topk(scored, k)
+
+
+# -- semantic outlier filtering (label-centroid distance) ------------------
+
+OUTLIER_MIN_COSINE = 0.0
+
+
+def label_centroids(emb: DataFrame, vec_col: str = "embedding", label_col: str = "label") -> DataFrame:
+    """Per-label mean vector, decimal-exact: components are rounded to
+    7 decimals (float resolution) and summed as DECIMAL, so the result
+    is independent of partial-aggregation order — the property that
+    lets a DuckDB oracle (and a re-run on a differently-partitioned
+    cluster) reproduce the centroid bit-for-bit. The posexplode
+    shuffles only (label, pos) partial sums (map-side combine), not
+    the vectors themselves."""
+    ex = emb.select(label_col, F.posexplode(vec_col).alias("pos", "val"))
+    d = F.expr("CAST(round(CAST(val AS DOUBLE), 7) AS DECIMAL(12,7))")
+    comp = ex.groupBy(label_col, "pos").agg(
+        (F.sum(d).cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    return comp.groupBy(label_col).agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias(
+            "centroid"
+        )
+    )
+
+
+def centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    min_cosine: float = OUTLIER_MIN_COSINE,
+) -> DataFrame:
+    """Semantic outlier scoring: cosine of every vector to its OWN
+    label's centroid; rows under ``min_cosine`` flag as outliers —
+    the embedding-space quality filter (mislabeled / off-topic docs sit
+    far from their cluster center).
+
+    Scale shape: centroids are |labels| rows — broadcast; the corpus
+    never shuffles (the only exchange is the tiny partial-sum agg
+    inside label_centroids). Cosine is the same zip_with/aggregate
+    JVM fold as the ANN operators."""
+    cent = F.broadcast(label_centroids(emb, vec_col, label_col))
+    j = emb.join(cent, label_col)
+    cos = _dot(F.col(vec_col), F.col("centroid")) / (
+        _norm(F.col(vec_col)) * _norm(F.col("centroid"))
+    )
+    return j.select(
+        id_col,
+        label_col,
+        F.round(cos, 6).alias("centroid_cosine"),
+        (F.round(cos, 6) < min_cosine).alias("outlier"),
+    )

@@ -252,3 +252,42 @@ def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hyperplane_topk(
         queries, emb.select("vec_id", "embedding"), DIM, k=K, planes=PLANES, n_bands=N_BANDS
     )
+
+
+# -- semantic outlier filter ----------------------------------------------
+
+CENTROID_OUTLIER_ORACLE = f"""
+WITH cx AS (
+  SELECT label, unnest(generate_series(1, len(embedding))) AS pos,
+         CAST(round(unnest(embedding)::DOUBLE, 7) AS DECIMAL(12,7)) AS d
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, CAST(sum(d) AS DOUBLE) / count(*) AS c
+  FROM cx GROUP BY label, pos
+),
+vx AS (
+  SELECT vec_id, label, unnest(generate_series(1, len(embedding))) AS pos,
+         unnest(embedding)::DOUBLE AS a
+  FROM embeddings
+),
+sj AS (
+  SELECT v.vec_id, v.label, sum(v.a * c.c) AS dot,
+         sqrt(sum(v.a * v.a)) AS na, sqrt(sum(c.c * c.c)) AS nc
+  FROM vx v JOIN cent c ON v.label = c.label AND v.pos = c.pos
+  GROUP BY v.vec_id, v.label
+)
+SELECT vec_id, label,
+       round(dot / (na * nc), 6) AS centroid_cosine,
+       round(dot / (na * nc), 6) < {S.OUTLIER_MIN_COSINE} AS outlier
+FROM sj
+"""
+
+
+@register("embedding_centroid_outliers", oracle=CENTROID_OUTLIER_ORACLE)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space quality filter: cosine of each vector to its own
+    label centroid (decimal-exact mean — see operators.similarity.
+    label_centroids), outliers below OUTLIER_MIN_COSINE. Centroids
+    broadcast; the corpus side never shuffles."""
+    return S.centroid_outliers(load_table(spark, sf_dir, "embeddings"))

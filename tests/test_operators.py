@@ -303,3 +303,24 @@ def test_repetition_stats_flags_loops_not_prose(spark):
     assert got[1].repetitive and got[1].dup_trigram_frac > 0.5
     assert not got[2].repetitive and got[2].dup_trigram_frac == 0.0
     assert got[2].top_unigram_frac == round(2 / 9, 6)  # "the" twice
+
+
+def test_centroid_outliers_flags_opposed_vector(spark):
+    """Three aligned vectors and one pointing the opposite way in the
+    same label: the opposed one scores negative cosine to the centroid
+    and flags; a second label's centroid is its own single vector
+    (cosine 1)."""
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.1], 0),
+            (1, [0.9, 0.0], 0),
+            (2, [1.0, -0.1], 0),
+            (3, [-1.0, 0.0], 0),
+            (4, [0.0, 1.0], 1),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    got = {r.vec_id: r for r in S.centroid_outliers(emb).collect()}
+    assert not got[0].outlier and got[0].centroid_cosine > 0.9
+    assert got[3].outlier and got[3].centroid_cosine < 0
+    assert got[4].centroid_cosine == 1.0 and not got[4].outlier
