@@ -170,3 +170,39 @@ def test_partitioned_write_prunes_at_planning(spark, tmp_path):
         .count()
     )
     assert scan.count() == want > 0
+
+
+def test_q21_broadcasts_dims_and_reuses_orderkey_shuffle(spark, registry):
+    """supplier⋈nation must broadcast; the per-order aggregate and the
+    qualifying join run on the same orderkey hash partitioning."""
+    plan = _plan(registry["q21_suppliers_waiting"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    # the big side never cartesian-joins and never sort-merge-joins a dim
+    assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, registry):
+    """The eval shingle set is the broadcast side; the train corpus
+    never shuffles for the match join."""
+    plan = _plan(registry["decontaminate_vs_eval"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_stats_no_shuffle(spark, registry):
+    """Per-row array folds only: no Exchange in the whole plan."""
+    plan = _plan(registry["text_repetition_stats"].fn(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_centroid_outliers_broadcasts_centroids(spark, registry):
+    """Corpus side joins the centroid table via broadcast — the only
+    Exchange is the tiny (label, pos) partial-sum aggregate."""
+    plan = _plan(registry["embedding_centroid_outliers"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    big_exchanges = [
+        m for m in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+        if "label" not in m
+    ]
+    assert not big_exchanges
