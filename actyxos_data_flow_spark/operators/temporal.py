@@ -145,3 +145,71 @@ def interval_join(
     )
     joined = pb.join(rb, on=keys + ["__bucket"], how=how).filter(residual)
     return joined.drop("__bucket")
+
+
+def rolling_agg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_micros",
+    val_col: str = "value",
+    lookback_micros: int = 3_600_000_000,
+) -> DataFrame:
+    """Event-time rolling aggregate: per key, the mean/count of values
+    in the trailing ``lookback_micros`` window ending at each row — a
+    RANGE frame, so rows sharing a timestamp see the identical frame
+    (deterministic under any shuffle order; a ROWS frame would not be).
+
+    The mean sums DECIMAL-cast values (round-6 first), so the result is
+    independent of intra-frame addition order — same convention as every
+    oracled aggregate (functions/scalar.py rationale).
+
+    Scale shape: one hash exchange on the key, per-partition sort by
+    event time, single window pass. Keys are users/devices — high
+    cardinality, so partitions stay balanced; there is no global sort.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-lookback_micros, 0)
+    )
+    d = F.expr(f"CAST(round({val_col}, 6) AS DECIMAL(18,6))")
+    return df.select(
+        "event_id",
+        key_col,
+        ts_col,
+        F.col(val_col),
+        F.count(F.lit(1)).over(w).alias("rolling_cnt"),
+        F.round(F.sum(d).over(w).cast("double") / F.count(F.lit(1)).over(w), 6).alias("rolling_avg"),
+    )
+
+
+def scd2(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts_micros",
+    order_tiebreak: str = "event_id",
+    state_cols: tuple[str, ...] = ("value",),
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension history: each state-bearing
+    event opens a validity interval [ts, next event's ts); the last
+    interval per key is open (valid_to NULL, is_current). Ordering ties
+    break on ``order_tiebreak`` so the history is total-ordered and
+    deterministic.
+
+    Scale shape: one exchange on the key + per-key sort + a single
+    ``lead`` window — the canonical CDC-to-history materialization;
+    no self-join (the naive "join next row" form shuffles twice and
+    explodes on duplicate timestamps)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(ts_col).asc(), F.col(order_tiebreak).asc())
+    nxt = F.lead(F.col(ts_col)).over(w)
+    return df.select(
+        key_col,
+        *state_cols,
+        F.col(ts_col).alias("valid_from"),
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )

@@ -44,5 +44,6 @@ def load_all() -> dict[str, QuerySpec]:
     from . import pipeline  # noqa: F401
     from . import skew  # noqa: F401
     from . import temporal  # noqa: F401
+    from . import profile  # noqa: F401
 
     return REGISTRY

@@ -147,3 +147,58 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_micros(F.col("session_window.end")).alias("session_end_micros"),
         "n_events",
     )
+
+
+ROLLING_ORACLE = """
+WITH rbase AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_micros, value FROM events
+  WHERE event_type = 'view'
+)
+SELECT event_id, user_id, ts_micros, value,
+       count(*) OVER w AS rolling_cnt,
+       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS rolling_avg
+FROM rbase
+WINDOW w AS (
+  PARTITION BY user_id ORDER BY ts_micros
+  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+)
+"""
+
+
+@register("rolling_hourly_avg", oracle=ROLLING_ORACLE)
+def rolling_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-hour mean of 'view' values per user at every event —
+    RANGE event-time frame (frame membership by timestamp VALUE, so
+    duplicate-ts rows agree), decimal-exact mean."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "view")
+        .select("event_id", "user_id", ns_micros("ts").alias("ts_micros"), "value")
+    )
+    return TJ.rolling_agg(ev)
+
+
+SCD2_ORACLE = """
+WITH sbase AS (
+  SELECT user_id, value, epoch_us(ts) AS ts_micros, event_id FROM events
+  WHERE event_type = 'signup'
+)
+SELECT user_id, value,
+       ts_micros AS valid_from,
+       lead(ts_micros) OVER (PARTITION BY user_id ORDER BY ts_micros, event_id) AS valid_to,
+       lead(ts_micros) OVER (PARTITION BY user_id ORDER BY ts_micros, event_id) IS NULL AS is_current
+FROM sbase
+"""
+
+
+@register("scd2_user_history", oracle=SCD2_ORACLE)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history of per-user 'signup' states: [ts, next ts) validity
+    intervals via one lead window, open tail flagged current."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "signup")
+        .select("user_id", "value", ns_micros("ts").alias("ts_micros"), "event_id")
+    )
+    return TJ.scd2(ev)

@@ -324,3 +324,20 @@ def test_centroid_outliers_flags_opposed_vector(spark):
     assert not got[0].outlier and got[0].centroid_cosine > 0.9
     assert got[3].outlier and got[3].centroid_cosine < 0
     assert got[4].centroid_cosine == 1.0 and not got[4].outlier
+
+
+def test_profile_exact_and_approx_same_shape(spark):
+    from actyxos_data_flow_spark.operators import profile as P
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5), (2, "b", None)],
+        "k long, s string, v double",
+    )
+    exact = {r.col_name: r for r in P.profile(df).collect()}
+    assert exact["k"].n_distinct == 2 and exact["k"].n_nulls == 0
+    assert exact["s"].n_nulls == 1 and exact["s"].min_num is None
+    assert exact["v"].min_num == 1.5 and exact["v"].max_num == 2.5
+    assert exact["v"].null_frac == round(1 / 3, 6)
+    approx = P.profile(df, exact=False)
+    assert approx.columns == P.profile(df).columns
+    assert {r.col_name for r in approx.collect()} == {"k", "s", "v"}

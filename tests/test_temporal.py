@@ -75,3 +75,37 @@ def test_interval_join_exact_at_epoch_scale_boundaries(spark):
     )
     # end-exclusive: pid 1 -> range 10 only; pid 2,3 -> range 11 only
     assert got == [(1, 10), (2, 11), (3, 11)]
+
+
+def test_rolling_agg_range_frame_semantics(spark):
+    """Frame membership is by timestamp VALUE: the two rows at t=100
+    share the identical frame (and result); t=5000 is outside the
+    1000-micro lookback of nothing — frame is itself only."""
+    from actyxos_data_flow_spark.operators import temporal as TJ
+
+    ev = spark.createDataFrame(
+        [
+            (1, "u", 100, 10.0),
+            (2, "u", 100, 20.0),
+            (3, "u", 900, 30.0),
+            (4, "u", 5000, 40.0),
+        ],
+        "event_id long, user_id string, ts_micros long, value double",
+    )
+    got = {r.event_id: (r.rolling_cnt, r.rolling_avg) for r in TJ.rolling_agg(ev, lookback_micros=1000).collect()}
+    assert got[1] == (2, 15.0) and got[2] == (2, 15.0)  # same frame
+    assert got[3] == (3, 20.0)
+    assert got[4] == (1, 40.0)
+
+
+def test_scd2_intervals_tile_and_tail_open(spark):
+    from actyxos_data_flow_spark.operators import temporal as TJ
+
+    ev = spark.createDataFrame(
+        [(10, "u", 100, 1.0), (11, "u", 200, 2.0), (12, "v", 50, 9.0)],
+        "event_id long, user_id string, ts_micros long, value double",
+    )
+    got = sorted(
+        ((r.user_id, r.valid_from, r.valid_to, r.is_current) for r in TJ.scd2(ev).collect())
+    )
+    assert got == [("u", 100, 200, False), ("u", 200, None, True), ("v", 50, None, True)]
