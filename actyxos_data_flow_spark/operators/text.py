@@ -254,3 +254,27 @@ def repetition_stats(
     return t.withColumn(
         "repetitive", F.col("_brep") | (F.col("dup_trigram_frac") >= dup_trigram_max)
     ).drop("_brep")
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    floor: float = 0.05,
+    salt: str = "wsample:1",
+) -> DataFrame:
+    """Quality-weighted deterministic subsampling: a row survives iff
+    its 60-bit id-hash falls under its own per-row keep probability
+    ``clamp(weight, floor, 1)`` — higher-quality rows are kept at
+    proportionally higher rates, but nothing is excluded outright
+    (``floor``). Same hash scheme as :func:`stratified_sample`: pure
+    per-row filter, no shuffle, no RNG, identical output on every
+    run / topology / SQL oracle."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    p = F.least(F.greatest(F.col(weight_col), F.lit(floor)), F.lit(1.0))
+    scale = float(1 << 60)
+    return df.filter(h < (p * scale).cast("long"))

@@ -274,3 +274,29 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     run-length array folds (zero shuffles; the oracle's unnest/groupBy
     formulation is the shape this operator deliberately avoids)."""
     return X.repetition_stats(load_table(spark, sf_dir, "documents"))
+
+
+# -- quality-weighted sampling ----------------------------------------------
+
+_WSALT = "wsample:1"
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH wq AS ({QUALITY_ORACLE.replace('SELECT doc_id,', 'SELECT doc_id,', 1)})
+SELECT doc_id, quality
+FROM wq
+WHERE ('0x' || substr(md5('{_WSALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      < CAST(least(greatest(quality, 0.05), 1.0) * {float(1 << 60)} AS BIGINT)
+"""
+
+
+@register("sample_quality_weighted", oracle=WEIGHTED_SAMPLE_ORACLE)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional subsampling: keep probability is the doc's
+    own quality score (floored at 5%) — high-quality data oversampled,
+    junk mostly dropped but never fully excluded. Per-row salted-hash
+    decision (no RNG, no shuffle); p*2^60 >= 2^53 for every p >= the
+    floor, so the double product is integral and Spark's truncating
+    cast and DuckDB's rounding cast agree exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = X.quality_score(docs).select("doc_id", "quality")
+    return X.weighted_sample(q, "quality", salt=_WSALT)

@@ -869,3 +869,48 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )
+
+
+# -- Q9 (adapted): profit by nation and year -------------------------------
+
+Q9_ORACLE = """
+SELECT n.n_name AS nation,
+       year(o.o_orderdate) AS o_year,
+       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+FROM lineitem l
+JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+GROUP BY n.n_name, year(o.o_orderdate)
+"""
+
+
+@register("q9_product_profit", oracle=Q9_ORACLE)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q9 adapted (no partsupp in TESTDATA → profit omits the
+    supplycost term; the plan shape — a selective dim filter fanned
+    across a 4-dim star join with a 2-key rollup — is intact).
+    Scale: part (filtered '%red%'), supplier, and nation all broadcast,
+    so lineitem's only exchange is the fact-fact join with orders on
+    orderkey; the rollup is a hash aggregate with partial combine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%")).select("p_partkey")
+    )
+    sup = F.broadcast(load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    nat = F.broadcast(load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name"))
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sup, li.l_suppkey == sup.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(nat, sup.s_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("profit")
+        )
+    )

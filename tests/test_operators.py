@@ -341,3 +341,15 @@ def test_profile_exact_and_approx_same_shape(spark):
     approx = P.profile(df, exact=False)
     assert approx.columns == P.profile(df).columns
     assert {r.col_name for r in approx.collect()} == {"k", "s", "v"}
+
+
+def test_weighted_sample_monotone_and_deterministic(spark):
+    """Same ids, higher weights => superset survival; two runs agree
+    row-for-row (hash decision, no RNG)."""
+    lo = spark.createDataFrame([(i, 0.05) for i in range(200)], "doc_id long, w double")
+    hi = spark.createDataFrame([(i, 0.95) for i in range(200)], "doc_id long, w double")
+    keep_lo = {r.doc_id for r in X.weighted_sample(lo, "w").collect()}
+    keep_hi = {r.doc_id for r in X.weighted_sample(hi, "w").collect()}
+    assert keep_lo <= keep_hi
+    assert 150 < len(keep_hi) <= 200 and len(keep_lo) < 40
+    assert keep_hi == {r.doc_id for r in X.weighted_sample(hi, "w").collect()}
