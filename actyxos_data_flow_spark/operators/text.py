@@ -278,3 +278,73 @@ def weighted_sample(
     p = F.least(F.greatest(F.col(weight_col), F.lit(floor)), F.lit(1.0))
     scale = float(1 << 60)
     return df.filter(h < (p * scale).cast("long"))
+
+
+def chunk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    size: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Context-window chunking: split each document into token windows
+    of ``size`` with ``overlap`` tokens carried between consecutive
+    chunks (stride = size − overlap) — the pre-tokenization step that
+    turns long documents into trainable sequences.
+
+    Output: (id, chunk_id, chunk_text, chunk_tokens). The final chunk
+    may be short; documents shorter than one stride yield one chunk.
+
+    Scale shape: per-row sequence + slice array expressions and ONE
+    posexplode — no shuffle, no Python; chunk count per row is
+    ceil((n-overlap)/stride), so output size is linear in corpus
+    tokens, fanned out at the scan."""
+    if not 0 <= overlap < size:
+        raise ValueError("need 0 <= overlap < size")
+    stride = size - overlap
+    t = with_tokens(df, text_col).withColumn("_n", F.size("tokens"))
+    starts = F.expr(f"sequence(1, greatest(1, _n - {overlap}), {stride})")
+    ex = t.select(id_col, "tokens", "_n", F.posexplode(starts).alias("_i", "_s"))
+    piece = F.expr(f"slice(tokens, _s, {size})")
+    return ex.select(
+        id_col,
+        F.col("_i").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).alias("chunk_tokens"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    len_col: str = "n_tokens",
+    shard_col: str = "lang",
+    budget: int = 2048,
+) -> DataFrame:
+    """Greedy sequence packing: assign documents to fixed-token-budget
+    training bins. Within each shard, documents are laid end-to-end in
+    deterministic (id) order and a document lands in the bin where its
+    span begins — the streaming-pack heuristic (bins can overflow by at
+    most one document's tail; exact bin-packing is NP-hard and
+    order-dependent, useless for a reproducible pipeline).
+
+    Scale shape: one exchange on the shard key + per-shard sort + a
+    single running-sum window; shards (languages/sources) bound
+    partition width. Output: (shard, id, length, bin_id, bin_offset).
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_end = F.sum(len_col).over(w)
+    start = (cum_end - F.col(len_col)).cast("long")
+    return df.select(
+        shard_col,
+        id_col,
+        F.col(len_col),
+        F.floor(start / budget).alias("bin_id"),
+        (start % budget).alias("bin_offset"),
+    )

@@ -300,3 +300,64 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     q = X.quality_score(docs).select("doc_id", "quality")
     return X.weighted_sample(q, "quality", salt=_WSALT)
+
+
+# -- context-window chunking -------------------------------------------------
+
+CHUNK_SIZE, CHUNK_OVERLAP = 32, 8
+_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+CHUNK_ORACLE = f"""
+WITH ctok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n FROM documents
+),
+st AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(1, greatest(1, n - {CHUNK_OVERLAP}), {_STRIDE})) AS s,
+         unnest(generate_series(0, (greatest(1, n - {CHUNK_OVERLAP}) - 1) // {_STRIDE})) AS i
+  FROM ctok
+)
+SELECT doc_id, i AS chunk_id,
+       array_to_string(list_slice(tokens, s, s + {CHUNK_SIZE} - 1), ' ') AS chunk_text,
+       len(list_slice(tokens, s, s + {CHUNK_SIZE} - 1)) AS chunk_tokens
+FROM st
+"""
+
+
+@register("chunk_documents", oracle=CHUNK_ORACLE)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding context-window chunking (32-token windows, 8 overlap) —
+    per-row sequence/slice expressions + one posexplode, no shuffle."""
+    return X.chunk(load_table(spark, sf_dir, "documents"), size=CHUNK_SIZE, overlap=CHUNK_OVERLAP)
+
+
+# -- sequence packing --------------------------------------------------------
+
+PACK_BUDGET = 2048
+
+PACK_ORACLE = f"""
+WITH ptok AS (
+  SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+c AS (
+  SELECT lang, doc_id, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - n_tokens AS strt
+  FROM ptok
+)
+SELECT lang, doc_id, n_tokens,
+       strt // {PACK_BUDGET} AS bin_id,
+       strt % {PACK_BUDGET} AS bin_offset
+FROM c
+"""
+
+
+@register("pack_training_bins", oracle=PACK_ORACLE)
+def pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget packing of documents into 2048-token training bins,
+    sharded by language: one running-sum window per shard."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return X.pack_sequences(sized, budget=PACK_BUDGET)

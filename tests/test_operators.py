@@ -353,3 +353,36 @@ def test_weighted_sample_monotone_and_deterministic(spark):
     assert keep_lo <= keep_hi
     assert 150 < len(keep_hi) <= 200 and len(keep_lo) < 40
     assert keep_hi == {r.doc_id for r in X.weighted_sample(hi, "w").collect()}
+
+
+def test_chunk_windows_and_tail(spark):
+    """10 tokens, size 4, overlap 1 (stride 3): starts 1,4,7 — last
+    chunk covers the tail; a 2-token doc yields one short chunk."""
+    df = spark.createDataFrame(
+        [(1, "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    got = {}
+    for r in X.chunk(df, size=4, overlap=1).collect():
+        got.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text, r.chunk_tokens))
+    assert sorted(got[1]) == [
+        (0, "t1 t2 t3 t4", 4),
+        (1, "t4 t5 t6 t7", 4),
+        (2, "t7 t8 t9 t10", 4),
+    ]
+    assert got[2] == [(0, "a b", 2)]
+
+
+def test_pack_sequences_bins_and_offsets(spark):
+    """Budget 10: docs of 4+4 fill bin 0; the 5-token doc STARTS at
+    offset 8 of bin 0 (streaming pack overflows rather than splits);
+    next doc starts a fresh span at 13 -> bin 1."""
+    df = spark.createDataFrame(
+        [("en", 1, 4), ("en", 2, 4), ("en", 3, 5), ("en", 4, 2), ("de", 9, 3)],
+        "lang string, doc_id long, n_tokens long",
+    )
+    got = {r.doc_id: (r.bin_id, r.bin_offset) for r in X.pack_sequences(df, budget=10).collect()}
+    assert got[1] == (0, 0) and got[2] == (0, 4)
+    assert got[3] == (0, 8)
+    assert got[4] == (1, 3)
+    assert got[9] == (0, 0)
