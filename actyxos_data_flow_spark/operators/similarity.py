@@ -130,6 +130,7 @@ def ivf_probe_topk(
     k: int = 10,
     nprobe: int = 2,
     partition_col: str = "label",
+    probe_round: int | None = None,
 ) -> DataFrame:
     """IVF top-k with nprobe > 1: each query scores every coarse centroid
     (``centroids``: (partition_col, ce array) — nlist rows, broadcast),
@@ -144,6 +145,8 @@ def ivf_probe_topk(
     scan cost — the standard IVF recall/latency dial (nprobe=nlist
     degenerates to brute force)."""
     ccos = _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce")))
+    if probe_round is not None:
+        ccos = F.round(ccos, probe_round)
     pw = W.partitionBy("qid").orderBy(F.col("_ccos").desc(), F.col(partition_col).asc())
     probe = (
         queries.crossJoin(F.broadcast(centroids))
@@ -339,3 +342,91 @@ def centroid_outliers(
         F.round(cos, 6).alias("centroid_cosine"),
         (F.round(cos, 6) < min_cosine).alias("outlier"),
     )
+
+
+# -- k-means coarse quantizer (trained IVF) --------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+
+
+def kmeans_assign(emb: DataFrame, cent: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment: squared-L2 to each of the nlist
+    centroids (broadcast cross join), argmin with cell-id tie-break.
+    Distances round to 9 decimals before the argmin so the choice is
+    identical under any summation order (ulp noise cannot flip it)."""
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col),
+            F.col("ce"),
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    return (
+        emb.crossJoin(F.broadcast(cent))
+        .select(id_col, "cell", F.round(d2, 9).alias("_d2"))
+        .groupBy(id_col)
+        .agg(F.min_by("cell", F.struct(F.col("_d2"), F.col("cell"))).alias("cell"))
+    )
+
+
+def kmeans_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd's k-means for the IVF coarse quantizer —
+    replaces the seed-vector stand-in with actually-trained centroids
+    while keeping every run / topology / SQL-oracle bit-identical:
+
+    - init: the k smallest-id vectors (no RNG);
+    - assign: squared-L2 argmin, distances rounded to 9dp, ties to the
+      lower cell id;
+    - update: per-(cell, pos) DECIMAL-exact mean (same convention as
+      label_centroids) — summation-order-free; empty cells keep their
+      previous centroid.
+
+    Returns (centroids(cell, ce), assignments(id, cell)).
+
+    Scale shape: each iteration is one broadcast cross-join (nlist
+    rows) + one (cell, pos) partial-sum aggregate — the corpus never
+    shuffles; iterations are a fixed small count (coarse quantizers
+    converge in a few passes; this is not the fine index). Cache the
+    corpus before calling at scale — each pass rescans the source."""
+    # constant partition key: the window runs on the k-row limit output
+    # only (k = nlist, tiny), never on the corpus
+    w = W.partitionBy(F.lit(1)).orderBy(F.col(id_col).asc())
+    seeds = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(k)
+        .select(
+            (F.row_number().over(w) - 1).alias("cell"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ce"),
+        )
+    )
+    cent = seeds
+    for _ in range(iters):
+        a = kmeans_assign(emb, cent, id_col, vec_col)
+        ex = (
+            emb.join(a, id_col)
+            .select("cell", F.posexplode(vec_col).alias("pos", "val"))
+        )
+        d = F.expr("CAST(round(CAST(val AS DOUBLE), 7) AS DECIMAL(12,7))")
+        comp = ex.groupBy("cell", "pos").agg(
+            (F.sum(d).cast("double") / F.count(F.lit(1))).alias("c")
+        )
+        new = comp.groupBy("cell").agg(
+            F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias(
+                "ce"
+            )
+        )
+        cent = (
+            cent.alias("o")
+            .join(new.alias("n"), "cell", "left")
+            .select("cell", F.coalesce(F.col("n.ce"), F.col("o.ce")).alias("ce"))
+        )
+    return cent, kmeans_assign(emb, cent, id_col, vec_col)

@@ -291,3 +291,121 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     label_centroids), outliers below OUTLIER_MIN_COSINE. Centroids
     broadcast; the corpus side never shuffles."""
     return S.centroid_outliers(load_table(spark, sf_dir, "embeddings"))
+
+
+# -- k-means-trained IVF ----------------------------------------------------
+
+KM_K = S.KMEANS_K
+KM_ITERS = S.KMEANS_ITERS
+KM_NPROBE = 2
+
+
+def _kmeans_ctes(k: int, iters: int) -> tuple[str, str, str]:
+    """Unrolled Lloyd iterations as DuckDB CTEs (iters is a small fixed
+    constant, so unrolling is exact — the oracle replicates the
+    distributed fit bit-for-bit). Returns (sql, final_cent, final_assign)."""
+    sql = f"""
+kvx AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(embedding)::DOUBLE AS a
+        FROM embeddings),
+ksid AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cell
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})),
+kcent0 AS (SELECT s.cell, v.pos, v.a AS c FROM ksid s JOIN kvx v ON v.vec_id = s.vec_id)"""
+    prev = "kcent0"
+    for i in range(1, iters + 2):
+        sql += f""",
+kd{i} AS (
+  SELECT v.vec_id, c.cell, round(sum((v.a - c.c) * (v.a - c.c)), 9) AS d2
+  FROM kvx v JOIN {prev} c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.cell
+),
+ka{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT vec_id, cell,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS rn
+    FROM kd{i}
+  ) WHERE rn = 1
+)"""
+        if i <= iters:
+            sql += f""",
+km{i} AS (
+  SELECT a.cell, v.pos,
+         CAST(sum(CAST(round(v.a, 7) AS DECIMAL(12,7))) AS DOUBLE) / count(*) AS c
+  FROM kvx v JOIN ka{i} a ON v.vec_id = a.vec_id
+  GROUP BY a.cell, v.pos
+),
+kcent{i} AS (
+  SELECT p.cell, p.pos, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN km{i} m ON p.cell = m.cell AND p.pos = m.pos
+)"""
+            prev = f"kcent{i}"
+    return sql, prev, f"ka{iters + 1}"
+
+
+_KM_SQL, _KM_CENT, _KM_ASSIGN = _kmeans_ctes(KM_K, KM_ITERS)
+
+KMEANS_CELLS_ORACLE = f"WITH {_KM_SQL}\nSELECT vec_id, cell FROM {_KM_ASSIGN}"
+
+
+@register("kmeans_cells", oracle=KMEANS_CELLS_ORACLE)
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means coarse assignment (k=8, 2
+    iterations; smallest-id seeding, decimal-exact means, 9dp-rounded
+    argmin) — the trained IVF quantizer. The oracle unrolls the same
+    iterations as SQL CTEs."""
+    _, assign = S.kmeans_fit(load_table(spark, sf_dir, "embeddings"))
+    return assign
+
+
+ANN_KMEANS_ORACLE = (
+    f"WITH {_KM_SQL},\n"
+    + f"""
+kq AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}),
+kqx AS (SELECT qid, unnest(generate_series(1, len(qe))) AS pos, unnest(qe)::DOUBLE AS a FROM kq),
+kcs AS (
+  SELECT q.qid, c.cell,
+         round(sum(q.a * c.c) / (sqrt(sum(q.a * q.a)) * sqrt(sum(c.c * c.c))), 9) AS ccos
+  FROM kqx q JOIN {_KM_CENT} c ON q.pos = c.pos
+  GROUP BY q.qid, c.cell
+),
+kprobe AS (
+  SELECT qid, cell FROM (
+    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cell) AS prk
+    FROM kcs
+  ) WHERE prk <= {KM_NPROBE}
+),
+kp AS (
+  SELECT kq.qid, e.vec_id, kq.qe, e.embedding
+  FROM kprobe p
+  JOIN {_KM_ASSIGN} a ON a.cell = p.cell
+  JOIN embeddings e ON e.vec_id = a.vec_id
+  JOIN kq ON kq.qid = p.qid
+),
+ku AS (SELECT qid, vec_id, unnest(qe)::DOUBLE a, unnest(embedding)::DOUBLE b FROM kp),
+ks AS (SELECT qid, vec_id, sum(a*b) AS dot, sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+       FROM ku GROUP BY 1, 2),
+kranked AS (
+  SELECT qid, vec_id, dot/(na*nb) AS cosine,
+         row_number() OVER (PARTITION BY qid ORDER BY dot/(na*nb) DESC, vec_id ASC) AS rank
+  FROM ks
+)
+SELECT qid, vec_id, rank, round(cosine, 6) AS cosine FROM kranked WHERE rank <= {K}
+"""
+)
+
+
+@register("ann_ivf_kmeans_topk", oracle=ANN_KMEANS_ORACLE)
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k over the TRAINED quantizer: kmeans_fit supplies
+    centroids + cell assignments, then the standard nprobe=2 probe
+    (probe scores rounded to 9dp — centroid sums cross a join, so the
+    rounding pins rank order across engines)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent, assign = S.kmeans_fit(emb)
+    corpus = emb.select("vec_id", "embedding").join(assign, "vec_id")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return S.ivf_probe_topk(
+        queries, corpus, cent, k=K, nprobe=KM_NPROBE, partition_col="cell", probe_round=9
+    )

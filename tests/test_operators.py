@@ -386,3 +386,30 @@ def test_pack_sequences_bins_and_offsets(spark):
     assert got[3] == (0, 8)
     assert got[4] == (1, 3)
     assert got[9] == (0, 0)
+
+
+def test_kmeans_converges_to_obvious_clusters(spark):
+    """Two tight blobs, k=2: the fit must recover them regardless of
+    which blob the seeds land in; rerun is bit-identical."""
+    pts = [(i, [10.0 + 0.1 * i, 0.0]) for i in range(4)] + [
+        (10 + i, [-10.0 - 0.1 * i, 0.5]) for i in range(4)
+    ]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    cent, assign = S.kmeans_fit(emb, k=2, iters=2)
+    cells = {r.vec_id: r.cell for r in assign.collect()}
+    blob_a = {cells[i] for i in range(4)}
+    blob_b = {cells[10 + i] for i in range(4)}
+    assert len(blob_a) == 1 and len(blob_b) == 1 and blob_a != blob_b
+    again = {r.vec_id: r.cell for r in S.kmeans_fit(emb, k=2, iters=2)[1].collect()}
+    assert again == cells
+
+
+def test_kmeans_empty_cell_keeps_previous_centroid(spark):
+    """Seeds 0 and 1 both sit in one blob: after the first assignment
+    one cell may go empty — the fit must not crash and must still
+    produce k centroid rows."""
+    pts = [(0, [1.0, 1.0]), (1, [1.1, 1.0]), (2, [1.05, 1.0]), (3, [1.02, 1.0])]
+    emb = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    cent, assign = S.kmeans_fit(emb, k=2, iters=2)
+    assert cent.count() == 2
+    assert assign.count() == 4

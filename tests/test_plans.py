@@ -206,3 +206,10 @@ def test_centroid_outliers_broadcasts_centroids(spark, registry):
         if "label" not in m
     ]
     assert not big_exchanges
+
+
+def test_kmeans_ivf_corpus_never_shuffles_for_probe(spark, registry):
+    """Probe set and centroids broadcast into the corpus equi-join."""
+    plan = _plan(registry["ann_ivf_kmeans_topk"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
