@@ -389,7 +389,7 @@ FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
 """
 
 
-@register("decontaminate_vs_eval", oracle=DECON_ORACLE)
+@register("decontaminate_vs_eval", oracle=DECON_ORACLE, bench=True)
 def decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark-leakage decontamination: docs from EVAL_SOURCE play the
     held-out eval set; every other doc is scored by distinct-3-gram

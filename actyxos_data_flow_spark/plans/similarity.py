@@ -347,7 +347,7 @@ _KM_SQL, _KM_CENT, _KM_ASSIGN = _kmeans_ctes(KM_K, KM_ITERS)
 KMEANS_CELLS_ORACLE = f"WITH {_KM_SQL}\nSELECT vec_id, cell FROM {_KM_ASSIGN}"
 
 
-@register("kmeans_cells", oracle=KMEANS_CELLS_ORACLE)
+@register("kmeans_cells", oracle=KMEANS_CELLS_ORACLE, bench=True)
 def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic Lloyd's k-means coarse assignment (k=8, 2
     iterations; smallest-id seeding, decimal-exact means, 9dp-rounded

@@ -166,7 +166,7 @@ WINDOW w AS (
 """
 
 
-@register("rolling_hourly_avg", oracle=ROLLING_ORACLE)
+@register("rolling_hourly_avg", oracle=ROLLING_ORACLE, bench=True)
 def rolling_hourly_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-hour mean of 'view' values per user at every event —
     RANGE event-time frame (frame membership by timestamp VALUE, so

@@ -325,7 +325,7 @@ FROM st
 """
 
 
-@register("chunk_documents", oracle=CHUNK_ORACLE)
+@register("chunk_documents", oracle=CHUNK_ORACLE, bench=True)
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding context-window chunking (32-token windows, 8 overlap) —
     per-row sequence/slice expressions + one posexplode, no shuffle."""

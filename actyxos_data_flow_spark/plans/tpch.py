@@ -814,7 +814,7 @@ LIMIT 100
 """
 
 
-@register("q21_suppliers_waiting", oracle=Q21_ORACLE)
+@register("q21_suppliers_waiting", oracle=Q21_ORACLE, bench=True)
 def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q21 adapted (no l_commitdate/l_receiptdate in TESTDATA — "late"
     is the q12 lateness predicate, shipped >90 days after order date;
