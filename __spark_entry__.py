@@ -17,12 +17,13 @@ from actyxos_data_flow_spark.plans import load_all
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the composed training-data cleaning pipeline (quality
-    gate → exact dedup → MinHash-LSH near-dup removal) on sf0.001 —
-    the engine's centerpiece workload; e1_dashboard (the reference's own
-    flagship) stays in queries()."""
+    """Flagship: the full corpus-to-training-batches pipeline (quality
+    gate → exact dedup → MinHash-LSH near-dup removal → context-window
+    chunking → token-budget packing) on sf0.001 — the engine's
+    centerpiece workload; e1_dashboard (the reference's own flagship)
+    stays in queries()."""
     registry = load_all()
-    return registry["pipeline_clean_corpus"].fn(spark, "/root/testdata/sf0.001")
+    return registry["pipeline_training_batches"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -286,6 +286,7 @@ def chunk(
     text_col: str = "text",
     size: int = 32,
     overlap: int = 8,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Context-window chunking: split each document into token windows
     of ``size`` with ``overlap`` tokens carried between consecutive
@@ -304,10 +305,11 @@ def chunk(
     stride = size - overlap
     t = with_tokens(df, text_col).withColumn("_n", F.size("tokens"))
     starts = F.expr(f"sequence(1, greatest(1, _n - {overlap}), {stride})")
-    ex = t.select(id_col, "tokens", "_n", F.posexplode(starts).alias("_i", "_s"))
+    ex = t.select(id_col, *extra_cols, "tokens", "_n", F.posexplode(starts).alias("_i", "_s"))
     piece = F.expr(f"slice(tokens, _s, {size})")
     return ex.select(
         id_col,
+        *extra_cols,
         F.col("_i").alias("chunk_id"),
         F.array_join(piece, " ").alias("chunk_text"),
         F.size(piece).alias("chunk_tokens"),
@@ -320,6 +322,7 @@ def pack_sequences(
     len_col: str = "n_tokens",
     shard_col: str = "lang",
     budget: int = 2048,
+    order_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to fixed-token-budget
     training bins. Within each shard, documents are laid end-to-end in
@@ -334,16 +337,18 @@ def pack_sequences(
     """
     from pyspark.sql import Window
 
+    order = order_cols or (id_col,)
     w = (
         Window.partitionBy(shard_col)
-        .orderBy(F.col(id_col).asc())
+        .orderBy(*[F.col(c).asc() for c in order])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     cum_end = F.sum(len_col).over(w)
     start = (cum_end - F.col(len_col)).cast("long")
+    out_keys = [id_col] + [c for c in order if c != id_col]
     return df.select(
         shard_col,
-        id_col,
+        *out_keys,
         F.col(len_col),
         F.floor(start / budget).alias("bin_id"),
         (start % budget).alias("bin_offset"),

@@ -121,3 +121,63 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         reps.join(dropped, reps.doc_id == dropped.id_b, "left_anti")
         .select("doc_id", "n_copies", "quality")
     )
+
+
+# -- end-to-end: clean corpus → training batches ---------------------------
+
+from .text import CHUNK_OVERLAP, CHUNK_SIZE, PACK_BUDGET, _STRIDE  # noqa: E402
+
+BATCHES_ORACLE = f"""
+WITH clean AS (
+  SELECT doc_id FROM ({PIPELINE_ORACLE})
+),
+bdoc AS (
+  SELECT d.doc_id, d.lang, string_split(d.text, ' ') AS tokens,
+         len(string_split(d.text, ' ')) AS n
+  FROM documents d JOIN clean USING (doc_id)
+),
+bst AS (
+  SELECT doc_id, lang, tokens,
+         unnest(generate_series(1, greatest(1, n - {CHUNK_OVERLAP}), {_STRIDE})) AS s,
+         unnest(generate_series(0, (greatest(1, n - {CHUNK_OVERLAP}) - 1) // {_STRIDE})) AS i
+  FROM bdoc
+),
+bch AS (
+  SELECT doc_id, lang, i AS chunk_id,
+         len(list_slice(tokens, s, s + {CHUNK_SIZE} - 1)) AS chunk_tokens
+  FROM bst
+),
+bcum AS (
+  SELECT lang, doc_id, chunk_id, chunk_tokens,
+         sum(chunk_tokens) OVER (PARTITION BY lang ORDER BY doc_id, chunk_id) - chunk_tokens AS strt
+  FROM bch
+)
+SELECT lang, doc_id, chunk_id, chunk_tokens,
+       strt // {PACK_BUDGET} AS bin_id,
+       strt % {PACK_BUDGET} AS bin_offset
+FROM bcum
+"""
+
+
+@register("pipeline_training_batches", oracle=BATCHES_ORACLE, bench=True)
+def pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-to-batches path: the cleaned corpus
+    (quality gate → exact dedup → LSH near-dup removal, above) is
+    chunked into overlapping context windows and packed into
+    fixed-token-budget training bins per language — every stage an
+    engine operator, the whole composition replayed by one oracle.
+    Scale shape: the clean set is doc_ids only (small) joined back to
+    the corpus scan; chunking is explode-only; packing adds one
+    per-language window."""
+    clean = pipeline_clean_corpus(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id")
+    chunks = X.chunk(
+        docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP, extra_cols=("lang",)
+    )
+    return X.pack_sequences(
+        chunks,
+        id_col="doc_id",
+        len_col="chunk_tokens",
+        budget=PACK_BUDGET,
+        order_cols=("doc_id", "chunk_id"),
+    )
