@@ -397,18 +397,19 @@ def kmeans_fit(
     shuffles; iterations are a fixed small count (coarse quantizers
     converge in a few passes; this is not the fine index). Cache the
     corpus before calling at scale — each pass rescans the source."""
-    # constant partition key: the window runs on the k-row limit output
-    # only (k = nlist, tiny), never on the corpus
-    w = W.partitionBy(F.lit(1)).orderBy(F.col(id_col).asc())
-    seeds = (
+    # seed model: the k smallest-id vectors, materialized like every
+    # other iteration's centroids (k×dim model parameters, a few KB)
+    seed_rows = (
         emb.orderBy(F.col(id_col).asc())
         .limit(k)
-        .select(
-            (F.row_number().over(w) - 1).alias("cell"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ce"),
-        )
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ce"))
+        .collect()
     )
-    cent = seeds
+    cent = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in r["ce"]]) for i, r in enumerate(seed_rows)],
+        "cell int, ce array<double>",
+    )
+    spark = emb.sparkSession
     for _ in range(iters):
         a = kmeans_assign(emb, cent, id_col, vec_col)
         ex = (
@@ -428,5 +429,14 @@ def kmeans_fit(
             cent.alias("o")
             .join(new.alias("n"), "cell", "left")
             .select("cell", F.coalesce(F.col("n.ce"), F.col("o.ce")).alias("ce"))
+        )
+        # Materialize the model between iterations: centroids are k×dim
+        # MODEL PARAMETERS (a few KB), not data — collecting them cuts
+        # the lineage, so iteration i+1's jobs don't re-run every prior
+        # assignment DAG (without this the plan depth doubles per pass
+        # and the final assignment recomputes the whole history).
+        cent = spark.createDataFrame(
+            [(int(r["cell"]), [float(x) for x in r["ce"]]) for r in cent.collect()],
+            "cell int, ce array<double>",
         )
     return cent, kmeans_assign(emb, cent, id_col, vec_col)
