@@ -1,0 +1,135 @@
+"""Continuous corpus ingestion: the training-data pipeline's streaming
+front door. Each micro-batch of raw documents is quality-gated,
+deduplicated WITHIN the batch, deduplicated AGAINST everything already
+ingested, and appended to a parquet corpus — so the corpus is
+exact-dedup-clean at every commit point.
+
+Scale shape per batch (the part that must stay O(batch), not O(corpus)):
+
+- the quality gate and digest computation are per-row JVM expressions on
+  the incoming batch only;
+- cross-history dedup is an anti-join of the batch's digests against a
+  digest INDEX (digest, doc_id) — a narrow two-column table, not the
+  corpus payloads. The index side streams from parquet and the join
+  shuffles only digests; at 100 TB the index is bucketed by digest so
+  the probe co-locates (see sinks/bucketed.py for the writer);
+- accepted rows append to the corpus in one write, their digests to the
+  index in a second. Ordering (corpus first, index last) makes a crash
+  between the two REPLAY-safe: a digest missing from the index lets a
+  duplicate in on retry, a digest present without its row would drop
+  data — so the index is committed only after its rows (same
+  mirror-pointer reasoning as streaming/runner.IncrementalAggRunner).
+
+Used either directly (``CorpusIngestor.ingest_batch`` per epoch) or as
+the foreachBatch of a Structured Streaming file/Kafka source
+(:func:`run_ingest_stream` — availableNow drain or live trigger).
+
+Reference parity: this is the reference's ingest-dedupe-materialize
+lifecycle (src/runner.rs replay/catch-up/live) instantiated for a
+document corpus instead of a SQL mirror.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import text as X
+
+DIGEST_SCHEMA = "digest string, doc_id long"
+
+
+class CorpusIngestor:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus_dir: str,
+        quality_min: float = 0.5,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> None:
+        self.spark = spark
+        self.docs_path = os.path.join(corpus_dir, "docs")
+        self.index_path = os.path.join(corpus_dir, "digests")
+        self.quality_min = quality_min
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def _index(self) -> DataFrame:
+        if os.path.isdir(self.index_path):
+            try:
+                return self.spark.read.parquet(self.index_path)
+            except Exception:
+                pass
+        return self.spark.createDataFrame([], DIGEST_SCHEMA)
+
+    def ingest_batch(self, docs: DataFrame) -> dict:
+        """Gate, dedup (intra-batch then vs history), append. Returns
+        counts {'arrived', 'gated', 'accepted'} for observability."""
+        arrived = docs.count()
+        scored = X.quality_score(docs, self.id_col, self.text_col).select(
+            self.id_col, "quality"
+        )
+        gated = docs.join(
+            scored.filter(F.col("quality") >= self.quality_min), self.id_col
+        )
+        with_digest = gated.withColumn(
+            "digest", F.md5(F.col(self.text_col).cast("binary"))
+        )
+        # intra-batch dedup: keep the whole smallest-id row per digest
+        # (hash aggregate — no window sort)
+        rec = F.struct(*[F.col(c) for c in with_digest.columns])
+        in_batch = (
+            with_digest.groupBy("digest")
+            .agg(F.min_by(rec, F.col(self.id_col)).alias("_rec"))
+            .select("_rec.*")
+        )
+        # cross-history dedup: anti-join on the digest index only
+        fresh = in_batch.join(self._index(), "digest", "left_anti")
+        # corpus first, index last (crash between the two is replay-safe)
+        out = fresh.persist()
+        try:
+            accepted = out.count()
+            if accepted:
+                out.drop("digest").write.mode("append").parquet(self.docs_path)
+                out.select(
+                    "digest", F.col(self.id_col).cast("long").alias("doc_id")
+                ).write.mode("append").parquet(self.index_path)
+        finally:
+            out.unpersist()
+        return {"arrived": arrived, "gated": gated.count(), "accepted": accepted}
+
+    def corpus(self) -> DataFrame:
+        return self.spark.read.parquet(self.docs_path)
+
+
+def run_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+    quality_min: float = 0.5,
+) -> list[dict]:
+    """Drive CorpusIngestor from a Structured Streaming file source
+    (availableNow drain — the catch-up phase; swap the trigger for
+    processingTime to run live). Each micro-batch commits through
+    ingest_batch; per-batch stats are collected for assertion/metrics."""
+    ing = CorpusIngestor(spark, corpus_dir, quality_min=quality_min)
+    stats: list[dict] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        stats.append(ing.ingest_batch(batch_df))
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

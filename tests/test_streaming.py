@@ -469,3 +469,64 @@ def test_incremental_agg_runner_o_churn_epochs(spark):
     assert len(applied) >= 2 and sorted(s.rows(table)) == recomputed(29)
     assert s.read_offsets(table) == {"events": 29}
     s.close()
+
+
+def test_corpus_ingestor_dedups_within_and_across_batches(spark, tmp_path):
+    """Batch 1 ingests two distinct docs (one intra-batch dup dropped,
+    low-quality doc gated); batch 2 re-sends a batch-1 doc (dropped via
+    the digest index) plus one new doc. Corpus ends exact-dedup-clean."""
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    good_a = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
+    good_b = "a completely different story about ships and the open sea with many fine words in it today"
+    good_c = "third unique document with plenty of good and varied words to pass the quality gate here now"
+    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.4)
+    b1 = spark.createDataFrame(
+        [(1, good_a, "en", "s"), (2, good_a, "en", "s"), (3, good_b, "en", "s"), (4, "x y", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    s1 = ing.ingest_batch(b1)
+    assert s1["arrived"] == 4 and s1["accepted"] == 2  # dup + gated dropped
+    b2 = spark.createDataFrame(
+        [(5, good_a, "en", "s"), (6, good_c, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    s2 = ing.ingest_batch(b2)
+    assert s2["accepted"] == 1  # only the new doc
+    corpus = ing.corpus()
+    texts = [r.text for r in corpus.collect()]
+    assert sorted(texts) == sorted([good_a, good_b, good_c])
+    assert corpus.select("doc_id").distinct().count() == 3
+
+
+def test_run_ingest_stream_two_files_resume(spark, tmp_path):
+    """File-source drive: two JSONL drops drain through availableNow in
+    separate runs sharing a checkpoint — the second run processes ONLY
+    the new file and the digest index still blocks its duplicate."""
+    import json as _json
+
+    from actyxos_data_flow_spark.streaming.ingest import run_ingest_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good_a = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
+    good_b = "a completely different story about ships and the open sea with many fine words in it today"
+    (src / "f1.jsonl").write_text(
+        "\n".join(_json.dumps({"doc_id": i, "text": t, "lang": "en", "source": "s"})
+                  for i, t in [(1, good_a), (2, good_b)])
+    )
+    stats1 = run_ingest_stream(
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"), quality_min=0.4
+    )
+    assert sum(s["accepted"] for s in stats1) == 2
+    (src / "f2.jsonl").write_text(
+        _json.dumps({"doc_id": 9, "text": good_a, "lang": "en", "source": "s"})
+    )
+    stats2 = run_ingest_stream(
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"), quality_min=0.4
+    )
+    assert sum(s["arrived"] for s in stats2) == 1  # checkpoint resume: new file only
+    assert sum(s["accepted"] for s in stats2) == 0  # duplicate blocked by index
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    assert CorpusIngestor(spark, str(tmp_path / "corpus")).corpus().count() == 2
