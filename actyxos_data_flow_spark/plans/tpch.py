@@ -914,3 +914,180 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("profit")
         )
     )
+
+
+# -- Q2 (adapted): best supplier per part ----------------------------------
+
+Q2_ORACLE = """
+WITH sup AS (
+  SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+  FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey
+  JOIN region r ON r.r_regionkey = n.n_regionkey AND r.r_name = 'EUROPE'
+),
+vol AS (
+  SELECT l.l_partkey, l.l_suppkey,
+         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem l JOIN sup ON sup.s_suppkey = l.l_suppkey
+  GROUP BY l.l_partkey, l.l_suppkey
+),
+best AS (
+  SELECT v.l_partkey, v.l_suppkey, v.qty,
+         row_number() OVER (PARTITION BY v.l_partkey ORDER BY v.qty DESC, v.l_suppkey ASC) AS rn
+  FROM vol v
+)
+SELECT p.p_partkey, p.p_name, s.s_name, s.n_name, s.s_acctbal, b.qty AS supplied_qty
+FROM best b
+JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size = 3
+JOIN sup s ON s.s_suppkey = b.l_suppkey
+WHERE b.rn = 1
+"""
+
+
+@register("q2_best_supplier", oracle=Q2_ORACLE)
+def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2 adapted (no partsupp → "minimum supply cost" becomes "maximum
+    shipped quantity" from lineitem; the shape — a per-part correlated
+    best-supplier pick inside a region-filtered supplier set — is
+    intact). Scale: the supplier⋈nation⋈region dim closure broadcasts;
+    lineitem aggregates once on (partkey, suppkey); the per-part argmax
+    is a max_by hash aggregate, NOT a row_number window (no sort; the
+    oracle's window is only a formulation difference); part broadcasts
+    into the final join."""
+    sup = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    vol = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(sup.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+    )
+    # per-part argmax with (qty desc, suppkey asc) determinism: max_by on
+    # (qty, -suppkey) — single hash aggregate
+    best = vol.groupBy("l_partkey").agg(
+        F.max_by(
+            F.struct(F.col("l_suppkey"), F.col("qty")),
+            F.struct(F.col("qty"), (-F.col("l_suppkey")).alias("_ns")),
+        ).alias("_b")
+    ).select("l_partkey", F.col("_b.l_suppkey").alias("l_suppkey"), F.col("_b.qty").alias("qty"))
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_size") == 3).select("p_partkey", "p_name")
+    )
+    return (
+        best.join(part, best.l_partkey == part.p_partkey)
+        .join(sup, best.l_suppkey == sup.s_suppkey)
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", F.col("qty").alias("supplied_qty"))
+    )
+
+
+# -- Q11 (adapted): important stock share ----------------------------------
+
+Q11_FRACTION = 0.001
+
+Q11_ORACLE = f"""
+WITH nsup AS (
+  SELECT s.s_suppkey FROM supplier s
+  JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_3'
+),
+pv AS (
+  SELECT l.l_partkey,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+  FROM lineitem l JOIN nsup ON nsup.s_suppkey = l.l_suppkey
+  GROUP BY l.l_partkey
+),
+tot AS (SELECT sum(value) AS total FROM pv)
+SELECT pv.l_partkey AS p_partkey, pv.value
+FROM pv, tot
+WHERE pv.value > tot.total * {Q11_FRACTION}
+"""
+
+
+@register("q11_important_stock", oracle=Q11_ORACLE)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11 adapted (no partsupp → "stock value" is shipped
+    extendedprice×quantity from lineitem; the shape — a grouped value
+    rollup filtered against a scalar share-of-total — is intact).
+    Scale: the national supplier set broadcasts; lineitem aggregates
+    once on partkey; the scalar total is a one-row aggregate broadcast
+    back over the per-part rollup (no second scan of lineitem)."""
+    nsup = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_3")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    pv = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(nsup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).cast("double").alias("value"))
+    )
+    tot = pv.agg(F.sum("value").alias("_total"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .filter(F.col("value") > F.col("_total") * Q11_FRACTION)
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+# -- Q20 (adapted): suppliers with excess shipments ------------------------
+
+Q20_QTY_MIN = 300.0
+
+Q20_ORACLE = f"""
+WITH bp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
+q20qty AS (
+  SELECT l.l_suppkey, CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  FROM lineitem l JOIN bp ON bp.p_partkey = l.l_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l.l_suppkey
+)
+SELECT s.s_name, s.s_acctbal
+FROM supplier s
+JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_5'
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM q20qty WHERE qty > {Q20_QTY_MIN})
+"""
+
+
+@register("q20_excess_suppliers", oracle=Q20_ORACLE)
+def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q20 adapted (no partsupp → "excess available stock" becomes
+    excess SHIPPED quantity of the name-filtered parts in the window;
+    the nested semi-join chain — parts → qualifying supplier set →
+    nation-filtered suppliers — is intact). Scale: the part filter
+    broadcasts into the lineitem scan-side join, the qualifying
+    supplier set is tiny and drives a broadcast LEFT SEMI join, nation
+    broadcasts; lineitem is touched once."""
+    bp = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%blue%")).select("p_partkey")
+    )
+    qty = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
+        .join(bp, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_suppkey")
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+        .filter(F.col("qty") > Q20_QTY_MIN)
+        .select("l_suppkey")
+    )
+    nat = F.broadcast(load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5"))
+    return (
+        load_table(spark, sf_dir, "supplier")
+        .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(qty), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )

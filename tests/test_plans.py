@@ -213,3 +213,15 @@ def test_kmeans_ivf_corpus_never_shuffles_for_probe(spark, registry):
     plan = _plan(registry["ann_ivf_kmeans_topk"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q20_semi_join_chain_broadcasts(spark, registry):
+    plan = _plan(registry["q20_excess_suppliers"].fn(spark, SF))
+    assert "LeftSemi" in plan and "BroadcastHashJoin" in plan
+
+
+def test_q2_argmax_is_hash_aggregate_not_window(spark, registry):
+    """The per-part best-supplier pick must be a max_by hash aggregate;
+    no Window operator anywhere in the plan."""
+    plan = _plan(registry["q2_best_supplier"].fn(spark, SF))
+    assert "Window" not in plan and "max_by" in plan
