@@ -164,3 +164,37 @@ def sample_frames(media: DataFrame, every: int = 3, frame_bytes: int = 16) -> Da
             yield pd.DataFrame({"media_id": ids, "frame_idx": idxs, "frame": frames})
 
     return media.mapInPandas(run, schema="media_id long, frame_idx int, frame binary")
+
+
+def audio_rms_windows(media: DataFrame, window: int = 64) -> DataFrame:
+    """Audio-path feature extraction: interpret the payload as 8-bit
+    PCM samples and emit per-window RMS energy — the silence-detection /
+    loudness-normalization primitive of an audio training pipeline
+    (with a real codec, ``fake PCM`` becomes decoded samples; the
+    Spark-side plumbing is identical).
+
+    Output: (media_id, window_id, n_samples, rms). The tail window may
+    be short. Sums of squares stay in int64 (exact), so the RMS is
+    bit-identical across batch orders and engines.
+
+    Scale shape: Arrow-batched ``mapInPandas`` — blobs stream columnar,
+    numpy does the windowing per batch, output size is
+    n_samples/window rows per blob; no shuffle at all."""
+    out_schema = "media_id long, window_id int, n_samples int, rms double"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, wids, ns, rms = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                codes = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                for w in range(0, (len(codes) + window - 1) // window):
+                    seg = codes[w * window : (w + 1) * window]
+                    ids.append(mid)
+                    wids.append(w)
+                    ns.append(len(seg))
+                    rms.append(round(float(np.sqrt((seg * seg).sum() / len(seg))), 6))
+            yield pd.DataFrame(
+                {"media_id": ids, "window_id": wids, "n_samples": ns, "rms": rms}
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, out_schema)

@@ -132,3 +132,35 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_frames"))
         .filter(F.col("shared_frames") >= MIN_SHARED)
     )
+
+
+RMS_WINDOW = 64
+
+AUDIO_RMS_ORACLE = f"""
+WITH apos AS (
+  SELECT doc_id AS media_id, text,
+         unnest(generate_series(1, length(text))) AS i
+  FROM documents
+),
+acode AS (
+  SELECT media_id, (i - 1) // {RMS_WINDOW} AS window_id,
+         ascii(substr(text, i, 1)) AS c
+  FROM apos
+)
+SELECT media_id, window_id,
+       count(*)::INT AS n_samples,
+       round(sqrt(sum(c * c) / count(*)::DOUBLE), 6) AS rms
+FROM acode
+GROUP BY media_id, window_id
+"""
+
+
+@register("mm_audio_rms", oracle=AUDIO_RMS_ORACLE)
+def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window PCM RMS energy over the media-lifted corpus (payload
+    bytes as 8-bit samples). The oracle replays the byte values via
+    ascii() — sums of squares are exact integers, so the hash gate is
+    exact, not approximate."""
+    docs = load_table(spark, sf_dir, "documents")
+    media = M.documents_as_media(docs)
+    return M.audio_rms_windows(media, window=RMS_WINDOW)

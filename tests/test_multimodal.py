@@ -79,3 +79,19 @@ def test_counts_match_payload_len(media):
     joined = feats.join(media.select("media_id", F.length("payload").alias("n")), "media_id")
     for r in joined.collect():
         assert int(sum(r["features"])) == r["n"]
+
+
+def test_audio_rms_windows_exact_values(spark):
+    """Known byte payloads: constant signal's RMS equals the value;
+    the tail window is short and averaged over its own length."""
+    from actyxos_data_flow_spark.operators.multimodal import audio_rms_windows
+
+    media = spark.createDataFrame(
+        [(1, bytes([10] * 4 + [20] * 2))], "media_id long, payload binary"
+    )
+    got = {
+        (r.media_id, r.window_id): (r.n_samples, r.rms)
+        for r in audio_rms_windows(media, window=4).collect()
+    }
+    assert got[(1, 0)] == (4, 10.0)
+    assert got[(1, 1)] == (2, 20.0)
