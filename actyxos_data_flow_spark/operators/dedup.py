@@ -293,11 +293,19 @@ def connected_components(
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
     )
+    # edges drive every round — cache once; labels re-cache per round so
+    # round i+1 reads round i's RESULT, not its recursively-deepening
+    # lineage (without this, round n re-executes all n-1 prior joins —
+    # the count() below already materializes each round, so the persist
+    # is pure win; at cluster scale swap persist for checkpoint to also
+    # bound the plan string)
+    edges = edges.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    prev_cached = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -311,11 +319,19 @@ def connected_components(
                 "label",
                 F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias("_new"),
             )
-        )
-        changed = updated.filter(F.col("_new") < F.col("label")).count()
+        ).persist()
+        changed = updated.filter(F.col("_new") < F.col("label")).count()  # materializes the round
+        if prev_cached is not None:
+            prev_cached.unpersist()
+        prev_cached = updated
         labels = updated.select("node", F.col("_new").alias("label"))
         if changed == 0:
             break
+    edges.unpersist()
+    # The final round's table STAYS cached: the returned DataFrame reads
+    # it instead of replaying the whole iteration history. Callers that
+    # hold the result long-term can df.unpersist() it; otherwise Spark's
+    # LRU reclaims it (and lineage fallback keeps it correct).
     return labels.select(F.col("node"), F.col("label").alias("component"))
 
 
