@@ -360,15 +360,24 @@ def decontaminate(
     the shingle hash). No cross product anywhere.
     """
     tr_sh = shingles(train, id_col, text_col, n)
-    ev_sh = shingles(eval_docs, id_col, text_col, n).select("shingle").distinct()
+    ev_sh = shingles(eval_docs, id_col, text_col, n).select("shingle").distinct().withColumn(
+        "_hit", F.lit(1)
+    )
     if broadcast_eval:
         ev_sh = F.broadcast(ev_sh)
-    totals = tr_sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_shingles"))
-    matched = tr_sh.join(ev_sh, "shingle").groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matched"))
-    return totals.join(matched, id_col, "left").select(
+    # ONE pass over the train shingles: the broadcast left join marks
+    # eval hits in-flight, and a single hash aggregate yields both the
+    # total and the matched count (the totals-join-matched formulation
+    # would scan + shuffle the corpus shingles twice)
+    marked = tr_sh.join(ev_sh, "shingle", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_matched"),
+    )
+    return agg.select(
         id_col,
         "n_shingles",
-        F.coalesce("n_matched", F.lit(0)).alias("n_matched"),
-        F.round(F.coalesce("n_matched", F.lit(0)) / F.col("n_shingles"), 6).alias("overlap_ratio"),
-        (F.coalesce("n_matched", F.lit(0)) >= min_overlap).alias("contaminated"),
+        "n_matched",
+        F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias("overlap_ratio"),
+        (F.col("n_matched") >= min_overlap).alias("contaminated"),
     )
