@@ -110,7 +110,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     reps = kept.join(
         exact.select(F.col("representative").alias("doc_id"), "n_copies"), "doc_id"
     )
-    sh = D.shingles(reps)
+    # the shingle set feeds signatures AND both sides of the Jaccard
+    # verification — persist it so the quality→dedup prefix runs once,
+    # not three times (Spark's CacheManager matches the logical plan, so
+    # pipeline_training_batches reuses this cache too; at 100 TB this
+    # intermediate becomes a materialized table between stages)
+    sh = D.shingles(reps).persist()
     sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
     cand = D.lsh_candidate_pairs(
         sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
