@@ -591,3 +591,43 @@ def sketch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# -- semi-structured extraction: JSON props ---------------------------------
+
+JSON_PROPS_ORACLE = """
+WITH jx AS (
+  SELECT event_type, CAST(props->>'$.k' AS INT) AS k FROM events
+)
+SELECT event_type,
+       count(*) AS n,
+       count(k) AS n_with_k,
+       CAST(sum(CAST(k AS DECIMAL(18,0))) AS DOUBLE) AS sum_k,
+       min(k) AS min_k,
+       max(k) AS max_k
+FROM jx
+GROUP BY event_type
+"""
+
+
+@register("json_props_stats", oracle=JSON_PROPS_ORACLE)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured path: parse the events' JSON ``props`` payload
+    in-flight (from_json with an explicit schema — a codegen'd JVM
+    parse, no Python) and aggregate the extracted field per event type.
+    Missing/malformed props become NULLs that count(k) excludes — the
+    schema-on-read contract. Scale: parse + aggregate in one pass, no
+    shuffle beyond the 1-key agg."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.from_json(F.col("props"), "k INT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum(F.col("k").cast("decimal(18,0)")).cast("double").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )

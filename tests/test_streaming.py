@@ -530,3 +530,19 @@ def test_run_ingest_stream_two_files_resume(spark, tmp_path):
     from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
 
     assert CorpusIngestor(spark, str(tmp_path / "corpus")).corpus().count() == 2
+
+
+def test_corpus_ingestor_survives_null_and_empty_text(spark, tmp_path):
+    """Null/empty text rows are gated (quality undefined => dropped),
+    never crash the batch, and the counts stay truthful."""
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.4)
+    good = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
+    b = spark.createDataFrame(
+        [(1, good, "en", "s"), (2, None, "en", "s"), (3, "", "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    s = ing.ingest_batch(b)
+    assert s["arrived"] == 3 and s["accepted"] == 1
+    assert [r.doc_id for r in ing.corpus().collect()] == [1]
