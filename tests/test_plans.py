@@ -225,3 +225,13 @@ def test_q2_argmax_is_hash_aggregate_not_window(spark, registry):
     no Window operator anywhere in the plan."""
     plan = _plan(registry["q2_best_supplier"].fn(spark, SF))
     assert "Window" not in plan and "max_by" in plan
+
+
+def test_q9_q11_broadcast_dims_no_cartesian_fact_join(spark, registry):
+    """q9: all dims broadcast, lineitem⋈orders is the only fact-fact
+    exchange. q11: the scalar total joins back as a broadcast nested
+    loop over ONE row — never a cartesian over data."""
+    p9 = _plan(registry["q9_product_profit"].fn(spark, SF))
+    assert "BroadcastHashJoin" in p9 and "CartesianProduct" not in p9
+    p11 = _plan(registry["q11_important_stock"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in p11 and "CartesianProduct" not in p11
