@@ -381,3 +381,43 @@ def decontaminate(
         F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias("overlap_ratio"),
         (F.col("n_matched") >= min_overlap).alias("contaminated"),
     )
+
+
+def containment_on_pairs(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Asymmetric containment for given (id_a, id_b) pairs:
+    |A∩B| / |A| and |A∩B| / |B| — the measure that catches a short
+    document QUOTED INSIDE a long one, which symmetric Jaccard dilutes
+    below any threshold (∩/|A∪B| → 0 as |B| grows while ∩/|A| stays 1).
+    The max of the two is the dedup signal.
+
+    All-integer arithmetic until the final division — the scores are
+    exact, engine-portable rationals. Same inverted-index shape (and
+    broadcast economics) as :func:`jaccard_on_pairs`."""
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        F.broadcast(pairs)
+        .join(sa, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    c_a = F.round(F.col("inter") / F.col("na"), 6)
+    c_b = F.round(F.col("inter") / F.col("nb"), 6)
+    return (
+        inter.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("inter"),
+            c_a.alias("containment_a"),
+            c_b.alias("containment_b"),
+            F.greatest(c_a, c_b).alias("containment"),
+        )
+    )

@@ -399,3 +399,58 @@ def decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("source") != EVAL_SOURCE)
     ev = docs.filter(F.col("source") == EVAL_SOURCE)
     return D.decontaminate(train, ev, min_overlap=DECON_MIN_OVERLAP)
+
+
+# -- containment (asymmetric near-dup) -------------------------------------
+
+CONTAIN_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+pieces AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS p1,
+         ('0x' || substr(md5(shingle), 17, 15))::BIGINT AS p2
+  FROM sh
+),
+sig AS (
+  SELECT doc_id,
+         {", ".join(f"min(p1 + {s} * p2) AS h{s}" for s in range(NUM_HASHES))}
+  FROM pieces GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band, b.s1, b.s2
+  FROM sig, LATERAL (VALUES {_band_rows}) AS b(band, s1, s2)
+),
+cpair AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2
+  WHERE a.doc_id < b.doc_id
+),
+csizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+cinter AS (
+  SELECT c.id_a, c.id_b, count(*) AS inter
+  FROM cpair c
+  JOIN sh a ON a.doc_id = c.id_a
+  JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.inter,
+       round(i.inter / sa.n::DOUBLE, 6) AS containment_a,
+       round(i.inter / sb.n::DOUBLE, 6) AS containment_b,
+       greatest(round(i.inter / sa.n::DOUBLE, 6), round(i.inter / sb.n::DOUBLE, 6)) AS containment
+FROM cinter i
+JOIN csizes sa ON i.id_a = sa.doc_id
+JOIN csizes sb ON i.id_b = sb.doc_id
+"""
+
+
+@register("dedup_containment", oracle=CONTAIN_ORACLE)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scores on the LSH candidate pairs —
+    catches short-inside-long duplication that symmetric Jaccard
+    dilutes; exact integer intersections, same broadcast inverted-index
+    shape as the Jaccard verifier."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    sig = D.minhash_signatures(sh)
+    cand = D.lsh_candidate_pairs(sig)
+    return D.containment_on_pairs(cand, sh)

@@ -293,11 +293,12 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- Q14-shape: promotion effect (conditional aggregate over a join) -------
 
 Q14_ORACLE = """
-SELECT CAST(100.00 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
+SELECT round(
+         CAST(100 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
                               THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
                               ELSE 0 END) AS DOUBLE)
-       / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-       AS promo_revenue
+         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
+         6) AS promo_revenue
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-10-01'
 """
@@ -314,11 +315,15 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    # the 100x stays in DECIMAL (exact) and the division is the single
+    # double op, rounded to 6 — an unrounded ratio drifted a last-ulp
+    # from the oracle at sf0.001 (different multiply/divide association)
     return joined.agg(
-        (
-            F.lit(100.00)
-            * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))).cast("double")
-            / F.sum(rev).cast("double")
+        F.round(
+            (F.lit(100) * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))))
+            .cast("double")
+            / F.sum(rev).cast("double"),
+            6,
         ).alias("promo_revenue")
     )
 

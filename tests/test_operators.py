@@ -413,3 +413,19 @@ def test_kmeans_empty_cell_keeps_previous_centroid(spark):
     cent, assign = S.kmeans_fit(emb, k=2, iters=2)
     assert cent.count() == 2
     assert assign.count() == 4
+
+
+def test_containment_catches_short_inside_long(spark):
+    """Doc 2 is a verbatim span of doc 1 plus nothing else: containment_b
+    = 1.0 even though Jaccard is diluted by doc 1's extra length."""
+    long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    short = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [(1, long.strip()), (2, short)], "doc_id long, text string"
+    )
+    sh = D.shingles(df)
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    got = D.containment_on_pairs(pairs, sh).collect()[0]
+    assert got.containment_b == 1.0 and got.containment == 1.0
+    jac = D.jaccard_on_pairs(pairs, sh).collect()[0].jaccard
+    assert jac < 0.5  # symmetric measure dilutes the duplication signal
