@@ -421,3 +421,50 @@ def containment_on_pairs(
             F.greatest(c_a, c_b).alias("containment"),
         )
     )
+
+
+def tfidf_cosine_on_pairs(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Rarity-weighted similarity for given (id_a, id_b) pairs: binary-tf
+    TF-IDF cosine over the shingle sets. Shared BOILERPLATE shingles
+    (high document frequency → idf ≈ min) contribute almost nothing,
+    so two docs sharing only a common header score near 0 where raw
+    Jaccard would flag them — the complement of containment's recall.
+
+    idf = round(ln((N+1)/(df+1)) + 1, 6) — smooth, strictly positive,
+    and ROUNDED BEFORE use: engines' ln() may differ in the last ulp,
+    rounding pins the weight so downstream sums agree. N = count of
+    docs with shingles (computed from ``sh``, same on both sides).
+
+    Scale shape: df is one (shingle) aggregate over the inverted index;
+    norms one (doc) aggregate; the pair scoring joins the broadcast
+    candidates onto the weighted index — identical economics to
+    jaccard_on_pairs, plus two map-side-combined aggregates."""
+    n_docs = sh.select(id_col).distinct().count()
+    w = F.round(F.log((F.lit(float(n_docs + 1))) / (F.col("df") + 1)) + 1, 6)
+    weighted = (
+        sh.join(sh.groupBy("shingle").agg(F.countDistinct(id_col).alias("df")), "shingle")
+        .select(id_col, "shingle", w.alias("w"))
+    )
+    norms = weighted.groupBy(id_col).agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm"))
+    wa = weighted.select(F.col(id_col).alias("id_a"), "shingle", F.col("w").alias("wa"))
+    wb = weighted.select(F.col(id_col).alias("id_b"), "shingle", F.col("w").alias("wb"))
+    dots = (
+        F.broadcast(pairs)
+        .join(wa, "id_a")
+        .join(wb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("na"))
+    nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("nb"))
+    return (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("tfidf_cosine"),
+        )
+    )

@@ -454,3 +454,62 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(sh)
     cand = D.lsh_candidate_pairs(sig)
     return D.containment_on_pairs(cand, sh)
+
+
+# -- TF-IDF weighted similarity --------------------------------------------
+
+TFIDF_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+tpieces AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS p1,
+         ('0x' || substr(md5(shingle), 17, 15))::BIGINT AS p2
+  FROM sh
+),
+tsig AS (
+  SELECT doc_id,
+         {", ".join(f"min(p1 + {s} * p2) AS h{s}" for s in range(NUM_HASHES))}
+  FROM tpieces GROUP BY doc_id
+),
+tbands AS (
+  SELECT doc_id, b.band, b.s1, b.s2
+  FROM tsig, LATERAL (VALUES {_band_rows}) AS b(band, s1, s2)
+),
+tpair AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM tbands a JOIN tbands b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2
+  WHERE a.doc_id < b.doc_id
+),
+tn AS (SELECT count(DISTINCT doc_id) AS n FROM sh),
+tdf AS (SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY shingle),
+tw AS (
+  SELECT s.doc_id, s.shingle, round(ln((tn.n + 1)::DOUBLE / (d.df + 1)) + 1, 6) AS w
+  FROM sh s JOIN tdf d ON d.shingle = s.shingle, tn
+),
+tnorm AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM tw GROUP BY doc_id),
+tdot AS (
+  SELECT p.id_a, p.id_b, sum(a.w * b.w) AS dot
+  FROM tpair p
+  JOIN tw a ON a.doc_id = p.id_a
+  JOIN tw b ON b.doc_id = p.id_b AND b.shingle = a.shingle
+  GROUP BY p.id_a, p.id_b
+)
+SELECT d.id_a, d.id_b,
+       round(d.dot / (na.norm * nb.norm), 6) AS tfidf_cosine
+FROM tdot d
+JOIN tnorm na ON na.doc_id = d.id_a
+JOIN tnorm nb ON nb.doc_id = d.id_b
+"""
+
+
+@register("dedup_tfidf_cosine", oracle=TFIDF_ORACLE)
+def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted cosine on the LSH candidate pairs: boilerplate
+    shingles (high df) stop inflating similarity — the precision
+    complement to containment's recall. idf rounds to 6 before use so
+    both engines' ln() agree."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    sig = D.minhash_signatures(sh)
+    cand = D.lsh_candidate_pairs(sig)
+    return D.tfidf_cosine_on_pairs(cand, sh)

@@ -429,3 +429,23 @@ def test_containment_catches_short_inside_long(spark):
     assert got.containment_b == 1.0 and got.containment == 1.0
     jac = D.jaccard_on_pairs(pairs, sh).collect()[0].jaccard
     assert jac < 0.5  # symmetric measure dilutes the duplication signal
+
+
+def test_tfidf_discounts_boilerplate_overlap(spark):
+    """Docs 1/2 share only a boilerplate header that EVERY doc carries
+    (df = N → idf = min); docs 3/4 share a rare phrase. The rare-phrase
+    pair must score far higher than the boilerplate pair."""
+    header = "standard corporate disclaimer header text"
+    df = spark.createDataFrame(
+        [
+            (1, header + " apples oranges pears"),
+            (2, header + " cars trucks planes"),
+            (3, header + " unique quantum flux capacitor theory x y z"),
+            (4, header + " unique quantum flux capacitor theory p q r"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = D.shingles(df)
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
+    got = {(r.id_a, r.id_b): r.tfidf_cosine for r in D.tfidf_cosine_on_pairs(pairs, sh).collect()}
+    assert got[(3, 4)] > 2 * got[(1, 2)]
