@@ -353,3 +353,37 @@ def pack_sequences(
         F.floor(start / budget).alias("bin_id"),
         (start % budget).alias("bin_offset"),
     )
+
+
+def sample_exact_k(
+    df: DataFrame,
+    strata_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "ksample:1",
+) -> DataFrame:
+    """Exact-size deterministic sample: the k rows with the smallest
+    salted id-hash per stratum — a fixed BUDGET per class (eval-set
+    carve-outs, per-language pilot corpora), where stratified_sample's
+    fractions give only an expected size. No RNG: re-runs, engines, and
+    topologies pick the identical rows, and growing the corpus only
+    swaps rows in/out by hash rank (stable carve-outs under append).
+
+    Scale shape: one exchange on the stratum key + per-stratum TOP-K
+    rank. Strata are classes (languages/sources) — if one stratum is
+    the whole corpus, use the two-phase salted top-k in operators/skew
+    instead (same contract, pre-aggregated per salt shard)."""
+    from pyspark.sql import Window
+
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(F.col("_h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_h", h)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_h", "_rk")
+    )

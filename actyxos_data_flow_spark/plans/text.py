@@ -361,3 +361,32 @@ def pack_training_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
     )
     return X.pack_sequences(sized, budget=PACK_BUDGET)
+
+
+# -- exact-k stratified sampling --------------------------------------------
+
+_KSALT = "ksample:1"
+K_PER_LANG = 20
+
+EXACT_K_ORACLE = f"""
+WITH kh AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('{_KSALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM documents
+),
+kr AS (
+  SELECT doc_id, lang,
+         row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+  FROM kh
+)
+SELECT doc_id, lang FROM kr WHERE rk <= {K_PER_LANG}
+"""
+
+
+@register("sample_exact_k_per_lang", oracle=EXACT_K_ORACLE)
+def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed 20-doc budget per language, picked by salted hash rank —
+    the exact-size counterpart of sample_stratified_docs (stable under
+    corpus growth, identical across engines)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return X.sample_exact_k(docs, "lang", K_PER_LANG)

@@ -449,3 +449,21 @@ def test_tfidf_discounts_boilerplate_overlap(spark):
     pairs = spark.createDataFrame([(1, 2), (3, 4)], "id_a long, id_b long")
     got = {(r.id_a, r.id_b): r.tfidf_cosine for r in D.tfidf_cosine_on_pairs(pairs, sh).collect()}
     assert got[(3, 4)] > 2 * got[(1, 2)]
+
+
+def test_sample_exact_k_budget_and_stability(spark):
+    """Exactly k per stratum; the carve-out is stable under corpus
+    growth (original members only swap out if a new id hashes lower)."""
+    base = [(i, "en" if i % 2 else "de") for i in range(100)]
+    df = spark.createDataFrame(base, "doc_id long, lang string")
+    got = X.sample_exact_k(df, "lang", 5).collect()
+    by_lang = {}
+    for r in got:
+        by_lang.setdefault(r.lang, set()).add(r.doc_id)
+    assert len(by_lang["en"]) == 5 and len(by_lang["de"]) == 5
+    # append more rows: each stratum still has exactly 5; the union of
+    # old and new picks can only shrink the old set, never reshuffle it
+    bigger = spark.createDataFrame(base + [(i, "en") for i in range(100, 140)], "doc_id long, lang string")
+    got2 = {r.doc_id for r in X.sample_exact_k(bigger, "lang", 5).collect() if r.lang == "en"}
+    assert len(got2) == 5
+    assert got2 <= by_lang["en"] | set(range(100, 140))
