@@ -98,3 +98,32 @@ def save_partitioned(
     by (date, source, language), sort by what you range-scan."""
     w = df.sortWithinPartitions(*sort_cols) if sort_cols else df
     w.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def compact_write(
+    df: DataFrame,
+    path: str,
+    target_rows_per_file: int,
+    mode: str = "overwrite",
+    exact: bool = False,
+) -> None:
+    """Small-files compaction: rewrite ``df`` as parquet with bounded,
+    near-uniform file sizes. Streaming ingestion (micro-batch appends,
+    per-partition task outputs) accretes thousands of small files whose
+    open/footer costs eventually dominate scans — periodic compaction is
+    the standard maintenance pass.
+
+    Default path is declarative and shuffle-free: ``maxRecordsPerFile``
+    caps file size at write and AQE coalescing merges tiny tasks —
+    Catalyst plans it, no count() job. ``exact=True`` adds one count()
+    and a round-robin ``repartition`` to hit the file-count target even
+    for pathologically skewed inputs (costs a full shuffle — use for
+    the periodic compactor, not the hot path)."""
+    if exact:
+        n = max(1, -(-df.count() // target_rows_per_file))
+        df = df.repartition(n)
+    (
+        df.write.mode(mode)
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )

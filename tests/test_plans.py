@@ -235,3 +235,24 @@ def test_q9_q11_broadcast_dims_no_cartesian_fact_join(spark, registry):
     assert "BroadcastHashJoin" in p9 and "CartesianProduct" not in p9
     p11 = _plan(registry["q11_important_stock"].fn(spark, SF))
     assert "BroadcastNestedLoopJoin" in p11 and "CartesianProduct" not in p11
+
+
+def test_compact_write_bounds_file_sizes(spark, tmp_path):
+    """10k rows at 1500 rows/file: no parquet file exceeds the cap, and
+    exact mode hits ceil(10000/1500) = 7 data files."""
+    import glob
+
+    from actyxos_data_flow_spark.sources.tables import compact_write
+
+    df = spark.range(10_000).selectExpr("id", "id % 7 AS k")
+    p1 = str(tmp_path / "loose")
+    compact_write(df, p1, 1500)
+    for f in glob.glob(p1 + "/*.parquet"):
+        import pyarrow.parquet as pq
+
+        assert pq.read_metadata(f).num_rows <= 1500
+    p2 = str(tmp_path / "exact")
+    compact_write(df, p2, 1500, exact=True)
+    files = glob.glob(p2 + "/*.parquet")
+    assert len(files) == 7
+    assert spark.read.parquet(p2).count() == 10_000
