@@ -133,3 +133,37 @@ def run_ingest_stream(
     )
     q.awaitTermination()
     return stats
+
+
+def run_ingest_live(
+    spark: SparkSession,
+    src_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string",
+    quality_min: float = 0.5,
+    tick: str = "1 second",
+    on_batch=None,
+):
+    """Live ingest: same per-batch commit protocol as
+    :func:`run_ingest_stream` but on a ``processingTime`` tick — files
+    landing while the query runs are gated/deduped/appended within a
+    tick (the corpus front door's steady state; the reference's live
+    phase, src/runner.rs:322-355, for documents). Returns the running
+    StreamingQuery — caller stops it. Restarting with the same
+    checkpoint resumes; the digest index makes replays idempotent."""
+    ing = CorpusIngestor(spark, corpus_dir, quality_min=quality_min)
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        stats = ing.ingest_batch(batch_df)
+        if on_batch is not None:
+            on_batch(stats)
+
+    return (
+        spark.readStream.schema(schema)
+        .json(src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(processingTime=tick)
+        .start()
+    )

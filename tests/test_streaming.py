@@ -546,3 +546,45 @@ def test_corpus_ingestor_survives_null_and_empty_text(spark, tmp_path):
     s = ing.ingest_batch(b)
     assert s["arrived"] == 3 and s["accepted"] == 1
     assert [r.doc_id for r in ing.corpus().collect()] == [1]
+
+
+def test_run_ingest_live_picks_up_new_files_on_tick(spark, tmp_path):
+    """Live phase: a file landing AFTER the query starts is ingested on
+    a later tick; its duplicate of batch-1 content is index-blocked."""
+    import json as _json
+    import time
+
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor, run_ingest_live
+
+    src = tmp_path / "src"
+    src.mkdir()
+    good_a = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
+    good_b = "a completely different story about ships and the open sea with many fine words in it today"
+    (src / "f1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": good_a, "lang": "en", "source": "s"})
+    )
+    seen = []
+    q = run_ingest_live(
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        quality_min=0.4, on_batch=seen.append,
+    )
+    try:
+        deadline = time.time() + 30
+        while sum(s["accepted"] for s in seen) < 1 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "f2.jsonl").write_text(
+            "\n".join(
+                _json.dumps(d)
+                for d in [
+                    {"doc_id": 2, "text": good_a, "lang": "en", "source": "s"},
+                    {"doc_id": 3, "text": good_b, "lang": "en", "source": "s"},
+                ]
+            )
+        )
+        while sum(s["arrived"] for s in seen) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert sum(s["accepted"] for s in seen) == 2  # dup of good_a blocked live
+    corpus = CorpusIngestor(spark, str(tmp_path / "corpus")).corpus()
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]
