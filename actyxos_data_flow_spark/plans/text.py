@@ -390,3 +390,53 @@ def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus growth, identical across engines)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     return X.sample_exact_k(docs, "lang", K_PER_LANG)
+
+
+# -- corpus health report ----------------------------------------------------
+
+HEALTH_ORACLE = f"""
+WITH hq AS ({QUALITY_ORACLE}),
+hd AS (
+  SELECT d.source, d.doc_id, d.n_chars, md5(d.text) AS digest, q.quality
+  FROM documents d JOIN hq q ON q.doc_id = d.doc_id
+),
+hdup AS (
+  SELECT digest, count(*) AS copies FROM hd GROUP BY digest
+)
+SELECT h.source,
+       count(*) AS n_docs,
+       CAST(sum(h.n_chars) AS BIGINT) AS total_chars,
+       round(CAST(sum(CAST(h.quality AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS mean_quality,
+       count(DISTINCT h.digest) AS n_unique,
+       round((count(*) - count(DISTINCT h.digest)) / count(*)::DOUBLE, 6) AS dup_rate
+FROM hd h
+GROUP BY h.source
+"""
+
+
+@register("corpus_health_by_source", oracle=HEALTH_ORACLE)
+def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus health: volume, decimal-exact mean quality,
+    and exact-dup rate — the monitoring rollup a continuous ingestion
+    pipeline alerts on. One scan feeds the quality projection and the
+    digest; a single hash aggregate per source (count-distinct expands
+    once; at 100 TB swap for approx_count_distinct as in the profiler)."""
+    docs = load_table(spark, sf_dir, "documents")
+    q = X.quality_score(docs).select("doc_id", "quality")
+    hd = docs.join(q, "doc_id").select(
+        "source",
+        "n_chars",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        "quality",
+    )
+    return hd.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        F.round(
+            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_quality"),
+        F.countDistinct("digest").alias("n_unique"),
+        F.round(
+            (F.count(F.lit(1)) - F.countDistinct("digest")) / F.count(F.lit(1)).cast("double"), 6
+        ).alias("dup_rate"),
+    )
