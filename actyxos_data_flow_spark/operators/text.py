@@ -387,3 +387,55 @@ def sample_exact_k(
         .filter(F.col("_rk") <= k)
         .drop("_h", "_rk")
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """Phrase mining by pointwise mutual information: for every adjacent
+    token bigram, PMI = ln(P(xy) / (P(x)P(y))) — high-PMI bigrams are
+    collocations ("new york"-style units) worth fusing before tokenizer
+    training; frequent-but-independent pairs score near 0, and the
+    ``min_count`` support floor drops one-off noise.
+
+    PMI rounds to 6 (engines' ln may differ a last ulp) and counts are
+    exact integers, so results are engine-portable.
+
+    Scale shape: two explode + hash-aggregate passes over the corpus
+    (unigrams, bigrams — both map-side combined), then the bigram table
+    joins the tiny unigram-count table twice; at web scale the unigram
+    side still fits broadcast (vocabulary ≪ corpus)."""
+    toks = with_tokens(df, text_col).select("tokens")
+    uni = (
+        toks.select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tokens) - 1),"
+                    " i -> struct(element_at(tokens, i) AS x, element_at(tokens, i + 1) AS y))"
+                )
+            ).alias("b")
+        )
+        .select("b.x", "b.y")
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cxy"))
+        .filter(F.col("cxy") >= min_count)
+    )
+    n_uni = uni.agg(F.sum("c").alias("_n")).collect()[0]["_n"]
+    n_bi_total = float(max(n_uni - 1, 1))  # bigram population ~ N per doc-aware? kept simple: N
+    cx = F.broadcast(uni.select(F.col("w").alias("x"), F.col("c").alias("cx")))
+    cy = F.broadcast(uni.select(F.col("w").alias("y"), F.col("c").alias("cy")))
+    pmi = F.round(
+        F.log(
+            (F.col("cxy").cast("double") * F.lit(float(n_uni)) * F.lit(float(n_uni)))
+            / (F.lit(n_bi_total) * F.col("cx").cast("double") * F.col("cy").cast("double"))
+        ),
+        6,
+    )
+    return bi.join(cx, "x").join(cy, "y").select("x", "y", "cxy", "cx", "cy", pmi.alias("pmi"))

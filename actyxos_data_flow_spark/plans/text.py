@@ -440,3 +440,39 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.countDistinct("digest")) / F.count(F.lit(1)).cast("double"), 6
         ).alias("dup_rate"),
     )
+
+
+# -- PMI collocations --------------------------------------------------------
+
+PMI_MIN_COUNT = 5
+
+PMI_ORACLE = f"""
+WITH ptok AS (SELECT string_split(text, ' ') AS tokens FROM documents),
+puni AS (
+  SELECT unnest(tokens) AS w FROM ptok
+),
+pun AS (SELECT w, count(*) AS c FROM puni GROUP BY w),
+pn AS (SELECT sum(c) AS n FROM pun),
+pbi AS (
+  SELECT unnest(list_transform(generate_series(1, len(tokens) - 1),
+                               i -> struct_pack(x := tokens[i], y := tokens[i + 1]))) AS b
+  FROM ptok
+),
+pbc AS (
+  SELECT b.x AS x, b.y AS y, count(*) AS cxy FROM pbi GROUP BY b.x, b.y
+  HAVING count(*) >= {PMI_MIN_COUNT}
+)
+SELECT b.x, b.y, b.cxy, ux.c AS cx, uy.c AS cy,
+       round(ln((b.cxy::DOUBLE * pn.n::DOUBLE * pn.n::DOUBLE)
+                / ((pn.n - 1)::DOUBLE * ux.c::DOUBLE * uy.c::DOUBLE)), 6) AS pmi
+FROM pbc b
+JOIN pun ux ON ux.w = b.x
+JOIN pun uy ON uy.w = b.y, pn
+"""
+
+
+@register("text_pmi_collocations", oracle=PMI_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide PMI collocation mining (support >= 5) — the phrase
+    detector run before tokenizer/vocab training."""
+    return X.pmi_collocations(load_table(spark, sf_dir, "documents"), min_count=PMI_MIN_COUNT)

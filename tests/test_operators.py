@@ -467,3 +467,15 @@ def test_sample_exact_k_budget_and_stability(spark):
     got2 = {r.doc_id for r in X.sample_exact_k(bigger, "lang", 5).collect() if r.lang == "en"}
     assert len(got2) == 5
     assert got2 <= by_lang["en"] | set(range(100, 140))
+
+
+def test_pmi_ranks_collocation_above_filler(spark):
+    """'new york' (always adjacent) must out-score 'a a' (frequent but
+    independent filler); pairs under min_count drop."""
+    df = spark.createDataFrame(
+        [(i, "new york is big and new york is busy while a a a a fills space") for i in range(3)],
+        "doc_id long, text string",
+    )
+    got = {(r.x, r.y): r.pmi for r in X.pmi_collocations(df, min_count=3).collect()}
+    assert got[("new", "york")] > got[("a", "a")]
+    assert ("space", "new") not in got  # bigrams never cross doc boundaries
