@@ -439,3 +439,37 @@ def pmi_collocations(
         6,
     )
     return bi.join(cx, "x").join(cy, "y").select("x", "y", "cxy", "cx", "cy", pmi.alias("pmi"))
+
+
+def lm_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality proxy: train a unigram LM on
+    the corpus itself (add-one smoothed), score each document by its
+    mean token log-probability. Documents far below the corpus norm
+    (gibberish, wrong-language, boilerplate soups) score low — the
+    classic perplexity-bucket filter with the n-gram model standing in
+    for KenLM (swap the probability table; the plan is unchanged).
+
+    Per-token log-probs round to 6 before the per-doc mean (ln() ulp
+    portability, as in TF-IDF/PMI); the mean itself is decimal-exact
+    over the rounded values, so hashes match at any parallelism.
+
+    Scale shape: one explode+aggregate builds the vocab table (map-side
+    combined); scoring joins tokens to the broadcast vocab and
+    re-aggregates per doc — two shuffles total, both narrow."""
+    toks = with_tokens(df, text_col).select(id_col, F.explode("tokens").alias("w"))
+    vocab = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_v")).collect()[0]
+    n, v = int(totals["_n"]), int(totals["_v"])
+    logp = F.round(
+        F.log((F.col("c").cast("double") + 1) / F.lit(float(n + v))), 6
+    )
+    scored = toks.join(F.broadcast(vocab.select("w", logp.alias("_lp"))), "w")
+    d = F.col("_lp").cast("decimal(12,6)")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.sum(d).cast("double") / F.count(F.lit(1)), 6).alias("mean_logp"),
+    )

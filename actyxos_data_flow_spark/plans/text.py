@@ -476,3 +476,30 @@ def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide PMI collocation mining (support >= 5) — the phrase
     detector run before tokenizer/vocab training."""
     return X.pmi_collocations(load_table(spark, sf_dir, "documents"), min_count=PMI_MIN_COUNT)
+
+
+# -- unigram-LM quality proxy ------------------------------------------------
+
+LM_ORACLE = """
+WITH ltok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+lvoc AS (SELECT w, count(*) AS c FROM ltok GROUP BY w),
+ltot AS (SELECT sum(c) AS n, count(*) AS v FROM lvoc),
+llp AS (
+  SELECT lvoc.w, round(ln((lvoc.c::DOUBLE + 1) / (ltot.n + ltot.v)::DOUBLE), 6) AS lp
+  FROM lvoc, ltot
+)
+SELECT t.doc_id,
+       count(*) AS n_tokens,
+       round(CAST(sum(CAST(l.lp AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS mean_logp
+FROM ltok t JOIN llp l ON l.w = t.w
+GROUP BY t.doc_id
+"""
+
+
+@register("text_lm_score", oracle=LM_ORACLE)
+def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram-LM mean log-prob per document — the
+    perplexity-style quality filter (low scorers are off-distribution)."""
+    return X.lm_score(load_table(spark, sf_dir, "documents"))

@@ -479,3 +479,20 @@ def test_pmi_ranks_collocation_above_filler(spark):
     got = {(r.x, r.y): r.pmi for r in X.pmi_collocations(df, min_count=3).collect()}
     assert got[("new", "york")] > got[("a", "a")]
     assert ("space", "new") not in got  # bigrams never cross doc boundaries
+
+
+def test_lm_score_flags_off_distribution_doc(spark):
+    """A doc of corpus-frequent tokens scores higher (closer to 0) than
+    a doc of singletons; token counts are exact."""
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat ran to the mat"),
+            (3, "zyx wvu tsr qpo nml kji"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in X.lm_score(df).collect()}
+    assert got[1].n_tokens == 6 and got[3].n_tokens == 6
+    assert got[1].mean_logp > got[3].mean_logp
+    assert got[2].mean_logp > got[3].mean_logp
