@@ -7,3 +7,7 @@ designed for 100 TB inputs (inverted-index joins instead of cross
 products, LSH banding instead of pairwise comparison, broadcast of
 candidate sets, no driver-side loops).
 """
+
+from . import dedup, multimodal, profile, similarity, skew, temporal, text  # noqa: F401, E402
+
+__all__ = ["dedup", "multimodal", "profile", "similarity", "skew", "temporal", "text"]
