@@ -468,3 +468,77 @@ def tfidf_cosine_on_pairs(
             F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias("tfidf_cosine"),
         )
     )
+
+
+def span_occurrences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+) -> DataFrame:
+    """Every ``width``-token span occurrence: (id, start, h) with h =
+    md5 of the span text and 1-based token start. Docs shorter than one
+    span emit nothing. The span *hash* (16 bytes) is what flows into
+    the global count — never the span text — so the shuffle is
+    O(corpus tokens × 16 B) regardless of span width."""
+    toks = tokenize(df, text_col).select(id_col, "tokens", F.size("tokens").alias("_n"))
+    # sequence(1, 0) in Spark would COUNT DOWN ([1, 0]); guard short docs
+    starts = F.when(
+        F.col("_n") >= width, F.expr(f"sequence(1, _n - {width} + 1)")
+    ).otherwise(F.expr("array()"))
+    sp = toks.select(id_col, "tokens", F.explode(starts).alias("s"))
+    h = F.md5(F.expr(f"concat_ws(' ', slice(tokens, s, {width}))").cast("binary"))
+    return sp.select(id_col, "s", h.alias("h"))
+
+
+def mask_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    width: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """ExactSubstr-style dedup (Lee et al., "Deduplicating Training
+    Data Makes Language Models Better"): remove every token covered by
+    a ``width``-token span that occurs ``min_count``+ times in the
+    corpus, keeping the rest of each document intact — the span-level
+    counterpart of document-level MinHash (boilerplate, licenses,
+    templated headers repeat at span granularity while their documents
+    differ).
+
+    Output: (id, clean_text, n_tokens, n_removed). Documents fully
+    covered by duplicated spans survive with ``clean_text = ''`` (the
+    caller decides whether empties are dropped).
+
+    Scale shape — the distributed stand-in for the paper's monolithic
+    suffix array: one explode to span hashes, one map-side-combined
+    count to find hot spans, a semi-join back (hash-only traffic), and
+    a per-doc covered-positions array folded back onto the ORIGINAL
+    row with an indexed array filter — the token payload itself is
+    never shuffled, and per-doc state is bounded by document length.
+    Hot-span skew is bounded: a span occurring millions of times is
+    one counter cell, and coverage stays per-occurrence."""
+    occ = span_occurrences(df, id_col, text_col, width)
+    hot = (
+        occ.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("h")
+    )
+    dup_occ = occ.join(hot, "h", "left_semi")
+    cov = (
+        dup_occ.select(id_col, F.explode(F.expr(f"sequence(s, s + {width} - 1)")).alias("p"))
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("p")).alias("_cov"))
+    )
+    toks = tokenize(df, text_col).select(id_col, "tokens")
+    out = toks.join(cov, id_col, "left")
+    keep = F.filter(
+        "tokens", lambda x, i: ~F.array_contains(F.coalesce(F.col("_cov"), F.expr("array()")), i + 1)
+    )
+    return out.select(
+        id_col,
+        F.array_join(keep, " ").alias("clean_text"),
+        F.size("tokens").alias("n_tokens"),
+        F.when(F.col("_cov").isNull(), F.lit(0)).otherwise(F.size("_cov")).alias("n_removed"),
+    )

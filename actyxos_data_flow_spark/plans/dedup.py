@@ -513,3 +513,59 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(sh)
     cand = D.lsh_candidate_pairs(sig)
     return D.tfidf_cosine_on_pairs(cand, sh)
+
+
+# -- span-level exact dedup (ExactSubstr-style masking) --------------------
+
+SPAN_WIDTH = 8
+SPAN_MIN_COUNT = 2
+
+SPAN_MASK_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n
+  FROM documents
+), sp AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(1, greatest(n - {SPAN_WIDTH} + 1, 0))) AS s
+  FROM t
+), spans AS (
+  SELECT doc_id, s,
+         md5(array_to_string(list_slice(tokens, s, s + {SPAN_WIDTH} - 1), ' ')) AS h
+  FROM sp
+), hot AS (
+  SELECT h FROM spans GROUP BY h HAVING count(*) >= {SPAN_MIN_COUNT}
+), occ AS (
+  SELECT doc_id, s FROM spans JOIN hot USING (h)
+), cov AS (
+  SELECT DISTINCT doc_id, s + j AS p FROM occ, range(0, {SPAN_WIDTH}) r(j)
+), covagg AS (
+  SELECT doc_id, count(*) AS n_removed FROM cov GROUP BY doc_id
+), toks AS (
+  SELECT doc_id, unnest(tokens) AS tok, unnest(generate_series(1, n)) AS p FROM t
+), clean AS (
+  SELECT k.doc_id, string_agg(k.tok, ' ' ORDER BY k.p) AS clean_text
+  FROM toks k LEFT JOIN cov c ON c.doc_id = k.doc_id AND c.p = k.p
+  WHERE c.p IS NULL
+  GROUP BY k.doc_id
+)
+SELECT t.doc_id,
+       coalesce(cl.clean_text, '') AS clean_text,
+       t.n AS n_tokens,
+       coalesce(ca.n_removed, 0) AS n_removed
+FROM t
+LEFT JOIN clean cl USING (doc_id)
+LEFT JOIN covagg ca USING (doc_id)
+"""
+
+
+@register("dedup_span_mask", oracle=SPAN_MASK_ORACLE)
+def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup: tokens covered by any 8-token span that
+    repeats corpus-wide are removed in place (clean_text keeps the
+    rest); the distributed counterpart of suffix-array ExactSubstr
+    dedup, complementing document-level MinHash."""
+    docs = load_table(spark, sf_dir, "documents")
+    return D.mask_duplicate_spans(
+        docs, width=SPAN_WIDTH, min_count=SPAN_MIN_COUNT
+    )

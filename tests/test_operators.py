@@ -496,3 +496,33 @@ def test_lm_score_flags_off_distribution_doc(spark):
     assert got[1].n_tokens == 6 and got[3].n_tokens == 6
     assert got[1].mean_logp > got[3].mean_logp
     assert got[2].mean_logp > got[3].mean_logp
+
+
+def test_mask_duplicate_spans(spark):
+    # spans of width 3; "a b c d" appears in docs 1 and 2 → spans
+    # "a b c" and "b c d" are hot; doc 3 shares no 3-token span
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d x y z"),
+            (2, "p q a b c d"),
+            (3, "a b x c d y"),
+            (4, "xx"),  # shorter than one span: passes through
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in D.mask_duplicate_spans(docs, width=3, min_count=2).collect()}
+    assert out[1].clean_text == "x y z" and out[1].n_removed == 4
+    assert out[2].clean_text == "p q" and out[2].n_removed == 4
+    assert out[3].clean_text == "a b x c d y" and out[3].n_removed == 0
+    assert out[4].clean_text == "xx" and out[4].n_removed == 0 and out[4].n_tokens == 1
+    assert all(r.n_tokens == len(r.clean_text.split()) + r.n_removed if r.clean_text else True for r in out.values())
+
+
+def test_mask_duplicate_spans_full_coverage(spark):
+    # both docs are one hot span — fully masked, survive as empty text
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in D.mask_duplicate_spans(docs, width=3, min_count=2).collect()}
+    assert out[1].clean_text == "" and out[1].n_removed == 3 and out[1].n_tokens == 3
+    assert out[2].clean_text == "" and out[2].n_removed == 3
