@@ -164,3 +164,71 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     media = M.documents_as_media(docs)
     return M.audio_rms_windows(media, window=RMS_WINDOW)
+
+
+# -- perceptual hash (dHash) near-dup --------------------------------------
+
+PH_DW, PH_DH = 8, 4
+PH_MAX_HAMMING = 4
+
+# oracle replays fake_decode arithmetic: w/h from the 4-byte header,
+# pixel i = body byte (i mod body_len) — ascii() math on the (all-ASCII)
+# text; the grid/gradient bits mirror perceptual_hash exactly
+_PHASH_CTE = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         greatest((ascii(substr(text,1,1))*256 + ascii(substr(text,2,1))) % 64, 1) AS w,
+         greatest((ascii(substr(text,3,1))*256 + ascii(substr(text,4,1))) % 64, 1) AS h,
+         length(text) - 4 AS bl
+  FROM documents
+), g AS (
+  SELECT doc_id, rr.r, cc.c,
+         ascii(substr(text, ((rr.r * h // {PH_DH}) * w + (cc.c * w // {PH_DW + 1})) % bl + 5, 1)) AS pl,
+         ascii(substr(text, ((rr.r * h // {PH_DH}) * w + ((cc.c+1) * w // {PH_DW + 1})) % bl + 5, 1)) AS pr
+  FROM m, range(0, {PH_DH}) rr(r), range(0, {PH_DW}) cc(c)
+), ph AS (
+  SELECT doc_id AS media_id,
+         string_agg(CASE WHEN pl > pr THEN '1' ELSE '0' END, '' ORDER BY r, c) AS phash
+  FROM g GROUP BY doc_id
+)
+"""
+
+MM_PHASH_ORACLE = _PHASH_CTE + "SELECT media_id, phash FROM ph"
+
+
+@register("mm_phash", oracle=MM_PHASH_ORACLE)
+def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dHash perceptual fingerprints over the media-lifted corpus:
+    decode (stub codec) → 9×4 grid → 32 horizontal-gradient bits."""
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    return M.perceptual_hash(media, dw=PH_DW, dh=PH_DH)
+
+
+_PH_HAMMING = " + ".join(
+    f"(substr(a.phash, {j}, 1) <> substr(b.phash, {j}, 1))::INT"
+    for j in range(1, PH_DW * PH_DH + 1)
+)
+
+# banding has FULL recall at the threshold (pigeonhole over
+# max_hamming+1 bands), so the oracle can use plain all-pairs hamming
+MM_PHASH_PAIRS_ORACLE = _PHASH_CTE + f"""
+SELECT a.media_id AS id_a, b.media_id AS id_b, {_PH_HAMMING} AS hamming
+FROM ph a JOIN ph b ON a.media_id < b.media_id
+WHERE {_PH_HAMMING} <= {PH_MAX_HAMMING}
+"""
+
+
+@register("mm_phash_pairs", oracle=MM_PHASH_PAIRS_ORACLE)
+def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup pairs by perceptual hash: the 32-bit dHash reuses
+    the text SimHash pigeonhole banding (max_hamming+1 bands → full
+    recall at the threshold), so candidate pairing is the banded
+    equi-join, never all-pairs — the oracle's quadratic join is the
+    semantic spec only."""
+    from ..operators import dedup as D
+
+    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    ph = M.perceptual_hash(media, dw=PH_DW, dh=PH_DH)
+    sig = ph.select("media_id", F.col("phash").alias("simhash"))
+    pairs = D.simhash_near_pairs(sig, id_col="media_id", max_hamming=PH_MAX_HAMMING)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -95,3 +95,34 @@ def test_audio_rms_windows_exact_values(spark):
     }
     assert got[(1, 0)] == (4, 10.0)
     assert got[(1, 1)] == (2, 20.0)
+
+
+def test_perceptual_hash_properties(spark):
+    # identical payloads hash identically; a payload with one body byte
+    # changed stays within a few bits; headers sized so w*h > body len
+    base = bytes([0, 16, 0, 16]) + bytes(range(40, 120))
+    tweaked = bytearray(base)
+    tweaked[50] ^= 1  # flip one pixel's low bit
+    media = spark.createDataFrame(
+        [(1, base), (2, bytes(base)), (3, bytes(tweaked))],
+        "media_id long, payload binary",
+    )
+    got = {r.media_id: r.phash for r in M.perceptual_hash(media).collect()}
+    assert set(len(h) for h in got.values()) == {32}
+    assert got[1] == got[2]
+    ham = sum(a != b for a, b in zip(got[1], got[3]))
+    assert ham <= 4
+
+
+def test_phash_pairs_via_simhash_banding(spark):
+    from actyxos_data_flow_spark.operators import dedup as D
+
+    payload = bytes([0, 8, 0, 8]) + bytes(range(64))
+    media = spark.createDataFrame(
+        [(1, payload), (2, payload), (3, bytes([0, 33, 0, 7]) + bytes(255 - i for i in range(64)))],
+        "media_id long, payload binary",
+    )
+    ph = M.perceptual_hash(media)
+    sig = ph.select("media_id", F.col("phash").alias("simhash"))
+    pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(sig, id_col="media_id", max_hamming=2).collect()}
+    assert pairs.get((1, 2)) == 0
