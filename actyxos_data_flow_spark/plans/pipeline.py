@@ -107,9 +107,13 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     kept = docs.select("doc_id", "text").join(quality, "doc_id")
     exact = D.exact_dedup(kept)
+    # reps is referenced twice (shingle pipeline AND the final output
+    # row set) — persist it so quality+exact-dedup run once per epoch;
+    # at 100 TB this is the materialized clean-representatives table
+    # between pipeline stages, exactly like the shingle cache below
     reps = kept.join(
         exact.select(F.col("representative").alias("doc_id"), "n_copies"), "doc_id"
-    )
+    ).persist()
     # the shingle set feeds signatures AND both sides of the Jaccard
     # verification — persist it so the quality→dedup prefix runs once,
     # not three times (Spark's CacheManager matches the logical plan, so
