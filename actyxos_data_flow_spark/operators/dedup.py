@@ -542,3 +542,41 @@ def mask_duplicate_spans(
         F.size("tokens").alias("n_tokens"),
         F.when(F.col("_cov").isNull(), F.lit(0)).otherwise(F.size("_cov")).alias("n_removed"),
     )
+
+
+def lsh_delta_pairs(
+    sig_base: DataFrame,
+    sig_new: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental LSH maintenance — the IVM shape of near-dup
+    detection: when a batch of NEW documents joins the corpus, the
+    candidate pairs *added* are exactly (new bands) ⋈ (base ∪ new
+    bands). The base×base work is never redone, so per-batch cost is
+    O(|new| × bands) probes against the band index instead of
+    re-pairing the whole corpus — the difference between an
+    ingest-time dedup gate and a nightly full recompute at 100 TB.
+
+    Invariant (tested): pairs(base) ∪ delta_pairs(base, new) ==
+    pairs(base ∪ new). ``max_bucket`` caps index-side buckets exactly
+    as in :func:`lsh_candidate_pairs` (a degenerate bucket would
+    otherwise make every future batch pay its size)."""
+    bands_new = _lsh_bands(sig_new, id_col, num_hashes, band_size)
+    bands_all = _lsh_bands(sig_base, id_col, num_hashes, band_size).unionByName(bands_new)
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "sig"))
+        bands_all = bands_all.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket).drop("_bn")
+    n, a = bands_new.alias("n"), bands_all.alias("a")
+    lo = F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}"))
+    hi = F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}"))
+    return (
+        n.join(a, (F.col("n.band") == F.col("a.band")) & (F.col("n.sig") == F.col("a.sig")))
+        .filter(F.col(f"n.{id_col}") != F.col(f"a.{id_col}"))
+        .select(lo.alias("id_a"), hi.alias("id_b"))
+        .distinct()
+    )

@@ -569,3 +569,55 @@ def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.mask_duplicate_spans(
         docs, width=SPAN_WIDTH, min_count=SPAN_MIN_COUNT
     )
+
+
+# -- incremental LSH maintenance (delta pairs for an ingest batch) ---------
+
+DELTA_MOD = 5  # "new" docs: doc_id % 5 == 0 (SF-independent 20% batch)
+
+MINHASH_DELTA_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_PIECES_CTE},
+sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM pieces GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band, b.s1, b.s2
+  FROM sig, LATERAL (VALUES {_band_rows}) AS b(band, s1, s2)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2
+  WHERE a.doc_id < b.doc_id
+    AND (a.doc_id % {DELTA_MOD} = 0 OR b.doc_id % {DELTA_MOD} = 0)
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b,
+       CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}
+"""
+
+
+@register("dedup_minhash_delta_pairs", oracle=MINHASH_DELTA_ORACLE)
+def dedup_minhash_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch dedup as incremental view maintenance: the 20%
+    "new" slice (doc_id % 5 == 0) probes the LSH band index of the
+    full corpus; only pairs touching a new doc are (re)computed and
+    verified. pairs(base) ∪ this == pairs(all) — the nightly full
+    recompute collapses to a per-batch delta."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
+    is_new = F.col("doc_id") % DELTA_MOD == 0
+    cand = D.lsh_delta_pairs(
+        sig.filter(~is_new), sig.filter(is_new),
+        num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000,
+    )
+    return D.jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)

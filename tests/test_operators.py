@@ -526,3 +526,31 @@ def test_mask_duplicate_spans_full_coverage(spark):
     out = {r.doc_id: r for r in D.mask_duplicate_spans(docs, width=3, min_count=2).collect()}
     assert out[1].clean_text == "" and out[1].n_removed == 3 and out[1].n_tokens == 3
     assert out[2].clean_text == "" and out[2].n_removed == 3
+
+
+def test_lsh_delta_pairs_union_invariant(spark):
+    # pairs(base) ∪ delta_pairs(base, new) == pairs(base ∪ new)
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now friend"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # new
+            (5, "completely different words entirely here now pal"),  # new
+        ],
+        "doc_id long, text string",
+    )
+    sh = D.shingles(docs)
+    sig = D.minhash_signatures(sh)
+    is_new = F.col("doc_id") >= 4
+    base_pairs = {
+        (r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig.filter(~is_new)).collect()
+    }
+    delta = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_delta_pairs(sig.filter(~is_new), sig.filter(is_new)).collect()
+    }
+    full = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig).collect()}
+    assert base_pairs | delta == full
+    assert all(a >= 4 or b >= 4 for a, b in delta)
+    assert base_pairs.isdisjoint(delta)
