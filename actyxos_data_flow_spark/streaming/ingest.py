@@ -36,6 +36,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators import dedup as D
 from ..operators import text as X
 
 DIGEST_SCHEMA = "digest string, doc_id long"
@@ -49,21 +50,84 @@ class CorpusIngestor:
         quality_min: float = 0.5,
         id_col: str = "doc_id",
         text_col: str = "text",
+        near_dup: bool = False,
+        num_hashes: int = 8,
+        band_size: int = 2,
+        sim_threshold: float = 0.5,
     ) -> None:
         self.spark = spark
         self.docs_path = os.path.join(corpus_dir, "docs")
         self.index_path = os.path.join(corpus_dir, "digests")
+        self.sigs_path = os.path.join(corpus_dir, "sigs")
         self.quality_min = quality_min
         self.id_col = id_col
         self.text_col = text_col
+        self.near_dup = near_dup
+        self.num_hashes = num_hashes
+        self.band_size = band_size
+        self.sim_threshold = sim_threshold
 
-    def _index(self) -> DataFrame:
-        if os.path.isdir(self.index_path):
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        if os.path.isdir(path):
             try:
-                return self.spark.read.parquet(self.index_path)
+                return self.spark.read.parquet(path)
             except Exception:
                 pass
-        return self.spark.createDataFrame([], DIGEST_SCHEMA)
+        return self.spark.createDataFrame([], schema)
+
+    def _index(self) -> DataFrame:
+        return self._read_or_empty(self.index_path, DIGEST_SCHEMA)
+
+    def _sig_schema(self) -> str:
+        hs = ", ".join(f"h{s} long" for s in range(self.num_hashes))
+        return f"{self.id_col} long, {hs}"
+
+    def _sigs(self) -> DataFrame:
+        return self._read_or_empty(self.sigs_path, self._sig_schema())
+
+    def _near_dup_gate(self, fresh: DataFrame) -> tuple[DataFrame, DataFrame]:
+        """MinHash-LSH near-dup gate for one ingest batch: signatures of
+        the batch band-probe the persisted signature INDEX plus the
+        batch itself (the :func:`..dedup.lsh_delta_pairs` shape — the
+        index side is never self-joined), and candidate similarity is
+        the MinHash ESTIMATOR (fraction of agreeing signature
+        components) — so history shingles are never stored; the index
+        is (id, k longs), O(corpus docs), not O(corpus tokens).
+
+        A batch doc drops if it near-matches history, or near-matches a
+        smaller-id batch doc. Returns (accepted, accepted_sigs)."""
+        sig_new = D.minhash_signatures(
+            D.shingles(fresh, self.id_col, self.text_col), self.id_col, self.num_hashes
+        )
+        pairs = D.lsh_delta_pairs(
+            self._sigs(), sig_new, self.id_col, self.num_hashes, self.band_size
+        )
+        both = F.broadcast(pairs)
+        all_sigs = self._sigs().unionByName(sig_new)
+        sa = all_sigs.select(F.col(self.id_col).alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(self.num_hashes)])
+        sb = all_sigs.select(F.col(self.id_col).alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(self.num_hashes)])
+        est = sum(
+            (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(self.num_hashes)
+        ) / F.lit(float(self.num_hashes))
+        near = (
+            both.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b", est.alias("est"))
+            .filter(F.col("est") >= self.sim_threshold)
+        )
+        directed = near.select(F.col("id_a").alias("x"), F.col("id_b").alias("p")).unionByName(
+            near.select(F.col("id_b").alias("x"), F.col("id_a").alias("p"))
+        )
+        batch_ids = fresh.select(F.col(self.id_col).alias("x"))
+        partner_in_batch = fresh.select(F.col(self.id_col).alias("p"), F.lit(1).alias("_pb"))
+        drops = (
+            directed.join(batch_ids, "x", "left_semi")
+            .join(partner_in_batch, "p", "left")
+            .filter(F.col("_pb").isNull() | (F.col("p") < F.col("x")))
+            .select(F.col("x").alias(self.id_col))
+            .distinct()
+        )
+        accepted = fresh.join(drops, self.id_col, "left_anti")
+        return accepted, sig_new.join(drops, self.id_col, "left_anti")
 
     def ingest_batch(self, docs: DataFrame) -> dict:
         """Gate, dedup (intra-batch then vs history), append. Returns
@@ -88,7 +152,11 @@ class CorpusIngestor:
         )
         # cross-history dedup: anti-join on the digest index only
         fresh = in_batch.join(self._index(), "digest", "left_anti")
-        # corpus first, index last (crash between the two is replay-safe)
+        sigs = None
+        if self.near_dup:
+            fresh, sigs = self._near_dup_gate(fresh)
+            sigs = sigs.persist()
+        # corpus first, indexes last (crash between the two is replay-safe)
         out = fresh.persist()
         try:
             accepted = out.count()
@@ -97,8 +165,12 @@ class CorpusIngestor:
                 out.select(
                     "digest", F.col(self.id_col).cast("long").alias("doc_id")
                 ).write.mode("append").parquet(self.index_path)
+                if sigs is not None:
+                    sigs.write.mode("append").parquet(self.sigs_path)
         finally:
             out.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
         return {"arrived": arrived, "gated": gated.count(), "accepted": accepted}
 
     def corpus(self) -> DataFrame:

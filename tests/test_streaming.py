@@ -588,3 +588,32 @@ def test_run_ingest_live_picks_up_new_files_on_tick(spark, tmp_path):
     assert sum(s["accepted"] for s in seen) == 2  # dup of good_a blocked live
     corpus = CorpusIngestor(spark, str(tmp_path / "corpus")).corpus()
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]
+
+
+def test_corpus_ingestor_near_dup_gate(spark, tmp_path):
+    """near_dup=True adds the MinHash-LSH gate: a batch-2 doc that is a
+    NEAR (not exact) duplicate of an ingested doc is rejected via the
+    persisted signature index; within a batch the smaller id wins."""
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    base = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
+    near = base.replace("tall tree", "tall oak")  # different digest, high jaccard
+    other = "a completely different story about ships and the open sea with many fine words in it today"
+    other_near = other.replace("fine words", "good words")
+    novel = "third unique document with plenty of good and varied words to pass the quality gate here now"
+    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.4, near_dup=True)
+    b1 = spark.createDataFrame(
+        # 20/21 are intra-batch near-dups: 20 (smaller id) must win
+        [(20, other, "en", "s"), (21, other_near, "en", "s"), (1, base, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    s1 = ing.ingest_batch(b1)
+    assert s1["accepted"] == 2
+    b2 = spark.createDataFrame(
+        [(30, near, "en", "s"), (31, novel, "en", "s")],
+        "doc_id long, text string, lang string, source string",
+    )
+    s2 = ing.ingest_batch(b2)
+    assert s2["accepted"] == 1  # near-dup of history rejected, novel kept
+    got = sorted(r.doc_id for r in ing.corpus().collect())
+    assert got == [1, 20, 31]
