@@ -440,3 +440,24 @@ def kmeans_fit(
             "cell int, ce array<double>",
         )
     return cent, kmeans_assign(emb, cent, id_col, vec_col)
+
+
+def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor query,
+    the top-k most-cosine-similar corpus vectors whose label DIFFERS
+    from the anchor's — the near-miss negatives that make embedding
+    models learn boundaries (easy random negatives carry no gradient).
+
+    ``queries``: (qid, qe, qlabel); ``corpus``: (vec_id, embedding,
+    label). Output: (qid, vec_id, rank, cosine).
+
+    Scale shape: anchors broadcast (they play the small-dim role), so
+    the corpus is scanned once with the label-mismatch predicate
+    applied in-scan — a broadcast nested-loop by Catalyst's choice,
+    which is exactly right for |anchors| ≪ |corpus|; scoring is the
+    JVM zip_with/aggregate fold (whole-stage codegen, no Python). For
+    very large anchor sets, swap in the IVF probe to pre-prune cells
+    before the mismatch filter."""
+    pairs = corpus.join(F.broadcast(queries), F.col("label") != F.col("qlabel"))
+    cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
+    return topk(pairs.select("qid", "vec_id", cos.alias("cosine")), k)

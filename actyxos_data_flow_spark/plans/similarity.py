@@ -409,3 +409,27 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_probe_topk(
         queries, corpus, cent, k=K, nprobe=KM_NPROBE, partition_col="cell", probe_round=9
     )
+
+
+# -- hard-negative mining (contrastive training pairs) ---------------------
+
+NEG_K = 5
+
+HARD_NEG_ORACLE = (
+    "WITH "
+    + _COS_CTE
+    + "p AS (SELECT qid, vec_id, qe, embedding FROM q JOIN e ON e.label <> q.qlabel),\n"
+    + _SCORE.format(k=NEG_K)
+)
+
+
+@register("ann_hard_negatives", oracle=HARD_NEG_ORACLE)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 nearest different-label vectors per anchor — the
+    contrastive-pair miner (anchors broadcast; corpus scanned once
+    with the label-mismatch predicate in-scan)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("label").alias("qlabel")
+    )
+    return S.hard_negatives(queries, emb.select("vec_id", "embedding", "label"), k=NEG_K)
