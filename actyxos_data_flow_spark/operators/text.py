@@ -473,3 +473,77 @@ def lm_score(
         F.count(F.lit(1)).alias("n_tokens"),
         F.round(F.sum(d).cast("double") / F.count(F.lit(1)), 6).alias("mean_logp"),
     )
+
+
+def assign_splits(
+    df: DataFrame,
+    splits: tuple[tuple[str, float], ...] = (("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    id_col: str = "doc_id",
+    salt: str = "split:1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the 60-bit salted id
+    hash (same scheme as :func:`stratified_sample`) lands in one of the
+    cumulative-fraction buckets. No RNG, no shuffle — a pure per-row
+    projection — so every run, engine, and topology agrees on every
+    document's split, and growing the corpus never reassigns an
+    existing id (the property that keeps eval sets frozen under
+    append). Bucket boundaries are precomputed INTEGER thresholds, so
+    there is no float-boundary disagreement between engines."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")).cast("binary")), 1, 15),
+        16,
+        10,
+    ).cast("long")
+    total = sum(f for _, f in splits)
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    expr, cum = None, 0.0
+    for name, frac in splits[:-1]:
+        cum += frac
+        thr = int(cum * (1 << 60))
+        expr = F.when(h < thr, name) if expr is None else expr.when(h < thr, name)
+    expr = (expr.otherwise(splits[-1][0]) if expr is not None else F.lit(splits[-1][0]))
+    return df.withColumn("split", expr)
+
+
+def vocab_coverage(
+    df: DataFrame,
+    vocab_size: int = 100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-prep coverage analysis: build the top-``vocab_size``
+    token vocabulary (count desc, token asc tie-break) and score every
+    document's out-of-vocabulary fraction against it — the signal for
+    sizing a vocab / spotting domains a tokenizer will shred into
+    bytes. Output: (id, n_tokens, n_oov, oov_frac).
+
+    Scale shape: the rank that picks the vocab runs over the TOKEN
+    TYPE count table (≪ corpus; map-side combined aggregate), not the
+    corpus; the chosen vocab (vocab_size rows) broadcasts into the
+    per-doc join, so the corpus shuffles only for its own (doc)
+    aggregate."""
+    from pyspark.sql import Window
+
+    toks = with_tokens(df, text_col).select(id_col, F.explode("tokens").alias("w"))
+    cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rk = Window.orderBy(F.col("c").desc(), F.col("w").asc())
+    vocab = (
+        cnt.withColumn("_rk", F.row_number().over(rk))
+        .filter(F.col("_rk") <= vocab_size)
+        .select("w", F.lit(1).alias("_inv"))
+    )
+    per = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_inv").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6).alias("oov_frac"),
+    )

@@ -503,3 +503,64 @@ def text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-trained unigram-LM mean log-prob per document — the
     perplexity-style quality filter (low scorers are off-distribution)."""
     return X.lm_score(load_table(spark, sf_dir, "documents"))
+
+
+# -- deterministic train/val/test split ------------------------------------
+
+_SPLITS = (("train", 0.8), ("val", 0.1), ("test", 0.1))
+_T1 = int(0.8 * (1 << 60))
+_T2 = int(0.9 * (1 << 60))
+
+SPLIT_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('split:1:' || doc_id::VARCHAR), 1, 15))::BIGINT AS hv
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN hv < {_T1} THEN 'train'
+            WHEN hv < {_T2} THEN 'val'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+@register("corpus_split_assign", oracle=SPLIT_ORACLE)
+def corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-deterministic 80/10/10 split labels — frozen under corpus
+    growth (an id's split never changes), identical across engines via
+    integer bucket thresholds."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    return X.assign_splits(docs, splits=_SPLITS)
+
+
+# -- vocabulary coverage / OOV ---------------------------------------------
+
+VOCAB_SIZE = 100
+
+VOCAB_ORACLE = f"""
+WITH vtok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+),
+vcnt AS (SELECT w, count(*) AS c FROM vtok GROUP BY w),
+vocab AS (
+  SELECT w FROM vcnt QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= {VOCAB_SIZE}
+),
+per AS (
+  SELECT t.doc_id, count(*) AS n_tokens,
+         count(*) FILTER (v.w IS NULL) AS n_oov
+  FROM vtok t LEFT JOIN vocab v USING (w)
+  GROUP BY t.doc_id
+)
+SELECT doc_id, n_tokens, n_oov,
+       round(n_oov / n_tokens::DOUBLE, 6) AS oov_frac
+FROM per
+"""
+
+
+@register("text_vocab_coverage", oracle=VOCAB_ORACLE)
+def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document OOV fraction against the corpus top-100 token
+    vocabulary (rank over the token-TYPE count table, vocab broadcast
+    into the scoring join)."""
+    return X.vocab_coverage(load_table(spark, sf_dir, "documents"), vocab_size=VOCAB_SIZE)

@@ -554,3 +554,26 @@ def test_lsh_delta_pairs_union_invariant(spark):
     assert base_pairs | delta == full
     assert all(a >= 4 or b >= 4 for a, b in delta)
     assert base_pairs.isdisjoint(delta)
+
+
+def test_assign_splits_frozen_under_append(spark):
+    import pytest
+
+    d1 = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    d2 = spark.range(0, 200).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in X.assign_splits(d1).collect()}
+    s2 = {r.doc_id: r.split for r in X.assign_splits(d2).collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # append never reassigns
+    assert set(s2.values()) == {"train", "val", "test"}
+    with pytest.raises(ValueError):
+        X.assign_splits(d1, splits=(("a", 0.5), ("b", 0.2)))
+
+
+def test_vocab_coverage_counts(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a b"), (2, "a z q")], "doc_id long, text string"
+    )
+    # vocab_size=2 → vocab {a, b} (a:3, b:1, tie z/q broken asc → b wins by count)
+    got = {r.doc_id: r for r in X.vocab_coverage(docs, vocab_size=2).collect()}
+    assert got[1].n_oov == 0 and got[1].oov_frac == 0.0
+    assert got[2].n_oov == 2 and got[2].n_tokens == 3
