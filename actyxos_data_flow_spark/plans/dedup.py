@@ -559,7 +559,7 @@ LEFT JOIN covagg ca USING (doc_id)
 """
 
 
-@register("dedup_span_mask", oracle=SPAN_MASK_ORACLE)
+@register("dedup_span_mask", oracle=SPAN_MASK_ORACLE, bench=True)
 def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Span-level exact dedup: tokens covered by any 8-token span that
     repeats corpus-wide are removed in place (clean_text keeps the

@@ -218,7 +218,7 @@ WHERE {_PH_HAMMING} <= {PH_MAX_HAMMING}
 """
 
 
-@register("mm_phash_pairs", oracle=MM_PHASH_PAIRS_ORACLE)
+@register("mm_phash_pairs", oracle=MM_PHASH_PAIRS_ORACLE, bench=True)
 def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup pairs by perceptual hash: the 32-bit dHash reuses
     the text SimHash pigeonhole banding (max_hamming+1 bands → full

@@ -184,12 +184,13 @@ def run_ingest_stream(
     checkpoint_dir: str,
     schema: str = "doc_id long, text string, lang string, source string",
     quality_min: float = 0.5,
+    near_dup: bool = False,
 ) -> list[dict]:
     """Drive CorpusIngestor from a Structured Streaming file source
     (availableNow drain — the catch-up phase; swap the trigger for
     processingTime to run live). Each micro-batch commits through
     ingest_batch; per-batch stats are collected for assertion/metrics."""
-    ing = CorpusIngestor(spark, corpus_dir, quality_min=quality_min)
+    ing = CorpusIngestor(spark, corpus_dir, quality_min=quality_min, near_dup=near_dup)
     stats: list[dict] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -216,6 +217,7 @@ def run_ingest_live(
     quality_min: float = 0.5,
     tick: str = "1 second",
     on_batch=None,
+    near_dup: bool = False,
 ):
     """Live ingest: same per-batch commit protocol as
     :func:`run_ingest_stream` but on a ``processingTime`` tick — files
@@ -224,7 +226,7 @@ def run_ingest_live(
     phase, src/runner.rs:322-355, for documents). Returns the running
     StreamingQuery — caller stops it. Restarting with the same
     checkpoint resumes; the digest index makes replays idempotent."""
-    ing = CorpusIngestor(spark, corpus_dir, quality_min=quality_min)
+    ing = CorpusIngestor(spark, corpus_dir, quality_min=quality_min, near_dup=near_dup)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         stats = ing.ingest_batch(batch_df)

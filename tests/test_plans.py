@@ -256,3 +256,34 @@ def test_compact_write_bounds_file_sizes(spark, tmp_path):
     files = glob.glob(p2 + "/*.parquet")
     assert len(files) == 7
     assert spark.read.parquet(p2).count() == 10_000
+
+
+def test_span_mask_no_cartesian_hot_spans_semi(spark, registry):
+    """Span masking: hot-span probe is a LeftSemi hash join on span
+    hashes, coverage folds back with an equi-join — no cartesian
+    anywhere, token payloads never in a join key."""
+    plan = _plan(registry["dedup_span_mask"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_hard_negatives_anchors_broadcast(spark, registry):
+    """Contrastive mining: anchors are the broadcast side of the
+    label-mismatch join — the corpus is never shuffled for pairing."""
+    plan = _plan(registry["ann_hard_negatives"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_coverage_vocab_broadcast(spark, registry):
+    """OOV scoring joins the (vocab_size-row) vocabulary by broadcast;
+    the only exchanges are the two hash aggregates."""
+    plan = _plan(registry["text_vocab_coverage"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_delta_pairs_band_equi_join(spark, registry):
+    """Incremental LSH: new-batch bands meet the index through a hash
+    equi-join on (band, sig) — never a cross product."""
+    plan = _plan(registry["dedup_minhash_delta_pairs"].fn(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
