@@ -233,39 +233,46 @@ def simhash_bands(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int,
     return starts
 
 
-def simhash_near_pairs(sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 6) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 32 bits into max_hamming + 1
+def simhash_near_pairs(
+    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 6, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the ``bits`` into max_hamming + 1
     slices; pairs sharing any full band are candidates (pigeonhole —
     see :func:`simhash_bands` — so recall is exact at the threshold),
-    then exact hamming ≤ max_hamming via positionwise compare."""
+    then exact hamming ≤ max_hamming.
+
+    Perf shape: the bit string converts to a LONG once per row, so the
+    per-candidate hamming is ONE codegen op (``bit_count(a XOR b)``),
+    not ``bits`` substring compares, and the dedupe of multi-band hits
+    runs AFTER the threshold filter, where survivors are few — the
+    wide pre-filter distinct over every band collision was the
+    dominant cost (measured 1.4M candidate rows at sf0.1)."""
+    lng = F.conv(F.col("simhash"), 2, 10).cast("long")
     bands = sig.select(
         id_col,
-        "simhash",
+        lng.alias("_l"),
         F.explode(
             F.array(
                 *[
                     F.struct(F.lit(b).alias("band"), F.substring("simhash", st, w).alias("piece"))
-                    for b, (st, w) in enumerate(simhash_bands(max_hamming))
+                    for b, (st, w) in enumerate(simhash_bands(max_hamming, bits))
                 ]
             )
         ).alias("bp"),
-    ).select(id_col, "simhash", "bp.band", "bp.piece")
+    ).select(id_col, "_l", "bp.band", "bp.piece")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    hamming = F.bit_count(F.col("a._l").bitwiseXOR(F.col("b._l")))
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.piece") == F.col("b.piece")))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            hamming.cast("int").alias("hamming"),
         )
+        .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
-    hamming = sum(
-        (F.substring("sh_a", j, 1) != F.substring("sh_b", j, 1)).cast("int") for j in range(1, SIMHASH_BITS + 1)
-    )
-    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(F.col("hamming") <= max_hamming)
 
 
 def connected_components(
