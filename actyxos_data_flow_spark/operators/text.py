@@ -547,3 +547,36 @@ def vocab_coverage(
         "n_oov",
         F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6).alias("oov_frac"),
     )
+
+
+def mix_weights(
+    df: DataFrame,
+    group_col: str = "source",
+    alpha: float = 0.3,
+) -> DataFrame:
+    """Temperature-smoothed mixture weights (the T5/mT5 α-sampling
+    rule): a group's sampling probability is share^α renormalized —
+    α=1 keeps natural proportions, α→0 approaches uniform, between
+    the two it up-weights small sources without drowning large ones.
+    Output: (group, n, mix_weight), Σ mix_weight = 1.
+
+    Engine portability: pow() may differ in the last ulp between
+    libms, so share^α is ROUNDED to 6dp before use and the
+    normalizing sum runs in DECIMAL (order-free); the final ratio is
+    one double division, identical everywhere.
+
+    Scale shape: one map-side-combined count aggregate; the weight
+    table is |groups| rows — broadcast it into whatever sampling join
+    consumes it."""
+    c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("_total"))
+    p6 = F.round(
+        F.pow(F.col("n").cast("double") / F.col("_total").cast("double"), F.lit(alpha)), 6
+    ).cast("decimal(12,6)")
+    p = c.crossJoin(F.broadcast(t)).select(group_col, "n", p6.alias("_p6"))
+    z = p.agg(F.sum("_p6").alias("_z"))
+    return p.crossJoin(F.broadcast(z)).select(
+        group_col,
+        "n",
+        F.round(F.col("_p6").cast("double") / F.col("_z").cast("double"), 6).alias("mix_weight"),
+    )

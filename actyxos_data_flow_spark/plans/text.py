@@ -564,3 +564,29 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary (rank over the token-TYPE count table, vocab broadcast
     into the scoring join)."""
     return X.vocab_coverage(load_table(spark, sf_dir, "documents"), vocab_size=VOCAB_SIZE)
+
+
+# -- temperature-smoothed source mixing ------------------------------------
+
+MIX_ALPHA = 0.3
+
+MIX_ORACLE = f"""
+WITH mc AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+mt AS (SELECT sum(n) AS total FROM mc),
+mp AS (
+  SELECT source, n,
+         CAST(round(pow(n / mt.total::DOUBLE, {MIX_ALPHA}), 6) AS DECIMAL(12,6)) AS p6
+  FROM mc, mt
+),
+mz AS (SELECT sum(p6) AS z FROM mp)
+SELECT source, n, round(CAST(p6 AS DOUBLE) / CAST(mz.z AS DOUBLE), 6) AS mix_weight
+FROM mp, mz
+"""
+
+
+@register("source_mix_weights", oracle=MIX_ORACLE)
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """α=0.3 temperature-sampling weights per source — the pretraining
+    mixture rebalance (share^α renormalized; decimal-exact sum so the
+    normalization is aggregation-order-free)."""
+    return X.mix_weights(load_table(spark, sf_dir, "documents"), group_col="source", alpha=MIX_ALPHA)
