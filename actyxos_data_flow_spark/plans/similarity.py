@@ -353,7 +353,11 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations; smallest-id seeding, decimal-exact means, 9dp-rounded
     argmin) — the trained IVF quantizer. The oracle unrolls the same
     iterations as SQL CTEs."""
-    _, assign = S.kmeans_fit(load_table(spark, sf_dir, "embeddings"))
+    # each Lloyd pass rescans its input (assign + the (cell,pos) agg) —
+    # persist the (small) vector table so iterations hit memory; the
+    # SAME cache serves ann_ivf_kmeans_topk via logical-plan matching
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    _, assign = S.kmeans_fit(emb)
     return assign
 
 
@@ -400,7 +404,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids + cell assignments, then the standard nprobe=2 probe
     (probe scores rounded to 9dp — centroid sums cross a join, so the
     rounding pins rank order across engines)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = load_table(spark, sf_dir, "embeddings").persist()
     cent, assign = S.kmeans_fit(emb)
     corpus = emb.select("vec_id", "embedding").join(assign, "vec_id")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
