@@ -590,3 +590,57 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     mixture rebalance (share^α renormalized; decimal-exact sum so the
     normalization is aggregation-order-free)."""
     return X.mix_weights(load_table(spark, sf_dir, "documents"), group_col="source", alpha=MIX_ALPHA)
+
+
+# -- curriculum packing (quality-ordered training bins) --------------------
+
+CURRICULUM_ORACLE = f"""
+WITH ct0 AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS tokens, text FROM documents
+), cm AS (
+  SELECT doc_id, lang, len(tokens) AS n_tokens,
+         len(tokens)::DOUBLE AS n_tok,
+         (length(text)::DOUBLE - (len(tokens)::DOUBLE - 1)) / len(tokens)::DOUBLE AS mean_wlen,
+         len(list_filter(tokens, x -> list_contains([{_EN}], x)))::DOUBLE / len(tokens)::DOUBLE AS stop_ratio,
+         len(list_distinct(tokens))::DOUBLE / len(tokens)::DOUBLE AS distinct_ratio
+  FROM ct0
+), cq AS (
+  SELECT doc_id, lang, n_tokens,
+         round(least(n_tok / 100.0, 1.0) * 0.25
+               + least(stop_ratio * 5, 1.0) * 0.25
+               + distinct_ratio * 0.25
+               + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END) * 0.25, 6)
+           AS quality
+  FROM cm
+), cw AS (
+  SELECT lang, doc_id, n_tokens, quality,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) - n_tokens AS strt
+  FROM cq
+)
+SELECT lang, doc_id, n_tokens, quality,
+       strt // {PACK_BUDGET} AS bin_id,
+       strt % {PACK_BUDGET} AS bin_offset
+FROM cw
+"""
+
+
+@register("pack_curriculum_bins", oracle=CURRICULUM_ORACLE)
+def pack_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering: within each language shard, documents pack
+    into 2048-token bins in DESCENDING quality order (ties by id), so
+    early training bins hold the cleanest data — same single
+    running-sum window as pack_training_bins, only the order key
+    changes (quality is the 6dp-rounded score, identical across
+    engines, so bin boundaries agree exactly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = X.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    sized = docs.select("doc_id", "lang").join(scored, "doc_id").withColumn(
+        "_negq", -F.col("quality")
+    )
+    packed = X.pack_sequences(
+        sized, id_col="doc_id", len_col="n_tokens", budget=PACK_BUDGET,
+        order_cols=("_negq", "doc_id"),
+    )
+    return packed.select(
+        "lang", "doc_id", "n_tokens", (-F.col("_negq")).alias("quality"), "bin_id", "bin_offset"
+    )
