@@ -32,15 +32,21 @@ def main() -> None:
     # session warm-up (JVM/codegen): trivial job, not timed
     spark.range(1000).selectExpr("sum(id)").collect()
 
+    # two passes, keep the per-query MIN: single-pass numbers swing ±2s
+    # on the heavy queries from GC / page-cache timing (measured: the
+    # same pipeline query 4.1s vs 7.9s across runs); the min reflects
+    # the plan's cost, which is what round-over-round comparison needs
     times: dict[str, float] = {}
-    for name, spec in registry.items():
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        df.write.mode("overwrite").format("noop").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+    for _pass in range(2):
+        for name, spec in registry.items():
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            sec = round(time.perf_counter() - t0, 3)
+            times[name] = min(times.get(name, sec), sec)
 
     out = {
-        "metric": "headline query wall-clock (noop sink), sum over queries",
+        "metric": "headline query wall-clock (noop sink), per-query min of 2 passes, sum over queries",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
