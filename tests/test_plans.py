@@ -287,3 +287,11 @@ def test_delta_pairs_band_equi_join(spark, registry):
     equi-join on (band, sig) — never a cross product."""
     plan = _plan(registry["dedup_minhash_delta_pairs"].fn(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_phash_pairs_banded_equi_join(spark, registry):
+    """Perceptual-hash near-dup: candidates come from the banded hash
+    equi-join (SortMergeJoin/ShuffledHashJoin on band+piece), never a
+    cross product; hamming is a single XOR/bit_count projection."""
+    plan = _plan(registry["mm_phash_pairs"].fn(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan

@@ -617,3 +617,46 @@ def test_corpus_ingestor_near_dup_gate(spark, tmp_path):
     assert s2["accepted"] == 1  # near-dup of history rejected, novel kept
     got = sorted(r.doc_id for r in ing.corpus().collect())
     assert got == [1, 20, 31]
+
+
+def test_run_ingest_live_near_dup_gate(spark, tmp_path):
+    """Live phase with near_dup=True: a NEAR duplicate (different
+    digest) of already-ingested content landing on a later tick is
+    blocked via the persisted signature index."""
+    import json as _json
+    import time
+
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor, run_ingest_live
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
+    near = base.replace("tall tree", "tall oak")
+    novel = "a completely different story about ships and the open sea with many fine words in it today"
+    (src / "f1.jsonl").write_text(
+        _json.dumps({"doc_id": 1, "text": base, "lang": "en", "source": "s"})
+    )
+    seen = []
+    q = run_ingest_live(
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
+        quality_min=0.4, on_batch=seen.append, near_dup=True,
+    )
+    try:
+        deadline = time.time() + 45
+        while sum(s["accepted"] for s in seen) < 1 and time.time() < deadline:
+            time.sleep(0.5)
+        (src / "f2.jsonl").write_text(
+            "\n".join(
+                _json.dumps(d)
+                for d in [
+                    {"doc_id": 2, "text": near, "lang": "en", "source": "s"},
+                    {"doc_id": 3, "text": novel, "lang": "en", "source": "s"},
+                ]
+            )
+        )
+        while sum(s["arrived"] for s in seen) < 3 and time.time() < deadline:
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    corpus = CorpusIngestor(spark, str(tmp_path / "corpus")).corpus()
+    assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]
