@@ -234,7 +234,11 @@ def simhash_bands(max_hamming: int, bits: int = SIMHASH_BITS) -> list[tuple[int,
 
 
 def simhash_near_pairs(
-    sig: DataFrame, id_col: str = "doc_id", max_hamming: int = 6, bits: int = SIMHASH_BITS
+    sig: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 6,
+    bits: int = SIMHASH_BITS,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: band the ``bits`` into max_hamming + 1
     slices; pairs sharing any full band are candidates (pigeonhole —
@@ -246,7 +250,13 @@ def simhash_near_pairs(
     not ``bits`` substring compares, and the dedupe of multi-band hits
     runs AFTER the threshold filter, where survivors are few — the
     wide pre-filter distinct over every band collision was the
-    dominant cost (measured 1.4M candidate rows at sf0.1)."""
+    dominant cost (measured 1.4M candidate rows at sf0.1).
+
+    ``max_bucket`` is the same degenerate-bucket skew guard as
+    :func:`lsh_candidate_pairs` (a band value shared by millions of
+    near-identical signatures makes the self-join quadratic); capped
+    buckets drop out of pair generation, their members still pair via
+    other bands."""
     lng = F.conv(F.col("simhash"), 2, 10).cast("long")
     bands = sig.select(
         id_col,
@@ -260,6 +270,11 @@ def simhash_near_pairs(
             )
         ).alias("bp"),
     ).select(id_col, "_l", "bp.band", "bp.piece")
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "piece"))
+        bands = bands.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket).drop("_bn")
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a._l").bitwiseXOR(F.col("b._l")))
     return (

@@ -518,19 +518,19 @@ def vocab_coverage(
     sizing a vocab / spotting domains a tokenizer will shred into
     bytes. Output: (id, n_tokens, n_oov, oov_frac).
 
-    Scale shape: the rank that picks the vocab runs over the TOKEN
-    TYPE count table (≪ corpus; map-side combined aggregate), not the
-    corpus; the chosen vocab (vocab_size rows) broadcasts into the
-    per-doc join, so the corpus shuffles only for its own (doc)
-    aggregate."""
-    from pyspark.sql import Window
-
+    Scale shape: the vocab pick runs over the TOKEN TYPE count table
+    (map-side combined aggregate) via ``orderBy + limit`` — Spark plans
+    that as TakeOrderedAndProject, a distributed per-partition top-k
+    merged on the driver, NOT a single-partition global sort (token
+    types reach 10^8 at web scale; an unpartitioned row_number window
+    would funnel them through one task). The chosen vocab (vocab_size
+    rows) broadcasts into the per-doc join, so the corpus shuffles only
+    for its own (doc) aggregate."""
     toks = with_tokens(df, text_col).select(id_col, F.explode("tokens").alias("w"))
     cnt = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    rk = Window.orderBy(F.col("c").desc(), F.col("w").asc())
     vocab = (
-        cnt.withColumn("_rk", F.row_number().over(rk))
-        .filter(F.col("_rk") <= vocab_size)
+        cnt.orderBy(F.col("c").desc(), F.col("w").asc())
+        .limit(vocab_size)
         .select("w", F.lit(1).alias("_inv"))
     )
     per = (

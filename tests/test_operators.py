@@ -577,3 +577,16 @@ def test_vocab_coverage_counts(spark):
     got = {r.doc_id: r for r in X.vocab_coverage(docs, vocab_size=2).collect()}
     assert got[1].n_oov == 0 and got[1].oov_frac == 0.0
     assert got[2].n_oov == 2 and got[2].n_tokens == 3
+
+
+def test_simhash_bucket_cap_drops_degenerate_band(spark):
+    # three identical signatures (a degenerate bucket in EVERY band)
+    # plus one distinct: cap=2 suppresses the identical trio's pairs
+    sig = spark.createDataFrame(
+        [(1, "1" * 32), (2, "1" * 32), (3, "1" * 32), (4, "0" * 32)],
+        "doc_id long, simhash string",
+    )
+    uncapped = D.simhash_near_pairs(sig, max_hamming=2)
+    assert {(r.id_a, r.id_b) for r in uncapped.collect()} == {(1, 2), (1, 3), (2, 3)}
+    capped = D.simhash_near_pairs(sig, max_hamming=2, max_bucket=2)
+    assert capped.count() == 0
