@@ -181,7 +181,7 @@ def rolling_agg(
         ts_col,
         F.col(val_col),
         F.count(F.lit(1)).over(w).alias("rolling_cnt"),
-        F.round(F.sum(d).over(w).cast("double") / F.count(F.lit(1)).over(w), 6).alias("rolling_avg"),
+        (F.sum(d).over(w).cast("double") / F.count(F.lit(1)).over(w)).alias("rolling_avg"),
     )
 
 

@@ -454,8 +454,10 @@ def lm_score(
     for KenLM (swap the probability table; the plan is unchanged).
 
     Per-token log-probs round to 6 before the per-doc mean (ln() ulp
-    portability, as in TF-IDF/PMI); the mean itself is decimal-exact
-    over the rounded values, so hashes match at any parallelism.
+    portability, as in TF-IDF/PMI); the mean sums those 6dp values in
+    DECIMAL (exact, order-free) and divides once, emitted UNROUNDED —
+    re-rounding the quotient can land on a half-ulp boundary where
+    engines' round() disagree (see lm_score_bigram).
 
     Scale shape: one explode+aggregate builds the vocab table (map-side
     combined); scoring joins tokens to the broadcast vocab and
@@ -471,7 +473,7 @@ def lm_score(
     d = F.col("_lp").cast("decimal(12,6)")
     return scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(F.sum(d).cast("double") / F.count(F.lit(1)), 6).alias("mean_logp"),
+        (F.sum(d).cast("double") / F.count(F.lit(1))).alias("mean_logp"),
     )
 
 
@@ -579,4 +581,63 @@ def mix_weights(
         group_col,
         "n",
         F.round(F.col("_p6").cast("double") / F.col("_z").cast("double"), 6).alias("mix_weight"),
+    )
+
+
+def lm_score_bigram(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lam: float = 0.7,
+) -> DataFrame:
+    """Bigram-interpolated LM quality proxy — one step from
+    :func:`lm_score` toward the KenLM n-gram filters of CCNet: each
+    token after the first scores ln(λ·p(w|prev) + (1−λ)·p(w)), with
+    add-one-smoothed conditional and unigram probabilities trained on
+    the corpus itself; the doc score is the mean over scored tokens.
+    Low scorers read as gibberish/boilerplate even when their unigram
+    mix looks normal (the bigram term sees broken word ORDER).
+
+    Portability: the interpolated probability is computed in doubles
+    from exact integer counts and rounded to 6dp (ln() ulp); the
+    per-doc mean sums those 6dp values in DECIMAL (exact, order-free)
+    and divides ONCE — emitted UNROUNDED, because the division of an
+    exact sum is already bit-identical everywhere, while re-rounding
+    the quotient can land on a half-ulp boundary where engines'
+    round() disagree (observed: -143.903361/42).
+
+    Scale shape: two explode+hash-aggregate passes (unigram, bigram
+    counts — map-side combined); scoring joins the token stream to the
+    broadcast unigram table and to the bigram table on (prev, w), then
+    one per-doc aggregate."""
+    toks = with_tokens(df, text_col).select(
+        id_col,
+        F.posexplode("tokens").alias("_i", "w"),
+    )
+    prev = toks.select(id_col, (F.col("_i") + 1).alias("_i"), F.col("w").alias("prev"))
+    stream = toks.join(prev, [id_col, "_i"])  # rows 2..n with (prev, w)
+    uni = (
+        with_tokens(df, text_col)
+        .select(F.explode("tokens").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = stream.groupBy("prev", "w").agg(F.count(F.lit(1)).alias("cxy"))
+    totals = uni.agg(F.sum("c").alias("_n"), F.count(F.lit(1)).alias("_v")).collect()[0]
+    n, v = int(totals["_n"]), int(totals["_v"])
+    cu = F.broadcast(uni.select("w", F.col("c").alias("cw")))
+    cp = F.broadcast(uni.select(F.col("w").alias("prev"), F.col("c").alias("cprev")))
+    p_uni = (F.col("cw").cast("double") + 1) / F.lit(float(n + v))
+    p_bi = (F.col("cxy").cast("double") + 1) / (F.col("cprev").cast("double") + v)
+    logp = F.round(F.log(F.lit(lam) * p_bi + F.lit(1.0 - lam) * p_uni), 6)
+    scored = (
+        stream.join(cu, "w")
+        .join(cp, "prev")
+        .join(bi, ["prev", "w"])
+        .select(id_col, logp.alias("_lp"))
+    )
+    d = F.col("_lp").cast("decimal(12,6)")
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (F.sum(d).cast("double") / F.count(F.lit(1))).alias("mean_logp"),
     )

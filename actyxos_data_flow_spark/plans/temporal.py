@@ -156,8 +156,8 @@ WITH rbase AS (
 )
 SELECT event_id, user_id, ts_micros, value,
        count(*) OVER w AS rolling_cnt,
-       round(CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE)
-             / count(*) OVER w, 6) AS rolling_avg
+       CAST(sum(CAST(round(value, 6) AS DECIMAL(18,6))) OVER w AS DOUBLE)
+             / count(*) OVER w AS rolling_avg
 FROM rbase
 WINDOW w AS (
   PARTITION BY user_id ORDER BY ts_micros

@@ -406,7 +406,7 @@ hdup AS (
 SELECT h.source,
        count(*) AS n_docs,
        CAST(sum(h.n_chars) AS BIGINT) AS total_chars,
-       round(CAST(sum(CAST(h.quality AS DECIMAL(10,6))) AS DOUBLE) / count(*), 6) AS mean_quality,
+       CAST(sum(CAST(h.quality AS DECIMAL(10,6))) AS DOUBLE) / count(*) AS mean_quality,
        count(DISTINCT h.digest) AS n_unique,
        round((count(*) - count(DISTINCT h.digest)) / count(*)::DOUBLE, 6) AS dup_rate
 FROM hd h
@@ -432,8 +432,8 @@ def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hd.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
-        F.round(
-            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double") / F.count(F.lit(1)), 6
+        (
+            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double") / F.count(F.lit(1))
         ).alias("mean_quality"),
         F.countDistinct("digest").alias("n_unique"),
         F.round(
@@ -492,7 +492,7 @@ llp AS (
 )
 SELECT t.doc_id,
        count(*) AS n_tokens,
-       round(CAST(sum(CAST(l.lp AS DECIMAL(12,6))) AS DOUBLE) / count(*), 6) AS mean_logp
+       CAST(sum(CAST(l.lp AS DECIMAL(12,6))) AS DOUBLE) / count(*) AS mean_logp
 FROM ltok t JOIN llp l ON l.w = t.w
 GROUP BY t.doc_id
 """
@@ -644,3 +644,44 @@ def pack_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "lang", "doc_id", "n_tokens", (-F.col("_negq")).alias("quality"), "bin_id", "bin_offset"
     )
+
+
+# -- bigram-interpolated LM score ------------------------------------------
+
+LM2_LAM = 0.7
+LM2_LAM_U = 1.0 - LM2_LAM  # same Python arithmetic lands in both engines
+
+LM2_ORACLE = f"""
+WITH btok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+         unnest(generate_series(1, len(string_split(text, ' ')))) AS i
+  FROM documents
+),
+bstream AS (
+  SELECT a.doc_id, a.i, p.w AS prev, a.w
+  FROM btok a JOIN btok p ON p.doc_id = a.doc_id AND p.i = a.i - 1
+),
+buni AS (SELECT w, count(*) AS c FROM btok GROUP BY w),
+btot AS (SELECT sum(c) AS n, count(*) AS v FROM buni),
+bbi AS (SELECT prev, w, count(*) AS cxy FROM bstream GROUP BY prev, w),
+blp AS (
+  SELECT s.doc_id,
+         round(ln({LM2_LAM!r} * ((b.cxy + 1)::DOUBLE / (cp.c + t.v)::DOUBLE)
+                  + {LM2_LAM_U!r} * ((cu.c + 1)::DOUBLE / (t.n + t.v)::DOUBLE)), 6) AS lp
+  FROM bstream s
+  JOIN bbi b ON b.prev = s.prev AND b.w = s.w
+  JOIN buni cu ON cu.w = s.w
+  JOIN buni cp ON cp.w = s.prev, btot t
+)
+SELECT doc_id, count(*) AS n_scored,
+       CAST(sum(CAST(lp AS DECIMAL(12,6))) AS DOUBLE) / count(*) AS mean_logp
+FROM blp GROUP BY doc_id
+"""
+
+
+@register("text_lm_score_bigram", oracle=LM2_ORACLE)
+def text_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-interpolated corpus LM mean log-prob — the word-ORDER-aware
+    quality proxy (λ=0.7 conditional + 0.3 unigram, add-one smoothed);
+    one step from the unigram filter toward CCNet's KenLM buckets."""
+    return X.lm_score_bigram(load_table(spark, sf_dir, "documents"), lam=LM2_LAM)
