@@ -17,6 +17,8 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -34,16 +36,60 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Canonical in-engine form of the events timestamp: epoch NANOSECONDS as
+#: LONG. Every consumer converts via ``functions.scalar.ns_micros`` —
+#: dtype normalization happens HERE, once, so a change in the upstream
+#: writer's physical parquet type can never reach query code. The
+#: reference gets this stability from its SDK envelope (the event
+#: service owns the wire form; ``/root/reference/src/runner.rs:395-411``
+#: compares micros, ``examples/machine-usage/model.rs:61`` does
+#: ``as_i64()/1_000_000``); a raw-parquet engine must supply it itself.
+_EPOCH_NTZ = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
+
+
+def _ts_as_long_nanos(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize a timestamp column to LONG epoch-nanos, whatever the
+    parquet physical type resolved to:
+
+    - ``LONG``          — INT64 TIMESTAMP(NANOS) read under
+      ``nanosAsLong`` (the round-1 testdata form): already nanos.
+    - ``TIMESTAMP_NTZ`` — physical ``timestamp[us/ms]`` with
+      ``isAdjustedToUTC=false`` (the current testdata form). Converted
+      with ``timestampdiff(MICROSECOND, epoch, ts)``, which is session-
+      timezone-INDEPENDENT (NTZ-to-NTZ arithmetic) and matches DuckDB's
+      ``epoch_us(ts)`` on the same file.
+    - ``TIMESTAMP``     — ``isAdjustedToUTC=true`` (instant semantics):
+      ``unix_micros`` is exact and timezone-independent by definition.
+
+    Micros→nanos ``*1000`` stays exact in LONG until year 2262 — the
+    same domain the nanos physical type itself can represent.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.LongType):
+        return df
+    if isinstance(dt, T.TimestampNTZType):
+        micros = F.expr(f"timestampdiff(MICROSECOND, {_EPOCH_NTZ}, `{col}`)")
+    elif isinstance(dt, T.TimestampType):
+        micros = F.unix_micros(F.col(col))
+    else:
+        raise TypeError(
+            f"events.{col} resolved to unsupported type {dt}; expected "
+            "LONG (nanos), TIMESTAMP or TIMESTAMP_NTZ"
+        )
+    return df.withColumn(col, (micros * F.lit(1000)).cast("long"))
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        # events.ts is physical INT64 TIMESTAMP(NANOS) which Spark 4 rejects
-        # by default; read as LONG nanos (engine convention: every consumer
-        # goes through functions.ts_micros, which accepts the long form).
-        # Set here (not only in session.py) so the driver's own session
-        # gets it too.
+        # If events.ts is physical INT64 TIMESTAMP(NANOS) (which Spark 4
+        # rejects by default) this reads it as LONG nanos; a no-op for
+        # micro/milli physical types. Set here (not only in session.py)
+        # so the driver's own session gets it too.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+        return _ts_as_long_nanos(df)
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
