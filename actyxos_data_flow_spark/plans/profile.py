@@ -32,7 +32,7 @@ def _col_sql(c: str, numeric: bool) -> str:
     return f"""
 SELECT '{c}' AS col_name,
        count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS null_frac,
        count(DISTINCT {c}) AS n_distinct,
        {minmax}

@@ -356,13 +356,17 @@ def ivm_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- pivot: long -> wide conditional aggregation ----------------------------
 
+# CAST(... AS BIGINT) on every conditional sum: DuckDB types sum(INTEGER)
+# as HUGEINT (int128), which some Arrow/pandas fetch paths render as
+# float ("2.0" != "2") and the driver's value hash diverges on identical
+# data. BIGINT round-trips exactly everywhere.
 PIVOT_ORACLE = """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS click,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS view,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS signup,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
 FROM events GROUP BY user_id
 """
 

@@ -346,10 +346,12 @@ c AS (
   FROM ptok
 )
 SELECT lang, doc_id, n_tokens,
-       strt // {PACK_BUDGET} AS bin_id,
-       strt % {PACK_BUDGET} AS bin_offset
+       CAST(strt // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(strt % {PACK_BUDGET} AS BIGINT) AS bin_offset
 FROM c
 """
+# CAST AS BIGINT: DuckDB's sum(BIGINT) window is HUGEINT (int128), which
+# the driver harness can render as float and break the value hash.
 
 
 @register("pack_training_bins", oracle=PACK_ORACLE)
@@ -618,8 +620,8 @@ WITH ct0 AS (
   FROM cq
 )
 SELECT lang, doc_id, n_tokens, quality,
-       strt // {PACK_BUDGET} AS bin_id,
-       strt % {PACK_BUDGET} AS bin_offset
+       CAST(strt // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(strt % {PACK_BUDGET} AS BIGINT) AS bin_offset
 FROM cw
 """
 

@@ -762,9 +762,11 @@ def cube_lineitem_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Adapted: no l_shipmode/commitdate in this schema — lateness is
 # shipdate > orderdate + 90 days, classes are order priorities.
 
+# CAST AS BIGINT: DuckDB sum(INTEGER) is HUGEINT (int128) — see
+# PIVOT_ORACLE in relational.py for why that breaks the driver's hash.
 Q12_ORACLE = """
 SELECT o.o_orderpriority,
-       sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END)
+       CAST(sum(CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS BIGINT)
          AS late_count,
        count(*) AS total_count
 FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey

@@ -36,12 +36,23 @@ def main() -> None:
     # on the heavy queries from GC / page-cache timing (measured: the
     # same pipeline query 4.1s vs 7.9s across runs); the min reflects
     # the plan's cost, which is what round-over-round comparison needs
+    # A failing query must cost ONE row, not the round's whole perf
+    # signal (round-2 lesson: the first query erroring aborted the run
+    # and BENCH_r02.json recorded nothing).
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for _pass in range(2):
         for name, spec in registry.items():
+            if name in errors:
+                continue
             t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.write.mode("overwrite").format("noop").save()
+            try:
+                df = spec.fn(spark, sf_dir)
+                df.write.mode("overwrite").format("noop").save()
+            except Exception as ex:  # noqa: BLE001 — record and move on
+                times.pop(name, None)
+                errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+                continue
             sec = round(time.perf_counter() - t0, 3)
             times[name] = min(times.get(name, sec), sec)
 
@@ -52,6 +63,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
 
 
