@@ -323,35 +323,80 @@ def pack_sequences(
     shard_col: str = "lang",
     budget: int = 2048,
     order_cols: tuple[str, ...] | None = None,
+    num_range_partitions: int | None = None,
 ) -> DataFrame:
     """Greedy sequence packing: assign documents to fixed-token-budget
     training bins. Within each shard, documents are laid end-to-end in
-    deterministic (id) order and a document lands in the bin where its
-    span begins — the streaming-pack heuristic (bins can overflow by at
-    most one document's tail; exact bin-packing is NP-hard and
-    order-dependent, useless for a reproducible pipeline).
+    deterministic (order_cols) order and a document lands in the bin
+    where its span begins — the streaming-pack heuristic (bins can
+    overflow by at most one document's tail; exact bin-packing is
+    NP-hard and order-dependent, useless for a reproducible pipeline).
 
-    Scale shape: one exchange on the shard key + per-shard sort + a
-    single running-sum window; shards (languages/sources) bound
-    partition width. Output: (shard, id, length, bin_id, bin_offset).
+    Scale shape — two-level prefix sum, NO per-shard window: a single
+    ``Window.partitionBy(shard)`` would make the dominant language one
+    sort partition (= one task sorting tens of TB at corpus scale).
+    Instead:
+
+    1. ``repartitionByRange(shard, *order)`` — every partition holds a
+       CONTIGUOUS slice of the packing order, with size set by the
+       shuffle-partition config, not by shard skew.
+    2. local running sum within (shard, range-partition) — bounded sort.
+    3. per-(shard, partition) totals (tiny: partitions × shards rows)
+       get an exclusive prefix sum per shard and broadcast back; adding
+       the offset reconstructs the EXACT global running sum, because
+       range partitions are contiguous in the order key.
+
+    Output values are identical to the single-window formulation for
+    any boundary placement, so the oracle (one SQL window) still
+    hash-matches. Output: (shard, id, length, bin_id, bin_offset).
     """
     from pyspark.sql import Window
 
     order = order_cols or (id_col,)
-    w = (
-        Window.partitionBy(shard_col)
+    spark = df.sparkSession
+    n_parts = num_range_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    range_keys = [F.col(shard_col).asc()] + [F.col(c).asc() for c in order]
+    ranged = df.repartitionByRange(n_parts, *range_keys).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+
+    w_local = (
+        Window.partitionBy(shard_col, "_pid")
         .orderBy(*[F.col(c).asc() for c in order])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum_end = F.sum(len_col).over(w)
-    start = (cum_end - F.col(len_col)).cast("long")
+    local = ranged.withColumn(
+        "_lstart", (F.sum(len_col).over(w_local) - F.col(len_col)).cast("long")
+    )
+
+    # Exclusive prefix of per-(shard, pid) totals. The totals table is
+    # O(num_partitions × shards) rows — metadata-sized even at 100 TB —
+    # so its per-shard window is safe, and the join back is broadcast.
+    totals = ranged.groupBy(shard_col, "_pid").agg(
+        F.sum(len_col).cast("long").alias("_tot")
+    )
+    w_prefix = (
+        Window.partitionBy(shard_col)
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        shard_col, "_pid", F.coalesce(F.sum("_tot").over(w_prefix), F.lit(0)).alias("_off")
+    )
+
+    start = (F.col("_lstart") + F.col("_off")).cast("long")
     out_keys = [id_col] + [c for c in order if c != id_col]
-    return df.select(
-        shard_col,
-        *out_keys,
-        F.col(len_col),
-        F.floor(start / budget).alias("bin_id"),
-        (start % budget).alias("bin_offset"),
+    return (
+        local.join(F.broadcast(offsets), [shard_col, "_pid"])
+        .select(
+            shard_col,
+            *out_keys,
+            F.col(len_col),
+            F.floor(start / budget).alias("bin_id"),
+            (start % budget).alias("bin_offset"),
+        )
     )
 
 

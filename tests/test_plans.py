@@ -295,3 +295,39 @@ def test_phash_pairs_banded_equi_join(spark, registry):
     cross product; hamming is a single XOR/bit_count projection."""
     plan = _plan(registry["mm_phash_pairs"].fn(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+def test_pack_sequences_no_shard_only_window(spark, registry):
+    """Sequence packing must never plan a window partitioned by the
+    shard column alone — at corpus scale the dominant language would be
+    ONE sort partition. The two-level pack's windows key on
+    (shard, range-partition id); the only shard-only window allowed is
+    the exclusive-prefix over the metadata-sized totals table, which
+    sits above an aggregate, visible as windowing sum(_tot)."""
+    import re
+
+    for q in ("pack_training_bins", "pack_curriculum_bins", "pipeline_training_batches"):
+        plan = _plan(registry[q].fn(spark, SF))
+        # every big-side running-sum window must include _pid in its spec
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            if "_pid" not in spec:
+                assert "_tot" in plan and "_off" in plan, (q, spec)
+
+
+def test_pack_sequences_output_invariant_to_partitioning(spark):
+    """Two-level pack output is independent of the range-partition
+    count (boundary placement): 1 partition == degenerate single-window
+    case, 7 partitions == many shard-crossing boundaries."""
+    from actyxos_data_flow_spark.operators import text as X
+    from actyxos_data_flow_spark.sources import load_table
+
+    docs = load_table(spark, SF, "documents")
+    from pyspark.sql import functions as F
+
+    sized = docs.select("lang", "doc_id", F.size(F.split("text", " ")).alias("n_tokens"))
+
+    def collected(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    a = collected(X.pack_sequences(sized, budget=512, num_range_partitions=1))
+    b = collected(X.pack_sequences(sized, budget=512, num_range_partitions=7))
+    assert a == b and len(a) > 0
