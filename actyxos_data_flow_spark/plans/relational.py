@@ -579,21 +579,84 @@ def ivm_delta_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- mergeable sketches (approximate aggregates; rows-only check) -----------
 
 
-@register("sketch_user_stats")  # no oracle: approximations are engine-specific
+# Sketch estimates are engine-specific, so the oracle cannot compare
+# them directly. Instead the query emits the EXACT answers (computable
+# in DuckDB) plus boolean bound-check flags for each sketch, and the
+# oracle asserts the exact values and that every flag is TRUE — the
+# sketches are verified against their published error guarantees
+# without ever hashing an engine-specific estimate.
+SKETCH_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS hll_ok,
+       TRUE AS median_rank_ok
+FROM events GROUP BY event_type
+"""
+
+# HLL++ rsd=0.02 is one standard error; 5 sigma ≈ never fails honestly.
+_HLL_RSD = 0.02
+_HLL_TOL = 5 * _HLL_RSD
+# approx_percentile(accuracy=1000) guarantees rank error <= n/1000;
+# allow 5x slack plus one row.
+_MEDIAN_RANK_EPS = 5.0 / 1000
+
+
+@register("sketch_user_stats", oracle=SKETCH_ORACLE)
 def sketch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch aggregates per event_type: HyperLogLog++ distinct users
     (`approx_count_distinct`) and a mergeable approximate median
     (`approx_percentile`). Both are constant-space, partial-aggregable
     sketches — the 100 TB substitutes for exact distinct/percentile
-    (exact forms: skew_salted_distinct, percentiles_order_price). No
-    DuckDB oracle on purpose: sketch estimates are engine-specific, so
-    the driver records the weaker rows-only check; the exact-form
-    queries carry the value correctness."""
+    (exact forms: skew_salted_distinct, percentiles_order_price).
+
+    Bound verification: `hll_ok` checks |approx − exact| ≤ 5·rsd·exact;
+    `median_rank_ok` checks the estimate's actual rank sits within
+    5× the sketch's guaranteed n/accuracy rank error of n/2 (rank is
+    measured by one conditional-count pass against the broadcast
+    5-row estimates table — the exact check costs one extra scan at
+    test scale and is NOT part of the production sketch path)."""
     events = load_table(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+    est = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=_HLL_RSD).alias("approx_users"),
         F.approx_percentile("value", F.lit(0.5), F.lit(1000)).alias("approx_median_value"),
         F.count(F.lit(1)).alias("n"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    # rank of the median estimate: strictly-below and at-or-below counts
+    rank = (
+        events.join(
+            F.broadcast(est.select("event_type", "approx_median_value")), "event_type"
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.col("value") < F.col("approx_median_value"), 1).otherwise(0)
+            ).alias("n_lt"),
+            F.sum(
+                F.when(F.col("value") <= F.col("approx_median_value"), 1).otherwise(0)
+            ).alias("n_le"),
+        )
+    )
+    eps = F.col("n") * F.lit(_MEDIAN_RANK_EPS) + F.lit(1)
+    half = F.col("n") * F.lit(0.5)
+    return (
+        est.join(F.broadcast(exact), "event_type")
+        .join(F.broadcast(rank), "event_type")
+        .select(
+            "event_type",
+            "n",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(1.0), F.lit(_HLL_TOL) * F.col("exact_users"))
+            ).alias("hll_ok"),
+            (
+                (F.col("n_lt") <= half + eps) & (F.col("n_le") >= half - eps)
+            ).alias("median_rank_ok"),
+        )
     )
 
 
