@@ -698,3 +698,36 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# -- semi-structured extraction: CBOR payloads ------------------------------
+
+
+@register("cbor_props_stats", oracle=JSON_PROPS_ORACLE)
+def cbor_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's OTHER payload wire format: CBOR
+    (/root/reference/src/machine.rs:71-75 — payloads are CBOR/JSON
+    values decoded via serde). The testdata carries JSON, so this query
+    re-encodes props to CBOR bytes in-flight and runs the engine's full
+    binary-payload path — RFC 8949 decode (sources/cbor.py), JSON
+    bridge, typed-struct extraction with corrupt-skip — ending in the
+    same aggregate as json_props_stats, against the same oracle: the
+    CBOR path must be value-identical to the JVM from_json path. Both
+    UDFs are Arrow-batched and run in the scan stage; blobs never
+    shuffle."""
+    from ..sources.cbor import json_to_cbor, decode_cbor_payload
+
+    ev = load_table(spark, sf_dir, "events").withColumn("payload", json_to_cbor("props"))
+
+    decoded = decode_cbor_payload(ev, "k INT")
+    return (
+        decoded.select("event_type", F.col("payload.k").alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("k").alias("n_with_k"),
+            F.sum(F.col("k").cast("decimal(18,0)")).cast("double").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
