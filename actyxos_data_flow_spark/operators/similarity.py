@@ -350,26 +350,40 @@ KMEANS_K = 8
 KMEANS_ITERS = 2
 
 
-def kmeans_assign(emb: DataFrame, cent: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """Nearest-centroid assignment: squared-L2 to each of the nlist
-    centroids (broadcast cross join), argmin with cell-id tie-break.
-    Distances round to 9 decimals before the argmin so the choice is
-    identical under any summation order (ulp noise cannot flip it)."""
-    d2 = F.aggregate(
-        F.zip_with(
-            F.col(vec_col),
-            F.col("ce"),
-            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-        ),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    return (
-        emb.crossJoin(F.broadcast(cent))
-        .select(id_col, "cell", F.round(d2, 9).alias("_d2"))
-        .groupBy(id_col)
-        .agg(F.min_by("cell", F.struct(F.col("_d2"), F.col("cell"))).alias("cell"))
-    )
+def _nearest_cell_expr(cents: list[tuple[int, list[float]]], vec_col: str):
+    """Column expression computing the nearest-centroid cell id for one
+    vector: squared-L2 to each centroid (inlined as literal arrays),
+    distances rounded to 9 decimals, argmin with cell-id tie-break via
+    lexicographic struct min. A PURE PROJECTION — no explode, no join,
+    no shuffle; nlist×dim literals is a few KB of plan for a coarse
+    quantizer."""
+    cands = []
+    for cell, ce in sorted(cents):
+        arr = F.array(*[F.lit(float(x)) for x in ce])
+        d2 = F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                arr,
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        cands.append(F.struct(F.round(d2, 9).alias("d"), F.lit(int(cell)).alias("cell")))
+    return F.array_min(F.array(*cands))["cell"]
+
+
+def kmeans_assign(emb: DataFrame, cent: DataFrame | list, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Nearest-centroid assignment. Centroids are nlist×dim MODEL
+    PARAMETERS, not data: they inline into the plan as literals
+    (:func:`_nearest_cell_expr`), so assignment is a projection over
+    the corpus — the corpus is neither replicated nlist× (the old
+    broadcast cross join) nor shuffled on id (the old per-id argmin
+    aggregate). Distances round to 9 decimals before the argmin so the
+    choice is identical under any summation order."""
+    rows = cent.collect() if isinstance(cent, DataFrame) else cent
+    cents = [(int(r["cell"]), list(r["ce"])) for r in rows] if rows and not isinstance(rows[0], tuple) else list(rows)
+    return emb.select(id_col, _nearest_cell_expr(cents, vec_col).alias("cell"))
 
 
 def kmeans_fit(
@@ -392,54 +406,52 @@ def kmeans_fit(
 
     Returns (centroids(cell, ce), assignments(id, cell)).
 
-    Scale shape: each iteration is one broadcast cross-join (nlist
-    rows) + one (cell, pos) partial-sum aggregate — the corpus never
-    shuffles; iterations are a fixed small count (coarse quantizers
-    converge in a few passes; this is not the fine index). Cache the
-    corpus before calling at scale — each pass rescans the source."""
-    # seed model: the k smallest-id vectors, materialized like every
-    # other iteration's centroids (k×dim model parameters, a few KB)
+    Scale shape: each iteration is ONE job — scan + inline-projection
+    assignment (:func:`_nearest_cell_expr`, centroids are plan
+    literals) + posexplode + (cell, pos) partial-sum aggregate whose
+    shuffle carries nlist×dim partials per task, never the corpus. The
+    corpus is not replicated, joined, or shuffled at any point;
+    between iterations only the k×dim model crosses the driver, which
+    also cuts the lineage so pass i+1 never re-runs pass i's DAG.
+    Iterations are a fixed small count (coarse quantizers converge in
+    a few passes; this is not the fine index). Cache the corpus before
+    calling at scale — each pass rescans the source."""
+    # seed model: the k smallest-id vectors (no RNG)
     seed_rows = (
         emb.orderBy(F.col(id_col).asc())
         .limit(k)
         .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ce"))
         .collect()
     )
-    cent = emb.sparkSession.createDataFrame(
-        [(i, [float(x) for x in r["ce"]]) for i, r in enumerate(seed_rows)],
-        "cell int, ce array<double>",
-    )
-    spark = emb.sparkSession
+    cents: list[tuple[int, list[float]]] = [
+        (i, [float(x) for x in r["ce"]]) for i, r in enumerate(seed_rows)
+    ]
     for _ in range(iters):
-        a = kmeans_assign(emb, cent, id_col, vec_col)
-        ex = (
-            emb.join(a, id_col)
-            .select("cell", F.posexplode(vec_col).alias("pos", "val"))
-        )
+        # two selects, one stage: putting the struct-field extraction in
+        # the same projection as the posexplode generator trips an
+        # analyzer quirk (struct field names resolve as col1/col2);
+        # Catalyst collapses the projections anyway
+        ex = emb.select(
+            _nearest_cell_expr(cents, vec_col).alias("cell"), F.col(vec_col)
+        ).select("cell", F.posexplode(vec_col).alias("pos", "val"))
         d = F.expr("CAST(round(CAST(val AS DOUBLE), 7) AS DECIMAL(12,7))")
         comp = ex.groupBy("cell", "pos").agg(
             (F.sum(d).cast("double") / F.count(F.lit(1))).alias("c")
         )
-        new = comp.groupBy("cell").agg(
-            F.transform(F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]).alias(
-                "ce"
+        new = {
+            int(r["cell"]): [float(x) for x in r["ce"]]
+            for r in comp.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+                ).alias("ce")
             )
-        )
-        cent = (
-            cent.alias("o")
-            .join(new.alias("n"), "cell", "left")
-            .select("cell", F.coalesce(F.col("n.ce"), F.col("o.ce")).alias("ce"))
-        )
-        # Materialize the model between iterations: centroids are k×dim
-        # MODEL PARAMETERS (a few KB), not data — collecting them cuts
-        # the lineage, so iteration i+1's jobs don't re-run every prior
-        # assignment DAG (without this the plan depth doubles per pass
-        # and the final assignment recomputes the whole history).
-        cent = spark.createDataFrame(
-            [(int(r["cell"]), [float(x) for x in r["ce"]]) for r in cent.collect()],
-            "cell int, ce array<double>",
-        )
-    return cent, kmeans_assign(emb, cent, id_col, vec_col)
+            .collect()
+        }
+        # empty cells keep their previous centroid
+        cents = [(c, new.get(c, old)) for c, old in cents]
+    cent = emb.sparkSession.createDataFrame(cents, "cell int, ce array<double>")
+    return cent, kmeans_assign(emb, cents, id_col, vec_col)
 
 
 def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFrame:
