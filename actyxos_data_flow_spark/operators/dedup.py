@@ -327,13 +327,17 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    prev_cached = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("_nmin"))
         )
+        # localCheckpoint (eager): labels feed the next round TWICE
+        # (probe side + left join), so without lineage truncation the
+        # logical plan doubles per round and analysis itself OOMs on
+        # high-diameter graphs long before execution does. At cluster
+        # scale prefer reliable checkpoint().
         updated = (
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
@@ -341,20 +345,105 @@ def connected_components(
                 "label",
                 F.least(F.col("label"), F.coalesce(F.col("_nmin"), F.col("label"))).alias("_new"),
             )
-        ).persist()
-        changed = updated.filter(F.col("_new") < F.col("label")).count()  # materializes the round
-        if prev_cached is not None:
-            prev_cached.unpersist()
-        prev_cached = updated
+        ).localCheckpoint()
+        changed = updated.filter(F.col("_new") < F.col("label")).count()
         labels = updated.select("node", F.col("_new").alias("label"))
         if changed == 0:
             break
     edges.unpersist()
-    # The final round's table STAYS cached: the returned DataFrame reads
-    # it instead of replaying the whole iteration history. Callers that
-    # hold the result long-term can df.unpersist() it; otherwise Spark's
-    # LRU reclaims it (and lineage fallback keeps it correct).
     return labels.select(F.col("node"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction — same output contract as :func:`connected_components`
+    (every node labeled with the MIN id in its component) but O(log n)
+    rounds instead of O(diameter): the swap-in for adversarial graphs
+    (long chains/paths) where min-label propagation needs one round per
+    hop. Each round is two self-free equi-join+aggregate passes over
+    the edge list; no step ever materializes a neighborhood larger
+    than the input edge set.
+
+    large-star: every node's strictly-larger neighbors re-attach to the
+    minimum of its closed neighborhood; small-star: orient edges
+    larger→smaller, then each node's smaller neighbors (and itself)
+    attach to the neighborhood minimum. The fixed point is a star per
+    component centered at the component minimum (the public
+    MapReduce-CC formulation of Kiveris et al.), detected here by an
+    order-insensitive edge-set signature (count + summed hash).
+    """
+    # localCheckpoint (eager) rather than persist: each round references
+    # the previous round's edges several times (symmetrize, join,
+    # aggregate), so the LOGICAL plan grows geometrically per round even
+    # when execution reuses the cache — checkpointing truncates the
+    # lineage to a leaf, keeping analysis O(1) per round. At cluster
+    # scale prefer reliable checkpoint() (localCheckpoint dies with an
+    # executor); locally the tradeoff is free.
+    e = (
+        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def _signature(edges: DataFrame) -> tuple:
+        row = edges.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.greatest("u", "v"), F.least("u", "v")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    sig = _signature(e)
+    for _ in range(max_iter):
+        # large-star over the symmetrized edge list
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        m = F.least(F.col("_mn"), F.col("u"))
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), m.alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over larger→smaller oriented edges
+        ori = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        omins = ori.groupBy("u").agg(F.min("v").alias("_mn"))
+        small = (
+            ori.join(omins, "u")
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("v").alias("u"), F.col("_mn").alias("v")),
+                        F.struct(F.col("u").alias("u"), F.col("_mn").alias("v")),
+                    )
+                ).alias("_e")
+            )
+            .select("_e.u", "_e.v")
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint()  # materializes the round, truncates lineage
+        )
+        new_sig = _signature(small)
+        e = small
+        if new_sig == sig:
+            break
+        sig = new_sig
+    roots = e.select(F.col("v").alias("node")).distinct().withColumn("component", F.col("node"))
+    return (
+        e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+        .unionByName(roots)
+        .distinct()
+    )
 
 
 def decontaminate(

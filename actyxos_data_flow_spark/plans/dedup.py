@@ -347,6 +347,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components(pairs)
 
 
+@register("dedup_clusters_star", oracle=CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same clustering through the O(log n)-round large-star/small-star
+    contraction — the adversarial-graph (long chain) swap-in, held to
+    the identical transitive-closure oracle as the propagation form."""
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    return D.connected_components_star(pairs)
+
+
 # -- decontamination -------------------------------------------------------
 
 EVAL_SOURCE = "src0"

@@ -590,3 +590,57 @@ def test_simhash_bucket_cap_drops_degenerate_band(spark):
     assert {(r.id_a, r.id_b) for r in uncapped.collect()} == {(1, 2), (1, 3), (2, 3)}
     capped = D.simhash_near_pairs(sig, max_hamming=2, max_bucket=2)
     assert capped.count() == 0
+
+
+def test_connected_components_star_equals_propagation(spark):
+    """large-star/small-star must agree with min-label propagation (and
+    ground truth) on adversarial shapes: a long chain (diameter >> log
+    rounds), a cycle, a star, two separate components, and a seeded
+    random graph."""
+    import random
+
+    from actyxos_data_flow_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    def truth(edges):
+        # union-find ground truth
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        return sorted((n, find(n)) for n in parent)
+
+    rng = random.Random(7)
+    graphs = {
+        "chain": [(i, i + 1) for i in range(60)],
+        "cycle": [(i, (i + 1) % 40) for i in range(40)],
+        "star": [(100, 100 + i) for i in range(1, 20)],
+        "two_comps": [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
+        "random": [(rng.randrange(50), rng.randrange(50)) for _ in range(80)],
+    }
+    for name, edges in graphs.items():
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        want = truth(edges)
+        got_star = sorted(
+            (r["node"], r["component"])
+            for r in connected_components_star(df).collect()
+        )
+        assert got_star == want, f"star CC wrong on {name}"
+        # propagation needs diameter rounds; bump max_iter for the chain
+        got_prop = sorted(
+            (r["node"], r["component"])
+            for r in connected_components(df, max_iter=70).collect()
+        )
+        assert got_prop == want, f"propagation CC wrong on {name}"
