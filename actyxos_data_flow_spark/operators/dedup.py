@@ -446,6 +446,39 @@ def connected_components_star(
     )
 
 
+def connected_components_delta(
+    labels: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Incremental CC maintenance: fold a batch of NEW near-dup edges
+    into an existing labeling without re-clustering the corpus graph.
+
+    Prior components enter as star edges (node → component id), which
+    are already depth-1, so the star contraction only has to resolve
+    chains the delta introduces — O(log |delta-chain|) rounds over
+    |labels| + |delta| edges, versus re-running CC over every historic
+    pair. The ingest-time invariant (tested):
+
+        cc_delta(cc(base), delta) == cc(base ∪ delta)
+
+    Label ids stay canonical (min id of the merged component) because
+    star edges preserve reachability and the contraction re-minimizes.
+    This is the clustering companion to ``lsh_delta_pairs``: the band
+    index yields the delta edges, this folds them into the standing
+    cluster table.
+    """
+    prior = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_a), F.col("component").alias(id_b)
+    )
+    delta = new_pairs.select(F.col(id_a), F.col(id_b))
+    return connected_components_star(
+        prior.unionByName(delta), id_a=id_a, id_b=id_b, max_iter=max_iter
+    )
+
+
 def decontaminate(
     train: DataFrame,
     eval_docs: DataFrame,

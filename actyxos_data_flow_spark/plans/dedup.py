@@ -356,6 +356,21 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.connected_components_star(pairs)
 
 
+@register("dedup_clusters_delta", oracle=CLUSTERS_ORACLE)
+def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering invariant, driver-checked: the pair list
+    splits deterministically into a base batch and a delta batch
+    (hash parity); the base is clustered, then the delta folds in via
+    connected_components_delta — and the result must hash-match the
+    SAME full-graph transitive-closure oracle as dedup_clusters:
+    cc_delta(cc(base), delta) == cc(base ∪ delta)."""
+    pairs = dedup_minhash_pairs(spark, sf_dir).persist()
+    parity = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2)) == 0
+    base = pairs.filter(parity)
+    delta = pairs.filter(~parity)
+    return D.connected_components_delta(D.connected_components_star(base), delta)
+
+
 # -- decontamination -------------------------------------------------------
 
 EVAL_SOURCE = "src0"

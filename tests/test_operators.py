@@ -644,3 +644,43 @@ def test_connected_components_star_equals_propagation(spark):
             for r in connected_components(df, max_iter=70).collect()
         )
         assert got_prop == want, f"propagation CC wrong on {name}"
+
+
+def test_connected_components_delta_invariant(spark):
+    """cc_delta(cc(base), delta) == cc(base ∪ delta) on seeded random
+    graphs, including deltas that MERGE previously separate components
+    and deltas introducing brand-new nodes."""
+    import random
+
+    from actyxos_data_flow_spark.operators.dedup import (
+        connected_components_delta,
+        connected_components_star,
+    )
+
+    rng = random.Random(13)
+    for trial in range(3):
+        base = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+        # delta: random edges + a bridge between low and high id ranges
+        # + edges over fresh nodes 100..110
+        delta = (
+            [(rng.randrange(40), rng.randrange(40)) for _ in range(10)]
+            + [(rng.randrange(20), 100 + rng.randrange(10)) for _ in range(3)]
+            + [(100 + i, 100 + i + 1) for i in range(9)]
+        )
+        base = [(a, b) for a, b in base if a != b]
+        delta = [(a, b) for a, b in delta if a != b]
+        bdf = spark.createDataFrame(base, "id_a long, id_b long")
+        ddf = spark.createDataFrame(delta, "id_a long, id_b long")
+        fdf = spark.createDataFrame(base + delta, "id_a long, id_b long")
+
+        got = sorted(
+            (r["node"], r["component"])
+            for r in connected_components_delta(
+                connected_components_star(bdf), ddf
+            ).collect()
+        )
+        want = sorted(
+            (r["node"], r["component"])
+            for r in connected_components_star(fdf).collect()
+        )
+        assert got == want, f"trial {trial}"
