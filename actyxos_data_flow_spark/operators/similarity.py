@@ -112,6 +112,75 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame
     return topk(pruned, k)
 
 
+def sq8_quantize(corpus: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization (the FAISS-SQ8
+    shape): ``scale = max(|x_i|)/127``; ``q_i = clamp(floor(x_i/scale +
+    0.5), ±127)`` stored as ``array<tinyint>`` — ONE byte per dimension,
+    a 4× scan-bandwidth cut versus float32, which is the lever that
+    matters when a 100 TB embedding store is memory-bandwidth-bound.
+    Dequantized value = ``q_i * scale``. Every step (max, IEEE divide,
+    floor, clamp) is deterministic and engine-reproducible — no
+    rounding-mode ambiguity (floor(x+0.5) instead of round()) — so a
+    SQL oracle derives bit-identical codes. Zero vectors quantize to
+    zeros (scale 0 guard). Pure projection: quantization happens
+    in-scan, nothing shuffles."""
+    xd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    scale = F.array_max(F.transform(xd, lambda x: F.abs(x))) / F.lit(127.0)
+    out = corpus.withColumn("sq_scale", scale)
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.when(F.col("sq_scale") == 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(-127),
+                F.least(F.lit(127), F.floor(x.cast("double") / F.col("sq_scale") + F.lit(0.5))),
+            )
+        )
+        .cast("tinyint"),
+    )
+    return out.withColumn("sq_q", q)
+
+
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k over the int8-quantized corpus: approximate scores
+    ``scale · Σ q_i·y_i`` against the full-precision query (rounded to
+    9dp before ranking so ulp noise can't flip candidate order), keep a
+    ``k·rerank`` candidate pool per query, then exact-cosine rerank on
+    the (few) candidates — recall loss shows only where quantization
+    error exceeds the pool margin.
+
+    Scale shape: quantized scoring is a projection over the corpus with
+    queries broadcast; candidate selection is the two-phase top-R
+    (per-partition prune via a (qid, partition) window — bounded sorts
+    — then a global top-R over ≤ partitions×|Q|×R survivors), so the
+    corpus never shuffles and the rerank join touches candidates only."""
+    r_pool = k * rerank
+    qz = sq8_quantize(corpus, vec_col)
+    adot = F.round(F.col("sq_scale") * _dot(F.col("sq_q"), F.col("qe")), 9)
+    scored = (
+        qz.crossJoin(F.broadcast(queries))
+        .select("qid", id_col, adot.alias("_adot"), F.spark_partition_id().alias("_pid"))
+    )
+    w1 = W.partitionBy("qid", "_pid").orderBy(F.col("_adot").desc(), F.col(id_col).asc())
+    pruned = scored.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= r_pool)
+    w2 = W.partitionBy("qid").orderBy(F.col("_adot").desc(), F.col(id_col).asc())
+    cand = (
+        pruned.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= r_pool)
+        .select("qid", id_col)
+    )
+    rer = cand.join(F.broadcast(queries), "qid").join(corpus.select(id_col, vec_col), id_col)
+    cos = _dot(F.col("qe"), F.col(vec_col)) / (_norm(F.col("qe")) * _norm(F.col(vec_col)))
+    return topk(rer.select("qid", id_col, cos.alias("cosine")), k)
+
+
 def ivf_topk(queries: DataFrame, corpus: DataFrame, k: int = 10, partition_col: str = "label") -> DataFrame:
     """IVF-pruned top-k: only corpus rows whose coarse partition matches
     the query's (nprobe=1). Equi-join on the partition id replaces the

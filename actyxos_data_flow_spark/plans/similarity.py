@@ -69,6 +69,58 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(queries, emb.select("vec_id", "embedding", "label"), k=K)
 
 
+SQ_RERANK = 3  # candidate pool = K * SQ_RERANK per query
+
+# int8 scalar quantization, mirrored exactly: scale = max|x|/127,
+# code = clamp(floor(x/scale + 0.5), ±127) — floor(x+0.5), never
+# round(), because engines disagree on round-half rounding modes while
+# floor is unambiguous. Approx scores round to 9dp before ranking.
+ANN_SQ8_ORACLE = (
+    "WITH "
+    + _COS_CTE
+    + f"""
+sqs AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+  FROM e
+),
+sqt AS (
+  SELECT vec_id, scale,
+         list_transform(embedding, x -> CASE WHEN scale = 0 THEN 0
+             ELSE CAST(greatest(-127, least(127, floor(x::DOUBLE / scale + 0.5))) AS BIGINT)
+         END) AS qv
+  FROM sqs
+),
+au AS (SELECT q.qid, t.vec_id, t.scale, unnest(q.qe)::DOUBLE a, unnest(t.qv)::DOUBLE b
+       FROM q, sqt t),
+ad AS (SELECT qid, vec_id, round(max(scale) * sum(a*b), 9) AS adot FROM au GROUP BY 1, 2),
+cand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id ASC) AS crn
+    FROM ad
+  ) WHERE crn <= {K * SQ_RERANK}
+),
+p AS (SELECT c.qid, e.vec_id, q.qe, e.embedding
+      FROM cand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+"""
+    + _SCORE.format(k=K)
+)
+
+
+@register("ann_sq8_topk", oracle=ANN_SQ8_ORACLE)
+def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the int8 scalar-quantized corpus (1 byte/dim — the 4×
+    scan-bandwidth lever for memory-bound embedding stores): quantized
+    approximate scoring, k×{SQ_RERANK} candidate pool, exact-cosine
+    rerank. The oracle replays quantization, pool selection, and rerank
+    exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return S.sq8_topk(queries, emb.select("vec_id", "embedding"), k=K, rerank=SQ_RERANK)
+
+
 NPROBE = 3
 
 # Deterministic coarse centroids: the embedding of min(vec_id) per label

@@ -684,3 +684,28 @@ def test_connected_components_delta_invariant(spark):
             for r in connected_components_star(fdf).collect()
         )
         assert got == want, f"trial {trial}"
+
+
+def test_sq8_quantize_codes_and_edges(spark):
+    """int8 quantizer: codes stored as tinyint (1 byte/dim), max
+    element hits ±127 exactly, zero vectors quantize to zeros, and
+    dequantization error is bounded by scale/2 per element."""
+    from actyxos_data_flow_spark.operators.similarity import sq8_quantize
+
+    rows = [
+        (1, [1.0, -0.5, 0.25, 0.0]),
+        (2, [0.0, 0.0, 0.0, 0.0]),       # zero vector -> scale 0
+        (3, [-2.0, 2.0, 1.0, -1.0]),     # symmetric extremes
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in sq8_quantize(df).collect()}
+
+    assert dict(sq8_quantize(df).dtypes)["sq_q"] == "array<tinyint>"
+    # floor(x/scale + 0.5) is round-half-UP: -63.5 rounds to -63
+    assert out[1]["sq_q"][0] == 127 and out[1]["sq_q"][1] == -63
+    assert out[2]["sq_scale"] == 0.0 and out[2]["sq_q"] == [0, 0, 0, 0]
+    assert out[3]["sq_q"] == [-127, 127, 64, -63]
+    for r in out.values():
+        s = r["sq_scale"]
+        for x, q in zip(r["embedding"], r["sq_q"]):
+            assert abs(x - q * s) <= s / 2 + 1e-12
