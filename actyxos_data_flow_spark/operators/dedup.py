@@ -439,11 +439,21 @@ def connected_components_star(
             break
         sig = new_sig
     roots = e.select(F.col("v").alias("node")).distinct().withColumn("component", F.col("node"))
-    return (
+    labeled = (
         e.select(F.col("u").alias("node"), F.col("v").alias("component"))
         .unionByName(roots)
         .distinct()
     )
+    # Same output contract as connected_components: nodes appearing ONLY
+    # in self-pairs (dropped by the u != v edge filter) still get a
+    # singleton label. One anti-join over the node set — edge-list sized.
+    all_nodes = (
+        pairs.select(F.explode(F.array(F.col(id_a), F.col(id_b))).alias("node")).distinct()
+    )
+    singletons = all_nodes.join(labeled.select("node"), "node", "left_anti").withColumn(
+        "component", F.col("node")
+    )
+    return labeled.unionByName(singletons)
 
 
 def connected_components_delta(
@@ -470,9 +480,11 @@ def connected_components_delta(
     index yields the delta edges, this folds them into the standing
     cluster table.
     """
-    prior = labels.filter(F.col("node") != F.col("component")).select(
-        F.col("node").alias(id_a), F.col("component").alias(id_b)
-    )
+    # Every prior node enters as an edge — members as (node, component)
+    # star edges, roots and SINGLETON clusters as self-pairs (which the
+    # star contraction's singleton handling relabels) — so an existing
+    # cluster table can never lose rows through a maintenance step.
+    prior = labels.select(F.col("node").alias(id_a), F.col("component").alias(id_b))
     delta = new_pairs.select(F.col(id_a), F.col(id_b))
     return connected_components_star(
         prior.unionByName(delta), id_a=id_a, id_b=id_b, max_iter=max_iter

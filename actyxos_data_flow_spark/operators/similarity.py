@@ -450,8 +450,15 @@ def kmeans_assign(emb: DataFrame, cent: DataFrame | list, id_col: str = "vec_id"
     broadcast cross join) nor shuffled on id (the old per-id argmin
     aggregate). Distances round to 9 decimals before the argmin so the
     choice is identical under any summation order."""
-    rows = cent.collect() if isinstance(cent, DataFrame) else cent
-    cents = [(int(r["cell"]), list(r["ce"])) for r in rows] if rows and not isinstance(rows[0], tuple) else list(rows)
+    from pyspark.sql import Row
+
+    rows = cent.collect() if isinstance(cent, DataFrame) else list(cent)
+    # Row subclasses tuple, so test Row FIRST: collected rows normalize
+    # by field name (any column order); plain tuples are (cell, vector)
+    cents = [
+        (int(r["cell"]), list(r["ce"])) if isinstance(r, Row) else (int(r[0]), list(r[1]))
+        for r in rows
+    ]
     return emb.select(id_col, _nearest_cell_expr(cents, vec_col).alias("cell"))
 
 

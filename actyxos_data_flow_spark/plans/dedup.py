@@ -368,7 +368,11 @@ def dedup_clusters_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity = F.pmod(F.xxhash64("id_a", "id_b"), F.lit(2)) == 0
     base = pairs.filter(parity)
     delta = pairs.filter(~parity)
-    return D.connected_components_delta(D.connected_components_star(base), delta)
+    out = D.connected_components_delta(D.connected_components_star(base), delta)
+    # both CC passes eagerly localCheckpoint their edge rounds during
+    # construction, so the cache has served its purpose by now
+    pairs.unpersist()
+    return out
 
 
 # -- decontamination -------------------------------------------------------

@@ -708,20 +708,23 @@ def cbor_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's OTHER payload wire format: CBOR
     (/root/reference/src/machine.rs:71-75 — payloads are CBOR/JSON
     values decoded via serde). The testdata carries JSON, so this query
-    re-encodes props to CBOR bytes in-flight and runs the engine's full
-    binary-payload path — RFC 8949 decode (sources/cbor.py), JSON
-    bridge, typed-struct extraction with corrupt-skip — ending in the
-    same aggregate as json_props_stats, against the same oracle: the
-    CBOR path must be value-identical to the JVM from_json path. Both
-    UDFs are Arrow-batched and run in the scan stage; blobs never
-    shuffle."""
-    from ..sources.cbor import json_to_cbor, decode_cbor_payload
+    re-encodes props to CBOR bytes in-flight and runs the engine's
+    binary-payload decode (RFC 8949 codec + JSON bridge,
+    sources/cbor.py) into the same field extraction as
+    json_props_stats, against the same oracle: the CBOR path must be
+    value-identical to the JVM from_json path. Rows whose props are
+    NULL / non-object / unencodable keep a NULL k and STAY COUNTED —
+    mirroring from_json's schema-on-read nulls — so the shared
+    count(*) oracle holds even if the driver regenerates props with
+    degenerate values (the skip-on-corrupt envelope path is
+    decode_cbor_payload, exercised in tests/test_cbor.py). Both UDFs
+    are Arrow-batched and run in the scan stage; blobs never shuffle."""
+    from ..sources.cbor import cbor_to_json, json_to_cbor
 
     ev = load_table(spark, sf_dir, "events").withColumn("payload", json_to_cbor("props"))
-
-    decoded = decode_cbor_payload(ev, "k INT")
+    k = F.from_json(cbor_to_json("payload"), "k INT").getField("k")
     return (
-        decoded.select("event_type", F.col("payload.k").alias("k"))
+        ev.select("event_type", k.alias("k"))
         .groupBy("event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),

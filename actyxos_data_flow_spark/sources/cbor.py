@@ -271,7 +271,7 @@ def json_to_cbor(col: Column | str) -> Column:
                 continue
             try:
                 out.append(cbor_dumps(json.loads(j)))
-            except (ValueError, CBORError):
+            except (ValueError, CBORError, RecursionError):
                 out.append(None)
         return pd.Series(out, dtype="object")
 

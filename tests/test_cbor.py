@@ -158,3 +158,21 @@ def test_spark_cbor_matches_json_path(spark):
     jout = {r["id"]: r["payload"]["k"] for r in decode_payload(jdf, "k INT").collect()}
     cout = {r["id"]: r["payload"]["k"] for r in decode_cbor_payload(cdf, "k INT").collect()}
     assert jout == cout and len(jout) == 4
+
+
+def test_degenerate_props_stay_counted(spark):
+    """The cbor_props_stats extraction shape: NULL / non-object /
+    unparseable props yield NULL k but the row STAYS (schema-on-read
+    parity with from_json) — the count(*) oracle must hold under
+    testdata drift."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.sources.cbor import cbor_to_json, json_to_cbor
+
+    rows = [(1, '{"k": 3}'), (2, None), (3, "[1,2]"), (4, "not json"), (5, '{"x": 1}')]
+    df = spark.createDataFrame(rows, "id LONG, props STRING")
+    out = df.withColumn("payload", json_to_cbor("props")).select(
+        "id", F.from_json(cbor_to_json("payload"), "k INT").getField("k").alias("k")
+    )
+    got = {r["id"]: r["k"] for r in out.collect()}
+    assert got == {1: 3, 2: None, 3: None, 4: None, 5: None}

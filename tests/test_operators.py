@@ -626,11 +626,12 @@ def test_connected_components_star_equals_propagation(spark):
         "chain": [(i, i + 1) for i in range(60)],
         "cycle": [(i, (i + 1) % 40) for i in range(40)],
         "star": [(100, 100 + i) for i in range(1, 20)],
-        "two_comps": [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10)],
+        # (9, 9): a node appearing ONLY as a self-pair must come back
+        # as its own singleton component from both implementations
+        "two_comps": [(1, 2), (2, 3), (10, 11), (11, 12), (12, 10), (9, 9)],
         "random": [(rng.randrange(50), rng.randrange(50)) for _ in range(80)],
     }
     for name, edges in graphs.items():
-        edges = [(a, b) for a, b in edges if a != b]
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         want = truth(edges)
         got_star = sorted(
@@ -659,7 +660,9 @@ def test_connected_components_delta_invariant(spark):
 
     rng = random.Random(13)
     for trial in range(3):
-        base = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)]
+        # (77, 77): a standing SINGLETON cluster with no delta edge —
+        # the maintenance step must not lose it
+        base = [(rng.randrange(40), rng.randrange(40)) for _ in range(30)] + [(77, 77)]
         # delta: random edges + a bridge between low and high id ranges
         # + edges over fresh nodes 100..110
         delta = (
@@ -667,7 +670,6 @@ def test_connected_components_delta_invariant(spark):
             + [(rng.randrange(20), 100 + rng.randrange(10)) for _ in range(3)]
             + [(100 + i, 100 + i + 1) for i in range(9)]
         )
-        base = [(a, b) for a, b in base if a != b]
         delta = [(a, b) for a, b in delta if a != b]
         bdf = spark.createDataFrame(base, "id_a long, id_b long")
         ddf = spark.createDataFrame(delta, "id_a long, id_b long")
