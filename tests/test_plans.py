@@ -331,3 +331,15 @@ def test_pack_sequences_output_invariant_to_partitioning(spark):
     a = collected(X.pack_sequences(sized, budget=512, num_range_partitions=1))
     b = collected(X.pack_sequences(sized, budget=512, num_range_partitions=7))
     assert a == b and len(a) > 0
+
+
+def test_sq8_corpus_never_shuffles_for_scoring(spark, registry):
+    """SQ8 ANN: quantization + approximate scoring are projections over
+    the corpus scan with queries broadcast (BroadcastNestedLoopJoin for
+    the cross join — the corpus side never exchanges before scoring),
+    and candidate selection runs the two-phase (qid, partition-id)
+    prune before any global per-qid window."""
+    plan = _plan(registry["ann_sq8_topk"].fn(spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "_pid" in plan  # two-phase top-R prune is in the plan
+    assert "CartesianProduct" not in plan
