@@ -45,6 +45,12 @@ class Dialect:
         WITH is implicitly recursive)."""
         return "RECURSIVE"
 
+    def recursion_opts(self) -> str:
+        """Statement suffix lifting the recursion depth cap (MSSQL
+        defaults to MAXRECURSION 100, which a multiplicity > 101 would
+        trip; other dialects have no cap to lift)."""
+        return ""
+
     # -- DDL ------------------------------------------------------------
 
     def create_table(self, name: str, cols_def: str) -> str:
@@ -132,6 +138,9 @@ class MssqlDialect(Dialect):
 
     def recursive_kw(self) -> str:
         return ""
+
+    def recursion_opts(self) -> str:
+        return " OPTION (MAXRECURSION 0)"
 
     def begin_stmts(self) -> list[str]:
         # /root/reference/src/db/mssql.rs:266-270 runs every write batch

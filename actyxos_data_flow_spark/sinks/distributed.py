@@ -79,10 +79,22 @@ class DistributedApplier:
     def stage(self, delta_df: DataFrame, table: DbTable, epoch: str, batch_size: int = 1000) -> None:
         """Bulk-insert ``delta_df`` (written_columns + delta) into the
         staging table from the executors. Delete-then-insert per
-        (epoch, partition) slice ⇒ task retries converge."""
+        (epoch, partition) slice ⇒ task retries converge; a driver-side
+        whole-epoch clear first ⇒ EPOCH retries converge too (a
+        recomputed delta may land in fewer/different partitions than a
+        crashed prior attempt — per-partition deletes alone would leave
+        the prior attempt's orphan slices for finalize to apply)."""
         cols = [c.name for c in table.written_columns]
         factory, dialect = self.factory, self.dialect
         stage = _stage_name(table)
+
+        conn = factory()
+        try:
+            cur = conn.cursor()
+            cur.execute(f"DELETE FROM {stage} WHERE _epoch = {dialect.ph(1)}", (epoch,))
+            conn.commit()
+        finally:
+            conn.close()
         n_cols = len(cols) + 3
         insert = (
             f"INSERT INTO {stage} ({', '.join(cols)}, _delta, _epoch, _part) "
@@ -130,17 +142,29 @@ class DistributedApplier:
         cols = [c.name for c in table.written_columns]
         collist = ", ".join(cols)
         stage = _stage_name(table)
-        # positives: set-wise multiplicity expansion inside the DB
+        # positives: set-wise multiplicity expansion inside the DB. The
+        # WITH clause leads the statement — the one CTE+INSERT order all
+        # three dialects accept (T-SQL rejects INSERT ... WITH; SQLite
+        # and Postgres accept both) — and recursion_opts() lifts MSSQL's
+        # default MAXRECURSION 100 cap.
         cur.execute(
-            f"INSERT INTO {table.name} ({collist}) "
             f"WITH {d.recursive_kw()} _x ({collist}, _d) AS ("
             f"  SELECT {collist}, _delta FROM {stage} "
             f"  WHERE _epoch = {d.ph(1)} AND _delta > 0"
             f"  UNION ALL SELECT {collist}, _d - 1 FROM _x WHERE _d > 1"
-            f") SELECT {collist} FROM _x",
+            f") INSERT INTO {table.name} ({collist}) "
+            f"SELECT {collist} FROM _x{d.recursion_opts()}",
             (epoch,),
         )
-        inserted = cur.rowcount if cur.rowcount and cur.rowcount > 0 else 0
+        # rowcount is unreliable for a WITH-led INSERT (python sqlite3
+        # flags DML by the statement's first keyword and reports -1);
+        # the staged positive multiplicity sum is the exact insert count
+        cur.execute(
+            f"SELECT COALESCE(SUM(_delta), 0) FROM {stage} "
+            f"WHERE _epoch = {d.ph(1)} AND _delta > 0",
+            (epoch,),
+        )
+        inserted = int(cur.fetchone()[0])
         # negatives: churn-sized; standard exact-n loop
         cur.execute(
             f"SELECT {collist}, _delta FROM {stage} "

@@ -70,10 +70,11 @@ class SnapshotMirror:
         (recovery path) if the pointer names a missing directory."""
         epoch = sink.mirror_epoch(table.name)
         if epoch is None:
-            if sink.rows(table):
+            rows = sink.rows(table)  # fetched once — this is a full scan
+            if rows:
                 # sink predates the mirror (or mirror state was cleared):
                 # one-time rebuild from stored rows.
-                return self.spark.createDataFrame(sink.rows(table), schema=schema)
+                return self.spark.createDataFrame(rows, schema=schema)
             return self.spark.createDataFrame([], schema=schema)
         try:
             return self.spark.read.schema(schema).parquet(self._dir(table, epoch))

@@ -68,11 +68,17 @@ class CorpusIngestor:
         self.sim_threshold = sim_threshold
 
     def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        """Empty frame ONLY for a genuinely absent/empty index. A
+        corrupt or unreadable index must raise: silently treating it as
+        empty would disable dedup for the batch and pollute the corpus
+        with re-ingested duplicates."""
         if os.path.isdir(path):
-            try:
+            import glob
+
+            if glob.glob(os.path.join(path, "*.parquet")) or glob.glob(
+                os.path.join(path, "part-*")
+            ):
                 return self.spark.read.parquet(path)
-            except Exception:
-                pass
         return self.spark.createDataFrame([], schema)
 
     def _index(self) -> DataFrame:
@@ -156,17 +162,23 @@ class CorpusIngestor:
         if self.near_dup:
             fresh, sigs = self._near_dup_gate(fresh)
             sigs = sigs.persist()
-        # corpus first, indexes last (crash between the two is replay-safe)
+        # Write order = corpus → signatures → digest index. The digest
+        # index is the ADMISSION GATE (the anti-join), so it commits
+        # LAST: a crash anywhere earlier re-admits the batch on replay
+        # (at-least-once duplicates, recoverable) — whereas committing
+        # the digest before the sigs would gate the docs out forever
+        # with their signatures permanently missing from the near-dup
+        # index (silent recall loss, unrecoverable).
         out = fresh.persist()
         try:
             accepted = out.count()
             if accepted:
                 out.drop("digest").write.mode("append").parquet(self.docs_path)
+                if sigs is not None:
+                    sigs.write.mode("append").parquet(self.sigs_path)
                 out.select(
                     "digest", F.col(self.id_col).cast("long").alias("doc_id")
                 ).write.mode("append").parquet(self.index_path)
-                if sigs is not None:
-                    sigs.write.mode("append").parquet(self.sigs_path)
         finally:
             out.unpersist()
             if sigs is not None:

@@ -35,6 +35,36 @@ from ..sinks.writer import SnapshotMirror, write_snapshots
 ViewFn = Callable[[DataFrame], DataFrame]
 
 
+def batch_bounds(pending: DataFrame, offset_col: str, events_per_txn: int) -> list[int]:
+    """Commit-boundary offsets, one per ~``events_per_txn`` pending
+    events — shared by both runners. Distributed: one count/max
+    aggregate plus a Greenwald-Khanna quantile sketch
+    (``approxQuantile``) — never a global sort or single-partition
+    exchange; only the boundary values (one per future transaction)
+    reach the driver. Boundary positions are approximate (GK error ≤
+    ~5% of a batch), the boundary COUNT is exact:
+    ceil(pending / events_per_txn), and the last bound is exactly the
+    max pending offset, so the final commit always lands on the log
+    head."""
+    n, max_off = pending.agg(
+        F.count(F.lit(1)).alias("n"), F.max(offset_col).alias("m")
+    ).first()
+    if not n:
+        return []
+    n_batches = math.ceil(n / events_per_txn)
+    if n_batches == 1:
+        return [max_off]
+    probs = [i * events_per_txn / n for i in range(1, n_batches)]
+    rel_err = max(1e-6, min(0.01, 0.05 * events_per_txn / n))
+    qs = pending.approxQuantile(offset_col, probs, rel_err)
+    bounds = [int(q) for q in qs]
+    # monotone + exact head: quantile jitter must never reorder
+    # commits or skip the final offset
+    for i in range(1, len(bounds)):
+        bounds[i] = max(bounds[i], bounds[i - 1])
+    return [min(b, max_off) for b in bounds] + [max_off]
+
+
 class IncrementalRunner:
     """Materialize ``view_fn(events ≤ offsets)`` into ``table`` batch by
     batch with exactly-once resume from the sink's offsets table.
@@ -115,34 +145,6 @@ class IncrementalRunner:
         )
         return sum(applied.values())
 
-    def _batch_bounds(self, pending: DataFrame, events_per_txn: int) -> list[int]:
-        """Commit-boundary offsets, one per ~``events_per_txn`` pending
-        events. Distributed: one count/max aggregate plus a
-        Greenwald-Khanna quantile sketch (``approxQuantile``) — never a
-        global sort or single-partition exchange; only the boundary
-        values (one per future transaction) reach the driver. Boundary
-        positions are approximate (GK error ≤ ~5% of a batch), the
-        boundary COUNT is exact: ceil(pending / events_per_txn), and the
-        last bound is exactly the max pending offset, so the final
-        commit always lands on the log head."""
-        n, max_off = pending.agg(
-            F.count(F.lit(1)).alias("n"), F.max(self.offset_col).alias("m")
-        ).first()
-        if not n:
-            return []
-        n_batches = math.ceil(n / events_per_txn)
-        if n_batches == 1:
-            return [max_off]
-        probs = [i * events_per_txn / n for i in range(1, n_batches)]
-        rel_err = max(1e-6, min(0.01, 0.05 * events_per_txn / n))
-        qs = pending.approxQuantile(self.offset_col, probs, rel_err)
-        bounds = [int(q) for q in qs]
-        # monotone + exact head: quantile jitter must never reorder
-        # commits or skip the final offset
-        for i in range(1, len(bounds)):
-            bounds[i] = max(bounds[i], bounds[i - 1])
-        return [min(b, max_off) for b in bounds] + [max_off]
-
     def catch_up(self, events: DataFrame, events_per_txn: int = 1000) -> list[int]:
         """Process everything beyond the stored offsets in commit units
         of ``events_per_txn`` (reference default 1,000 —
@@ -150,7 +152,7 @@ class IncrementalRunner:
         the per-batch applied delta counts."""
         start = self.resume_offset()
         pending = events.filter(F.col(self.offset_col) > start).select(self.offset_col)
-        bounds = self._batch_bounds(pending, events_per_txn)
+        bounds = batch_bounds(pending, self.offset_col, events_per_txn)
         return [self.run_batch(events, b) for b in bounds]
 
 
@@ -256,9 +258,7 @@ class IncrementalAggRunner:
     def catch_up(self, events: DataFrame, events_per_txn: int = 1000) -> list[int]:
         """Drain everything pending in ~``events_per_txn`` commit units
         (same quantile-stride bounds as IncrementalRunner)."""
-        helper = IncrementalRunner.__new__(IncrementalRunner)
-        helper.offset_col = self.offset_col
         start = self.resume_offset()
         pending = events.filter(F.col(self.offset_col) > start).select(self.offset_col)
-        bounds = IncrementalRunner._batch_bounds(helper, pending, events_per_txn)
+        bounds = batch_bounds(pending, self.offset_col, events_per_txn)
         return [self.run_batch(events, b) for b in bounds]

@@ -38,13 +38,20 @@ def map_with_state(
     state_schema: StructType | str,
     order_by: Sequence[str] | None = None,
     init_state: tuple | None = None,
+    done_state: tuple | None = None,
 ) -> DataFrame:
     """Fold ``fn`` over each key's rows with state persisted across
     micro-batches. ``fn(state, row) -> (state, emit)`` — the same
     contract as ``Flow.map_with_state``; ``state`` is a tuple matching
     ``state_schema`` (or ``init_state``/None before first update);
     ``emit`` is None, a dict for one output row, or a list of dicts
-    (e.g. a retract/assert pair)."""
+    (e.g. a retract/assert pair).
+
+    ``done_state``: optional sentinel meaning "this key's state is
+    equivalent to never-seen" — when the fold lands on it, the key's
+    state-store entry is REMOVED instead of updated, so a long-running
+    live query over one-shot keys (closed intervals, finished orders)
+    keeps bounded state instead of one entry per key ever seen."""
     if isinstance(output_schema, StructType):
         out_cols = [f.name for f in output_schema.fields]
     else:
@@ -54,14 +61,23 @@ def map_with_state(
     def handler(key, pdf_iter, state: GroupState):
         s = tuple(state.get) if state.exists else init_state
         out = []
-        for pdf in pdf_iter:
+        # A key's rows can span several Arrow chunks (arrow
+        # maxRecordsPerBatch), and chunks arrive in arbitrary order —
+        # sorting per chunk would fold out of order. Concatenate the
+        # whole group FIRST, sort once, then fold.
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             if order_cols:
-                pdf = pdf.sort_values(order_cols, kind="mergesort")
-            for row in pdf.itertuples(index=False):
+                whole = whole.sort_values(order_cols, kind="mergesort")
+            for row in whole.itertuples(index=False):
                 s, emit = fn(s, row)
                 if emit is not None:
                     out.extend(emit if isinstance(emit, list) else [emit])
-        if s is not None:
+        if s is not None and s == done_state:
+            if state.exists:
+                state.remove()
+        elif s is not None:
             state.update(s)
         yield pd.DataFrame(out, columns=out_cols)
 
@@ -109,6 +125,9 @@ def usage_intervals_stream(tagged: DataFrame) -> DataFrame:
         "user_id bigint, order_id bigint, started_micros bigint, duration_micros bigint",
         "open_ts bigint",
         order_by=["event_id"],
+        # (None,) = "no pending start" ≡ never-seen: drop the state-store
+        # entry so closed (user, order) keys don't accumulate forever
+        done_state=(None,),
     )
 
 
@@ -133,8 +152,14 @@ def monotonic_max_by_stream(
     fields = list(record_cols)
     si = fields.index(sort_col)
 
+    def nskey(v):
+        # None-safe comparison key, ordered like Rust's Option (None <
+        # Some): comparing (False, None) with (True, x) decides on the
+        # bool and never touches None vs x (which raises in Python)
+        return (v is not None, v)
+
     def okey(rec: tuple):
-        return (rec[si], rec)
+        return (nskey(rec[si]), tuple(nskey(v) for v in rec))
 
     def step(state, row):
         rec = tuple(getattr(row, c) for c in fields)
@@ -207,10 +232,14 @@ def map_with_state_tws(
         def handleInputRows(self, key, rows, timerValues):
             s = tuple(self._state.get()) if self._state.exists() else init_state
             out = []
-            for pdf in rows:
+            # concatenate ALL chunks before sorting — a key spanning
+            # multiple Arrow chunks must fold in global order_by order
+            chunks = [pdf for pdf in rows if len(pdf)]
+            if chunks:
+                whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
                 if order_cols:
-                    pdf = pdf.sort_values(order_cols, kind="mergesort")
-                for row in pdf.itertuples(index=False):
+                    whole = whole.sort_values(order_cols, kind="mergesort")
+                for row in whole.itertuples(index=False):
                     s, emit = fn(s, row)
                     if emit is not None:
                         out.extend(emit if isinstance(emit, list) else [emit])

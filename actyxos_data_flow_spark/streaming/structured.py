@@ -71,6 +71,11 @@ def _foreach_batch_handler(
         )
         log = spark.read.option("recursiveFileLookup", "true").parquet(stage_dir)
         upto = log.agg(F.max(offset_col)).first()[0]
+        if upto is None:
+            # staged log still empty (first batch delivered no rows):
+            # nothing to materialize, and upserting a NULL offset would
+            # violate the offsets table's NOT NULL constraint
+            return
         write_snapshots(
             spark,
             sink,

@@ -121,3 +121,28 @@ def test_write_snapshots_with_distributed_applier(spark, tmp_path):
     assert n == {T.name: 0}
     assert sink.rows(T) == [("x", 1), ("z", 3)]
     sink.close()
+
+
+def test_stage_epoch_retry_with_different_partitioning(spark, tmp_path):
+    """An epoch retried after a crash may partition its recomputed
+    delta differently (AQE, config change): stage() must clear the
+    WHOLE epoch first, or the prior attempt's orphan (epoch, partition)
+    slices survive their per-partition deletes and finalize applies
+    duplicates."""
+    sink, applier = _setup(tmp_path)
+    attempt1 = spark.createDataFrame(
+        [("x", 1, 1), ("y", 2, 1), ("z", 3, 1), ("w", 4, 1)],
+        "a string, b long, delta long",
+    ).repartition(4)
+    applier.stage(attempt1, T, epoch="e1")
+    # crash before finalize; the retry computes a smaller delta that
+    # lands in ONE partition — none of attempt 1's slices are touched
+    # by per-partition deletes
+    attempt2 = spark.createDataFrame(
+        [("x", 1, 1)], "a string, b long, delta long"
+    ).repartition(1)
+    applier.stage(attempt2, T, epoch="e1")
+    ins, dels = applier.finalize(sink, T, "e1", {"src": 5})
+    assert (ins, dels) == (1, 0)
+    assert sink.rows(T) == [("x", 1)]
+    sink.close()
