@@ -58,13 +58,14 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     cols = old.columns
     if cols != new.columns:
         raise ValueError(f"snapshot schemas differ: {cols} vs {new.columns}")
-    oc = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("_old_n"))
-    nc = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("_new_n"))
-    joined = oc.join(nc, on=cols, how="full_outer").select(
-        *cols,
-        (F.coalesce(F.col("_new_n"), F.lit(0)) - F.coalesce(F.col("_old_n"), F.lit(0))).cast("long").alias(DELTA_COL),
-    )
-    return joined.filter(F.col(DELTA_COL) != 0)
+    if DELTA_COL in cols:
+        raise ValueError("snapshot_diff inputs are materialized rows, not delta frames")
+    # union + one hash aggregate, NOT a join: groupBy treats NULL keys as
+    # equal, whereas a join on the record columns is null-UNSAFE — a row
+    # with any NULL field would never match itself across old/new and
+    # every epoch would emit a spurious retract/insert pair for it.
+    # (Also one less shuffle than aggregate-per-side + full-outer join.)
+    return consolidate(with_delta(old, -1).unionByName(with_delta(new, 1)))
 
 
 def apply_delta(snapshot: DataFrame, delta: DataFrame) -> DataFrame:
@@ -135,9 +136,18 @@ def delta_agg_sum(old_agg: DataFrame, delta: DataFrame, keys, val: str, out: str
     contrib = delta.groupBy(*keys).agg(
         F.sum(F.col(val) * F.col(DELTA_COL)).alias("_dv"),
         F.sum(DELTA_COL).cast("long").alias("_dn"),
+    ).alias("_c")
+    old = old_agg.select(*keys, F.col(out).alias("_ov"), F.col("_n").alias("_on")).alias("_o")
+    # NULL-SAFE key equality: `on=keys` uses `=`, under which a NULL
+    # group key never matches its own old row — the old contribution
+    # would be ignored and the stale row never retracted
+    cond = None
+    for k in keys:
+        e = F.col(f"_c.{k}").eqNullSafe(F.col(f"_o.{k}"))
+        cond = e if cond is None else cond & e
+    j = contrib.join(old, cond, "left").select(
+        *[F.col(f"_c.{k}").alias(k) for k in keys], "_dv", "_dn", "_ov", "_on"
     )
-    old = old_agg.select(*keys, F.col(out).alias("_ov"), F.col("_n").alias("_on"))
-    j = contrib.join(old, on=keys, how="left")
     new_rows = j.select(
         *keys,
         (F.coalesce(F.col("_ov"), F.lit(0)) + F.col("_dv")).alias(out),
@@ -154,14 +164,30 @@ def delta_agg_sum(old_agg: DataFrame, delta: DataFrame, keys, val: str, out: str
     return consolidate(retract.unionByName(insert))
 
 
-def delta_agg_next(old_agg: DataFrame, agg_delta: DataFrame) -> DataFrame:
+def delta_agg_next(old_agg: DataFrame, agg_delta: DataFrame, keys=None) -> DataFrame:
     """Fold a :func:`delta_agg_sum` result back into the snapshot form
-    (keys + sum + _n): apply the +1 rows, drop the −1 rows."""
+    (keys + sum + _n): apply the +1 rows, drop the −1 rows.
+
+    Pass ``keys`` explicitly when any group key starts with an
+    underscore or the sum column doesn't (the default derivation
+    treats every non-underscore, non-``_n`` column except the last
+    value column as a key only by naming convention)."""
     cols = [c for c in agg_delta.columns if c != DELTA_COL]
-    keys = [c for c in cols if c not in ("_n",) and not c.startswith("_")]
+    if keys is None:
+        keys = [c for c in cols if c not in ("_n",) and not c.startswith("_")]
+    else:
+        keys = list(keys)
     plus = agg_delta.filter(F.col(DELTA_COL) == 1).select(*cols)
     minus_keys = agg_delta.filter(F.col(DELTA_COL) == -1).select(*keys).distinct()
-    untouched = old_agg.join(minus_keys, on=keys, how="left_anti").join(
-        plus.select(*keys).distinct(), on=keys, how="left_anti"
-    )
+    # one anti-join suffices: delta_agg_sum emits a −1 retraction for
+    # EVERY touched key that existed in old_agg, so plus-rows for
+    # existing keys are already covered by minus_keys, and plus-rows
+    # for brand-new keys have nothing to remove. NULL-safe equality so
+    # NULL-keyed retractions actually remove their stale row.
+    oa, mk = old_agg.alias("_oa"), minus_keys.alias("_mk")
+    cond = None
+    for k in keys:
+        e = F.col(f"_oa.{k}").eqNullSafe(F.col(f"_mk.{k}"))
+        cond = e if cond is None else cond & e
+    untouched = oa.join(mk, cond, "left_anti")
     return untouched.unionByName(plus)

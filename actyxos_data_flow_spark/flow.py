@@ -51,6 +51,49 @@ from pyspark.sql import functions as F
 DELTA_COL = "delta"
 
 
+class _DictRow:
+    """Attribute-access row with ``_asdict()`` — the fallback when
+    itertuples would mangle column names."""
+
+    __slots__ = ("_d",)
+
+    def __init__(self, d: dict):
+        object.__setattr__(self, "_d", d)
+
+    def __getattr__(self, name):
+        try:
+            return self._d[name]
+        except KeyError:
+            raise AttributeError(name) from None
+
+    def _asdict(self) -> dict:
+        return dict(self._d)
+
+
+def _iter_rows(pdf):
+    """Row iteration for the stateful fold contract (``fn(state, row)``
+    with attribute access + ``row._asdict()``). ``itertuples`` is the
+    fast path, but it silently RENAMES columns that start with an
+    underscore or aren't valid identifiers (rename=True) — fn's
+    ``row._n`` would raise and ``_asdict`` keys would go positional,
+    corrupting output columns. Such frames iterate as dict-backed rows
+    instead."""
+    import keyword
+
+    cols = list(pdf.columns)
+    if all(
+        isinstance(c, str)
+        and c.isidentifier()
+        and not c.startswith("_")
+        and not keyword.iskeyword(c)
+        for c in cols
+    ):
+        yield from pdf.itertuples(index=False)
+        return
+    for rec in pdf.to_dict("records"):
+        yield _DictRow(rec)
+
+
 def _cols(exprs: Sequence[Column | str]) -> list[Column]:
     return [F.col(e) if isinstance(e, str) else e for e in exprs]
 
@@ -75,8 +118,16 @@ class Flow:
         bounded look-back — a source-side predicate (partition-prunable),
         e.g. ``lookback_expr='INTERVAL 365 DAYS'`` keeps only events whose
         ts is within the horizon of the max ts."""
-        horizon = df.select(F.max(ts_col).alias("m")).withColumn("cutoff", F.expr(f"m - {lookback_expr}"))
-        return cls(df.join(F.broadcast(horizon), df[ts_col] >= horizon["cutoff"], "inner").drop("m", "cutoff"))
+        # collision-proof helper names: drop-by-name removes EVERY column
+        # with that name, so plain "m"/"cutoff" would silently delete a
+        # same-named user column
+        horizon = df.select(F.max(ts_col).alias("__sl_m")).withColumn(
+            "__sl_cutoff", F.expr(f"__sl_m - {lookback_expr}")
+        )
+        return cls(
+            df.join(F.broadcast(horizon), df[ts_col] >= horizon["__sl_cutoff"], "inner")
+            .drop("__sl_m", "__sl_cutoff")
+        )
 
     def _wrap(self, df: DataFrame, stateful: bool | None = None) -> "Flow":
         return Flow(df, self.stateful if stateful is None else stateful)
@@ -183,7 +234,7 @@ class Flow:
             pdf = pdf.sort_values(order_cols, kind="mergesort")
             state = init_state() if callable(init_state) else init_state
             out = []
-            for row in pdf.itertuples(index=False):
+            for row in _iter_rows(pdf):
                 state, emit = fn(state, row)
                 if emit is not None:
                     out.extend(emit if isinstance(emit, list) else [emit])
@@ -210,7 +261,20 @@ class Flow:
         return self._wrap(self.df.withColumn(DELTA_COL, F.lit(-1)))
 
     def distinct(self) -> "Flow":
-        """U3 — multiplicity→1."""
+        """U3 — multiplicity→1. Delta space: the net multiplicity per
+        record decides existence (a +1/−1 retraction pair nets to zero
+        and must NOT resurrect the record, which a plain
+        ``df.distinct()`` over the delta column would); survivors carry
+        delta=1."""
+        if DELTA_COL in self.df.columns:
+            cols = [c for c in self.df.columns if c != DELTA_COL]
+            out = (
+                self.df.groupBy(*cols)
+                .agg(F.sum(DELTA_COL).alias("_m"))
+                .filter(F.col("_m") > 0)
+                .select(*cols, F.lit(1).cast("long").alias(DELTA_COL))
+            )
+            return self._wrap(out, stateful=True)
         return self._wrap(self.df.distinct(), stateful=True)
 
     def threshold(self, fn: Callable[[Column], Column]) -> "Flow":
@@ -260,13 +324,52 @@ class Flow:
             return self._wrap(out, stateful=True)
         return self._wrap(self.df.groupBy(*cols).agg(F.count(F.lit(1)).alias("count")), stateful=True)
 
+    def _net_counts(self, df: DataFrame) -> DataFrame:
+        """Net positive multiplicity per distinct record (cols + _m),
+        treating a missing delta column as ×1 rows."""
+        cols = [c for c in df.columns if c != DELTA_COL]
+        m = F.sum(DELTA_COL) if DELTA_COL in df.columns else F.count(F.lit(1))
+        return df.groupBy(*cols).agg(m.cast("long").alias("_m")).filter(F.col("_m") > 0)
+
     def except_all(self, other: "Flow") -> "Flow":
         """Set difference (reference idiom: concat + negate + threshold,
-        SURVEY.md §2.3) — native ``exceptAll``."""
+        SURVEY.md §2.3) — native ``exceptAll`` for materialized rows;
+        in delta space the truncated difference max(net_a − net_b, 0)
+        is computed on NET multiplicities (exceptAll would compare the
+        delta column as data and let retraction pairs survive)."""
+        if DELTA_COL in self.df.columns or DELTA_COL in other.df.columns:
+            a = self._net_counts(self.df)
+            b = self._net_counts(other.df).withColumn("_m", -F.col("_m"))
+            cols = [c for c in a.columns if c != "_m"]
+            out = (
+                a.unionByName(b)
+                .groupBy(*cols)
+                .agg(F.sum("_m").alias("_m"))
+                .filter(F.col("_m") > 0)
+                .select(*cols, F.col("_m").cast("long").alias(DELTA_COL))
+            )
+            return self._wrap(out, stateful=True)
         return self._wrap(self.df.exceptAll(other.df), stateful=True)
 
     def intersect_all(self, other: "Flow") -> "Flow":
-        """Multiset intersection — native ``intersectAll``."""
+        """Multiset intersection — native ``intersectAll`` for
+        materialized rows; in delta space min(net_a, net_b) over net
+        multiplicities (both sides must be positively present)."""
+        if DELTA_COL in self.df.columns or DELTA_COL in other.df.columns:
+            a = self._net_counts(self.df).withColumn("_side", F.lit(0))
+            b = self._net_counts(other.df).withColumn("_side", F.lit(1))
+            cols = [c for c in a.columns if c not in ("_m", "_side")]
+            out = (
+                a.unionByName(b)
+                .groupBy(*cols)
+                .agg(
+                    F.min("_m").alias("_m"),
+                    F.count_distinct("_side").alias("_sides"),
+                )
+                .filter(F.col("_sides") == 2)
+                .select(*cols, F.col("_m").cast("long").alias(DELTA_COL))
+            )
+            return self._wrap(out, stateful=True)
         return self._wrap(self.df.intersectAll(other.df), stateful=True)
 
     # -- monotonic ops (M1, M2) ----------------------------------------

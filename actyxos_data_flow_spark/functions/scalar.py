@@ -40,11 +40,14 @@ def dec_mul_sum(a: Column | str, b: Column | str, scale: int = 2) -> Column:
 
 
 def safe_avg(col: Column | str, scale: int = 2) -> Column:
-    """Deterministic average: exact decimal sum divided by count, in double.
+    """Deterministic average: exact decimal sum divided by the NON-NULL
+    count — standard AVG semantics (sum skips nulls, so dividing by the
+    row count would silently deflate the mean on null-bearing columns).
 
     (double / long on identical inputs is bit-identical across engines.)
     """
-    return (F.sum(dec(col, scale)).cast("double") / F.count(F.lit(1))).alias("avg")
+    c = F.col(col) if isinstance(col, str) else col
+    return (F.sum(dec(c, scale)).cast("double") / F.count(c)).alias("avg")
 
 
 def ts_micros(col: Column | str) -> Column:

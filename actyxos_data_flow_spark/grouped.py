@@ -89,11 +89,21 @@ class Grouped:
         join type; semi/anti/outer come free from Spark, SURVEY.md §2.5).
         The combiner is the projection ``out_exprs`` (1:many via explode
         upstream if needed)."""
-        right = F.broadcast(other.df) if broadcast_right else other.df
         if self.keys != other.keys:
-            cond = [self.df[a] == other.df[b] for a, b in zip(self.keys, other.keys)]
-            joined = self.df.join(right, cond, "inner")
+            # alias both sides: when the two Groupeds descend from the
+            # same plan (self-join against a derived view), df[a] ==
+            # other.df[b] is an ambiguous self-join reference
+            left = self.df.alias("_gl")
+            right = other.df.alias("_gr")
+            if broadcast_right:
+                right = F.broadcast(right)
+            cond = [
+                F.col(f"_gl.{a}") == F.col(f"_gr.{b}")
+                for a, b in zip(self.keys, other.keys)
+            ]
+            joined = left.join(right, cond, "inner")
         else:
+            right = F.broadcast(other.df) if broadcast_right else other.df
             joined = self.df.join(right, on=self.keys, how="inner")
         out = joined.select(*[F.col(e) if isinstance(e, str) else e for e in out_exprs]) if out_exprs else joined
         return Flow(out, stateful=True)
@@ -121,12 +131,36 @@ class Grouped:
         """G6 — per-(key,value) multiplicity rewrite."""
         return Flow(self.df, stateful=True).threshold(fn)
 
+    def _positive_records(self) -> DataFrame:
+        """Records with positive NET multiplicity, delta column dropped —
+        the materialized view a value-level aggregate must see. A plain
+        pass-through when the flow isn't in delta space."""
+        if DELTA_COL not in self.df.columns:
+            return self.df
+        cols = [c for c in self.df.columns if c != DELTA_COL]
+        return (
+            self.df.groupBy(*cols)
+            .agg(F.sum(DELTA_COL).alias("_m"))
+            .filter(F.col("_m") > 0)
+            .drop("_m")
+        )
+
     def distinct(self) -> Flow:
-        """G7 — multiplicity→1 per (key,value)."""
-        return Flow(self.df.distinct(), stateful=True)
+        """G7 — multiplicity→1 per (key,value); delta-space nets first
+        (same contract as Flow.distinct)."""
+        return Flow(self.df, stateful=True).distinct()
 
     def count(self) -> Flow:
-        """G8 — per-key count."""
+        """G8 — per-key count. Delta space: the count is Σ delta per key
+        (a retraction row subtracts instead of counting as a row);
+        zero-net keys vanish."""
+        if DELTA_COL in self.df.columns:
+            out = (
+                self.df.groupBy(*self.keys)
+                .agg(F.sum(DELTA_COL).cast("long").alias("count"))
+                .filter(F.col("count") != 0)
+            )
+            return Flow(out, stateful=True)
         return Flow(self.df.groupBy(*self.keys).agg(F.count(F.lit(1)).alias("count")), stateful=True)
 
     def agg(self, *aggs: Column) -> Flow:
@@ -138,13 +172,15 @@ class Grouped:
         Rust derived Ord; Spark struct comparison matches)."""
         vals = self._value_cols()
         rec = F.struct(*[F.col(c) for c in vals])
-        return Flow(self.df.groupBy(*self.keys).agg(F.min(rec).alias("_rec")).select(*self.keys, "_rec.*"), True)
+        src = self._positive_records()
+        return Flow(src.groupBy(*self.keys).agg(F.min(rec).alias("_rec")).select(*self.keys, "_rec.*"), True)
 
     def max_record(self) -> Flow:
         """G10 — per-key maximum whole record."""
         vals = self._value_cols()
         rec = F.struct(*[F.col(c) for c in vals])
-        return Flow(self.df.groupBy(*self.keys).agg(F.max(rec).alias("_rec")).select(*self.keys, "_rec.*"), True)
+        src = self._positive_records()
+        return Flow(src.groupBy(*self.keys).agg(F.max(rec).alias("_rec")).select(*self.keys, "_rec.*"), True)
 
     def max_by(self, sort_key: Column | str) -> Flow:
         """G11 — per-key argmax by a computed sort key (the flagship E1
@@ -157,7 +193,7 @@ class Grouped:
         rec = F.struct(*[F.col(c) for c in vals])
         order = F.struct(s.alias("_s"), *[F.col(c) for c in vals])
         return Flow(
-            self.df.groupBy(*self.keys).agg(F.max_by(rec, order).alias("_rec")).select(*self.keys, "_rec.*"),
+            self._positive_records().groupBy(*self.keys).agg(F.max_by(rec, order).alias("_rec")).select(*self.keys, "_rec.*"),
             True,
         )
 
@@ -168,7 +204,7 @@ class Grouped:
         rec = F.struct(*[F.col(c) for c in vals])
         order = F.struct(s.alias("_s"), *[F.col(c) for c in vals])
         return Flow(
-            self.df.groupBy(*self.keys).agg(F.min_by(rec, order).alias("_rec")).select(*self.keys, "_rec.*"),
+            self._positive_records().groupBy(*self.keys).agg(F.min_by(rec, order).alias("_rec")).select(*self.keys, "_rec.*"),
             True,
         )
 

@@ -61,8 +61,13 @@ def decode_payload(df: DataFrame, payload_schema: T.StructType | str, payload_co
             F.col(payload_col), with_corrupt, {"columnNameOfCorruptRecord": "_corrupt"}
         ),
     )
+    # NULL input produces a NULL struct with a NULL _corrupt marker, so
+    # it must be excluded explicitly — a null-payload event is skipped
+    # exactly like an unparseable one (the docstring's contract)
     return (
-        decoded.filter(F.col("_payload._corrupt").isNull())
+        decoded.filter(
+            F.col(payload_col).isNotNull() & F.col("_payload._corrupt").isNull()
+        )
         .drop(payload_col)
         .withColumn("payload", F.col("_payload").dropFields("_corrupt"))
         .drop("_payload")

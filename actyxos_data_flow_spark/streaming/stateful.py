@@ -26,6 +26,8 @@ from collections.abc import Callable, Sequence
 
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from ..flow import _iter_rows
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import StructType
 
@@ -70,7 +72,7 @@ def map_with_state(
             whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             if order_cols:
                 whole = whole.sort_values(order_cols, kind="mergesort")
-            for row in whole.itertuples(index=False):
+            for row in _iter_rows(whole):
                 s, emit = fn(s, row)
                 if emit is not None:
                     out.extend(emit if isinstance(emit, list) else [emit])
@@ -239,7 +241,7 @@ def map_with_state_tws(
                 whole = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
                 if order_cols:
                     whole = whole.sort_values(order_cols, kind="mergesort")
-                for row in whole.itertuples(index=False):
+                for row in _iter_rows(whole):
                     s, emit = fn(s, row)
                     if emit is not None:
                         out.extend(emit if isinstance(emit, list) else [emit])

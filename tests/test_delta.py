@@ -89,3 +89,30 @@ def test_delta_agg_sum_retraction_pairs_and_next_snapshot(spark):
     )
     key = lambda df: sorted(tuple(r) for r in df.select("g", "total", "_n").collect())
     assert key(next_agg) == key(recomputed)
+
+
+def test_snapshot_diff_null_fields_cancel(spark):
+    """A row with NULL fields present unchanged in both snapshots must
+    NOT produce a retract/insert pair (the join-based diff's null-unsafe
+    equality did — false churn through the sink every epoch)."""
+    from actyxos_data_flow_spark.delta import snapshot_diff
+
+    old = spark.createDataFrame([(1, None), (2, "b")], "id long, v string")
+    new = spark.createDataFrame([(1, None), (3, None)], "id long, v string")
+    got = sorted(tuple(r) for r in snapshot_diff(old, new).collect())
+    assert got == [(2, "b", -1), (3, None, 1)]
+
+
+def test_delta_agg_sum_null_key(spark):
+    """NULL group keys must fold into their existing aggregate row and
+    retract the stale one — not be treated as brand-new keys."""
+    from actyxos_data_flow_spark.delta import delta_agg_next, delta_agg_sum
+
+    old = spark.createDataFrame([(None, 100.0, 2), ("x", 10.0, 1)], "k string, total double, _n long")
+    delta = spark.createDataFrame([(None, 5.0, 1)], "k string, val double, delta long")
+    skey = lambda t: tuple((v is not None, v) for v in t)  # noqa: E731
+    d = delta_agg_sum(old, delta, ["k"], "val", "total")
+    got = sorted((tuple(r) for r in d.collect()), key=skey)
+    assert got == [(None, 100.0, 2, -1), (None, 105.0, 3, 1)]
+    nxt = sorted((tuple(r) for r in delta_agg_next(old, d, keys=["k"]).collect()), key=skey)
+    assert nxt == [(None, 105.0, 3), ("x", 10.0, 1)]

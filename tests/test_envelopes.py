@@ -134,3 +134,16 @@ def test_inspect_triples_delivers_bounded_sample(spark):
     out = f.inspect_triples(lambda d, t, m: seen.append((d["a"], t, m)), limit=2)
     assert out is f and len(seen) == 2
     assert all(m in (2, 4, 6) for _, _, m in seen)  # delta rides the mult slot
+
+
+def test_decode_payload_skips_null_payload(spark):
+    """NULL payloads are skipped exactly like unparseable ones (the
+    documented contract; from_json(NULL) previously leaked through the
+    corrupt filter as a NULL struct)."""
+    from actyxos_data_flow_spark.model import decode_payload
+
+    df = spark.createDataFrame(
+        [(1, '{"k": 1}'), (2, None), (3, "not json")], "id long, payload string"
+    )
+    out = decode_payload(df, "k INT")
+    assert [r["id"] for r in out.collect()] == [1]

@@ -131,3 +131,29 @@ def test_monotonic_max_by_full_record_tiebreak(spark):
     )
     got = Flow(df).monotonic_max_by("k", "s").df.collect()
     assert [(r.k, r.s, r.payload) for r in got] == [(1, 10, "z")]
+
+
+def test_delta_space_set_ops_cancel_retractions(spark):
+    """distinct / except_all / intersect_all / Grouped.count over delta
+    frames operate on NET multiplicities: a +1/−1 pair is a non-record."""
+    from actyxos_data_flow_spark.flow import Flow
+    from actyxos_data_flow_spark.grouped import Grouped
+
+    d = spark.createDataFrame(
+        [("a", 1), ("a", -1), ("b", 1), ("b", 1), ("c", 1)], "v string, delta long"
+    )
+    f = Flow.source(d)
+    assert sorted(tuple(r) for r in f.distinct().df.collect()) == [("b", 1), ("c", 1)]
+
+    other = Flow.source(spark.createDataFrame([("b", 1)], "v string, delta long"))
+    assert sorted(tuple(r) for r in f.except_all(other).df.collect()) == [
+        ("b", 1),
+        ("c", 1),
+    ]
+    assert sorted(tuple(r) for r in f.intersect_all(other).df.collect()) == [("b", 1)]
+
+    g = Grouped(d, ["v"])
+    assert sorted(tuple(r) for r in g.count().df.collect()) == [("b", 2), ("c", 1)]
+    # max_record must not resurrect the retracted 'a'
+    recs = sorted(tuple(r) for r in Grouped(d, ["v"]).max_record().df.collect())
+    assert [r[0] for r in recs] == ["b", "c"]
