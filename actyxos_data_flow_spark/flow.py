@@ -81,7 +81,7 @@ def _iter_rows(pdf):
     import keyword
 
     cols = list(pdf.columns)
-    if all(
+    if len(set(cols)) == len(cols) and all(
         isinstance(c, str)
         and c.isidentifier()
         and not c.startswith("_")

@@ -153,12 +153,14 @@ class Grouped:
     def count(self) -> Flow:
         """G8 — per-key count. Delta space: the count is Σ delta per key
         (a retraction row subtracts instead of counting as a row);
-        zero-net keys vanish."""
+        zero-net keys vanish (and so do negative-net keys: net
+        multiplicity <= 0 means the key is absent from the view, the
+        same net-positive-presence rule _net_counts/distinct use)."""
         if DELTA_COL in self.df.columns:
             out = (
                 self.df.groupBy(*self.keys)
                 .agg(F.sum(DELTA_COL).cast("long").alias("count"))
-                .filter(F.col("count") != 0)
+                .filter(F.col("count") > 0)
             )
             return Flow(out, stateful=True)
         return Flow(self.df.groupBy(*self.keys).agg(F.count(F.lit(1)).alias("count")), stateful=True)

@@ -358,8 +358,17 @@ def pack_sequences(
         spark.conf.get("spark.sql.shuffle.partitions", "200")
     )
     range_keys = [F.col(shard_col).asc()] + [F.col(c).asc() for c in order]
-    ranged = df.repartitionByRange(n_parts, *range_keys).withColumn(
-        "_pid", F.spark_partition_id()
+    # Both branches below (local running sum, per-partition totals) must
+    # observe the SAME physical range partitioning — `_pid` appears in
+    # both and the join reconciles them. Relying on ReuseExchange to
+    # dedupe the two range shuffles is fragile (config- and
+    # plan-canonicalization-dependent); persist pins one
+    # InMemoryRelation that both branches scan, so `_pid` agrees by
+    # construction even if exchange reuse is off.
+    ranged = (
+        df.repartitionByRange(n_parts, *range_keys)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
     )
 
     w_local = (

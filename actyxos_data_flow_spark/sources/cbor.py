@@ -47,6 +47,17 @@ class CBORError(ValueError):
 _BREAK = object()
 
 
+def _map_put(m: dict, k: Any, v: Any) -> None:
+    """RFC 8949 allows array/map keys, which are unhashable in Python; a
+    TypeError here must surface as CBORError so the UDF skip-not-fatal
+    contract (mirroring runner.rs:180-196) turns the row into NULL
+    instead of failing the Spark task."""
+    try:
+        m[k] = v
+    except TypeError as ex:
+        raise CBORError(f"unhashable map key type {type(k).__name__}") from ex
+
+
 def _read_uint(buf: bytes, i: int, ai: int) -> tuple[int, int]:
     """Value of the additional-info field: immediate or 1/2/4/8 bytes."""
     if ai < 24:
@@ -134,12 +145,12 @@ def _decode_item(buf: bytes, i: int) -> tuple[Any, int]:
                     return m, i + 1
                 k, i = _decode_item(buf, i)
                 v, i = _decode_item(buf, i)
-                m[k] = v
+                _map_put(m, k, v)
         n, i = _read_uint(buf, i, ai)
         for _ in range(n):
             k, i = _decode_item(buf, i)
             v, i = _decode_item(buf, i)
-            m[k] = v
+            _map_put(m, k, v)
         return m, i
     if major == 6:  # tag: decode and discard the tag number
         _tag, i = _read_uint(buf, i, ai)

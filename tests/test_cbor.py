@@ -87,6 +87,9 @@ MALFORMED = [
     "1c",      # reserved additional info
     "0001",    # trailing bytes
     "7f61",    # unterminated indefinite string
+    "a18001",  # array as map key: legal CBOR, unhashable in Python → CBORError
+    "a1a001",  # map as map key: ditto (definite lengths)
+    "bf8001ff",  # array as map key, indefinite-length map
 ]
 
 

@@ -157,3 +157,18 @@ def test_delta_space_set_ops_cancel_retractions(spark):
     # max_record must not resurrect the retracted 'a'
     recs = sorted(tuple(r) for r in Grouped(d, ["v"]).max_record().df.collect())
     assert [r[0] for r in recs] == ["b", "c"]
+
+
+def test_iter_rows_duplicate_column_names_fall_back_to_dict_rows():
+    """_iter_rows fast path (itertuples) silently renames DUPLICATE
+    columns to positional _1/_2 under rename=True; duplicate-named
+    frames must take the dict-backed path so attribute access and
+    _asdict keys stay faithful (first-wins like pandas dict conversion)."""
+    import pandas as pd
+
+    from actyxos_data_flow_spark.flow import _iter_rows
+
+    pdf = pd.DataFrame([[1, 2], [3, 4]], columns=["x", "x"])
+    got = list(_iter_rows(pdf))
+    # dict-backed rows: no positional _1/_2 fields fabricated
+    assert all(set(r._asdict().keys()) == {"x"} for r in got)

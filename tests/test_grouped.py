@@ -90,3 +90,15 @@ def test_aliased_key_shadowing_column_groups_by_expression(spark):
     # EXPRESSION, not the original column
     got = Flow.source(df).group_by((F.col("v") % 2).alias("v")).count()
     assert sorted(rows(got.df)) == [(0, 1), (1, 2)]
+
+
+def test_grouped_count_drops_negative_net_keys(spark):
+    """G8 delta space: a key whose retractions exceed insertions has net
+    multiplicity <= 0 and must be ABSENT from the materialized count —
+    same net-positive-presence rule as distinct/_net_counts."""
+    df = spark.createDataFrame(
+        [("a", 1, 1), ("a", 2, 1), ("b", 1, -1), ("b", 2, -1), ("c", 1, 1), ("c", 1, -1)],
+        "k string, v int, delta int",
+    )
+    got = Flow.source(df).group_by("k").count()
+    assert sorted(tuple(r) for r in got.df.collect()) == [("a", 2)]
