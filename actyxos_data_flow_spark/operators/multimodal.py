@@ -9,13 +9,21 @@ columnar end-to-end, Python sees them zero-copy per batch, and
 (size it so batch_rows × max_blob fits the executor; repartition by a
 key first if blob sizes are skewed).
 
-The actual codec calls (PIL/libav/etc.) are STUBBED — this container
-has no media libraries. ``decode_image`` tries a real decoder behind an
-import guard and otherwise uses :func:`fake_decode`, a deterministic
-stand-in (documented header layout) so every downstream operator —
-feature extraction, resize, frame sampling — runs against real bytes
-with reproducible results. Swapping in a real codec changes ONE
-function; none of the Spark-side plumbing moves.
+Codecs are REAL wire formats, implemented dependency-free in
+:mod:`.codecs`: WAV (RIFF PCM, stdlib ``wave`` encoder vs independent
+struct decoder), BMP (paletted + 24-bit), PNG (zlib, chunk CRCs, all
+five scanline filters). ``decode_image`` sniffs the container by magic
+bytes per row, so one DataFrame can mix formats.
+:func:`encode_documents_media` lifts the synthetic ``documents`` corpus
+into genuinely-encoded media whose DECODED values are a deterministic
+function of the text (dims from the first four bytes, pixels/samples
+from the byte stream), which is what lets the DuckDB oracles replay
+decode results with plain character math. ``mapInPandas`` end-to-end:
+blobs never shuffle; decode happens in the scan stage.
+
+Video-style operators (frame sampling/digesting) use the raw lift
+(:func:`documents_as_media`): container parsing there would add nothing
+— the operators are defined over the sample/frame byte stream.
 """
 
 from __future__ import annotations
@@ -27,8 +35,20 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# fake "image" layout: byte0*256+byte1 = width, byte2*256+byte3 = height,
-# remaining bytes = row-major grayscale pixels (truncated/cycled to fit)
+from .codecs import (
+    CodecError,
+    decode_image_payload,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    sniff_format,
+)
+
+# image-payload convention (mirrors the old stub's derivation so every
+# oracle's character math still holds): byte0*256+byte1 → width,
+# byte2*256+byte3 → height (each %64, min 1); remaining bytes cycle
+# row-major to fill width×height
 _HEADER = 4
 
 MEDIA_SCHEMA = (
@@ -45,7 +65,7 @@ def documents_as_media(docs: DataFrame, frame_bytes: int = 16) -> DataFrame:
     return docs.select(
         F.col("doc_id").alias("media_id"),
         F.lit("video").alias("kind"),
-        F.lit("fake-v1").alias("format"),
+        F.lit("raw").alias("format"),
         payload.alias("payload"),
         F.struct(
             F.lit(0).alias("width"),
@@ -56,46 +76,104 @@ def documents_as_media(docs: DataFrame, frame_bytes: int = 16) -> DataFrame:
     )
 
 
-def fake_decode(payload: bytes) -> np.ndarray:
-    """Deterministic stand-in for an image codec (STUB — see module
-    docstring). Interprets the documented fake header; cycles pixel
-    bytes to fill width×height. Raises like a codec would on garbage."""
-    if len(payload) < _HEADER:
-        raise ValueError("fake-v1: payload shorter than header")
-    w = payload[0] * 256 + payload[1]
-    h = payload[2] * 256 + payload[3]
-    w, h = max(w % 64, 1), max(h % 64, 1)
-    body = np.frombuffer(payload, dtype=np.uint8)[_HEADER:]
+def _doc_pixels(data: bytes) -> np.ndarray:
+    """The documented image-payload convention: dims from the first four
+    bytes, body bytes cycled row-major to fill width×height."""
+    if len(data) < _HEADER:
+        raise CodecError("payload shorter than image header")
+    w = max((data[0] * 256 + data[1]) % 64, 1)
+    h = max((data[2] * 256 + data[3]) % 64, 1)
+    body = np.frombuffer(data, dtype=np.uint8)[_HEADER:]
     if body.size == 0:
         body = np.zeros(1, dtype=np.uint8)
     reps = -(-w * h // body.size)
     return np.tile(body, reps)[: w * h].reshape(h, w)
 
 
-def _real_decode(payload: bytes):
-    """Real codec path — unavailable in this container."""
-    try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:  # pragma: no cover
-        raise NotImplementedError(
-            "media codecs not installed; decode uses fake_decode"
-        ) from exc
-    raise NotImplementedError("real decode wiring lands with the codec")
+def encode_documents_media(
+    docs: DataFrame, media_format: str = "mixed", sample_rate: int = 8000
+) -> DataFrame:
+    """Lift ``documents`` into REAL encoded media payloads. Image rows
+    encode the conventional pixel grid (:func:`_doc_pixels`) as an
+    actual BMP or PNG file; ``"wav"`` encodes the text bytes as 8-bit
+    PCM in a RIFF container. ``"mixed"`` alternates BMP/PNG by id so one
+    corpus exercises both decoders through the per-row container sniff.
 
+    Because the decoded values are a pure function of the text, the
+    DuckDB oracles replay them with character math — the round-trip
+    (encode → shuffle-free distributed decode) is what's under test.
 
-def decode_image(media: DataFrame) -> DataFrame:
-    """payload → (media_id, width, height, pixels binary). Arrow-batched;
-    one decode call per row, vectorized dispatch per batch."""
+    Scale shape: one Arrow-batched ``mapInPandas`` over the scan; no
+    shuffle; output blobs are bounded (≤64×64 px + fixed headers)."""
+    if media_format not in ("bmp", "png", "wav", "mixed"):
+        raise ValueError(f"unknown media_format {media_format!r}")
+    kind = "audio" if media_format == "wav" else "image"
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            px = [fake_decode(bytes(p)) for p in pdf["payload"]]
+            ids, fmts, payloads, widths, heights, rates = [], [], [], [], [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                data = str(text).encode("utf-8")
+                if media_format == "wav":
+                    payloads.append(encode_wav(data, sample_rate))
+                    fmts.append("wav")
+                    widths.append(0)
+                    heights.append(0)
+                    rates.append(sample_rate)
+                else:
+                    px = _doc_pixels(data)
+                    fmt = media_format
+                    if fmt == "mixed":
+                        fmt = "bmp" if int(mid) % 2 == 0 else "png"
+                    payloads.append(encode_bmp(px) if fmt == "bmp" else encode_png(px))
+                    fmts.append(fmt)
+                    widths.append(px.shape[1])
+                    heights.append(px.shape[0])
+                    rates.append(0)
+                ids.append(int(mid))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].to_numpy(),
-                    "width": [a.shape[1] for a in px],
-                    "height": [a.shape[0] for a in px],
-                    "pixels": [a.tobytes() for a in px],
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "kind": kind,
+                    "format": fmts,
+                    "payload": payloads,
+                    "meta": [
+                        {"width": w, "height": h, "sample_rate": r, "n_frames": 0}
+                        for w, h, r in zip(widths, heights, rates)
+                    ],
+                }
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def decode_image(media: DataFrame) -> DataFrame:
+    """payload → (media_id, width, height, pixels binary). Real decode:
+    the container is sniffed per row (BMP/PNG can mix in one frame);
+    undecodable blobs become NULL-dimension rows, not task failures —
+    the skip contract (reference runner.rs:180-196). Arrow-batched."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, ws, hs, pxs = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                ids.append(int(mid))
+                try:
+                    a = decode_image_payload(bytes(p))
+                except CodecError:
+                    ws.append(None)
+                    hs.append(None)
+                    pxs.append(None)
+                else:
+                    ws.append(a.shape[1])
+                    hs.append(a.shape[0])
+                    pxs.append(a.tobytes())
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "pixels": pxs,
                 }
             )
 
@@ -167,11 +245,11 @@ def sample_frames(media: DataFrame, every: int = 3, frame_bytes: int = 16) -> Da
 
 
 def audio_rms_windows(media: DataFrame, window: int = 64) -> DataFrame:
-    """Audio-path feature extraction: interpret the payload as 8-bit
-    PCM samples and emit per-window RMS energy — the silence-detection /
-    loudness-normalization primitive of an audio training pipeline
-    (with a real codec, ``fake PCM`` becomes decoded samples; the
-    Spark-side plumbing is identical).
+    """Audio-path feature extraction: decode the payload (RIFF/WAVE via
+    the real PCM parser; raw bytes pass through as 8-bit samples for
+    byte-stream media) and emit per-window RMS energy — the
+    silence-detection / loudness-normalization primitive of an audio
+    training pipeline.
 
     Output: (media_id, window_id, n_samples, rms). The tail window may
     be short. Sums of squares stay in int64 (exact), so the RMS is
@@ -186,7 +264,11 @@ def audio_rms_windows(media: DataFrame, window: int = 64) -> DataFrame:
         for pdf in batches:
             ids, wids, ns, rms = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                codes = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64)
+                raw = bytes(payload)
+                if sniff_format(raw) == "wav":
+                    codes = decode_wav(raw)["samples"].astype(np.int64)
+                else:
+                    codes = np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
                 for w in range(0, (len(codes) + window - 1) // window):
                     seg = codes[w * window : (w + 1) * window]
                     ids.append(mid)
@@ -221,7 +303,11 @@ def perceptual_hash(media: DataFrame, dw: int = 8, dh: int = 4) -> DataFrame:
         for pdf in batches:
             hashes = []
             for p in pdf["payload"]:
-                a = fake_decode(bytes(p))
+                try:
+                    a = decode_image_payload(bytes(p))
+                except CodecError:
+                    hashes.append(None)  # skip contract: bad blob → NULL
+                    continue
                 h_, w_ = a.shape
                 yi = (np.arange(dh) * h_ // dh)[:, None]
                 xi = (np.arange(dw + 1) * w_ // (dw + 1))[None, :]

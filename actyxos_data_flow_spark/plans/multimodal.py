@@ -1,11 +1,16 @@
 """Multimodal-pipeline queries over the ``documents`` corpus lifted into
 the binary media convention (operators/multimodal.py).
 
-The payloads are utf-8 bytes of ASCII text (verified: octet_length ==
-length for every synthetic doc), so DuckDB's character functions
-replicate the byte-level Python operators exactly — the oracles check
-the REAL distributed plumbing (binary columns through mapInPandas),
-with the codec stubbed deterministically.
+Image/audio queries run the REAL codecs end-to-end: the corpus is
+encoded into actual BMP/PNG/WAV files (operators/codecs.py) and decoded
+back by the independent parsers inside the distributed plan. The
+decoded values are a deterministic function of the text (dims from the
+first four bytes, pixels/samples from the byte stream — all ASCII:
+octet_length == length for every synthetic doc), so DuckDB's character
+functions replay the decode results exactly and the hash gate covers
+the full encode → decode round-trip. Frame-sampling queries use the
+raw byte lift — they are defined over the frame byte stream, no
+container involved.
 """
 
 from __future__ import annotations
@@ -30,9 +35,11 @@ FROM documents
 
 @register("mm_decode_meta", oracle=MM_DECODE_ORACLE)
 def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload → stub codec → typed dims. Validates the decode
-    plumbing (binary in, struct-ish out) against a char-math oracle."""
-    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    """REAL image round-trip: encode each doc's conventional pixel grid
+    as an actual BMP (even ids) or PNG (odd ids), then container-sniff
+    and decode inside the plan; dims come from the decoded array. The
+    char-math oracle proves the decoded geometry, byte-exactly."""
+    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "mixed")
     return M.decode_image(media).select("media_id", "width", "height")
 
 
@@ -157,13 +164,52 @@ GROUP BY media_id, window_id
 
 @register("mm_audio_rms", oracle=AUDIO_RMS_ORACLE)
 def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-window PCM RMS energy over the media-lifted corpus (payload
-    bytes as 8-bit samples). The oracle replays the byte values via
-    ascii() — sums of squares are exact integers, so the hash gate is
-    exact, not approximate."""
+    """Per-window RMS energy over REAL WAV files: text bytes → 8-bit
+    PCM in a RIFF container (stdlib ``wave`` writer) → independent
+    struct parser decodes inside the plan → windowed RMS. The oracle
+    replays the sample values via ascii() — sums of squares are exact
+    integers, so the hash gate proves the full encode→decode
+    round-trip, not an approximation."""
     docs = load_table(spark, sf_dir, "documents")
-    media = M.documents_as_media(docs)
+    media = M.encode_documents_media(docs, "wav")
     return M.audio_rms_windows(media, window=RMS_WINDOW)
+
+
+WAV_META_ORACLE = """
+SELECT doc_id AS media_id, 8000 AS sample_rate, 1 AS n_channels,
+       length(text) AS n_samples
+FROM documents
+"""
+
+
+@register("mm_wav_meta", oracle=WAV_META_ORACLE)
+def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAV container metadata extracted by the struct parser (RIFF
+    chunk walk): sample rate, channel count, and sample count must
+    match what the stdlib encoder was asked to write."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..operators.codecs import decode_wav
+
+    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "wav")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "sample_rate": [m["sample_rate"] for m in metas],
+                    "n_channels": [m["n_channels"] for m in metas],
+                    "n_samples": [len(m["samples"]) for m in metas],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        run, "media_id long, sample_rate int, n_channels int, n_samples long"
+    )
 
 
 # -- perceptual hash (dHash) near-dup --------------------------------------
@@ -171,7 +217,8 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
 PH_DW, PH_DH = 8, 4
 PH_MAX_HAMMING = 4
 
-# oracle replays fake_decode arithmetic: w/h from the 4-byte header,
+# oracle replays the image-payload convention (_doc_pixels — what the
+# real BMP/PNG round-trip decodes back to): w/h from the 4-byte header,
 # pixel i = body byte (i mod body_len) — ascii() math on the (all-ASCII)
 # text; the grid/gradient bits mirror perceptual_hash exactly
 _PHASH_CTE = f"""
@@ -198,9 +245,10 @@ MM_PHASH_ORACLE = _PHASH_CTE + "SELECT media_id, phash FROM ph"
 
 @register("mm_phash", oracle=MM_PHASH_ORACLE)
 def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dHash perceptual fingerprints over the media-lifted corpus:
-    decode (stub codec) → 9×4 grid → 32 horizontal-gradient bits."""
-    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    """dHash perceptual fingerprints over really-encoded images: BMP/PNG
+    mixed corpus → real decode → 9×4 grid → 32 horizontal-gradient
+    bits."""
+    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "mixed")
     return M.perceptual_hash(media, dw=PH_DW, dh=PH_DH)
 
 
@@ -227,7 +275,7 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic spec only."""
     from ..operators import dedup as D
 
-    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "mixed")
     ph = M.perceptual_hash(media, dw=PH_DW, dh=PH_DH)
     sig = ph.select("media_id", F.col("phash").alias("simhash"))
     pairs = D.simhash_near_pairs(sig, id_col="media_id", max_hamming=PH_MAX_HAMMING)

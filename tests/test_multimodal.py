@@ -1,6 +1,7 @@
 """Multimodal plumbing tests: schema/batch shape through mapInPandas,
-deterministic stub decode, resize geometry, frame-sampling flat_map
-semantics, and feature-vector invariants."""
+real BMP/PNG/WAV encode→decode round-trips on distributed data, resize
+geometry, frame-sampling flat_map semantics, and feature-vector
+invariants."""
 
 from __future__ import annotations
 
@@ -9,6 +10,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from actyxos_data_flow_spark.operators import multimodal as M
+from actyxos_data_flow_spark.operators.codecs import CodecError, encode_bmp, encode_png
 from actyxos_data_flow_spark.sources import load_table
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -20,6 +22,12 @@ def media(spark):
     return M.documents_as_media(docs, frame_bytes=16).cache()
 
 
+@pytest.fixture(scope="module")
+def encoded(spark):
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    return M.encode_documents_media(docs, "mixed").cache()
+
+
 def test_media_schema(media):
     assert [f.name for f in media.schema.fields] == [
         "media_id", "kind", "format", "payload", "meta",
@@ -29,11 +37,28 @@ def test_media_schema(media):
     assert row["meta"]["n_frames"] == len(bytes(row["payload"])) // 16
 
 
-def test_decode_deterministic_and_dims(media):
-    out = M.decode_image(media)
+def test_encoded_media_payloads_are_real_containers(encoded):
+    """Even ids carry actual BMP files, odd ids actual PNGs — verified
+    by magic bytes AND by an independent local decode of the payload."""
+    from actyxos_data_flow_spark.operators.codecs import decode_image_payload
+
+    rows = encoded.collect()
+    assert rows
+    for r in rows:
+        p = bytes(r["payload"])
+        if r["media_id"] % 2 == 0:
+            assert r["format"] == "bmp" and p[:2] == b"BM"
+        else:
+            assert r["format"] == "png" and p[:8].endswith(b"PNG\r\n\x1a\n")
+        a = decode_image_payload(p)
+        assert a.shape == (r["meta"]["height"], r["meta"]["width"])
+
+
+def test_decode_deterministic_and_dims(encoded):
+    out = M.decode_image(encoded)
     assert out.schema.simpleString() == "struct<media_id:bigint,width:int,height:int,pixels:binary>"
     rows = {r["media_id"]: r for r in out.collect()}
-    # re-run: identical (stub is deterministic)
+    # re-run: identical (real decode of fixed bytes is deterministic)
     rows2 = {r["media_id"]: r for r in out.collect()}
     for k in rows:
         assert rows[k] == rows2[k]
@@ -42,13 +67,20 @@ def test_decode_deterministic_and_dims(media):
         assert len(bytes(r["pixels"])) == r["width"] * r["height"]
 
 
-def test_fake_decode_rejects_garbage():
-    with pytest.raises(ValueError):
-        M.fake_decode(b"ab")
+def test_decode_bad_payload_becomes_null_row(spark):
+    """Undecodable blobs must surface as NULL-dimension rows, not kill
+    the task (the skip contract)."""
+    good = encode_bmp(np.arange(4, dtype=np.uint8).reshape(2, 2))
+    media = spark.createDataFrame(
+        [(1, good), (2, b"this is not an image")], "media_id long, payload binary"
+    )
+    got = {r["media_id"]: r for r in M.decode_image(media).collect()}
+    assert got[1]["width"] == 2 and got[1]["pixels"] is not None
+    assert got[2]["width"] is None and got[2]["pixels"] is None
 
 
-def test_resize_geometry(media):
-    resized = M.resize_image(M.decode_image(media), out_w=8, out_h=4)
+def test_resize_geometry(encoded):
+    resized = M.resize_image(M.decode_image(encoded), out_w=8, out_h=4)
     for r in resized.collect():
         assert (r["width"], r["height"]) == (8, 4)
         assert len(bytes(r["pixels"])) == 32
@@ -83,28 +115,44 @@ def test_counts_match_payload_len(media):
 
 def test_audio_rms_windows_exact_values(spark):
     """Known byte payloads: constant signal's RMS equals the value;
-    the tail window is short and averaged over its own length."""
+    the tail window is short and averaged over its own length. Raw
+    bytes and the same samples wrapped in a real WAV container must
+    produce IDENTICAL windows (container transparency)."""
+    from actyxos_data_flow_spark.operators.codecs import encode_wav
     from actyxos_data_flow_spark.operators.multimodal import audio_rms_windows
 
+    samples = bytes([10] * 4 + [20] * 2)
     media = spark.createDataFrame(
-        [(1, bytes([10] * 4 + [20] * 2))], "media_id long, payload binary"
+        [(1, samples), (2, encode_wav(samples))], "media_id long, payload binary"
     )
     got = {
         (r.media_id, r.window_id): (r.n_samples, r.rms)
         for r in audio_rms_windows(media, window=4).collect()
     }
-    assert got[(1, 0)] == (4, 10.0)
-    assert got[(1, 1)] == (2, 20.0)
+    for mid in (1, 2):
+        assert got[(mid, 0)] == (4, 10.0)
+        assert got[(mid, 1)] == (2, 20.0)
+
+
+def _image_payload(header_and_body: bytes, fmt: str = "bmp") -> bytes:
+    """Encode the conventional pixel grid of a raw byte string as a
+    real container, mirroring encode_documents_media."""
+    px = M._doc_pixels(header_and_body)
+    return encode_bmp(px) if fmt == "bmp" else encode_png(px)
 
 
 def test_perceptual_hash_properties(spark):
-    # identical payloads hash identically; a payload with one body byte
-    # changed stays within a few bits; headers sized so w*h > body len
+    # identical pixel content hashes identically REGARDLESS of container
+    # (BMP vs PNG); one flipped body byte stays within a few bits
     base = bytes([0, 16, 0, 16]) + bytes(range(40, 120))
     tweaked = bytearray(base)
     tweaked[50] ^= 1  # flip one pixel's low bit
     media = spark.createDataFrame(
-        [(1, base), (2, bytes(base)), (3, bytes(tweaked))],
+        [
+            (1, _image_payload(base, "bmp")),
+            (2, _image_payload(base, "png")),
+            (3, _image_payload(bytes(tweaked), "bmp")),
+        ],
         "media_id long, payload binary",
     )
     got = {r.media_id: r.phash for r in M.perceptual_hash(media).collect()}
@@ -117,9 +165,12 @@ def test_perceptual_hash_properties(spark):
 def test_phash_pairs_via_simhash_banding(spark):
     from actyxos_data_flow_spark.operators import dedup as D
 
-    payload = bytes([0, 8, 0, 8]) + bytes(range(64))
+    payload = _image_payload(bytes([0, 8, 0, 8]) + bytes(range(64)), "bmp")
+    other = _image_payload(
+        bytes([0, 33, 0, 7]) + bytes(255 - i for i in range(64)), "png"
+    )
     media = spark.createDataFrame(
-        [(1, payload), (2, payload), (3, bytes([0, 33, 0, 7]) + bytes(255 - i for i in range(64)))],
+        [(1, payload), (2, bytes(payload)), (3, other)],
         "media_id long, payload binary",
     )
     ph = M.perceptual_hash(media)
