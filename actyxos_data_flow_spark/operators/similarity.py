@@ -57,11 +57,12 @@ def topk(scores: DataFrame, k: int, qid: str = "qid", cid: str = "vec_id") -> Da
     )
 
 
-def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame:
+def cosine_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 10, max_query_rows: int = 65536
+) -> DataFrame:
     """Brute-force exact top-k, fused scoring + per-partition pruning.
 
-    The query matrix is collected once (it must fit in memory by the
-    definition of brute-force scoring — it plays the broadcast-dim role)
+    The query matrix is collected once (it plays the broadcast-dim role)
     and shipped inside a ``mapInPandas`` closure. Each Arrow batch of the
     corpus is scored against ALL queries with one vectorized numpy pass,
     and only the per-batch top-k per query survives, so the shuffle into
@@ -69,6 +70,15 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame
     |corpus| × |Q|. This is the standard distributed brute-force kNN
     shape: corpus never shuffles, score+prune is embarrassingly parallel,
     the final merge is tiny.
+
+    Driver guard: a query set larger than ``max_query_rows`` would
+    silently OOM the driver collect (and bloat every task's closure), so
+    it is split into ``ceil(n/max)`` deterministic hash-chunks of qids
+    and scored in multiple broadcast passes, unioned. Per-query top-k is
+    independent, so the union IS the answer — no cross-chunk merge. The
+    corpus is scanned once per chunk; if that's the regime you're in,
+    IVF (:func:`ivf_topk`) is the right operator — the guard keeps
+    brute-force *correct*, not optimal.
 
     Numeric parity: float32 inputs are promoted to float64 (products
     exact); dot products run through BLAS matmul (``E @ Q.T``). Summation
@@ -79,7 +89,36 @@ def cosine_topk(queries: DataFrame, corpus: DataFrame, k: int = 10) -> DataFrame
     import numpy as np
     import pandas as pd
 
+    n_q = queries.count()
+    if n_q > max_query_rows:
+        from functools import reduce
+
+        n_chunks = -(-n_q // max_query_rows)
+        outs = [
+            cosine_topk(
+                queries.filter(F.pmod(F.xxhash64("qid"), F.lit(n_chunks)) == i),
+                corpus,
+                k,
+                # chunks are hash-balanced, not exact; don't recurse again
+                max_query_rows=n_q,
+            )
+            for i in range(n_chunks)
+        ]
+        return reduce(DataFrame.unionByName, outs)
+
     qpdf = queries.toPandas()
+    if len(qpdf) == 0:  # possible under hash-chunking
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("qid", queries.schema["qid"].dataType),
+                T.StructField("vec_id", corpus.schema["vec_id"].dataType),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("cosine", T.DoubleType()),
+            ]
+        )
+        return corpus.sparkSession.createDataFrame([], schema)
     Q = np.stack(qpdf["qe"].to_numpy()).astype("float64")  # (q, dim)
     qids = qpdf["qid"].to_numpy()
     qnorm = np.sqrt(np.einsum("ij,ij->i", Q, Q))

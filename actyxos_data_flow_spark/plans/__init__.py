@@ -34,41 +34,41 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 
 # Registry order IS the driver's grading order, and the driver's
 # correctness run may grade only a prefix (round 2: first 50 of 117 —
-# whole families went officially unexamined). This prefix puts one
-# representative of EVERY operator family in the first 50 entries:
-# reference flagships, flow/grouped ops, IVM, pivot/json/sketch,
-# temporal, TPC-H, dedup, ANN, text+packing, multimodal, pipeline
-# composite, skew, profile. Everything else follows in module order.
+# whole families went officially unexamined). Rounds 1-3 accumulated
+# official rows for 78 of the registry's queries; this round ROTATES
+# the graded prefix (round-3 judge directive): every query that has
+# never appeared in a CORRECTNESS_r* artifact (44 as of round 4) goes
+# first, padded to 50 with six already-green family representatives
+# kept as cross-round regression sentinels. Everything else follows in
+# module order and stays covered by the local full-registry replica
+# (tools/check.py).
 _PRIORITY: tuple[str, ...] = (
-    # reference examples + monotonic + reduce (E1-E3, M1-M2, G5)
-    "e1_dashboard", "e2_usage_intervals", "e3_production_summary",
-    "m1_monotonic_max_by", "m2_monotonic_representative", "g5_reduce_trail",
-    # flow unary/union ops (F/U families)
-    "f1_filter_map", "f6_flat_map_tokens", "u1_concat", "u3_distinct",
-    "u4_threshold_clip", "u5_count_values", "set_except_all", "set_intersect_all",
-    # grouped ops (G family)
-    "g3_join", "g4_join_single", "g8_group_count", "g9_min_record",
-    "g10_max_record", "g11_max_by", "g13_regroup",
-    # incremental view maintenance
-    "ivm_snapshot_diff", "ivm_delta_join",
-    # relational extras: pivot / json / sketch
-    "pivot_event_counts", "json_props_stats", "sketch_user_stats",
-    # temporal (all five — zero driver-graded rows in round 2)
-    "asof_latest_click", "interval_clicks_after_error", "session_windows",
-    "rolling_hourly_avg", "scd2_user_history",
-    # TPC-H representatives (incl. the former HUGEINT hash-mismatch)
-    "q1_pricing_summary", "q12_late_shipments",
-    # dedup family
-    "dedup_exact", "dedup_minhash_pairs", "dedup_simhash_pairs",
-    "dedup_ngram_jaccard", "dedup_clusters", "decontaminate_vs_eval",
-    # similarity / ANN family
-    "ann_cosine_topk", "ann_ivf_topk", "ann_hyperplane_topk",
-    "dedup_embedding_cosine",
-    # text + packing
-    "text_token_stats", "text_quality_score", "pack_training_bins",
-    # multimodal, pipeline composite, skew, profile
-    "mm_decode_meta", "pipeline_clean_corpus", "skew_salted_join",
-    "profile_orders",
+    # regression sentinels (official-green in r3; one per core family)
+    "e1_dashboard", "u4_threshold_clip", "g5_reduce_trail",
+    "ivm_snapshot_diff", "session_windows", "profile_orders",
+    # --- never-driver-graded below (driver artifact coverage rotation) ---
+    # TPC-H back catalog
+    "q2_best_supplier", "q9_product_profit", "q11_important_stock",
+    "q20_excess_suppliers", "q21_suppliers_waiting",
+    # CBOR payload codec
+    "cbor_props_stats",
+    # dedup back catalog
+    "dedup_editdistance", "dedup_crossmodal", "dedup_clusters_star",
+    "dedup_clusters_delta", "dedup_containment", "dedup_tfidf_cosine",
+    "dedup_span_mask", "dedup_minhash_delta_pairs", "dedup_embedding_lsh",
+    # similarity / ANN back catalog
+    "ann_sq8_topk", "ann_ivf_nprobe_topk", "ann_ivf_kmeans_topk",
+    "ann_hard_negatives", "kmeans_cells", "embedding_centroid_outliers",
+    # text / sampling / packing back catalog
+    "text_normalize", "text_scrub_pii", "text_repetition_stats",
+    "text_pmi_collocations", "text_lm_score", "text_lm_score_bigram",
+    "text_vocab_coverage", "chunk_documents", "pack_curriculum_bins",
+    "sample_stratified_docs", "sample_quality_weighted",
+    "sample_exact_k_per_lang", "corpus_split_assign", "class_weights_by_lang",
+    "corpus_health_by_source", "source_mix_weights",
+    # multimodal (real-codec round-trips) + composite + skew
+    "mm_audio_rms", "mm_wav_meta", "mm_phash", "mm_phash_pairs",
+    "mm_frame_dedup", "pipeline_training_batches", "skew_salted_distinct",
 )
 
 

@@ -114,6 +114,9 @@ def snapshot_delta(
     return snapshot_diff(old, new)
 
 
+DISTRIBUTED_DELTA_THRESHOLD = 100_000
+
+
 def write_snapshots(
     spark: SparkSession,
     sink: DbapiSink,
@@ -122,6 +125,8 @@ def write_snapshots(
     mirror: SnapshotMirror,
     offsets_table: str | None = None,
     applier=None,
+    conn_factory=None,
+    distributed_threshold: int = DISTRIBUTED_DELTA_THRESHOLD,
 ) -> dict[str, int]:
     """Materialize several snapshots (one input stream → up to N record
     types, /root/reference/src/db/mod.rs:230-244) in ONE transaction
@@ -135,54 +140,78 @@ def write_snapshots(
 
     Delta shipping has two topologies:
 
-    - default: collect the churn-sized delta to the driver, apply via
-      the sink connection (the reference's shape — right when churn is
-      small);
-    - ``applier`` (a :class:`~..sinks.distributed.DistributedApplier`):
+    - driver-side: collect the churn-sized delta to the driver, apply
+      via the sink connection (the reference's shape — right when churn
+      is small);
+    - staged (:class:`~..sinks.distributed.DistributedApplier`):
       executors bulk-load each delta into the DB's staging table in
       parallel and one ``finalize_many`` transaction applies all tables
       + offsets — the huge-delta path (backfill, rebuild), same
-      exactly-once contract."""
+      exactly-once contract.
+
+    Routing: pass ``applier`` to force the staged path. Otherwise, if
+    ``conn_factory`` (a picklable DB-API connection factory — executors
+    must open their own connections) is given, the epoch's deltas are
+    counted first and the staged path engages automatically when ANY
+    table's delta exceeds ``distributed_threshold`` rows — a backfill
+    epoch can no longer OOM the driver just because nobody opted in.
+    Without either, the driver-side path applies unconditionally."""
     epoch = _epoch_key(offsets)
     mirror_epochs = {t.name: epoch for t, _ in views}
-    if applier is not None:
-        staged: list[DbTable] = []
-        for table, new_snapshot in views:
-            new = new_snapshot.select(*[c.name for c in table.written_columns])
-            delta = snapshot_delta(spark, sink, table, new, mirror)
-            applier.ensure_stage(sink, table)
-            # stage BEFORE overwriting the mirror — on a same-epoch
-            # retry old and new share the directory
-            applier.stage(delta, table, epoch)
-            mirror.write(table, new, epoch)
-            staged.append(table)
-        results = applier.finalize_many(
-            sink, staged, epoch, dict(offsets),
-            offsets_table=offsets_table, mirror_epochs=mirror_epochs,
-        )
-        for table, _ in views:
-            mirror.prune(table, epoch)
-        return {name: ins + dels for name, (ins, dels) in results.items()}
-    batches: dict[DbTable, list[tuple[tuple, int]]] = {}
+
+    # Compute every delta ONCE; persist so size-probe and apply share
+    # the diff join (and so the delta is materialized BEFORE the mirror
+    # overwrite — on a same-epoch retry old and new share the directory).
+    prepared: list[tuple[DbTable, DataFrame, DataFrame]] = []
     for table, new_snapshot in views:
-        cols = [c.name for c in table.written_columns]
-        new = new_snapshot.select(*cols)
-        delta = snapshot_delta(spark, sink, table, new, mirror)
-        # materialize the (churn-sized) delta BEFORE overwriting the
-        # mirror — on a same-epoch retry old and new share the directory
-        batches[table] = [
-            (tuple(r[c] for c in cols), r[DELTA_COL]) for r in delta.collect()
-        ]
-        mirror.write(table, new, epoch)
-    sink.advance_offsets(
-        batches,
-        dict(offsets),
-        offsets_table=offsets_table,
-        mirror_epochs=mirror_epochs,
-    )
-    for table, _ in views:
-        mirror.prune(table, epoch)
-    return {t.name: len(b) for t, b in batches.items()}
+        new = new_snapshot.select(*[c.name for c in table.written_columns])
+        delta = snapshot_delta(spark, sink, table, new, mirror).persist()
+        prepared.append((table, new, delta))
+
+    if applier is None and conn_factory is not None:
+        if any(
+            delta.limit(distributed_threshold + 1).count() > distributed_threshold
+            for _, _, delta in prepared
+        ):
+            from .distributed import DistributedApplier
+
+            applier = DistributedApplier(conn_factory, sink.dialect)
+
+    try:
+        if applier is not None:
+            staged: list[DbTable] = []
+            for table, new, delta in prepared:
+                applier.ensure_stage(sink, table)
+                # stage BEFORE overwriting the mirror
+                applier.stage(delta, table, epoch)
+                mirror.write(table, new, epoch)
+                staged.append(table)
+            results = applier.finalize_many(
+                sink, staged, epoch, dict(offsets),
+                offsets_table=offsets_table, mirror_epochs=mirror_epochs,
+            )
+            for table, _, _ in prepared:
+                mirror.prune(table, epoch)
+            return {name: ins + dels for name, (ins, dels) in results.items()}
+        batches: dict[DbTable, list[tuple[tuple, int]]] = {}
+        for table, new, delta in prepared:
+            cols = [c.name for c in table.written_columns]
+            batches[table] = [
+                (tuple(r[c] for c in cols), r[DELTA_COL]) for r in delta.collect()
+            ]
+            mirror.write(table, new, epoch)
+        sink.advance_offsets(
+            batches,
+            dict(offsets),
+            offsets_table=offsets_table,
+            mirror_epochs=mirror_epochs,
+        )
+        for table, _, _ in prepared:
+            mirror.prune(table, epoch)
+        return {t.name: len(b) for t, b in batches.items()}
+    finally:
+        for _, _, delta in prepared:
+            delta.unpersist()
 
 
 def write_snapshot(

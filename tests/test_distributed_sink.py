@@ -146,3 +146,69 @@ def test_stage_epoch_retry_with_different_partitioning(spark, tmp_path):
     assert (ins, dels) == (1, 0)
     assert sink.rows(T) == [("x", 1)]
     sink.close()
+
+
+def test_auto_switch_to_staged_path_above_threshold(spark, tmp_path):
+    """With a conn_factory supplied, a delta above the threshold must
+    take the staged executor path automatically. Call-graph evidence:
+    the stage table only exists if ensure_stage ran, and driver-side
+    apply never creates it."""
+    from actyxos_data_flow_spark.sinks import SnapshotMirror, SqliteSink
+    from actyxos_data_flow_spark.sinks.writer import write_snapshots
+
+    path = str(tmp_path / "auto.db")
+    sink = SqliteSink(path)
+    sink.ensure(T)
+    mirror = SnapshotMirror(spark, str(tmp_path / "mirror"))
+    snap = spark.range(50).selectExpr("concat('k', id) AS a", "id AS b")
+
+    n = write_snapshots(
+        spark, sink, [(T, snap)], {"src": 1}, mirror,
+        conn_factory=_factory(path), distributed_threshold=10,
+    )
+    assert n["dist_records"] == 50
+    tables = {
+        r[0]
+        for r in sink.conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        ).fetchall()
+    }
+    assert "dist_records_stage" in tables  # staged path engaged
+    assert len(sink.rows(T)) == 50
+    assert sink.read_offsets(T) == {"src": 1}
+
+    # idempotent retry of the same epoch through the auto path
+    n = write_snapshots(
+        spark, sink, [(T, snap)], {"src": 1}, mirror,
+        conn_factory=_factory(path), distributed_threshold=10,
+    )
+    assert n["dist_records"] == 0
+    sink.close()
+
+
+def test_small_delta_stays_on_driver_path(spark, tmp_path):
+    """Below the threshold the driver-side apply runs even when a
+    conn_factory is available — no stage table is ever created."""
+    from actyxos_data_flow_spark.sinks import SnapshotMirror, SqliteSink
+    from actyxos_data_flow_spark.sinks.writer import write_snapshots
+
+    path = str(tmp_path / "small.db")
+    sink = SqliteSink(path)
+    sink.ensure(T)
+    mirror = SnapshotMirror(spark, str(tmp_path / "mirror"))
+    snap = spark.range(5).selectExpr("concat('k', id) AS a", "id AS b")
+
+    n = write_snapshots(
+        spark, sink, [(T, snap)], {"src": 1}, mirror,
+        conn_factory=_factory(path), distributed_threshold=1000,
+    )
+    assert n["dist_records"] == 5
+    tables = {
+        r[0]
+        for r in sink.conn.execute(
+            "SELECT name FROM sqlite_master WHERE type='table'"
+        ).fetchall()
+    }
+    assert "dist_records_stage" not in tables
+    assert len(sink.rows(T)) == 5
+    sink.close()

@@ -711,3 +711,21 @@ def test_sq8_quantize_codes_and_edges(spark):
         s = r["sq_scale"]
         for x, q in zip(r["embedding"], r["sq_q"]):
             assert abs(x - q * s) <= s / 2 + 1e-12
+
+
+def test_cosine_topk_chunked_matches_single_pass(spark):
+    """The max_query_rows driver guard splits the query set into hash
+    chunks scored in separate broadcast passes; the union must be
+    row-identical to the single-pass answer (per-query top-k is
+    chunk-independent)."""
+    from actyxos_data_flow_spark.operators.similarity import cosine_topk
+    from actyxos_data_flow_spark.sources import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.limit(7).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    single = cosine_topk(queries, corpus, k=5)
+    chunked = cosine_topk(queries, corpus, k=5, max_query_rows=2)
+    assert sorted(map(tuple, single.collect())) == sorted(map(tuple, chunked.collect()))
