@@ -481,14 +481,76 @@ def _nearest_cell_expr(cents: list[tuple[int, list[float]]], vec_col: str):
     return F.array_min(F.array(*cands))["cell"]
 
 
-def kmeans_assign(emb: DataFrame, cent: DataFrame | list, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+# Above this k the inlined-literal projection stops being the right
+# physical shape: the expression tree itself (k×dim literals) dominates
+# analysis/codegen time, so assignment switches to a vectorized
+# mapInPandas with the centroid matrix shipped in the closure.
+KMEANS_INLINE_MAX_K = 1024
+
+
+def _assign_cells_pandas(
+    emb: DataFrame,
+    cents: list[tuple[int, list[float]]],
+    id_col: str,
+    vec_col: str,
+    keep_vec: bool = False,
+) -> DataFrame:
+    """Large-k nearest-centroid assignment: one numpy matmul per Arrow
+    batch against the (k, dim) centroid matrix. Same contract as
+    :func:`_nearest_cell_expr` — squared-L2 rounded to 9 decimals via
+    floor(x·1e9 + 0.5) (HALF_UP, matching Spark's round()), ties to the
+    lowest cell id (centroids sorted by cell, argmin takes the first
+    minimum). Still a projection over the corpus scan: no join, no
+    shuffle, no corpus replication."""
+    import numpy as np
+    import pandas as pd
+
+    ordered = sorted(cents)
+    cells = np.array([c for c, _ in ordered], dtype=np.int64)
+    C = np.array([v for _, v in ordered], dtype=np.float64)  # (k, dim)
+    cnorm2 = np.einsum("ij,ij->i", C, C)
+    id_type = emb.schema[id_col].dataType.simpleString()
+
+    vec_type = emb.schema[vec_col].dataType.simpleString()
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            d2 = np.einsum("ij,ij->i", X, X)[:, None] - 2.0 * (X @ C.T) + cnorm2[None, :]
+            d2 = np.floor(d2 * 1e9 + 0.5) / 1e9
+            idx = np.argmin(d2, axis=1)
+            out = {id_col: pdf[id_col].to_numpy(), "cell": cells[idx].astype("int32")}
+            if keep_vec:
+                out[vec_col] = pdf[vec_col]
+            yield pd.DataFrame(out)
+
+    schema = f"{id_col} {id_type}, cell int"
+    if keep_vec:
+        schema += f", {vec_col} {vec_type}"
+    return emb.select(id_col, vec_col).mapInPandas(run, schema=schema)
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    cent: DataFrame | list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_inline_k: int = KMEANS_INLINE_MAX_K,
+) -> DataFrame:
     """Nearest-centroid assignment. Centroids are nlist×dim MODEL
-    PARAMETERS, not data: they inline into the plan as literals
+    PARAMETERS, not data. At coarse-quantizer sizes (k ≤
+    ``max_inline_k``) they inline into the plan as literals
     (:func:`_nearest_cell_expr`), so assignment is a projection over
     the corpus — the corpus is neither replicated nlist× (the old
     broadcast cross join) nor shuffled on id (the old per-id argmin
-    aggregate). Distances round to 9 decimals before the argmin so the
-    choice is identical under any summation order."""
+    aggregate). Above ``max_inline_k`` the literal expression tree
+    would dominate analysis time, so the same assignment runs as a
+    vectorized Arrow-batched matmul (:func:`_assign_cells_pandas`) —
+    identical results (same rounding and tie rules; pinned by test).
+    Distances round to 9 decimals before the argmin so the choice is
+    identical under any summation order."""
     from pyspark.sql import Row
 
     rows = cent.collect() if isinstance(cent, DataFrame) else list(cent)
@@ -498,6 +560,8 @@ def kmeans_assign(emb: DataFrame, cent: DataFrame | list, id_col: str = "vec_id"
         (int(r["cell"]), list(r["ce"])) if isinstance(r, Row) else (int(r[0]), list(r[1]))
         for r in rows
     ]
+    if len(cents) > max_inline_k:
+        return _assign_cells_pandas(emb, cents, id_col, vec_col)
     return emb.select(id_col, _nearest_cell_expr(cents, vec_col).alias("cell"))
 
 
@@ -545,10 +609,15 @@ def kmeans_fit(
         # two selects, one stage: putting the struct-field extraction in
         # the same projection as the posexplode generator trips an
         # analyzer quirk (struct field names resolve as col1/col2);
-        # Catalyst collapses the projections anyway
-        ex = emb.select(
-            _nearest_cell_expr(cents, vec_col).alias("cell"), F.col(vec_col)
-        ).select("cell", F.posexplode(vec_col).alias("pos", "val"))
+        # Catalyst collapses the projections anyway. Same inline-vs-
+        # vectorized switch as kmeans_assign at large k.
+        if len(cents) > KMEANS_INLINE_MAX_K:
+            assigned = _assign_cells_pandas(emb, cents, id_col, vec_col, keep_vec=True)
+        else:
+            assigned = emb.select(
+                _nearest_cell_expr(cents, vec_col).alias("cell"), F.col(vec_col)
+            )
+        ex = assigned.select("cell", F.posexplode(vec_col).alias("pos", "val"))
         d = F.expr("CAST(round(CAST(val AS DOUBLE), 7) AS DECIMAL(12,7))")
         comp = ex.groupBy("cell", "pos").agg(
             (F.sum(d).cast("double") / F.count(F.lit(1))).alias("c")

@@ -489,3 +489,71 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("label").alias("qlabel")
     )
     return S.hard_negatives(queries, emb.select("vec_id", "embedding", "label"), k=NEG_K)
+
+
+# -- retrieval-quality report (recall@k vs exact ground truth) -------------
+#
+# Correctness rows for the ANN queries prove DETERMINISM (the same
+# approximate answer on both engines); this query measures RETRIEVAL
+# QUALITY: recall@k of each approximate method against the brute-force
+# truth, computed identically in DuckDB by reusing the per-method
+# oracles as subqueries — so the recall numbers themselves are
+# hash-gated. Bounds are asserted in tests/test_operators.py
+# (test_ann_recall_bounds).
+
+_RECALL_METHODS = (
+    ("ivf_nprobe1", ANN_IVF_ORACLE),
+    ("ivf_nprobe3", ANN_IVF_NPROBE_ORACLE),
+    ("sq8_rerank", ANN_SQ8_ORACLE),
+    ("hyperplane", ANN_HYPERPLANE_ORACLE),
+)
+
+ANN_RECALL_ORACLE = (
+    "WITH truth AS (SELECT qid, vec_id FROM ("
+    + ANN_BRUTE_ORACLE
+    + ")),\n"
+    + ",\n".join(
+        f"m_{name} AS (SELECT qid, vec_id FROM ({sql}))"
+        for name, sql in _RECALL_METHODS
+    )
+    + ",\napprox AS (\n"
+    + "\n  UNION ALL\n".join(
+        f"  SELECT '{name}' AS method, qid, vec_id FROM m_{name}"
+        for name, _ in _RECALL_METHODS
+    )
+    + "\n),\nhits AS (SELECT method, count(*) AS hits FROM approx a "
+    "JOIN truth t USING (qid, vec_id) GROUP BY method)\n"
+    "SELECT method, round(hits::DOUBLE / (SELECT count(*) FROM truth), 6) AS recall_at_k, "
+    "CAST(hits AS BIGINT) AS hits FROM hits"
+)
+
+
+@register("ann_recall_report", oracle=ANN_RECALL_ORACLE)
+def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of every approximate ANN method vs the exact baseline,
+    as one distributed plan: method results union (each is ≤ |Q|·k
+    rows), one equi-join against the truth set, per-method hit counts
+    over the truth count. All inputs are query-set-sized — the heavy
+    lifting happened inside the per-method operators."""
+    truth = ann_cosine_topk(spark, sf_dir).select("qid", "vec_id")
+    fns = {
+        "ivf_nprobe1": ann_ivf_topk,
+        "ivf_nprobe3": ann_ivf_nprobe_topk,
+        "sq8_rerank": ann_sq8_topk,
+        "hyperplane": ann_hyperplane_topk,
+    }
+    approx = None
+    for name, fn in fns.items():
+        part = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), F.col("qid"), F.col("vec_id")
+        )
+        approx = part if approx is None else approx.unionByName(part)
+    hits = approx.join(truth, ["qid", "vec_id"]).groupBy("method").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    denom = truth.agg(F.count(F.lit(1)).alias("_n"))
+    return hits.crossJoin(F.broadcast(denom)).select(
+        "method",
+        F.round(F.col("hits") / F.col("_n"), 6).alias("recall_at_k"),
+        F.col("hits").cast("long").alias("hits"),
+    )

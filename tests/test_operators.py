@@ -729,3 +729,48 @@ def test_cosine_topk_chunked_matches_single_pass(spark):
     single = cosine_topk(queries, corpus, k=5)
     chunked = cosine_topk(queries, corpus, k=5, max_query_rows=2)
     assert sorted(map(tuple, single.collect())) == sorted(map(tuple, chunked.collect()))
+
+
+def test_kmeans_assign_pandas_path_matches_inline_literals(spark):
+    """The large-k vectorized assignment must be row-identical to the
+    inlined-literal projection (same 9dp HALF_UP rounding, same
+    lowest-cell tie rule), and the switch threshold is pinned so a
+    coarse quantizer keeps the pure-projection plan."""
+    from actyxos_data_flow_spark.operators import similarity as S
+    from actyxos_data_flow_spark.sources import load_table
+
+    assert S.KMEANS_INLINE_MAX_K == 1024
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "embedding"
+    )
+    cent, _ = S.kmeans_fit(emb, k=8, iters=1)
+    inline = S.kmeans_assign(emb, cent)  # 8 <= 1024: literal projection
+    vectorized = S.kmeans_assign(emb, cent, max_inline_k=0)  # force pandas path
+    a = sorted(map(tuple, inline.collect()))
+    b = sorted(map(tuple, vectorized.collect()))
+    assert a == b and len(a) > 0
+    # forced-pandas FIT (threshold patched to 0) must converge to the
+    # same model as the literal fit
+    import unittest.mock as mock
+
+    with mock.patch.object(S, "KMEANS_INLINE_MAX_K", 0):
+        cent2, _ = S.kmeans_fit(emb, k=8, iters=1)
+    assert sorted(map(tuple, cent.collect())) == sorted(map(tuple, cent2.collect()))
+
+
+def test_ann_recall_bounds(spark):
+    """Retrieval quality, not just determinism: the reranked/multi-probe
+    methods must recover most of the exact top-k. Bounds are loose
+    floors (data-dependent), pinned so a silent quality regression in
+    banding/quantization/probing fails the suite."""
+    from actyxos_data_flow_spark.plans.similarity import ann_recall_report
+
+    got = {r["method"]: r["recall_at_k"] for r in ann_recall_report(spark, "/root/testdata/sf0.001").collect()}
+    assert set(got) == {"ivf_nprobe1", "ivf_nprobe3", "sq8_rerank", "hyperplane"}
+    assert got["sq8_rerank"] >= 0.9  # quantize+rerank ≈ exact (1.0 here)
+    assert got["ivf_nprobe3"] >= got["ivf_nprobe1"]  # more probes, more recall
+    assert got["ivf_nprobe3"] >= 0.25  # loose floor: sf0.001 cells are coarse
+    assert got["hyperplane"] >= 0.3  # 16-plane LSH floor
+    for v in got.values():
+        assert 0.0 <= v <= 1.0
