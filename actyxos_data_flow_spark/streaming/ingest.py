@@ -59,6 +59,7 @@ class CorpusIngestor:
         self.docs_path = os.path.join(corpus_dir, "docs")
         self.index_path = os.path.join(corpus_dir, "digests")
         self.sigs_path = os.path.join(corpus_dir, "sigs")
+        self.clusters_path = os.path.join(corpus_dir, "clusters")
         self.quality_min = quality_min
         self.id_col = id_col
         self.text_col = text_col
@@ -91,7 +92,76 @@ class CorpusIngestor:
     def _sigs(self) -> DataFrame:
         return self._read_or_empty(self.sigs_path, self._sig_schema())
 
-    def _near_dup_gate(self, fresh: DataFrame) -> tuple[DataFrame, DataFrame]:
+    # -- incremental cluster labels (near_dup mode) ---------------------
+    #
+    # The labels table (node, component) covers every doc that reached
+    # the near-dup stage — including REJECTED near-dups, whose label is
+    # their provenance ("this arrival belongs to cluster X"); exact-dup
+    # arrivals never reach it (their cluster is their digest-twin's).
+    # Merges can relabel HISTORIC nodes, so each batch commits a full
+    # new labeling. Crash safety uses the mirror-pointer pattern
+    # (sinks/writer.py): labels land in an epoch directory keyed by the
+    # batch fingerprint, then a pointer file swaps atomically
+    # (os.replace) — a crash mid-write leaves the pointer on the old,
+    # complete epoch; a replayed batch maps to the same epoch directory
+    # and overwrites it. At corpus scale this table is two longs per
+    # ingested doc — doc-count-sized metadata, not corpus-sized data.
+
+    def _clusters_current(self) -> str | None:
+        try:
+            with open(os.path.join(self.clusters_path, "_CURRENT")) as f:
+                return f.read().strip() or None
+        except FileNotFoundError:
+            return None
+
+    def clusters(self) -> DataFrame:
+        """The committed (node, component) labeling."""
+        epoch = self._clusters_current()
+        if epoch is None:
+            return self.spark.createDataFrame([], "node long, component long")
+        return self.spark.read.parquet(os.path.join(self.clusters_path, epoch))
+
+    def _commit_clusters(self, labels: DataFrame, epoch: str) -> None:
+        target = os.path.join(self.clusters_path, epoch)
+        labels.write.mode("overwrite").parquet(target)
+        os.makedirs(self.clusters_path, exist_ok=True)
+        tmp = os.path.join(self.clusters_path, "_CURRENT.tmp")
+        with open(tmp, "w") as f:
+            f.write(epoch)
+        os.replace(tmp, os.path.join(self.clusters_path, "_CURRENT"))
+        # prune superseded epochs (best-effort; pointer already moved)
+        import shutil
+
+        for d in os.listdir(self.clusters_path):
+            if d not in (epoch, "_CURRENT") and not d.startswith("_CURRENT"):
+                shutil.rmtree(os.path.join(self.clusters_path, d), ignore_errors=True)
+
+    def _maintain_clusters(self, batch_nodes: DataFrame, near_pairs: DataFrame) -> str:
+        """Fold this batch's verified near-dup edges into the standing
+        labeling (operators.dedup.connected_components_delta — prior
+        labels enter as depth-1 star edges, so only delta chains need
+        contracting). Batch docs with no partner enter as self-pairs and
+        come out singletons. Returns the committed epoch key."""
+        from ..operators.dedup import connected_components_delta
+
+        ids = batch_nodes.select(F.col(self.id_col).cast("long").alias("_id"))
+        fp = ids.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.min("_id"), F.lit(0)).alias("lo"),
+            F.coalesce(F.max("_id"), F.lit(0)).alias("hi"),
+            F.coalesce(F.sum("_id"), F.lit(0)).alias("s"),
+        ).first()
+        epoch = f"n{fp['n']}_lo{fp['lo']}_hi{fp['hi']}_s{fp['s']}"
+        selfs = ids.select(F.col("_id").alias("id_a"), F.col("_id").alias("id_b"))
+        edges = near_pairs.select("id_a", "id_b").unionByName(selfs)
+        new_labels = connected_components_delta(self.clusters(), edges)
+        # localCheckpoint: materialize BEFORE the write so the plan no
+        # longer references the previous epoch's files (and CC's
+        # iterative lineage is cut); checkpoint() on a real cluster
+        self._commit_clusters(new_labels.localCheckpoint(), epoch)
+        return epoch
+
+    def _near_dup_gate(self, fresh: DataFrame) -> tuple[DataFrame, DataFrame, DataFrame]:
         """MinHash-LSH near-dup gate for one ingest batch: signatures of
         the batch band-probe the persisted signature INDEX plus the
         batch itself (the :func:`..dedup.lsh_delta_pairs` shape — the
@@ -101,7 +171,9 @@ class CorpusIngestor:
         is (id, k longs), O(corpus docs), not O(corpus tokens).
 
         A batch doc drops if it near-matches history, or near-matches a
-        smaller-id batch doc. Returns (accepted, accepted_sigs)."""
+        smaller-id batch doc. Returns (accepted, accepted_sigs,
+        near_pairs) — the verified pairs feed incremental cluster
+        maintenance."""
         sig_new = D.minhash_signatures(
             D.shingles(fresh, self.id_col, self.text_col), self.id_col, self.num_hashes
         )
@@ -133,7 +205,7 @@ class CorpusIngestor:
             .distinct()
         )
         accepted = fresh.join(drops, self.id_col, "left_anti")
-        return accepted, sig_new.join(drops, self.id_col, "left_anti")
+        return accepted, sig_new.join(drops, self.id_col, "left_anti"), near
 
     def ingest_batch(self, docs: DataFrame) -> dict:
         """Gate, dedup (intra-batch then vs history), append. Returns
@@ -159,16 +231,21 @@ class CorpusIngestor:
         # cross-history dedup: anti-join on the digest index only
         fresh = in_batch.join(self._index(), "digest", "left_anti")
         sigs = None
+        near = None
+        pre_gate = None
         if self.near_dup:
-            fresh, sigs = self._near_dup_gate(fresh)
+            pre_gate = fresh.persist()  # nodes entering the near-dup stage
+            fresh, sigs, near = self._near_dup_gate(pre_gate)
             sigs = sigs.persist()
-        # Write order = corpus → signatures → digest index. The digest
-        # index is the ADMISSION GATE (the anti-join), so it commits
-        # LAST: a crash anywhere earlier re-admits the batch on replay
-        # (at-least-once duplicates, recoverable) — whereas committing
-        # the digest before the sigs would gate the docs out forever
-        # with their signatures permanently missing from the near-dup
-        # index (silent recall loss, unrecoverable).
+        # Write order = corpus → signatures → clusters → digest index.
+        # The digest index is the ADMISSION GATE (the anti-join), so it
+        # commits LAST: a crash anywhere earlier re-admits the batch on
+        # replay (at-least-once duplicates, recoverable) — whereas
+        # committing the digest before the sigs/clusters would gate the
+        # docs out forever with their signatures permanently missing
+        # from the near-dup index (silent recall loss, unrecoverable).
+        # Cluster maintenance runs even when accepted == 0: a batch of
+        # pure near-dup rejects still merges its arrivals' labels.
         out = fresh.persist()
         try:
             accepted = out.count()
@@ -176,6 +253,9 @@ class CorpusIngestor:
                 out.drop("digest").write.mode("append").parquet(self.docs_path)
                 if sigs is not None:
                     sigs.write.mode("append").parquet(self.sigs_path)
+            if pre_gate is not None and pre_gate.limit(1).count():
+                self._maintain_clusters(pre_gate, near)
+            if accepted:
                 out.select(
                     "digest", F.col(self.id_col).cast("long").alias("doc_id")
                 ).write.mode("append").parquet(self.index_path)
@@ -183,6 +263,8 @@ class CorpusIngestor:
             out.unpersist()
             if sigs is not None:
                 sigs.unpersist()
+            if pre_gate is not None:
+                pre_gate.unpersist()
         return {"arrived": arrived, "gated": gated.count(), "accepted": accepted}
 
     def corpus(self) -> DataFrame:

@@ -660,3 +660,38 @@ def test_run_ingest_live_near_dup_gate(spark, tmp_path):
         q.stop()
     corpus = CorpusIngestor(spark, str(tmp_path / "corpus")).corpus()
     assert sorted(r.doc_id for r in corpus.collect()) == [1, 3]
+
+
+def test_ingest_maintains_clusters_across_batches(spark, tmp_path):
+    """Three mutually-similar docs arriving in three separate batches
+    must end in ONE cluster label (the rejected near-dups included —
+    their label is their provenance), singletons get their own label,
+    and replaying a batch leaves the labeling unchanged."""
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    base = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
+    v2 = base.replace("tall tree", "tall oak")
+    v3 = base.replace("lazy dog", "lazy cat")
+    solo = "a completely different story about ships and the open sea with many fine words in it today"
+    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.4, near_dup=True)
+
+    def batch(rows):
+        return spark.createDataFrame(
+            [(i, t, "en", "s") for i, t in rows],
+            "doc_id long, text string, lang string, source string",
+        )
+
+    assert ing.ingest_batch(batch([(1, base), (50, solo)]))["accepted"] == 2
+    assert ing.ingest_batch(batch([(2, v2)]))["accepted"] == 0  # near-dup reject
+    assert ing.ingest_batch(batch([(3, v3)]))["accepted"] == 0  # near-dup reject
+
+    labels = {r["node"]: r["component"] for r in ing.clusters().collect()}
+    assert labels[1] == labels[2] == labels[3] == 1  # one cluster, min-id label
+    assert labels[50] == 50  # singleton keeps its own label
+    assert set(labels) == {1, 2, 3, 50}
+
+    # replay-idempotent: re-ingesting batch 3 (same content) must not
+    # change the labeling (same epoch key, same merges)
+    before = sorted(map(tuple, ing.clusters().collect()))
+    ing.ingest_batch(batch([(3, v3)]))
+    assert sorted(map(tuple, ing.clusters().collect())) == before
