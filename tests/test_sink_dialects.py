@@ -204,3 +204,82 @@ def test_mssql_round_trip_env_gated():
     from actyxos_data_flow_spark.sinks import MssqlSink
 
     _roundtrip(MssqlSink(os.environ["MSSQL_CONNECT"]))
+
+
+# -- verbatim Postgres SQL through the SQLite translator shim ------------
+#
+# DuckPgDialect above swaps ph()/rowid, so the literal %s/ctid forms
+# never execute. The shim (tests/pg_sqlite_shim.py) translates at the
+# CURSOR layer instead: every statement is exactly what a Postgres
+# server would receive.
+
+
+@pytest.fixture()
+def pg_shim_sink(tmp_path):
+    from tests.pg_sqlite_shim import PgShimConnection
+
+    conn = PgShimConnection(str(tmp_path / "pgshim.db"))
+    s = DbapiSink(conn, PostgresDialect())
+    s.ensure(RECORD)
+    yield s
+    s.close()
+
+
+def test_pgshim_round_trip_multiplicities(pg_shim_sink):
+    s = pg_shim_sink
+    s.advance_offsets(
+        {RECORD: [(("x", 1), 1), (("y", 2), 2), (("x", 1), 1)]}, {"src-a": 10}
+    )
+    assert s.rows(RECORD) == [("x", 1), ("x", 1), ("y", 2), ("y", 2)]
+    assert s.read_offsets(RECORD) == {"src-a": 10}
+    s.advance_offsets({RECORD: [(("y", 2), -1)]}, {"src-a": 11, "src-b": 5})
+    assert s.rows(RECORD) == [("x", 1), ("x", 1), ("y", 2)]
+    assert s.read_offsets(RECORD) == {"src-a": 11, "src-b": 5}
+
+
+def test_pgshim_delete_exact_null_safe(pg_shim_sink):
+    """The ctid-subquery LIMIT delete (the divergence from the
+    reference's delete-all-and-reinsert, postgre.rs:243-252) removes
+    EXACTLY n copies, NULL keys included, via IS NOT DISTINCT FROM."""
+    s = pg_shim_sink
+    s.advance_offsets({RECORD: [((None, 7), 3)]}, {"s": 1})
+    s.advance_offsets({RECORD: [((None, 7), -2)]}, {"s": 2})
+    assert s.rows(RECORD) == [(None, 7)]
+
+
+def test_pgshim_version_bump_migration(pg_shim_sink):
+    s = pg_shim_sink
+    s.advance_offsets({RECORD: [(("x", 1), 1)]}, {"s": 1})
+    bumped = DbTable(name=RECORD.name, columns=RECORD.columns, version=2)
+    assert s.ensure(bumped) is True  # drop + recreate
+    assert s.rows(bumped) == []
+
+
+def test_pgshim_distributed_stage_finalize(spark, tmp_path):
+    """The distributed applier under the VERBATIM Postgres dialect:
+    executor-side staging (pyformat inserts through the shim) and the
+    recursive-CTE set-wise finalize, including delete-exactly-n."""
+    from actyxos_data_flow_spark.sinks.distributed import DistributedApplier
+    from tests.pg_sqlite_shim import PgShimConnection, pg_shim_factory
+
+    path = str(tmp_path / "pgdist.db")
+    sink = DbapiSink(PgShimConnection(path), PostgresDialect())
+    sink.ensure(RECORD)
+    applier = DistributedApplier(pg_shim_factory(path), PostgresDialect())
+    applier.ensure_stage(sink, RECORD)
+
+    delta = spark.createDataFrame(
+        [("x", 1, 2), ("y", 2, 1), (None, 3, 1)], "a string, b long, delta long"
+    ).repartition(3)
+    applier.stage(delta, RECORD, epoch="e1")
+    ins, dels = applier.finalize(sink, RECORD, "e1", {"src": 10})
+    assert (ins, dels) == (4, 0)
+    assert sink.rows(RECORD) == [(None, 3), ("x", 1), ("x", 1), ("y", 2)]
+
+    d2 = spark.createDataFrame([("x", 1, -1)], "a string, b long, delta long")
+    applier.stage(d2, RECORD, epoch="e2")
+    ins, dels = applier.finalize(sink, RECORD, "e2", {"src": 20})
+    assert (ins, dels) == (0, 1)
+    assert sink.rows(RECORD) == [(None, 3), ("x", 1), ("y", 2)]
+    assert sink.read_offsets(RECORD) == {"src": 20}
+    sink.close()
