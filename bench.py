@@ -3,15 +3,27 @@ bench=True) at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": ...}
+     "queries": {name: sec, ...}, "sf": ..., "sf1": {...}}
 
 Each query executes to a noop sink (full plan runs, no driver
 materialization cost). One JVM, queries timed after a small session
 warm-up so per-query numbers reflect plan execution, not JVM start.
+
+The ``sf1`` section is the SCALE PROBE: the most expensive headline
+queries re-run once against a 10× corpus (synthetic, deterministic,
+cached under .scratch/sf1bench — the driver testdata tops out at
+sf0.1), plus a deliberately lang-skewed documents variant at 1× and
+10× so the packing/minhash shapes can be checked for linearity
+(sequence packing must not degrade when one shard dominates). Texts
+are freshly synthesized rather than replicated — replicating would
+manufacture quadratic near-dup clusters and fake a blowup. Disable
+with --no-sf1 or SPARK_GRAFT_SF1=0; --passes N overrides the
+min-of-3 headline timing.
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
 import sys
@@ -22,17 +34,124 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from actyxos_data_flow_spark.plans import load_all
 from actyxos_data_flow_spark.session import get_spark
 
+SCRATCH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".scratch", "sf1bench")
+
+# the round-3 plan-audit top-5 plus one relational representative
+SF1_QUERIES = (
+    "pipeline_training_batches",
+    "pipeline_clean_corpus",
+    "kmeans_cells",
+    "ann_hyperplane_topk",
+    "dedup_minhash_pairs",
+    "q1_pricing_summary",
+)
+SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs")
+
+
+def _synth_documents(spark, n: int, skew: bool):
+    """Deterministic synthetic corpus: 60–120 pseudo-random tokens from
+    an 8k vocab per doc (hash-derived, no RNG state). ``skew=True``
+    forces ~95% of docs into one lang shard — the packing stress
+    shape."""
+    from pyspark.sql import functions as F
+
+    base = spark.range(n).withColumnRenamed("id", "doc_id")
+    if skew:
+        lang = F.when(F.pmod("doc_id", 20) < 19, F.lit("en")).otherwise(
+            F.element_at(F.array(F.lit("de"), F.lit("fr")), (F.pmod("doc_id", 2) + 1).cast("int"))
+        )
+    else:
+        lang = F.when(F.pmod("doc_id", 20) < 17, F.lit("en")).otherwise(
+            F.element_at(
+                F.array(F.lit("de"), F.lit("fr"), F.lit("es")),
+                (F.pmod("doc_id", 3) + 1).cast("int"),
+            )
+        )
+    text = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), (F.lit(60) + F.pmod("doc_id", 60)).cast("int")),
+            lambda j: F.concat(
+                F.lit("w"), F.pmod(F.hash(F.col("doc_id") * 131 + j), 8000)
+            ),
+        ),
+    )
+    return base.select(
+        "doc_id",
+        text.alias("text"),
+        lang.alias("lang"),
+        F.concat(F.lit("s"), F.pmod("doc_id", 7)).alias("source"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def ensure_sf1_data(spark, base_dir: str) -> None:
+    """Build (once; content-deterministic, cached) the 10× probe data:
+    main/ = synthetic 10× documents + 10 shifted replicas of the sf0.1
+    embeddings and lineitem; skew01/ and skew1/ = lang-skewed documents
+    at 1× and 10×."""
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(SCRATCH, "_DONE")
+    if os.path.exists(marker):
+        return
+    main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
+    _synth_documents(spark, 50_000, skew=False).coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(main, "documents.parquet"))
+    _synth_documents(spark, 5_000, skew=True).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(s01, "documents.parquet"))
+    _synth_documents(spark, 50_000, skew=True).coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(s1, "documents.parquet"))
+
+    emb = spark.read.parquet(os.path.join(base_dir, "embeddings.parquet"))
+    reps = spark.range(10).withColumnRenamed("id", "_rep")
+    emb.crossJoin(reps).select(
+        (F.col("vec_id") + F.col("_rep") * 10_000_000).alias("vec_id"),
+        "embedding",
+        "label",
+    ).coalesce(8).write.mode("overwrite").parquet(os.path.join(main, "embeddings.parquet"))
+
+    li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
+    li.crossJoin(reps).select(
+        (F.col("l_orderkey") + F.col("_rep") * 100_000_000).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).write.mode("overwrite").parquet(os.path.join(main, "lineitem.parquet"))
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def _timed(registry, spark, name: str, sf_dir: str, times: dict, errors: dict, key=None):
+    key = key or name
+    t0 = time.perf_counter()
+    try:
+        df = registry[name].fn(spark, sf_dir)
+        df.write.mode("overwrite").format("noop").save()
+    except Exception as ex:  # noqa: BLE001 — one row, not the round
+        errors[key] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+        return
+    times[key] = round(time.perf_counter() - t0, 3)
+
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=3, help="headline timing passes (min kept)")
+    ap.add_argument("--no-sf1", action="store_true", help="skip the 10x scale probe")
+    args = ap.parse_args()
+    run_sf1 = not args.no_sf1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
 
-    registry = {k: v for k, v in load_all().items() if v.bench}
+    registry = load_all()
+    headline = {k: v for k, v in registry.items() if v.bench}
     # session warm-up (JVM/codegen): trivial job, not timed
     spark.range(1000).selectExpr("sum(id)").collect()
 
-    # three passes, keep the per-query MIN: single-pass numbers swing
+    # N passes, keep the per-query MIN: single-pass numbers swing
     # ±2s (sometimes 2×) on the heavy queries from GC / page-cache
     # timing (measured: the same pipeline query 4.8s vs 13.9s across
     # runs); the min reflects the plan's cost, which is what
@@ -44,28 +163,52 @@ def main() -> None:
     # and BENCH_r02.json recorded nothing).
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for _pass in range(3):
-        for name, spec in registry.items():
+    for _pass in range(max(args.passes, 1)):
+        for name in headline:
             if name in errors:
                 continue
-            t0 = time.perf_counter()
-            try:
-                df = spec.fn(spark, sf_dir)
-                df.write.mode("overwrite").format("noop").save()
-            except Exception as ex:  # noqa: BLE001 — record and move on
+            t1: dict[str, float] = {}
+            _timed(registry, spark, name, sf_dir, t1, errors)
+            if name in t1:
+                times[name] = min(times.get(name, t1[name]), t1[name])
+            else:
                 times.pop(name, None)
-                errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
-                continue
-            sec = round(time.perf_counter() - t0, 3)
-            times[name] = min(times.get(name, sec), sec)
 
     out = {
-        "metric": "headline query wall-clock (noop sink), per-query min of 3 passes, sum over queries",
+        "metric": f"headline query wall-clock (noop sink), per-query min of {max(args.passes, 1)} passes, sum over queries",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
         "sf": sf,
     }
+
+    if run_sf1:
+        sf1: dict = {}
+        sf1_err: dict[str, str] = {}
+        try:
+            t0 = time.perf_counter()
+            ensure_sf1_data(spark, sf_dir)
+            sf1["gen_sec"] = round(time.perf_counter() - t0, 3)
+            q: dict[str, float] = {}
+            for name in SF1_QUERIES:
+                _timed(registry, spark, name, os.path.join(SCRATCH, "main"), q, sf1_err)
+            sf1["queries"] = q
+            skew: dict[str, float] = {}
+            for name in SKEW_QUERIES:
+                _timed(registry, spark, name, os.path.join(SCRATCH, "skew01"), skew, sf1_err, key=f"{name}@skew1x")
+                _timed(registry, spark, name, os.path.join(SCRATCH, "skew1"), skew, sf1_err, key=f"{name}@skew10x")
+            sf1["skew"] = skew
+            sf1["note"] = (
+                "single pass at 10x corpus (synthetic, .scratch/sf1bench); "
+                "compare queries vs the sf0.1 headline mins and @skew10x vs "
+                "@skew1x — linear shapes should grow ~10x or less"
+            )
+        except Exception as ex:  # noqa: BLE001 — probe must never kill the bench
+            sf1_err["_setup"] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+        if sf1_err:
+            sf1["errors"] = sf1_err
+        out["sf1"] = sf1
+
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
