@@ -44,8 +44,10 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # (tools/check.py).
 _PRIORITY: tuple[str, ...] = (
     # regression sentinels (official-green in r3; one per core family)
+    # + the round-4 recall-quality flagship (added after the rotation,
+    # so it needs its first official row)
     "e1_dashboard", "u4_threshold_clip", "g5_reduce_trail",
-    "ivm_snapshot_diff", "session_windows", "profile_orders",
+    "ivm_snapshot_diff", "session_windows", "ann_recall_report",
     # --- never-driver-graded below (driver artifact coverage rotation) ---
     # TPC-H back catalog
     "q2_best_supplier", "q9_product_profit", "q11_important_stock",

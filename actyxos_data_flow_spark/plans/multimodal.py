@@ -212,6 +212,58 @@ def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- resize (nearest-neighbor resample of decoded pixels) ------------------
+
+RS_W, RS_H = 8, 4
+
+# resized pixel (r, c) of the decoded image = source pixel at row
+# r*h//RS_H, col c*w//RS_W; source pixel i is body byte (i mod body_len)
+# — the same convention the phash oracle replays
+MM_RESIZE_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, text,
+         greatest((ascii(substr(text,1,1))*256 + ascii(substr(text,2,1))) % 64, 1) AS w,
+         greatest((ascii(substr(text,3,1))*256 + ascii(substr(text,4,1))) % 64, 1) AS h,
+         length(text) - 4 AS bl
+  FROM documents
+)
+SELECT doc_id AS media_id, rr.r, cc.c,
+       ascii(substr(text, ((rr.r * h // {RS_H}) * w + (cc.c * w // {RS_W})) % bl + 5, 1)) AS v
+FROM m, range(0, {RS_H}) rr(r), range(0, {RS_W}) cc(c)
+"""
+
+
+@register("mm_resize_grid", oracle=MM_RESIZE_ORACLE)
+def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor resize through the REAL codec round-trip:
+    encode (mixed BMP/PNG) → decode → resample to {RS_W}×{RS_H} →
+    per-cell pixel values. The oracle replays the resample geometry
+    with character math, so every decoded byte the resampler touches
+    is hash-verified."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "mixed")
+    resized = M.resize_image(M.decode_image(media), out_w=RS_W, out_h=RS_H)
+
+    def cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, rs, cs, vs = [], [], [], []
+            for mid, px in zip(pdf["media_id"], pdf["pixels"]):
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(RS_H, RS_W)
+                for r in range(RS_H):
+                    for c in range(RS_W):
+                        ids.append(int(mid))
+                        rs.append(r)
+                        cs.append(c)
+                        vs.append(int(a[r, c]))
+            yield pd.DataFrame({"media_id": ids, "r": rs, "c": cs, "v": vs})
+
+    return resized.mapInPandas(cells, "media_id long, r long, c long, v int")
+
+
 # -- perceptual hash (dHash) near-dup --------------------------------------
 
 PH_DW, PH_DH = 8, 4
