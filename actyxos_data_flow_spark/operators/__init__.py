@@ -8,6 +8,6 @@ products, LSH banding instead of pairwise comparison, broadcast of
 candidate sets, no driver-side loops).
 """
 
-from . import dedup, multimodal, profile, similarity, skew, temporal, text  # noqa: F401, E402
+from . import codecs, dedup, multimodal, profile, similarity, skew, temporal, text  # noqa: F401, E402
 
-__all__ = ["dedup", "multimodal", "profile", "similarity", "skew", "temporal", "text"]
+__all__ = ["codecs", "dedup", "multimodal", "profile", "similarity", "skew", "temporal", "text"]

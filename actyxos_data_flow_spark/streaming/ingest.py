@@ -11,8 +11,10 @@ Scale shape per batch (the part that must stay O(batch), not O(corpus)):
 - cross-history dedup is an anti-join of the batch's digests against a
   digest INDEX (digest, doc_id) — a narrow two-column table, not the
   corpus payloads. The index side streams from parquet and the join
-  shuffles only digests; at 100 TB the index is bucketed by digest so
-  the probe co-locates (see sinks/bucketed.py for the writer);
+  shuffles only digests; at 100 TB, register the index as a bucketed
+  table (``df.write.bucketBy(n, "digest").sortBy("digest")
+  .saveAsTable(...)``) so the probe's shuffle disappears on the index
+  side and only the batch exchanges;
 - accepted rows append to the corpus in one write, their digests to the
   index in a second. Ordering (corpus first, index last) makes a crash
   between the two REPLAY-safe: a digest missing from the index lets a
