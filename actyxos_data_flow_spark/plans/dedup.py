@@ -130,6 +130,93 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
+# -- minhash estimator quality (the dedup companion to ann_recall) ---------
+#
+# Correctness rows prove the estimator is DETERMINISTIC; this query
+# measures how well it tracks the exact statistic: per LSH-candidate
+# pair, |est − true Jaccard| (est = fraction of agreeing signature
+# components — exactly the score the streaming ingest gate thresholds
+# on), aggregated with the decimal-exact-sum convention so the mean is
+# bit-identical across engines (CAST(sum(decimal) AS DOUBLE)/n; inputs
+# rounded to 7dp, the quotient never re-rounded).
+
+_est_sql = " + ".join(f"(a.h{s} = b.h{s})::INT" for s in range(NUM_HASHES))
+
+MINHASH_QUALITY_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+{_PIECES_CTE},
+sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM pieces GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band, b.s1, b.s2
+  FROM sig, LATERAL (VALUES {_band_rows}) AS b(band, s1, s2)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2
+  WHERE a.doc_id < b.doc_id
+),
+est AS (
+  SELECT c.id_a, c.id_b, ({_est_sql})::DOUBLE / {NUM_HASHES} AS est
+  FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+tj AS (
+  SELECT i.id_a, i.id_b,
+         CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+),
+errs AS (
+  SELECT CAST(round(abs(e.est - t.jaccard), 7) AS DECIMAL(12,7)) AS d
+  FROM est e JOIN tj t ON t.id_a = e.id_a AND t.id_b = e.id_b
+)
+SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(d) AS DOUBLE) / count(*) AS mean_abs_err,
+       CAST(max(d) AS DOUBLE) AS max_abs_err
+FROM errs
+"""
+
+
+@register("dedup_minhash_quality", oracle=MINHASH_QUALITY_ORACLE)
+def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-error report over the LSH candidate pairs: the MinHash
+    agreement fraction vs the exact Jaccard it estimates, as (n_pairs,
+    mean_abs_err, max_abs_err). All work is candidate-sized; the hash
+    gate covers the error statistics themselves."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
+    cand = D.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
+    sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(NUM_HASHES)])
+    sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(NUM_HASHES)])
+    est_frac = sum(
+        (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(NUM_HASHES)
+    ).cast("double") / F.lit(float(NUM_HASHES))
+    est = (
+        F.broadcast(cand).join(sa, "id_a").join(sb, "id_b")
+        .select("id_a", "id_b", est_frac.alias("est"))
+    )
+    true_j = D.jaccard_on_pairs(cand, sh)
+    d = (
+        F.round(F.abs(F.col("est") - F.col("jaccard")), 7)
+        .cast("decimal(12,7)")
+        .alias("d")
+    )
+    errs = est.join(true_j, ["id_a", "id_b"]).select(d)
+    return errs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("mean_abs_err"),
+        F.max("d").cast("double").alias("max_abs_err"),
+    )
+
+
 # -- exact n-gram jaccard (no LSH; inverted-index blocked) -----------------
 
 NGRAM_JACCARD_ORACLE = f"""

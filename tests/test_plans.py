@@ -343,3 +343,13 @@ def test_sq8_corpus_never_shuffles_for_scoring(spark, registry):
     assert "BroadcastNestedLoopJoin" in plan
     assert "_pid" in plan  # two-phase top-R prune is in the plan
     assert "CartesianProduct" not in plan
+
+
+def test_multimodal_codec_chains_never_shuffle(spark, registry):
+    """The real-codec queries (encode → decode → feature extract) must
+    fuse into the scan stage: zero Exchange nodes — blobs stream through
+    Arrow-batched mapInPandas without ever crossing the network."""
+    for q in ("mm_decode_meta", "mm_resize_grid", "mm_audio_rms", "mm_wav_meta"):
+        plan = _plan(registry[q].fn(spark, SF))
+        assert "Exchange" not in plan, q
+        assert "MapInPandas" in plan, q
