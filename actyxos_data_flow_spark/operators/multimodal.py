@@ -113,6 +113,16 @@ def encode_documents_media(
         for pdf in batches:
             ids, fmts, payloads, widths, heights, rates = [], [], [], [], [], []
             for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(str(text)) < _HEADER:
+                    # unencodable source row → NULL payload (the skip
+                    # contract, symmetric with decode)
+                    ids.append(int(mid))
+                    fmts.append(None)
+                    payloads.append(None)
+                    widths.append(None)
+                    heights.append(None)
+                    rates.append(None)
+                    continue
                 data = str(text).encode("utf-8")
                 if media_format == "wav":
                     payloads.append(encode_wav(data, sample_rate))
@@ -159,7 +169,7 @@ def decode_image(media: DataFrame) -> DataFrame:
             for mid, p in zip(pdf["media_id"], pdf["payload"]):
                 ids.append(int(mid))
                 try:
-                    a = decode_image_payload(bytes(p))
+                    a = decode_image_payload(bytes(p) if p is not None else b"")
                 except CodecError:
                     ws.append(None)
                     hs.append(None)
@@ -209,9 +219,12 @@ def resize_image(decoded: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             out = []
             for w, h, px in zip(pdf["width"], pdf["height"], pdf["pixels"]):
-                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(h, w)
-                yi = (np.arange(out_h) * h // out_h)[:, None]
-                xi = (np.arange(out_w) * w // out_w)[None, :]
+                if px is None or w is None or h is None:
+                    out.append(None)  # skipped decode propagates as NULL
+                    continue
+                a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(int(h), int(w))
+                yi = (np.arange(out_h) * int(h) // out_h)[:, None]
+                xi = (np.arange(out_w) * int(w) // out_w)[None, :]
                 out.append(a[yi, xi].tobytes())
             yield pd.DataFrame(
                 {
@@ -264,6 +277,8 @@ def audio_rms_windows(media: DataFrame, window: int = 64) -> DataFrame:
         for pdf in batches:
             ids, wids, ns, rms = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue  # skipped row: no windows
                 raw = bytes(payload)
                 if sniff_format(raw) == "wav":
                     codes = decode_wav(raw)["samples"].astype(np.int64)
@@ -304,7 +319,7 @@ def perceptual_hash(media: DataFrame, dw: int = 8, dh: int = 4) -> DataFrame:
             hashes = []
             for p in pdf["payload"]:
                 try:
-                    a = decode_image_payload(bytes(p))
+                    a = decode_image_payload(bytes(p) if p is not None else b"")
                 except CodecError:
                     hashes.append(None)  # skip contract: bad blob → NULL
                     continue

@@ -364,7 +364,11 @@ def pack_sequences(
     # dedupe the two range shuffles is fragile (config- and
     # plan-canonicalization-dependent); persist pins one
     # InMemoryRelation that both branches scan, so `_pid` agrees by
-    # construction even if exchange reuse is off.
+    # construction even if exchange reuse is off. The cache is
+    # MEMORY_AND_DISK and LRU-evictable (an evicted block recomputes
+    # from the SAME InMemoryRelation instance, so the boundaries stay
+    # consistent); it is deliberately not unpersisted here because the
+    # returned plan still reads it lazily.
     ranged = (
         df.repartitionByRange(n_parts, *range_keys)
         .withColumn("_pid", F.spark_partition_id())

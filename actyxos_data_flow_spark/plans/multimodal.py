@@ -197,13 +197,21 @@ def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_wav(bytes(p)) for p in pdf["payload"]]
+            ids, srs, chs, ns = [], [], [], []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if p is None:
+                    continue  # skipped encode: no row
+                m = decode_wav(bytes(p))
+                ids.append(int(mid))
+                srs.append(m["sample_rate"])
+                chs.append(m["n_channels"])
+                ns.append(len(m["samples"]))
             yield pd.DataFrame(
                 {
-                    "media_id": pdf["media_id"].to_numpy(),
-                    "sample_rate": [m["sample_rate"] for m in metas],
-                    "n_channels": [m["n_channels"] for m in metas],
-                    "n_samples": [len(m["samples"]) for m in metas],
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "sample_rate": pd.Series(srs, dtype="int32"),
+                    "n_channels": pd.Series(chs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
                 }
             )
 
@@ -252,6 +260,8 @@ def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             ids, rs, cs, vs = [], [], [], []
             for mid, px in zip(pdf["media_id"], pdf["pixels"]):
+                if px is None:
+                    continue  # skipped decode: no cells
                 a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(RS_H, RS_W)
                 for r in range(RS_H):
                     for c in range(RS_W):

@@ -239,6 +239,13 @@ class CorpusIngestor:
             pre_gate = fresh.persist()  # nodes entering the near-dup stage
             fresh, sigs, near = self._near_dup_gate(pre_gate)
             sigs = sigs.persist()
+            # pin the edge set AS OF the pre-append signature index:
+            # `near` is a lazy plan over the sigs parquet, and cluster
+            # maintenance runs AFTER this batch's sigs are appended —
+            # without materializing, the re-evaluation would see the
+            # batch's own signatures in the index (duplicate edges;
+            # CC-idempotent, but nondeterministic plan inputs)
+            near = near.localCheckpoint()
         # Write order = corpus → signatures → clusters → digest index.
         # The digest index is the ADMISSION GATE (the anti-join), so it
         # commits LAST: a crash anywhere earlier re-admits the batch on

@@ -177,3 +177,28 @@ def test_phash_pairs_via_simhash_banding(spark):
     sig = ph.select("media_id", F.col("phash").alias("simhash"))
     pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(sig, id_col="media_id", max_hamming=2).collect()}
     assert pairs.get((1, 2)) == 0
+
+
+def test_encode_skips_null_and_short_text_rows(spark):
+    """Unencodable source rows (NULL / shorter than the image header)
+    become NULL-payload media rows, and every downstream operator
+    (decode, resize, phash, RMS) propagates or drops them instead of
+    failing the task."""
+    docs = spark.createDataFrame(
+        [(1, "a proper document with plenty of text to encode here"),
+         (2, None), (3, "ab")],
+        "doc_id long, text string",
+    )
+    media = M.encode_documents_media(docs, "mixed")
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[1]["payload"] is not None
+    assert rows[2]["payload"] is None and rows[3]["payload"] is None
+    decoded = {r["media_id"]: r for r in M.decode_image(media).collect()}
+    assert decoded[1]["width"] >= 1 and decoded[2]["width"] is None
+    resized = {r["media_id"]: r for r in M.resize_image(M.decode_image(media), 4, 2).collect()}
+    assert resized[1]["pixels"] is not None and resized[2]["pixels"] is None
+    ph = {r["media_id"]: r["phash"] for r in M.perceptual_hash(media).collect()}
+    assert ph[1] is not None and ph[2] is None
+    wav = M.encode_documents_media(docs, "wav")
+    got = {r.media_id for r in M.audio_rms_windows(wav, window=16).collect()}
+    assert got == {1}
