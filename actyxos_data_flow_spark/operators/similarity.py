@@ -360,6 +360,46 @@ def hyperplane_near_pairs(
     )
 
 
+def hyperplane_delta_pairs(
+    sig_base: DataFrame,
+    sig_new: DataFrame,
+    id_col: str = "vec_id",
+    planes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental hyperplane-LSH maintenance — the embedding twin of
+    ``dedup.lsh_delta_pairs``: when a batch of NEW vectors joins the
+    corpus, the candidate pairs *added* are exactly (new bands) ⋈
+    (base ∪ new bands); base×base work is never redone, so a streaming
+    ingest gate pays O(|batch| × bands) probes per batch instead of
+    re-pairing the corpus. Invariant (tested):
+    pairs(base) ∪ delta_pairs(base, new) == pairs(base ∪ new).
+    ``max_bucket`` drops degenerate signature buckets (e.g. the
+    all-zeros region) exactly like the MinHash cap."""
+    bands_new = _banded(sig_new, id_col, planes, n_bands)
+    bands_all = _banded(sig_base, id_col, planes, n_bands).unionByName(bands_new)
+    if max_bucket is not None:
+        from pyspark.sql import Window as W2
+
+        bucket_n = F.count(F.lit(1)).over(W2.partitionBy("band", "piece"))
+        bands_all = (
+            bands_all.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket).drop("_bn")
+        )
+    n, a = bands_new.alias("n"), bands_all.alias("a")
+    lo = F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}"))
+    hi = F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}"))
+    return (
+        n.join(
+            a,
+            (F.col("n.band") == F.col("a.band")) & (F.col("n.piece") == F.col("a.piece")),
+        )
+        .filter(F.col(f"n.{id_col}") != F.col(f"a.{id_col}"))
+        .select(lo.alias("id_a"), hi.alias("id_b"))
+        .distinct()
+    )
+
+
 def hyperplane_topk(
     queries: DataFrame,
     corpus: DataFrame,

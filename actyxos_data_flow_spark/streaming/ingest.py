@@ -44,6 +44,25 @@ from ..operators import text as X
 DIGEST_SCHEMA = "digest string, doc_id long"
 
 
+def _directed_drops(near: DataFrame, batch_ids: DataFrame, id_col: str) -> DataFrame:
+    """Which BATCH members to reject given undirected near-pairs: a
+    batch doc/vector drops if it near-matches history (partner not in
+    the batch) or a smaller-id batch member. Shared by the document and
+    vector gates."""
+    directed = near.select(F.col("id_a").alias("x"), F.col("id_b").alias("p")).unionByName(
+        near.select(F.col("id_b").alias("x"), F.col("id_a").alias("p"))
+    )
+    xs = batch_ids.select(F.col(id_col).alias("x"))
+    pb = batch_ids.select(F.col(id_col).alias("p"), F.lit(1).alias("_pb"))
+    return (
+        directed.join(xs, "x", "left_semi")
+        .join(pb, "p", "left")
+        .filter(F.col("_pb").isNull() | (F.col("p") < F.col("x")))
+        .select(F.col("x").alias(id_col))
+        .distinct()
+    )
+
+
 class CorpusIngestor:
     def __init__(
         self,
@@ -194,18 +213,7 @@ class CorpusIngestor:
             .select("id_a", "id_b", est.alias("est"))
             .filter(F.col("est") >= self.sim_threshold)
         )
-        directed = near.select(F.col("id_a").alias("x"), F.col("id_b").alias("p")).unionByName(
-            near.select(F.col("id_b").alias("x"), F.col("id_a").alias("p"))
-        )
-        batch_ids = fresh.select(F.col(self.id_col).alias("x"))
-        partner_in_batch = fresh.select(F.col(self.id_col).alias("p"), F.lit(1).alias("_pb"))
-        drops = (
-            directed.join(batch_ids, "x", "left_semi")
-            .join(partner_in_batch, "p", "left")
-            .filter(F.col("_pb").isNull() | (F.col("p") < F.col("x")))
-            .select(F.col("x").alias(self.id_col))
-            .distinct()
-        )
+        drops = _directed_drops(near, fresh.select(self.id_col), self.id_col)
         accepted = fresh.join(drops, self.id_col, "left_anti")
         return accepted, sig_new.join(drops, self.id_col, "left_anti"), near
 
@@ -344,3 +352,121 @@ def run_ingest_live(
         .trigger(processingTime=tick)
         .start()
     )
+
+
+class VectorIngestor:
+    """Continuous EMBEDDING ingestion — the vector twin of
+    :class:`CorpusIngestor`: each batch of (vec_id, embedding[, ...])
+    rows is exact-deduplicated (value digest), near-deduplicated against
+    everything already ingested via incremental hyperplane-LSH
+    (``similarity.hyperplane_delta_pairs`` band-probes the persisted
+    signature index — O(batch × bands) per batch, base×base never
+    redone) with exact-cosine verification on the candidates only, and
+    appended to a parquet vector store.
+
+    Scale shape per batch: signatures are pure JVM folds on the batch;
+    the band probe is an equi-join against a (vec_id, hsig) index —
+    O(corpus vectors) narrow rows, not the vectors themselves; cosine
+    verification joins ONLY candidate ids back to the stores. Write
+    order = vectors → signatures → digest index (admission gate LAST,
+    same replay reasoning as the document gate).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str,
+        dim: int,
+        id_col: str = "vec_id",
+        vec_col: str = "embedding",
+        planes: int = 16,
+        n_bands: int = 4,
+        cosine_threshold: float = 0.98,
+    ) -> None:
+        self.spark = spark
+        self.vectors_path = os.path.join(store_dir, "vectors")
+        self.hsigs_path = os.path.join(store_dir, "hsigs")
+        self.index_path = os.path.join(store_dir, "digests")
+        self.dim = dim
+        self.id_col = id_col
+        self.vec_col = vec_col
+        self.planes = planes
+        self.n_bands = n_bands
+        self.cosine_threshold = cosine_threshold
+
+    def _read_or_empty(self, path: str, schema: str) -> DataFrame:
+        import glob
+
+        if os.path.isdir(path) and (
+            glob.glob(os.path.join(path, "*.parquet")) or glob.glob(os.path.join(path, "part-*"))
+        ):
+            return self.spark.read.parquet(path)
+        return self.spark.createDataFrame([], schema)
+
+    def _hsigs(self) -> DataFrame:
+        return self._read_or_empty(self.hsigs_path, f"{self.id_col} long, hsig string")
+
+    def _digests(self) -> DataFrame:
+        return self._read_or_empty(self.index_path, f"digest string, {self.id_col} long")
+
+    def vectors(self) -> DataFrame:
+        return self.spark.read.parquet(self.vectors_path)
+
+    def ingest_batch(self, vecs: DataFrame) -> dict:
+        from ..operators import similarity as S
+
+        arrived = vecs.count()
+        # value digest: exact float-wise identity (deterministic JVM
+        # float→string rendering on both writer and prober)
+        digest = F.md5(
+            F.concat_ws(",", F.transform(F.col(self.vec_col), lambda x: x.cast("string")))
+        )
+        with_digest = vecs.withColumn("digest", digest)
+        rec = F.struct(*[F.col(c) for c in with_digest.columns])
+        in_batch = (
+            with_digest.groupBy("digest")
+            .agg(F.min_by(rec, F.col(self.id_col)).alias("_rec"))
+            .select("_rec.*")
+        )
+        fresh = in_batch.join(self._digests(), "digest", "left_anti").persist()
+        try:
+            sig_new = S.hyperplane_signature(
+                fresh, self.dim, self.vec_col, self.id_col, planes=self.planes
+            )
+            cand = S.hyperplane_delta_pairs(
+                self._hsigs(), sig_new, self.id_col, self.planes, self.n_bands
+            )
+            # exact-cosine verify on candidates only: ids join back to
+            # the vector store (history) ∪ the batch — candidate-sized
+            all_vecs = self._read_or_empty(
+                self.vectors_path, f"{self.id_col} long, {self.vec_col} array<double>"
+            ).select(self.id_col, self.vec_col).unionByName(
+                fresh.select(self.id_col, self.vec_col)
+            )
+            va = all_vecs.select(F.col(self.id_col).alias("id_a"), F.col(self.vec_col).alias("_ea"))
+            vb = all_vecs.select(F.col(self.id_col).alias("id_b"), F.col(self.vec_col).alias("_eb"))
+            cos = S._dot(F.col("_ea"), F.col("_eb")) / (
+                S._norm(F.col("_ea")) * S._norm(F.col("_eb"))
+            )
+            near = (
+                F.broadcast(cand)
+                .join(va, "id_a")
+                .join(vb, "id_b")
+                .select("id_a", "id_b", cos.alias("_c"))
+                .filter(F.col("_c") >= self.cosine_threshold)
+            )
+            drops = _directed_drops(near, fresh.select(self.id_col), self.id_col)
+            accepted_df = fresh.join(drops, self.id_col, "left_anti").persist()
+            accepted = accepted_df.count()
+            if accepted:
+                accepted_df.drop("digest").write.mode("append").parquet(self.vectors_path)
+                sig_new.join(drops, self.id_col, "left_anti").write.mode("append").parquet(
+                    self.hsigs_path
+                )
+                accepted_df.select(
+                    "digest", F.col(self.id_col).cast("long").alias(self.id_col)
+                ).write.mode("append").parquet(self.index_path)
+            accepted_df.unpersist()
+        finally:
+            fresh.unpersist()
+        return {"arrived": arrived, "accepted": accepted}

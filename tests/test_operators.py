@@ -774,3 +774,31 @@ def test_ann_recall_bounds(spark):
     assert got["hyperplane"] >= 0.3  # 16-plane LSH floor
     for v in got.values():
         assert 0.0 <= v <= 1.0
+
+
+def test_hyperplane_delta_pairs_invariant(spark):
+    """IVM invariant for the embedding band index:
+    pairs(base) ∪ delta_pairs(base, new) == pairs(base ∪ new)."""
+    import random
+
+    rnd = random.Random(3)
+
+    def vec():
+        return [rnd.uniform(-1, 1) for _ in range(12)]
+
+    rows = [(i, vec()) for i in range(20)]
+    rows[7] = (7, [x * 1.001 for x in rows[3][1]])   # near-dup inside base
+    rows[15] = (15, [x * 1.001 for x in rows[4][1]])  # new near-dups base
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    base = df.filter(F.col("vec_id") < 10)
+    new = df.filter(F.col("vec_id") >= 10)
+
+    sig_base = S.hyperplane_signature(base, 12)
+    sig_new = S.hyperplane_signature(new, 12)
+    sig_all = S.hyperplane_signature(df, 12)
+
+    p_base = {(r.id_a, r.id_b) for r in S.hyperplane_near_pairs(sig_base).collect()}
+    p_all = {(r.id_a, r.id_b) for r in S.hyperplane_near_pairs(sig_all).collect()}
+    delta = {(r.id_a, r.id_b) for r in S.hyperplane_delta_pairs(sig_base, sig_new).collect()}
+    assert p_base | delta == p_all
+    assert all(p not in p_base for p in delta)  # delta is genuinely new

@@ -695,3 +695,40 @@ def test_ingest_maintains_clusters_across_batches(spark, tmp_path):
     before = sorted(map(tuple, ing.clusters().collect()))
     ing.ingest_batch(batch([(3, v3)]))
     assert sorted(map(tuple, ing.clusters().collect())) == before
+
+
+def test_vector_ingestor_gates_near_dup_embeddings(spark, tmp_path):
+    """The embedding ingest gate: exact re-uploads drop via the value
+    digest; a near-duplicate vector (cosine ≥ threshold vs ingested
+    history) drops via the incremental hyperplane band probe; novel
+    vectors append. Replay of a batch is idempotent."""
+    import random
+
+    from actyxos_data_flow_spark.streaming.ingest import VectorIngestor
+
+    rnd = random.Random(11)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    near = [x * 1.0001 for x in base]  # cosine ~1 (scale-invariant)
+    ortho = [rnd.uniform(-1, 1) for _ in range(16)]
+
+    ing = VectorIngestor(spark, str(tmp_path / "vec"), dim=16, cosine_threshold=0.98)
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    s1 = ing.ingest_batch(batch([(1, base), (2, ortho)]))
+    assert s1 == {"arrived": 2, "accepted": 2}
+    # batch 2: exact re-upload of 1, near-dup of 1, novel vector
+    novel = [rnd.uniform(-1, 1) for _ in range(16)]
+    s2 = ing.ingest_batch(batch([(10, list(base)), (11, near), (12, novel)]))
+    assert s2 == {"arrived": 3, "accepted": 1}
+    assert sorted(r.vec_id for r in ing.vectors().collect()) == [1, 2, 12]
+    # replay the same batch: nothing new admitted
+    s3 = ing.ingest_batch(batch([(10, list(base)), (11, near), (12, novel)]))
+    assert s3["accepted"] == 0
+    assert sorted(r.vec_id for r in ing.vectors().collect()) == [1, 2, 12]
+    # intra-batch near-dups: smaller id wins
+    a = [rnd.uniform(-1, 1) for _ in range(16)]
+    s4 = ing.ingest_batch(batch([(21, [x * 1.0002 for x in a]), (20, a)]))
+    assert s4["accepted"] == 1
+    assert 20 in {r.vec_id for r in ing.vectors().collect()}
