@@ -557,3 +557,55 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("hits") / F.col("_n"), 6).alias("recall_at_k"),
         F.col("hits").cast("long").alias("hits"),
     )
+
+
+# -- incremental embedding near-dup (ingest-batch IVM shape) ---------------
+
+DELTA_MOD = 5  # vec_id % 5 == 0 plays the "new batch" slice
+
+EMB_LSH_DELTA_ORACLE = f"""
+WITH {_HSIG_CTE}
+cand AS (
+  SELECT DISTINCT least(a.vec_id, b.vec_id) AS id_a,
+                  greatest(a.vec_id, b.vec_id) AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.piece = b.piece
+  WHERE a.vec_id <> b.vec_id
+    AND (a.vec_id % {DELTA_MOD} = 0 OR b.vec_id % {DELTA_MOD} = 0)
+),
+p AS (
+  SELECT c.id_a, c.id_b, ea.embedding AS ea, eb.embedding AS eb
+  FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+),
+u2 AS (SELECT id_a, id_b, unnest(ea)::DOUBLE x, unnest(eb)::DOUBLE y FROM p),
+s2 AS (SELECT id_a, id_b, sum(x*y) AS dot, sqrt(sum(x*x)) AS na, sqrt(sum(y*y)) AS nb
+       FROM u2 GROUP BY 1, 2)
+SELECT id_a, id_b, round(dot/(na*nb), 6) AS cosine
+FROM s2 WHERE dot/(na*nb) >= {NEAR_DUP_THRESHOLD}
+"""
+
+
+@register("dedup_embedding_lsh_delta", oracle=EMB_LSH_DELTA_ORACLE)
+def dedup_embedding_lsh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup as incremental view maintenance (the
+    VectorIngestor's per-batch shape, streaming/ingest.py): the 20%
+    "new" slice band-probes the hyperplane signature index of the
+    standing corpus — only pairs touching a new vector are computed and
+    cosine-verified. pairs(base) ∪ this == pairs(all); base×base work
+    is never redone."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = S.hyperplane_signature(emb, DIM, planes=PLANES)
+    is_new = F.col("vec_id") % DELTA_MOD == 0
+    cand = S.hyperplane_delta_pairs(
+        sig.filter(~is_new), sig.filter(is_new), planes=PLANES, n_bands=N_BANDS
+    )
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"))
+    cos = S._dot(F.col("ea"), F.col("eb")) / (S._norm(F.col("ea")) * S._norm(F.col("eb")))
+    return (
+        F.broadcast(cand)
+        .join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", cos.alias("_c"))
+        .filter(F.col("_c") >= NEAR_DUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("_c", 6).alias("cosine"))
+    )
