@@ -353,3 +353,11 @@ def test_multimodal_codec_chains_never_shuffle(spark, registry):
         plan = _plan(registry[q].fn(spark, SF))
         assert "Exchange" not in plan, q
         assert "MapInPandas" in plan, q
+
+
+def test_embedding_delta_pairs_band_equi_join(spark, registry):
+    """Incremental hyperplane LSH: new-slice bands meet the index
+    through a hash equi-join on (band, piece) — never a cross product;
+    cosine verification touches candidates only."""
+    plan = _plan(registry["dedup_embedding_lsh_delta"].fn(spark, SF))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
