@@ -470,3 +470,36 @@ class VectorIngestor:
         finally:
             fresh.unpersist()
         return {"arrived": arrived, "accepted": accepted}
+
+
+def run_vector_ingest_stream(
+    spark: SparkSession,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    schema: str | None = None,
+    cosine_threshold: float = 0.98,
+) -> list[dict]:
+    """Drive :class:`VectorIngestor` from a Structured Streaming file
+    source (availableNow drain; swap the trigger for processingTime to
+    run live) — the embedding twin of :func:`run_ingest_stream`. Source
+    files are JSON rows of (vec_id, embedding). Each micro-batch
+    commits through ``ingest_batch``; per-batch stats are returned."""
+    schema = schema or "vec_id long, embedding array<double>"
+    ing = VectorIngestor(spark, store_dir, dim=dim, cosine_threshold=cosine_threshold)
+    stats: list[dict] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        stats.append(ing.ingest_batch(batch_df))
+
+    q = (
+        spark.readStream.schema(schema)
+        .json(src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stats

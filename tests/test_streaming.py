@@ -732,3 +732,43 @@ def test_vector_ingestor_gates_near_dup_embeddings(spark, tmp_path):
     s4 = ing.ingest_batch(batch([(21, [x * 1.0002 for x in a]), (20, a)]))
     assert s4["accepted"] == 1
     assert 20 in {r.vec_id for r in ing.vectors().collect()}
+
+
+def test_run_vector_ingest_stream_files(spark, tmp_path):
+    """VectorIngestor behind a Structured Streaming file source: two
+    files drained availableNow; the near-dup in the second file is
+    gated against the first file's ingested vectors."""
+    import json as _json
+    import random
+
+    from actyxos_data_flow_spark.streaming.ingest import (
+        VectorIngestor,
+        run_vector_ingest_stream,
+    )
+
+    rnd = random.Random(5)
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "f1.json").write_text(
+        _json.dumps({"vec_id": 1, "embedding": base}) + "\n"
+    )
+    stats = run_vector_ingest_stream(
+        spark, str(src), str(tmp_path / "store"), str(tmp_path / "ckpt"), dim=16
+    )
+    assert sum(s["accepted"] for s in stats) == 1
+
+    novel = [rnd.uniform(-1, 1) for _ in range(16)]
+    (src / "f2.json").write_text(
+        _json.dumps({"vec_id": 2, "embedding": [x * 1.0001 for x in base]}) + "\n"
+        + _json.dumps({"vec_id": 3, "embedding": novel}) + "\n"
+    )
+    stats = run_vector_ingest_stream(
+        spark, str(src), str(tmp_path / "store"), str(tmp_path / "ckpt"), dim=16
+    )
+    assert sum(s["accepted"] for s in stats) == 1  # near-dup gated, novel kept
+    got = sorted(
+        r.vec_id
+        for r in VectorIngestor(spark, str(tmp_path / "store"), dim=16).vectors().collect()
+    )
+    assert got == [1, 3]
