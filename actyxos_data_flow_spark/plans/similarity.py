@@ -504,6 +504,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RECALL_METHODS = (
     ("ivf_nprobe1", ANN_IVF_ORACLE),
     ("ivf_nprobe3", ANN_IVF_NPROBE_ORACLE),
+    ("ivf_kmeans", ANN_KMEANS_ORACLE),
     ("sq8_rerank", ANN_SQ8_ORACLE),
     ("hyperplane", ANN_HYPERPLANE_ORACLE),
 )
@@ -539,6 +540,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     fns = {
         "ivf_nprobe1": ann_ivf_topk,
         "ivf_nprobe3": ann_ivf_nprobe_topk,
+        "ivf_kmeans": ann_ivf_kmeans_topk,
         "sq8_rerank": ann_sq8_topk,
         "hyperplane": ann_hyperplane_topk,
     }
