@@ -27,6 +27,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
+def _matrix_lit(rows: list[list[float]]) -> Column:
+    """A [n][m] double matrix as ONE plan node: ``from_json`` of a
+    constant string is constant-folded by the optimizer into a single
+    nested-array literal, so neither analysis nor executors ever see
+    n×m separate literal expressions (verified: the optimized plan
+    contains the folded literal, no ``from_json``). Building the same
+    matrix from ``F.array(*[F.lit(x) ...])`` costs O(n·m) tree nodes
+    per optimizer rule pass — measurably seconds of driver CPU at
+    16×64. json.dumps emits shortest-round-trip reprs, so parsed
+    doubles are bit-identical to the Python floats."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(rows)), "array<array<double>>")
+
+
+def _vector_lit(xs: list, tpe: str = "double") -> Column:
+    """1-D constant-folded array literal, same trick as _matrix_lit."""
+    import json
+
+    return F.from_json(F.lit(json.dumps(xs)), f"array<{tpe}>")
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -306,15 +328,16 @@ def hyperplane_signature(
 ) -> DataFrame:
     """P-bit signature string per vector: bit p = sign of vec · h_p.
     Pure JVM column expressions (zip_with + aggregate fold, same exact
-    float→double arithmetic as the cosine kernels) — whole-stage codegen,
-    no Python, no shuffle."""
-    signs = hyperplane_signs(planes, dim, seed)
-    bits = []
-    for p in range(planes):
-        arr = F.array(*[F.lit(s) for s in signs[p]])
-        proj = _dot(F.col(vec_col), arr)
-        bits.append(F.when(proj > 0, "1").otherwise("0"))
-    return df.select(id_col, *keep, F.concat(*bits).alias("hsig"))
+    float→double arithmetic as the cosine kernels) — no Python, no
+    shuffle. The sign matrix enters the plan as ONE folded literal
+    (:func:`_matrix_lit`) and the dot-product lambda is built once and
+    mapped over its rows, so plan size is O(dot) rather than
+    O(planes × dot) — that difference is several seconds of per-query
+    analysis time at 16×64 and grows with planes×dim."""
+    mat = _matrix_lit(hyperplane_signs(planes, dim, seed))
+    projs = F.transform(mat, lambda row: _dot(F.col(vec_col), row))
+    hsig = F.concat_ws("", F.transform(projs, lambda p: F.when(p > 0, "1").otherwise("0")))
+    return df.select(id_col, *keep, hsig.alias("hsig"))
 
 
 def hyperplane_bands(planes: int, n_bands: int) -> list[tuple[int, int]]:
@@ -500,25 +523,30 @@ KMEANS_ITERS = 2
 
 def _nearest_cell_expr(cents: list[tuple[int, list[float]]], vec_col: str):
     """Column expression computing the nearest-centroid cell id for one
-    vector: squared-L2 to each centroid (inlined as literal arrays),
-    distances rounded to 9 decimals, argmin with cell-id tie-break via
-    lexicographic struct min. A PURE PROJECTION — no explode, no join,
-    no shuffle; nlist×dim literals is a few KB of plan for a coarse
-    quantizer."""
-    cands = []
-    for cell, ce in sorted(cents):
-        arr = F.array(*[F.lit(float(x)) for x in ce])
-        d2 = F.aggregate(
-            F.zip_with(
-                F.col(vec_col),
-                arr,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        cands.append(F.struct(F.round(d2, 9).alias("d"), F.lit(int(cell)).alias("cell")))
-    return F.array_min(F.array(*cands))["cell"]
+    vector: squared-L2 to each centroid, distances rounded to 9
+    decimals, argmin with cell-id tie-break via lexicographic struct
+    min. A PURE PROJECTION — no explode, no join, no shuffle. The
+    centroid matrix and cell-id vector enter the plan as two folded
+    literals (:func:`_matrix_lit`) so the distance lambda is built once
+    and mapped — plan size O(dot), not O(k × dot)."""
+    ordered = sorted(cents)
+    mat = _matrix_lit([[float(x) for x in ce] for _, ce in ordered])
+    cells = _vector_lit([int(c) for c, _ in ordered], "int")
+    d2 = lambda ce: F.aggregate(  # noqa: E731
+        F.zip_with(
+            F.col(vec_col),
+            ce,
+            lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cands = F.zip_with(
+        mat,
+        cells,
+        lambda ce, cell: F.struct(F.round(d2(ce), 9).alias("d"), cell.alias("cell")),
+    )
+    return F.array_min(cands)["cell"]
 
 
 # Above this k the inlined-literal projection stops being the right
