@@ -539,6 +539,54 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    min_overlap: int = 2,
+    m_bits: int | None = None,
+    k: int | None = None,
+    broadcast_eval: bool = True,
+) -> DataFrame:
+    """:func:`decontaminate` with a Bloom prefilter on the probe side —
+    bit-identical output (the Bloom has no false negatives; false
+    positives are removed by the exact join), different physical shape
+    for the case where the eval shingle set is too large to broadcast
+    as raw keys: the finished ``m/8``-byte bitmap is a constant-folded
+    literal, so bloom-negative shingles get a NULL join key and never
+    enter the exact match join (a hash join does not probe null keys).
+    With ``broadcast_eval=False`` the exact join becomes a shuffle
+    equi-join whose probe volume the Bloom has already cut to the
+    positives — the 100 TB configuration."""
+    from . import bloom as B
+
+    if m_bits is None:
+        m_bits = B.BLOOM_M_BITS
+    if k is None:
+        k = B.BLOOM_K
+    tr_sh = shingles(train, id_col, text_col, n)
+    ev_sh = shingles(eval_docs, id_col, text_col, n).select("shingle").distinct()
+    dense = B.bloom_dense(B.bloom_build(ev_sh, "shingle", m_bits, k), m_bits)
+    maybe = B.bloom_contains(F.col("shingle"), dense, m_bits, k)
+    ev_hit = ev_sh.select(F.col("shingle").alias("_k"), F.lit(1).alias("_hit"))
+    if broadcast_eval:
+        ev_hit = F.broadcast(ev_hit)
+    marked = tr_sh.withColumn("_k", F.when(maybe, F.col("shingle"))).join(ev_hit, "_k", "left")
+    agg = marked.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.coalesce("_hit", F.lit(0))).alias("n_matched"),
+    )
+    return agg.select(
+        id_col,
+        "n_shingles",
+        "n_matched",
+        F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias("overlap_ratio"),
+        (F.col("n_matched") >= min_overlap).alias("contaminated"),
+    )
+
+
 def containment_on_pairs(
     pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

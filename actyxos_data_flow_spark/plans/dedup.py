@@ -516,6 +516,128 @@ def decontaminate_vs_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.decontaminate(train, ev, min_overlap=DECON_MIN_OVERLAP)
 
 
+# -- Bloom-prefiltered decontamination -------------------------------------
+#
+# Same answer as decontaminate_vs_eval (Bloom has no false negatives and
+# the exact join removes false positives), different physical shape: the
+# eval membership broadcasts as an m/8-byte bitmap literal instead of
+# raw shingle strings. The stats query proves the bitmap itself
+# bit-for-bit (DuckDB rebuilds it from the same md5 double-hash family).
+
+BLOOM_M = 1 << 20
+BLOOM_K4 = 4
+
+_BLOOM_WORDS_CTE = f"""
+epos AS (
+  SELECT ((('0x' || substr(md5(shingle), 1, 15))::BIGINT
+          + i.i * ('0x' || substr(md5(shingle), 17, 15))::BIGINT) % {BLOOM_M}) AS pos
+  FROM esh, range({BLOOM_K4}) AS i(i)
+),
+words AS (
+  SELECT pos // 32 AS widx, bit_or(1::BIGINT << (pos % 32)::INT) AS word
+  FROM epos GROUP BY 1
+)
+"""
+
+BLOOM_STATS_ORACLE = f"""
+WITH etok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  WHERE source = '{EVAL_SOURCE}' AND len(string_split(text, ' ')) >= 3
+),
+esh AS (
+  SELECT DISTINCT unnest(
+    list_transform(generate_series(1, len(tokens) - 2),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+  ) AS shingle
+  FROM etok
+),
+{_BLOOM_WORDS_CTE},
+ttok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+  WHERE source <> '{EVAL_SOURCE}' AND len(string_split(text, ' ')) >= 3
+),
+tsh AS (
+  SELECT DISTINCT unnest(
+    list_transform(generate_series(1, len(tokens) - 2),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+  ) AS shingle
+  FROM ttok
+),
+tpos AS (
+  SELECT shingle,
+         ((('0x' || substr(md5(shingle), 1, 15))::BIGINT
+          + i.i * ('0x' || substr(md5(shingle), 17, 15))::BIGINT) % {BLOOM_M}) AS pos
+  FROM tsh, range({BLOOM_K4}) AS i(i)
+),
+probe AS (
+  SELECT t.shingle,
+         bool_and((coalesce(w.word, 0) & (1::BIGINT << (t.pos % 32)::INT)) <> 0) AS maybe
+  FROM tpos t LEFT JOIN words w ON w.widx = t.pos // 32
+  GROUP BY t.shingle
+)
+SELECT {BLOOM_M}::BIGINT AS m_bits, {BLOOM_K4}::BIGINT AS k,
+       (SELECT count(*) FROM esh)::BIGINT AS n_keys,
+       (SELECT sum(bit_count(word)) FROM words)::BIGINT AS bits_set,
+       count(*)::BIGINT AS n_probe,
+       sum(CASE WHEN probe.maybe THEN 1 ELSE 0 END)::BIGINT AS n_bloom_pos,
+       sum(CASE WHEN probe.shingle IN (SELECT shingle FROM esh) THEN 1 ELSE 0 END)::BIGINT
+         AS n_true_pos
+FROM probe
+"""
+
+
+@register("bloom_filter_stats", oracle=BLOOM_STATS_ORACLE)
+def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row report proving the Bloom machinery bit-for-bit: the
+    oracle REBUILDS the bitmap from the same derandomized double-hash
+    family and must agree on every set bit (bits_set), every probe
+    verdict (n_bloom_pos) and the exact membership baseline
+    (n_true_pos). n_bloom_pos − n_true_pos = observed false positives,
+    bounded by the fpp formula in operators/bloom.py."""
+    from ..operators import bloom as B
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev_sh = (
+        D.shingles(docs.filter(F.col("source") == EVAL_SOURCE)).select("shingle").distinct()
+    )
+    dense = B.bloom_dense(B.bloom_build(ev_sh, "shingle", BLOOM_M, BLOOM_K4), BLOOM_M)
+    n_keys = ev_sh.count()
+    bits_set = sum(bin(w & 0xFFFFFFFF).count("1") for w in dense)
+    probe = (
+        D.shingles(docs.filter(F.col("source") != EVAL_SOURCE)).select("shingle").distinct()
+    )
+    flagged = probe.withColumn(
+        "maybe", B.bloom_contains(F.col("shingle"), dense, BLOOM_M, BLOOM_K4)
+    ).join(
+        F.broadcast(ev_sh.withColumn("_hit", F.lit(1))), "shingle", "left"
+    )
+    return flagged.agg(
+        F.lit(BLOOM_M).cast("long").alias("m_bits"),
+        F.lit(BLOOM_K4).cast("long").alias("k"),
+        F.lit(n_keys).cast("long").alias("n_keys"),
+        F.lit(bits_set).cast("long").alias("bits_set"),
+        F.count(F.lit(1)).cast("long").alias("n_probe"),
+        F.sum(F.col("maybe").cast("int")).cast("long").alias("n_bloom_pos"),
+        F.sum(F.coalesce("_hit", F.lit(0))).cast("long").alias("n_true_pos"),
+    )
+
+
+@register("decontaminate_bloom", oracle=DECON_ORACLE)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate_vs_eval through the Bloom-prefiltered physical
+    path — same oracle, bit-identical answer: false positives are
+    verified away by the exact join, false negatives don't exist. The
+    scale case this exists for: an eval shingle set too large to
+    broadcast as raw keys still broadcasts as an m/8-byte bitmap, and
+    bloom-negative corpus shingles never reach the match join."""
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("source") != EVAL_SOURCE)
+    ev = docs.filter(F.col("source") == EVAL_SOURCE)
+    return D.decontaminate_bloom(
+        train, ev, min_overlap=DECON_MIN_OVERLAP, m_bits=BLOOM_M, k=BLOOM_K4
+    )
+
+
 # -- containment (asymmetric near-dup) -------------------------------------
 
 CONTAIN_ORACLE = f"""
