@@ -784,3 +784,77 @@ def lsh_delta_pairs(
         .select(lo.alias("id_a"), hi.alias("id_b"))
         .distinct()
     )
+
+
+def _probe_band_pairs(bands_probe: DataFrame, bands_index: DataFrame, id_col: str) -> DataFrame:
+    """Distinct unordered pairs from (probe bands) ⋈ (index bands) —
+    the shared kernel of the incremental LSH paths."""
+    n, a = bands_probe.alias("n"), bands_index.alias("a")
+    lo = F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}"))
+    hi = F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}"))
+    return (
+        n.join(a, (F.col("n.band") == F.col("a.band")) & (F.col("n.sig") == F.col("a.sig")))
+        .filter(F.col(f"n.{id_col}") != F.col(f"a.{id_col}"))
+        .select(lo.alias("id_a"), hi.alias("id_b"))
+        .distinct()
+    )
+
+
+def _cap_buckets(bands: DataFrame, max_bucket: int | None) -> DataFrame:
+    if max_bucket is None:
+        return bands
+    from pyspark.sql import Window as W
+
+    bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "sig"))
+    return bands.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket).drop("_bn")
+
+
+def lsh_edit_delta_pairs(
+    sig_base: DataFrame,
+    sig_edits: DataFrame,
+    removed_ids: DataFrame | None = None,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Incremental LSH maintenance under EDITS and DELETES — the full
+    delta-space (±multiplicity) generalization of
+    :func:`lsh_delta_pairs`, mirroring the reference's signed-delta
+    collection semantics (src/flow.rs:129-146: every change is
+    (record, ±mult), retraction included).
+
+    State transition: B' = (B \\ affected) ∪ edits, where affected =
+    edited ∪ removed ids. Output: (id_a, id_b, mult) with mult = +1
+    for candidate pairs that exist in B' but not B, −1 for pairs that
+    existed in B but not B'. Pairs untouched by the edit cancel (they
+    appear in both probes) — consolidation is the engine's
+    net-multiplicity rule (delta.py). Invariant (tested):
+    apply(pairs(B), delta) == pairs(B').
+
+    Cost: both probes are O(|affected| × bands) against a band index —
+    base×base is never re-paired. Recomputing the full new-state band
+    table here is a formulation convenience; a deployed index applies
+    (delete affected rows, insert edit rows) to a persisted band table
+    exactly as streaming/ingest.py maintains its indexes."""
+    affected = sig_edits.select(id_col)
+    if removed_ids is not None:
+        affected = affected.unionByName(removed_ids.select(id_col))
+    affected = affected.distinct()
+
+    bands_old = _cap_buckets(_lsh_bands(sig_base, id_col, num_hashes, band_size), max_bucket)
+    rem = _probe_band_pairs(bands_old.join(affected, id_col, "left_semi"), bands_old, id_col)
+
+    sig_new_state = sig_base.join(affected, id_col, "left_anti").unionByName(sig_edits)
+    bands_new = _cap_buckets(_lsh_bands(sig_new_state, id_col, num_hashes, band_size), max_bucket)
+    add = _probe_band_pairs(
+        bands_new.join(sig_edits.select(id_col).distinct(), id_col, "left_semi"),
+        bands_new,
+        id_col,
+    )
+    delta = add.withColumn("mult", F.lit(1)).unionByName(rem.withColumn("mult", F.lit(-1)))
+    return (
+        delta.groupBy("id_a", "id_b")
+        .agg(F.sum("mult").cast("int").alias("mult"))
+        .filter(F.col("mult") != 0)
+    )

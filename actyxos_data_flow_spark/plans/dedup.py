@@ -858,3 +858,99 @@ def dedup_minhash_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000,
     )
     return D.jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+# -- incremental LSH under EDITS and DELETES (signed delta pairs) ----------
+#
+# The full retraction-aware generalization: B' = (B \ affected) ∪ edits;
+# the output is the SIGNED candidate-pair delta (mult = ±1), i.e. the
+# reference's (record, ±multiplicity) output contract (src/flow.rs:129-146)
+# applied to the LSH candidate view. The oracle recomputes pairs(B) and
+# pairs(B') from scratch and takes the symmetric difference — the
+# incremental path must reproduce it exactly.
+
+EDIT_MOD = 31  # edited docs: doc_id % 31 == 5
+EDIT_RES = 5
+DEL_MOD = 97  # deleted docs: doc_id % 97 == 3
+DEL_RES = 3
+EDIT_SUFFIX = " zz edited zz"
+
+
+def _state_pairs_cte(p: str, docs_cte: str) -> str:
+    """CTE chain computing the LSH candidate-pair set for one corpus
+    state, name-prefixed so two states coexist in one query."""
+    return f"""
+{p}tok AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens FROM {docs_cte}
+  WHERE len(string_split(text, ' ')) >= 3
+),
+{p}sh AS (
+  SELECT DISTINCT doc_id, unnest(
+    list_transform(generate_series(1, len(tokens) - 2),
+                   i -> array_to_string(list_slice(tokens, i, i + 2), ' '))
+  ) AS shingle
+  FROM {p}tok
+),
+{p}pieces AS (
+  SELECT doc_id,
+         ('0x' || substr(md5(shingle), 1, 15))::BIGINT AS p1,
+         ('0x' || substr(md5(shingle), 17, 15))::BIGINT AS p2
+  FROM {p}sh
+),
+{p}sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM {p}pieces GROUP BY doc_id
+),
+{p}bands AS (
+  SELECT doc_id, b.band, b.s1, b.s2
+  FROM {p}sig, LATERAL (VALUES {_band_rows}) AS b(band, s1, s2)
+),
+{p}cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM {p}bands a JOIN {p}bands b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2
+  WHERE a.doc_id < b.doc_id
+)"""
+
+
+MINHASH_EDIT_DELTA_ORACLE = f"""
+WITH newdocs AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % {EDIT_MOD} = {EDIT_RES} THEN text || '{EDIT_SUFFIX}'
+              ELSE text END AS text
+  FROM documents
+  WHERE doc_id % {DEL_MOD} <> {DEL_RES}
+),
+{_state_pairs_cte('o', 'documents')},
+{_state_pairs_cte('n', 'newdocs')}
+SELECT n.id_a, n.id_b, 1 AS mult
+FROM ncand n LEFT JOIN ocand o ON o.id_a = n.id_a AND o.id_b = n.id_b
+WHERE o.id_a IS NULL
+UNION ALL
+SELECT o.id_a, o.id_b, -1 AS mult
+FROM ocand o LEFT JOIN ncand n ON n.id_a = o.id_a AND n.id_b = o.id_b
+WHERE n.id_a IS NULL
+"""
+
+
+@register("dedup_minhash_edit_delta", oracle=MINHASH_EDIT_DELTA_ORACLE)
+def dedup_minhash_edit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed candidate-pair delta for an edit batch: docs with
+    doc_id % 31 == 5 get their text edited, docs with doc_id % 97 == 3
+    are deleted outright. The incremental path probes the band index
+    with affected ids only (O(|affected| x bands) — base x base never
+    re-pairs) and must reproduce the oracle's from-scratch symmetric
+    difference of pairs(old) vs pairs(new) exactly, retractions as
+    mult = -1."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig_base = D.minhash_signatures(D.shingles(docs), num_hashes=NUM_HASHES)
+    edited = (
+        docs.filter(
+            (F.col("doc_id") % EDIT_MOD == EDIT_RES) & (F.col("doc_id") % DEL_MOD != DEL_RES)
+        )
+        .withColumn("text", F.concat(F.col("text"), F.lit(EDIT_SUFFIX)))
+    )
+    sig_edits = D.minhash_signatures(D.shingles(edited), num_hashes=NUM_HASHES)
+    removed = docs.filter(F.col("doc_id") % DEL_MOD == DEL_RES).select("doc_id")
+    return D.lsh_edit_delta_pairs(
+        sig_base, sig_edits, removed, num_hashes=NUM_HASHES, band_size=BAND_SIZE
+    )

@@ -556,6 +556,85 @@ def test_lsh_delta_pairs_union_invariant(spark):
     assert base_pairs.isdisjoint(delta)
 
 
+def test_lsh_edit_delta_apply_invariant(spark):
+    """apply(pairs(B), edit_delta) == pairs(B') for a batch mixing an
+    edit (doc 2 rewritten away from its near-dup), a delete (doc 4),
+    and an insert (doc 6 near-dupping doc 1) — retractions as mult=-1,
+    additions as mult=+1, untouched pairs absent from the delta."""
+    old = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now friend"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "completely different words entirely here now pal"),
+        ],
+        "doc_id long, text string",
+    )
+    edited = spark.createDataFrame(
+        [(2, "utterly unrelated replacement sentence with fresh tokens")],
+        "doc_id long, text string",
+    )
+    inserted = spark.createDataFrame(
+        [(6, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    removed = spark.createDataFrame([(4,)], "doc_id long")
+    new = (
+        old.filter("doc_id not in (2, 4)")
+        .unionByName(edited)
+        .unionByName(inserted)
+    )
+    sig_old = D.minhash_signatures(D.shingles(old))
+    sig_new_docs = D.minhash_signatures(D.shingles(edited.unionByName(inserted)))
+    old_pairs = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sig_old).collect()}
+    new_pairs = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_candidate_pairs(D.minhash_signatures(D.shingles(new))).collect()
+    }
+    delta = {
+        (r.id_a, r.id_b): r.mult
+        for r in D.lsh_edit_delta_pairs(sig_old, sig_new_docs, removed).collect()
+    }
+    assert set(delta.values()) <= {1, -1}
+    applied = (old_pairs | {p for p, m in delta.items() if m == 1}) - {
+        p for p, m in delta.items() if m == -1
+    }
+    assert applied == new_pairs
+    # the edit and the delete both retract, the insert adds
+    assert any(m == -1 for m in delta.values())
+    assert any(m == 1 for m in delta.values())
+    # untouched pairs (3,5) never enter the delta
+    assert (3, 5) not in delta
+
+
+def test_lsh_edit_delta_insert_only_matches_delta_pairs(spark):
+    """With no edits-of-existing and no deletes, the signed delta
+    degenerates to lsh_delta_pairs with every mult = +1."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now friend"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "completely different words entirely here now pal"),
+        ],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signatures(D.shingles(docs))
+    is_new = F.col("doc_id") >= 4
+    plain = {
+        (r.id_a, r.id_b)
+        for r in D.lsh_delta_pairs(sig.filter(~is_new), sig.filter(is_new)).collect()
+    }
+    signed = {
+        (r.id_a, r.id_b): r.mult
+        for r in D.lsh_edit_delta_pairs(sig.filter(~is_new), sig.filter(is_new)).collect()
+    }
+    assert set(signed) == plain
+    assert all(m == 1 for m in signed.values())
+
+
 def test_assign_splits_frozen_under_append(spark):
     import pytest
 
