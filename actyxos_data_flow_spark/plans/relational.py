@@ -734,3 +734,40 @@ def cbor_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# -- bucketed co-located join (storage-layout scale path) ------------------
+#
+# Same answer as the plain join; the point is the PHYSICAL shape: both
+# sides are written hash-clustered on the join key once
+# (sources/bucketed.py), so the join plans with NO Exchange on either
+# side — the amortized answer to repeated fact joins at 100 TB. The
+# no-shuffle claim is plan-asserted in tests/test_plans.py.
+
+BUCKETED_JOIN_ORACLE = """
+SELECT c.c_mktsegment,
+       count(*) AS n_orders,
+       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
+
+@register("bucketed_join_colocated", oracle=BUCKETED_JOIN_ORACLE)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ customer through bucketed mirrors (8 buckets on the
+    custkey): first call writes the layout, every later join on the
+    key reads both sides pre-distributed — bucket spec satisfies the
+    join's HashPartitioning requirement, so no shuffle of either side.
+    Values identical to the plain join (the oracle IS the plain
+    join)."""
+    from ..functions.scalar import dec_sum
+    from ..sources.bucketed import ensure_bucketed
+
+    o = ensure_bucketed(spark, sf_dir, "orders", ("o_custkey",))
+    c = ensure_bucketed(spark, sf_dir, "customer", ("c_custkey",))
+    j = o.join(c, o["o_custkey"] == c["c_custkey"])
+    return j.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dec_sum("o_totalprice").alias("total_price"),
+    )

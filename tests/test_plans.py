@@ -361,3 +361,39 @@ def test_embedding_delta_pairs_band_equi_join(spark, registry):
     cosine verification touches candidates only."""
     plan = _plan(registry["dedup_embedding_lsh_delta"].fn(spark, SF))
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+def test_bucketed_join_no_exchange(spark):
+    """Both sides of a key-equi-join over bucketed mirrors read
+    pre-distributed: the bucket spec satisfies the join's
+    HashPartitioning requirement, so the plan carries NO Exchange at
+    all (broadcast disabled to force the worst case, SortMergeJoin).
+    The scans must show Bucketed: true — a silently un-bucketed read
+    (e.g. disabled bucketing conf) would pass values but shuffle."""
+    from actyxos_data_flow_spark.sources.bucketed import ensure_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = ensure_bucketed(spark, SF, "orders", ("o_custkey",))
+        c = ensure_bucketed(spark, SF, "customer", ("c_custkey",))
+        j = o.join(c, o["o_custkey"] == c["c_custkey"]).select("o_orderkey", "c_name")
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert "SortMergeJoin" in plan
+        assert plan.count("Bucketed: true") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_mirror_is_idempotent(spark):
+    """Second ensure_bucketed call reuses the registered table (no
+    rewrite) and the mirror holds exactly the source rows."""
+    from actyxos_data_flow_spark.sources import load_table
+    from actyxos_data_flow_spark.sources.bucketed import bucketed_name, ensure_bucketed
+
+    a = ensure_bucketed(spark, SF, "customer", ("c_custkey",))
+    name = bucketed_name(SF, "customer", ("c_custkey",), 8)
+    assert spark.catalog.tableExists(name)
+    b = ensure_bucketed(spark, SF, "customer", ("c_custkey",))
+    assert a.count() == b.count() == load_table(spark, SF, "customer").count()
