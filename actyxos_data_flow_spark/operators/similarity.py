@@ -423,6 +423,67 @@ def hyperplane_delta_pairs(
     )
 
 
+def hyperplane_edit_delta_pairs(
+    sig_base: DataFrame,
+    sig_edits: DataFrame,
+    removed_ids: DataFrame | None = None,
+    id_col: str = "vec_id",
+    planes: int = 16,
+    n_bands: int = 4,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Signed candidate-pair delta under vector EDITS (re-embeddings)
+    and DELETES — the embedding twin of ``dedup.lsh_edit_delta_pairs``
+    and the retraction-aware generalization of
+    :func:`hyperplane_delta_pairs`. State: B' = (B \\ affected) ∪
+    edits; output (id_a, id_b, mult) with +1 = pair exists only in B',
+    −1 = existed only in B; unaffected-pair probes cancel under the
+    net-multiplicity consolidation. Both probes are
+    O(|affected| × bands) against the band index. Invariant (tested):
+    apply(pairs(B), delta) == pairs(B')."""
+
+    def _cap(bands: DataFrame) -> DataFrame:
+        if max_bucket is None:
+            return bands
+        from pyspark.sql import Window as W2
+
+        bn = F.count(F.lit(1)).over(W2.partitionBy("band", "piece"))
+        return bands.withColumn("_bn", bn).filter(F.col("_bn") <= max_bucket).drop("_bn")
+
+    def _probe(probe: DataFrame, index: DataFrame) -> DataFrame:
+        n, a = probe.alias("n"), index.alias("a")
+        lo = F.least(F.col(f"n.{id_col}"), F.col(f"a.{id_col}"))
+        hi = F.greatest(F.col(f"n.{id_col}"), F.col(f"a.{id_col}"))
+        return (
+            n.join(
+                a,
+                (F.col("n.band") == F.col("a.band")) & (F.col("n.piece") == F.col("a.piece")),
+            )
+            .filter(F.col(f"n.{id_col}") != F.col(f"a.{id_col}"))
+            .select(lo.alias("id_a"), hi.alias("id_b"))
+            .distinct()
+        )
+
+    affected = sig_edits.select(id_col)
+    if removed_ids is not None:
+        affected = affected.unionByName(removed_ids.select(id_col))
+    affected = affected.distinct()
+
+    bands_old = _cap(_banded(sig_base, id_col, planes, n_bands))
+    rem = _probe(bands_old.join(affected, id_col, "left_semi"), bands_old)
+
+    sig_new_state = sig_base.join(affected, id_col, "left_anti").unionByName(sig_edits)
+    bands_new = _cap(_banded(sig_new_state, id_col, planes, n_bands))
+    add = _probe(bands_new.join(sig_edits.select(id_col).distinct(), id_col, "left_semi"), bands_new)
+
+    delta = add.withColumn("mult", F.lit(1)).unionByName(rem.withColumn("mult", F.lit(-1)))
+    return (
+        delta.groupBy("id_a", "id_b")
+        .agg(F.sum("mult").cast("int").alias("mult"))
+        .filter(F.col("mult") != 0)
+    )
+
+
 def hyperplane_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -48,6 +48,12 @@ _PRIORITY: tuple[str, ...] = (
     # so it needs its first official row)
     "e1_dashboard", "u4_threshold_clip", "g5_reduce_trail",
     "ivm_snapshot_diff", "session_windows", "ann_recall_report",
+    # round-4 new capability surface (first official rows): Bloom
+    # decontamination (bitmap + verified consumer), retraction-aware
+    # signed LSH deltas, bucketed co-located join layout
+    "bloom_filter_stats", "decontaminate_bloom",
+    "dedup_minhash_edit_delta", "dedup_embedding_edit_delta",
+    "bucketed_join_colocated",
     # --- never-driver-graded below (driver artifact coverage rotation) ---
     # TPC-H back catalog
     "q2_best_supplier", "q9_product_profit", "q11_important_stock",
@@ -61,13 +67,17 @@ _PRIORITY: tuple[str, ...] = (
     # similarity / ANN back catalog
     "ann_sq8_topk", "ann_ivf_nprobe_topk", "ann_ivf_kmeans_topk",
     "ann_hard_negatives", "kmeans_cells", "embedding_centroid_outliers",
-    # text / sampling / packing back catalog
-    "text_normalize", "text_scrub_pii", "text_repetition_stats",
+    # text / sampling / packing back catalog (text_normalize,
+    # text_scrub_pii, sample_quality_weighted, class_weights_by_lang,
+    # corpus_health_by_source rotated out to the unranked tail to make room for the round-4
+    # capability rows above — their families keep representatives here
+    # and the full-registry replica still covers them)
+    "text_repetition_stats",
     "text_pmi_collocations", "text_lm_score", "text_lm_score_bigram",
     "text_vocab_coverage", "chunk_documents", "pack_curriculum_bins",
-    "sample_stratified_docs", "sample_quality_weighted",
-    "sample_exact_k_per_lang", "corpus_split_assign", "class_weights_by_lang",
-    "corpus_health_by_source", "source_mix_weights",
+    "sample_stratified_docs",
+    "sample_exact_k_per_lang", "corpus_split_assign",
+    "source_mix_weights",
     # multimodal (real-codec round-trips) + composite + skew
     "mm_audio_rms", "mm_wav_meta", "mm_phash", "mm_phash_pairs",
     "mm_frame_dedup", "pipeline_training_batches", "skew_salted_distinct",

@@ -274,6 +274,88 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- signed hyperplane-LSH delta under vector edits/deletes ----------------
+#
+# The embedding twin of dedup_minhash_edit_delta: vec_id % 41 == 7 gets
+# re-embedded (first coordinate negated — a deterministic "model
+# refresh"), vec_id % 103 == 11 is deleted. The oracle recomputes the
+# candidate-pair sets of both states from scratch and takes the signed
+# symmetric difference; the incremental path probes with affected ids
+# only and must agree exactly.
+
+EMB_EDIT_MOD, EMB_EDIT_RES = 41, 7
+EMB_DEL_MOD, EMB_DEL_RES = 103, 11
+
+
+def _hsig_state_sql(p: str, src: str) -> str:
+    """Signature→bands→candidate-pairs CTE chain for one embedding
+    state (name-prefixed; shares the global ``signs`` CTE)."""
+    return f"""
+{p}hu AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+              unnest(range(1, 1 + len(embedding))) AS d
+       FROM {src}),
+{p}proj AS (SELECT {p}hu.vec_id, signs.p, sum({p}hu.x * signs.s) AS pr
+          FROM {p}hu JOIN signs ON signs.d = {p}hu.d GROUP BY 1, 2),
+{p}bits AS (SELECT vec_id, string_agg(CASE WHEN pr > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS hsig
+          FROM {p}proj GROUP BY 1),
+{p}bands AS (SELECT vec_id, b.band, substr(hsig, b.st, b.w) AS piece
+           FROM {p}bits, LATERAL (VALUES {_hp_band_rows}) AS b(band, st, w)),
+{p}cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM {p}bands a JOIN {p}bands b ON a.band = b.band AND a.piece = b.piece
+  WHERE a.vec_id < b.vec_id
+)"""
+
+
+EMB_EDIT_DELTA_ORACLE = f"""
+WITH signs AS (SELECT * FROM (VALUES {_sign_rows}) AS t(p, d, s)),
+olde AS (SELECT vec_id, embedding FROM embeddings),
+newe AS (
+  SELECT vec_id,
+         CASE WHEN vec_id % {EMB_EDIT_MOD} = {EMB_EDIT_RES}
+              THEN list_concat([-embedding[1]], embedding[2:])
+              ELSE embedding END AS embedding
+  FROM embeddings
+  WHERE vec_id % {EMB_DEL_MOD} <> {EMB_DEL_RES}
+),
+{_hsig_state_sql('o', 'olde')},
+{_hsig_state_sql('n', 'newe')}
+SELECT n.id_a, n.id_b, 1 AS mult
+FROM ncand n LEFT JOIN ocand o ON o.id_a = n.id_a AND o.id_b = n.id_b
+WHERE o.id_a IS NULL
+UNION ALL
+SELECT o.id_a, o.id_b, -1 AS mult
+FROM ocand o LEFT JOIN ncand n ON n.id_a = o.id_a AND n.id_b = o.id_b
+WHERE n.id_a IS NULL
+"""
+
+
+@register("dedup_embedding_edit_delta", oracle=EMB_EDIT_DELTA_ORACLE)
+def dedup_embedding_edit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signed hyperplane-LSH candidate delta for a re-embedding batch
+    (edits retract stale pairs as mult = -1 and add fresh ones as +1;
+    deletes only retract). The incremental path probes the band index
+    with affected ids only — O(batch x bands), the corpus never
+    re-pairs — and must reproduce the from-scratch symmetric
+    difference exactly."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    edited = emb.filter(
+        (F.col("vec_id") % EMB_EDIT_MOD == EMB_EDIT_RES)
+        & (F.col("vec_id") % EMB_DEL_MOD != EMB_DEL_RES)
+    ).withColumn(
+        "embedding",
+        F.concat(
+            F.array(-F.element_at("embedding", 1)), F.slice("embedding", 2, DIM - 1)
+        ),
+    )
+    removed = emb.filter(F.col("vec_id") % EMB_DEL_MOD == EMB_DEL_RES).select("vec_id")
+    sig_base = S.hyperplane_signature(emb, DIM, planes=PLANES)
+    sig_edits = S.hyperplane_signature(edited, DIM, planes=PLANES)
+    return S.hyperplane_edit_delta_pairs(
+        sig_base, sig_edits, removed, planes=PLANES, n_bands=N_BANDS
+    )
+
+
 ANN_HYPERPLANE_ORACLE = (
     "WITH "
     + _HSIG_CTE

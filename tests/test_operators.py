@@ -882,3 +882,47 @@ def test_hyperplane_delta_pairs_invariant(spark):
     delta = {(r.id_a, r.id_b) for r in S.hyperplane_delta_pairs(sig_base, sig_new).collect()}
     assert p_base | delta == p_all
     assert all(p not in p_base for p in delta)  # delta is genuinely new
+
+
+def test_hyperplane_edit_delta_apply_invariant(spark):
+    """apply(pairs(B), edit_delta) == pairs(B') for a re-embedding
+    batch mixing edits, a delete, and an insert — the vector twin of
+    the minhash edit-delta invariant."""
+    from actyxos_data_flow_spark.operators import similarity as S
+    from actyxos_data_flow_spark.sources import load_table
+
+    emb = (
+        load_table(spark, "/root/testdata/sf0.001", "embeddings")
+        .select("vec_id", "embedding")
+        .filter("vec_id < 120")
+    )
+    edited = emb.filter("vec_id % 17 = 3").withColumn(
+        "embedding",
+        F.concat(F.array(-F.element_at("embedding", 1)), F.slice("embedding", 2, 63)),
+    )
+    inserted = emb.filter("vec_id < 5").select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    removed = emb.filter("vec_id % 29 = 11").select("vec_id")
+    new_state = (
+        emb.join(edited.select("vec_id"), "vec_id", "left_anti")
+        .join(removed, "vec_id", "left_anti")
+        .unionByName(edited)
+        .unionByName(inserted)
+    )
+    sig = lambda df: S.hyperplane_signature(df, 64)  # noqa: E731
+    old_pairs = {(r.id_a, r.id_b) for r in S.hyperplane_near_pairs(sig(emb)).collect()}
+    new_pairs = {
+        (r.id_a, r.id_b) for r in S.hyperplane_near_pairs(sig(new_state)).collect()
+    }
+    delta = {
+        (r.id_a, r.id_b): r.mult
+        for r in S.hyperplane_edit_delta_pairs(
+            sig(emb), sig(edited.unionByName(inserted)), removed
+        ).collect()
+    }
+    applied = (old_pairs | {p for p, m in delta.items() if m == 1}) - {
+        p for p, m in delta.items() if m == -1
+    }
+    assert applied == new_pairs
+    assert any(m == -1 for m in delta.values()) and any(m == 1 for m in delta.values())
