@@ -1,0 +1,251 @@
+"""Mutable corpus ingestion: retract and upsert on top of the streaming
+front door.
+
+:class:`.ingest.CorpusIngestor` is append-only — the right default for
+an event-sourced corpus, and the reference's own lifecycle (replay /
+catch-up / live over an append-only log). Real training corpora also
+receive RETRACTIONS (takedowns, license changes) and UPSERTS
+(re-crawls). This module extends the gate with both, using the
+engine's signed-delta semantics (retraction = the −1 side of the
+reference's (record, ±mult) contract, src/flow.rs:129-146) and plain
+parquet — no table format dependency.
+
+Mechanics — one atomic visibility switch instead of three rewrites:
+
+- every written row (corpus, digest index, signature index, near-dup
+  edge) is stamped with a monotone batch sequence ``_seq``;
+- a retraction appends ``(doc_id, upto_seq)`` tombstones; EVERY reader
+  (corpus view, admission gate, near-dup index, edge set) filters
+  ``_seq > max(upto_seq)`` per id. Because all readers consult the
+  same tombstone table, one append retracts a document everywhere at
+  once — there is no window where the corpus still shows a row whose
+  digest has stopped gating duplicates;
+- an upsert is retract-then-ingest: the new version re-enters through
+  the full quality/exact/near-dup gate like any arrival (its digest
+  row is invisible post-retraction, so identical re-adds are admitted
+  deliberately, and changed content re-pairs against the index);
+- cluster labels are re-derived for AFFECTED COMPONENTS ONLY: deleting
+  a node can split its component (incremental union-find cannot
+  un-merge), so the retract path recomputes CC on the surviving edges
+  of the components that contained removed nodes — O(affected
+  subgraphs), never the whole labeling — and keeps every other
+  component's labels verbatim. Verified near-dup edges are persisted
+  per batch (doc-count-sized metadata) precisely to make this
+  possible.
+
+Replay safety: tombstone appends are idempotent under max() semantics,
+the cluster commit reuses the mirror-pointer epoch swap, and the
+sequence pointer advances with os.replace — a replayed batch re-stamps
+the same rows (duplicate rows in storage, invisible-or-identical to
+readers; compaction reclaims them).
+
+Storage note: retracted rows stay in parquet until compacted
+(``sources.compact_write`` over the visible view). At 100 TB the
+tombstone table is retraction-count-sized and broadcast-joins against
+every reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import text as X
+from .ingest import DIGEST_SCHEMA, CorpusIngestor
+
+TOMB_SCHEMA = "doc_id long, upto_seq long"
+EDGE_SCHEMA = "id_a long, id_b long, _seq long"
+
+
+class MutableCorpusIngestor(CorpusIngestor):
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        base = os.path.dirname(self.docs_path)
+        self.tombs_path = os.path.join(base, "tombstones")
+        self.edges_path = os.path.join(base, "edges")
+        self.seq_path = os.path.join(base, "_SEQ")
+
+    # -- sequence pointer ---------------------------------------------
+
+    def _current_seq(self) -> int:
+        try:
+            with open(self.seq_path) as f:
+                return int(f.read().strip() or 0)
+        except FileNotFoundError:
+            return 0
+
+    def _advance_seq(self) -> int:
+        nxt = self._current_seq() + 1
+        os.makedirs(os.path.dirname(self.seq_path), exist_ok=True)
+        tmp = self.seq_path + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(nxt))
+        os.replace(tmp, self.seq_path)
+        return nxt
+
+    # -- tombstone-aware readers --------------------------------------
+
+    def _tomb_max(self) -> DataFrame:
+        t = self._read_or_empty(self.tombs_path, TOMB_SCHEMA)
+        return t.groupBy("doc_id").agg(F.max("upto_seq").alias("_upto"))
+
+    def _visible(self, df: DataFrame, id_field: str) -> DataFrame:
+        t = self._tomb_max().withColumnRenamed("doc_id", id_field)
+        return (
+            df.join(t, id_field, "left")
+            .filter(F.col("_seq") > F.coalesce(F.col("_upto"), F.lit(-1)))
+            .drop("_upto")
+        )
+
+    def _index(self) -> DataFrame:
+        raw = self._read_or_empty(self.index_path, DIGEST_SCHEMA + ", _seq long")
+        return self._visible(raw, "doc_id").select("digest", "doc_id")
+
+    def _sigs(self) -> DataFrame:
+        raw = self._read_or_empty(self.sigs_path, self._sig_schema() + ", _seq long")
+        return self._visible(raw, self.id_col).drop("_seq")
+
+    def _edges_visible(self) -> DataFrame:
+        """Persisted near-dup edges whose BOTH endpoints are alive at
+        the edge's seq (an endpoint retracted after the edge was drawn
+        kills the edge; a later re-add does not resurrect it — the new
+        version re-pairs on ingest)."""
+        raw = self._read_or_empty(self.edges_path, EDGE_SCHEMA)
+        va = self._visible(raw.withColumnRenamed("id_a", "doc_id"), "doc_id").withColumnRenamed(
+            "doc_id", "id_a"
+        )
+        return self._visible(va.withColumnRenamed("id_b", "doc_id"), "doc_id").withColumnRenamed(
+            "doc_id", "id_b"
+        )
+
+    def corpus(self) -> DataFrame:
+        raw = self.spark.read.parquet(self.docs_path)
+        return self._visible(raw, self.id_col).drop("_seq")
+
+    # -- write hooks ---------------------------------------------------
+
+    def _maintain_clusters(self, batch_nodes: DataFrame, near_pairs: DataFrame) -> str:
+        near_pairs.select(
+            "id_a", "id_b", F.lit(self._batch_seq).cast("long").alias("_seq")
+        ).write.mode("append").parquet(self.edges_path)
+        return super()._maintain_clusters(batch_nodes, near_pairs)
+
+    def ingest_batch(self, docs: DataFrame) -> dict:
+        """Base gate/dedup/append lifecycle with every written row
+        stamped by this batch's sequence number (same commit order:
+        corpus → sigs → clusters/edges → digest index)."""
+        self._batch_seq = self._advance_seq()
+        seq = F.lit(self._batch_seq).cast("long")
+        arrived = docs.count()
+        scored = X.quality_score(docs, self.id_col, self.text_col).select(self.id_col, "quality")
+        gated = docs.join(scored.filter(F.col("quality") >= self.quality_min), self.id_col)
+        with_digest = gated.withColumn("digest", F.md5(F.col(self.text_col).cast("binary")))
+        rec = F.struct(*[F.col(c) for c in with_digest.columns])
+        in_batch = (
+            with_digest.groupBy("digest")
+            .agg(F.min_by(rec, F.col(self.id_col)).alias("_rec"))
+            .select("_rec.*")
+        )
+        fresh = in_batch.join(self._index(), "digest", "left_anti")
+        sigs = None
+        near = None
+        pre_gate = None
+        if self.near_dup:
+            pre_gate = fresh.persist()
+            fresh, sigs, near = self._near_dup_gate(pre_gate)
+            sigs = sigs.persist()
+            near = near.localCheckpoint()
+        out = fresh.persist()
+        try:
+            accepted = out.count()
+            if accepted:
+                out.drop("digest").withColumn("_seq", seq).write.mode("append").parquet(
+                    self.docs_path
+                )
+                if sigs is not None:
+                    sigs.withColumn("_seq", seq).write.mode("append").parquet(self.sigs_path)
+            if pre_gate is not None and pre_gate.limit(1).count():
+                self._maintain_clusters(pre_gate, near)
+            if accepted:
+                out.select(
+                    "digest", F.col(self.id_col).cast("long").alias("doc_id")
+                ).withColumn("_seq", seq).write.mode("append").parquet(self.index_path)
+        finally:
+            out.unpersist()
+            if sigs is not None:
+                sigs.unpersist()
+            if pre_gate is not None:
+                pre_gate.unpersist()
+        return {"arrived": arrived, "gated": gated.count(), "accepted": accepted}
+
+    # -- retract / upsert ----------------------------------------------
+
+    def retract_batch(self, removed_ids: DataFrame) -> dict:
+        """Retract documents by id: one tombstone append switches them
+        off for every reader (corpus view, admission gate, signature
+        index, edge set), then cluster labels are recomputed for the
+        affected components only. Idempotent on replay."""
+        seq = self._current_seq()
+        ids = removed_ids.select(F.col(self.id_col).cast("long").alias("doc_id")).distinct()
+        n = ids.count()
+        if n == 0:
+            return {"retracted": 0, "relabeled_components": 0}
+        ids.withColumn("upto_seq", F.lit(seq).cast("long")).write.mode("append").parquet(
+            self.tombs_path
+        )
+        relabeled = self._relabel_after_retract(ids)
+        return {"retracted": n, "relabeled_components": relabeled}
+
+    def _relabel_after_retract(self, removed: DataFrame) -> int:
+        """Deleting nodes can SPLIT a component — un-mergeable
+        incrementally — so recompute CC on the surviving edges of the
+        components that contained removed nodes; every other
+        component's labels are kept verbatim."""
+        labels = self.clusters()
+        if labels.limit(1).count() == 0:
+            return 0
+        rm = removed.select(F.col("doc_id").alias("node"))
+        hit = labels.join(rm, "node", "left_semi").select("component").distinct()
+        n_hit = hit.count()
+        if n_hit == 0:
+            return 0
+        keep = labels.join(hit, "component", "left_anti")
+        sub_nodes = (
+            labels.join(F.broadcast(hit), "component", "left_semi")
+            .join(rm, "node", "left_anti")
+            .select("node")
+        )
+        edges = self._edges_visible().select("id_a", "id_b")
+        sub_edges = (
+            edges.join(sub_nodes.withColumnRenamed("node", "id_a"), "id_a", "left_semi")
+            .join(sub_nodes.withColumnRenamed("node", "id_b"), "id_b", "left_semi")
+        )
+        selfs = sub_nodes.select(F.col("node").alias("id_a"), F.col("node").alias("id_b"))
+        relab = D.connected_components(sub_edges.unionByName(selfs).distinct())
+        new_labels = keep.unionByName(relab.select("node", "component"))
+        fp = removed.agg(
+            F.count(F.lit(1)).alias("n"), F.coalesce(F.sum("doc_id"), F.lit(0)).alias("s")
+        ).first()
+        epoch = f"retract_s{self._current_seq()}_n{fp['n']}_x{fp['s']}"
+        self._commit_clusters(new_labels.localCheckpoint(), epoch)
+        return n_hit
+
+    def upsert_batch(self, docs: DataFrame) -> dict:
+        """Retract the ids that already exist (visible anywhere in the
+        gate), then ingest the batch through the full front door — the
+        new versions re-gate, re-dedup, and re-pair like any arrival."""
+        existing = (
+            docs.select(F.col(self.id_col).cast("long").alias("doc_id"))
+            .join(
+                self._index().select("doc_id").distinct(),
+                "doc_id",
+                "left_semi",
+            )
+        )
+        r = self.retract_batch(existing)
+        stats = self.ingest_batch(docs)
+        stats["retracted"] = r["retracted"]
+        return stats

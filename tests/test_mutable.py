@@ -1,0 +1,130 @@
+"""Mutable corpus ingestion (streaming/mutable.py): retract/upsert on
+top of the streaming front door — one tombstone append must switch a
+document off for EVERY reader, component splits must be recomputed for
+affected components only, and upserts must re-enter through the full
+gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from actyxos_data_flow_spark.streaming.mutable import MutableCorpusIngestor
+
+# Chain corpus verified against the fixed minhash family: est(A,B)=0.5,
+# est(B,C)=0.625 (both >= the 0.5 gate), est(A,C)=0.125 (not near) —
+# B bridges A and C, so retracting B must SPLIT the component.
+_TOKS = [f"s26w{i}" for i in range(1, 40)]
+A_TEXT = " ".join(_TOKS[0:20])
+B_TEXT = " ".join(_TOKS[5:25])
+C_TEXT = " ".join(_TOKS[10:30])
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def _ing(spark, tmp_path, **kw):
+    kw.setdefault("quality_min", 0.0)
+    return MutableCorpusIngestor(spark, str(tmp_path / "corpus"), **kw)
+
+
+def test_retract_hides_from_corpus_and_readmits_content(spark, tmp_path):
+    ing = _ing(spark, tmp_path)
+    ing.ingest_batch(_docs(spark, [(1, A_TEXT, "en", "s"), (2, C_TEXT, "en", "s")]))
+    # identical content is rejected while doc 1 is live
+    s = ing.ingest_batch(_docs(spark, [(7, A_TEXT, "en", "s")]))
+    assert s["accepted"] == 0
+    assert {r.doc_id for r in ing.corpus().collect()} == {1, 2}
+
+    ing.retract_batch(spark.createDataFrame([(1,)], "doc_id long"))
+    assert {r.doc_id for r in ing.corpus().collect()} == {2}
+    # the digest stopped gating in the SAME switch: identical content
+    # is re-admitted under a new id
+    s = ing.ingest_batch(_docs(spark, [(7, A_TEXT, "en", "s")]))
+    assert s["accepted"] == 1
+    assert {r.doc_id for r in ing.corpus().collect()} == {2, 7}
+
+
+def test_retract_bridge_splits_component(spark, tmp_path):
+    ing = _ing(spark, tmp_path, near_dup=True)
+    ing.ingest_batch(_docs(spark, [(1, A_TEXT, "en", "s")]))
+    # B and C arrive together: B near-matches history (A) and C
+    # near-matches B — both are rejected, but the verified edges
+    # A-B and B-C persist and the labeling merges {A, B, C}
+    s = ing.ingest_batch(_docs(spark, [(2, B_TEXT, "en", "s"), (3, C_TEXT, "en", "s")]))
+    assert s["accepted"] == 0
+    labels = {r.node: r.component for r in ing.clusters().collect()}
+    assert labels[1] == labels[2] == labels[3]
+
+    # retracting the bridge splits the component; survivors relabel,
+    # the removed node leaves the labeling
+    out = ing.retract_batch(spark.createDataFrame([(2,)], "doc_id long"))
+    assert out["retracted"] == 1 and out["relabeled_components"] == 1
+    labels = {r.node: r.component for r in ing.clusters().collect()}
+    assert 2 not in labels
+    assert labels[1] != labels[3]
+
+
+def test_retract_untouched_components_keep_labels(spark, tmp_path):
+    ing = _ing(spark, tmp_path, near_dup=True)
+    other = " ".join(f"z{i}q" for i in range(30))
+    ing.ingest_batch(_docs(spark, [(1, A_TEXT, "en", "s"), (9, other, "en", "s")]))
+    ing.ingest_batch(_docs(spark, [(2, B_TEXT, "en", "s")]))
+    before = {r.node: r.component for r in ing.clusters().collect()}
+    ing.retract_batch(spark.createDataFrame([(2,)], "doc_id long"))
+    after = {r.node: r.component for r in ing.clusters().collect()}
+    assert after[9] == before[9]  # untouched component verbatim
+    assert 2 not in after and after[1] == 1
+
+
+def test_upsert_replaces_content_through_full_gate(spark, tmp_path):
+    ing = _ing(spark, tmp_path)
+    ing.ingest_batch(_docs(spark, [(1, A_TEXT, "en", "s"), (2, C_TEXT, "en", "s")]))
+    new_text = " ".join(f"fresh{i}" for i in range(25))
+    s = ing.upsert_batch(_docs(spark, [(1, new_text, "en", "s")]))
+    assert s["retracted"] == 1 and s["accepted"] == 1
+    rows = {r.doc_id: r.text for r in ing.corpus().collect()}
+    assert rows == {1: new_text, 2: C_TEXT}
+    # the OLD content's digest no longer gates: it can return under a
+    # different id (deliberate — the retraction removed it everywhere)
+    s = ing.ingest_batch(_docs(spark, [(5, A_TEXT, "en", "s")]))
+    assert s["accepted"] == 1
+
+
+def test_upsert_identical_content_is_noop_rewrite(spark, tmp_path):
+    ing = _ing(spark, tmp_path)
+    ing.ingest_batch(_docs(spark, [(1, A_TEXT, "en", "s")]))
+    s = ing.upsert_batch(_docs(spark, [(1, A_TEXT, "en", "s")]))
+    assert s["retracted"] == 1 and s["accepted"] == 1
+    rows = ing.corpus().collect()
+    assert len(rows) == 1 and rows[0].doc_id == 1 and rows[0].text == A_TEXT
+
+
+def test_retract_replay_is_idempotent(spark, tmp_path):
+    ing = _ing(spark, tmp_path)
+    ing.ingest_batch(_docs(spark, [(1, A_TEXT, "en", "s"), (2, C_TEXT, "en", "s")]))
+    ids = spark.createDataFrame([(1,)], "doc_id long")
+    ing.retract_batch(ids)
+    first = sorted(r.doc_id for r in ing.corpus().collect())
+    ing.retract_batch(ids)  # replayed batch
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == first == [2]
+
+
+def test_visible_index_matches_corpus(spark, tmp_path):
+    """The admission gate and the corpus view must agree at every
+    commit point — the mutable generalization of 'exact-dedup-clean at
+    every commit'."""
+    ing = _ing(spark, tmp_path)
+    ing.ingest_batch(_docs(spark, [(1, A_TEXT, "en", "s"), (2, C_TEXT, "en", "s")]))
+    ing.retract_batch(spark.createDataFrame([(2,)], "doc_id long"))
+    ing.ingest_batch(_docs(spark, [(3, B_TEXT, "en", "s")]))
+    corpus_ids = {r.doc_id for r in ing.corpus().collect()}
+    index_ids = {r.doc_id for r in ing._index().collect()}
+    assert corpus_ids == index_ids == {1, 3}
+    digests = {
+        r.digest
+        for r in ing.corpus()
+        .select(F.md5(F.col("text").cast("binary")).alias("digest"))
+        .collect()
+    }
+    assert digests == {r.digest for r in ing._index().collect()}
