@@ -54,21 +54,16 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as X
-from .ingest import DIGEST_SCHEMA, CorpusIngestor
+from .ingest import DIGEST_SCHEMA, CorpusIngestor, VectorIngestor, _directed_drops
 
-TOMB_SCHEMA = "doc_id long, upto_seq long"
+TOMB_SCHEMA = "tomb_id long, upto_seq long"
 EDGE_SCHEMA = "id_a long, id_b long, _seq long"
 
 
-class MutableCorpusIngestor(CorpusIngestor):
-    def __init__(self, *args, **kwargs) -> None:
-        super().__init__(*args, **kwargs)
-        base = os.path.dirname(self.docs_path)
-        self.tombs_path = os.path.join(base, "tombstones")
-        self.edges_path = os.path.join(base, "edges")
-        self.seq_path = os.path.join(base, "_SEQ")
-
-    # -- sequence pointer ---------------------------------------------
+class _TombstoneStore:
+    """Seq-pointer + tombstone machinery shared by the mutable document
+    and vector gates. Requires ``self.tombs_path``, ``self.seq_path``
+    and ``self._read_or_empty`` on the host class."""
 
     def _current_seq(self) -> int:
         try:
@@ -86,19 +81,38 @@ class MutableCorpusIngestor(CorpusIngestor):
         os.replace(tmp, self.seq_path)
         return nxt
 
-    # -- tombstone-aware readers --------------------------------------
-
     def _tomb_max(self) -> DataFrame:
         t = self._read_or_empty(self.tombs_path, TOMB_SCHEMA)
-        return t.groupBy("doc_id").agg(F.max("upto_seq").alias("_upto"))
+        return t.groupBy("tomb_id").agg(F.max("upto_seq").alias("_upto"))
 
     def _visible(self, df: DataFrame, id_field: str) -> DataFrame:
-        t = self._tomb_max().withColumnRenamed("doc_id", id_field)
+        t = self._tomb_max().withColumnRenamed("tomb_id", id_field)
         return (
             df.join(t, id_field, "left")
             .filter(F.col("_seq") > F.coalesce(F.col("_upto"), F.lit(-1)))
             .drop("_upto")
         )
+
+    def _append_tombstones(self, ids: DataFrame, id_field: str) -> int:
+        """One atomic visibility switch: every reader consults this
+        table, so a single append retracts the ids everywhere."""
+        seq = self._current_seq()
+        t = ids.select(F.col(id_field).cast("long").alias("tomb_id")).distinct()
+        n = t.count()
+        if n:
+            t.withColumn("upto_seq", F.lit(seq).cast("long")).write.mode("append").parquet(
+                self.tombs_path
+            )
+        return n
+
+
+class MutableCorpusIngestor(_TombstoneStore, CorpusIngestor):
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        base = os.path.dirname(self.docs_path)
+        self.tombs_path = os.path.join(base, "tombstones")
+        self.edges_path = os.path.join(base, "edges")
+        self.seq_path = os.path.join(base, "_SEQ")
 
     def _index(self) -> DataFrame:
         raw = self._read_or_empty(self.index_path, DIGEST_SCHEMA + ", _seq long")
@@ -188,14 +202,10 @@ class MutableCorpusIngestor(CorpusIngestor):
         off for every reader (corpus view, admission gate, signature
         index, edge set), then cluster labels are recomputed for the
         affected components only. Idempotent on replay."""
-        seq = self._current_seq()
         ids = removed_ids.select(F.col(self.id_col).cast("long").alias("doc_id")).distinct()
-        n = ids.count()
+        n = self._append_tombstones(ids, "doc_id")
         if n == 0:
             return {"retracted": 0, "relabeled_components": 0}
-        ids.withColumn("upto_seq", F.lit(seq).cast("long")).write.mode("append").parquet(
-            self.tombs_path
-        )
         relabeled = self._relabel_after_retract(ids)
         return {"retracted": n, "relabeled_components": relabeled}
 
@@ -247,5 +257,108 @@ class MutableCorpusIngestor(CorpusIngestor):
         )
         r = self.retract_batch(existing)
         stats = self.ingest_batch(docs)
+        stats["retracted"] = r["retracted"]
+        return stats
+
+
+class MutableVectorIngestor(_TombstoneStore, VectorIngestor):
+    """Retract/upsert for the embedding gate — the vector twin of
+    :class:`MutableCorpusIngestor` (no cluster state to maintain, so a
+    retraction is purely the tombstone switch: the vector leaves the
+    store view, its value digest stops gating exact dups, and its
+    signature rows stop producing band candidates, all at once).
+    Upsert = retract-then-ingest: a re-embedded vector re-pairs against
+    the index through the normal near-dup gate."""
+
+    def __init__(self, *args, **kwargs) -> None:
+        super().__init__(*args, **kwargs)
+        base = os.path.dirname(self.vectors_path)
+        self.tombs_path = os.path.join(base, "tombstones")
+        self.seq_path = os.path.join(base, "_SEQ")
+
+    def _hsigs(self) -> DataFrame:
+        raw = self._read_or_empty(self.hsigs_path, f"{self.id_col} long, hsig string, _seq long")
+        return self._visible(raw, self.id_col).drop("_seq")
+
+    def _digests(self) -> DataFrame:
+        raw = self._read_or_empty(self.index_path, f"digest string, {self.id_col} long, _seq long")
+        return self._visible(raw, self.id_col).drop("_seq")
+
+    def vectors(self) -> DataFrame:
+        raw = self.spark.read.parquet(self.vectors_path)
+        return self._visible(raw, self.id_col).drop("_seq")
+
+    def ingest_batch(self, vecs: DataFrame) -> dict:
+        from ..operators import similarity as S
+
+        seq = F.lit(self._advance_seq()).cast("long")
+        arrived = vecs.count()
+        digest = F.md5(
+            F.concat_ws(",", F.transform(F.col(self.vec_col), lambda x: x.cast("string")))
+        )
+        with_digest = vecs.withColumn("digest", digest)
+        rec = F.struct(*[F.col(c) for c in with_digest.columns])
+        in_batch = (
+            with_digest.groupBy("digest")
+            .agg(F.min_by(rec, F.col(self.id_col)).alias("_rec"))
+            .select("_rec.*")
+        )
+        fresh = in_batch.join(self._digests(), "digest", "left_anti").persist()
+        try:
+            sig_new = S.hyperplane_signature(
+                fresh, self.dim, self.vec_col, self.id_col, planes=self.planes
+            )
+            cand = S.hyperplane_delta_pairs(
+                self._hsigs(), sig_new, self.id_col, self.planes, self.n_bands
+            )
+            all_vecs = self.history_vectors().unionByName(
+                fresh.select(self.id_col, self.vec_col)
+            )
+            va = all_vecs.select(F.col(self.id_col).alias("id_a"), F.col(self.vec_col).alias("_ea"))
+            vb = all_vecs.select(F.col(self.id_col).alias("id_b"), F.col(self.vec_col).alias("_eb"))
+            cos = S._dot(F.col("_ea"), F.col("_eb")) / (
+                S._norm(F.col("_ea")) * S._norm(F.col("_eb"))
+            )
+            near = (
+                F.broadcast(cand)
+                .join(va, "id_a")
+                .join(vb, "id_b")
+                .select("id_a", "id_b", cos.alias("_c"))
+                .filter(F.col("_c") >= self.cosine_threshold)
+            )
+            drops = _directed_drops(near, fresh.select(self.id_col), self.id_col)
+            accepted_df = fresh.join(drops, self.id_col, "left_anti").persist()
+            accepted = accepted_df.count()
+            if accepted:
+                accepted_df.drop("digest").withColumn("_seq", seq).write.mode("append").parquet(
+                    self.vectors_path
+                )
+                sig_new.join(drops, self.id_col, "left_anti").withColumn(
+                    "_seq", seq
+                ).write.mode("append").parquet(self.hsigs_path)
+                accepted_df.select(
+                    "digest", F.col(self.id_col).cast("long").alias(self.id_col)
+                ).withColumn("_seq", seq).write.mode("append").parquet(self.index_path)
+            accepted_df.unpersist()
+        finally:
+            fresh.unpersist()
+        return {"arrived": arrived, "accepted": accepted}
+
+    def history_vectors(self) -> DataFrame:
+        """Visible (id, vector) history for the verify join."""
+        raw = self._read_or_empty(
+            self.vectors_path, f"{self.id_col} long, {self.vec_col} array<double>, _seq long"
+        )
+        return self._visible(raw, self.id_col).select(self.id_col, self.vec_col)
+
+    def retract_batch(self, removed_ids: DataFrame) -> dict:
+        return {"retracted": self._append_tombstones(removed_ids, self.id_col)}
+
+    def upsert_batch(self, vecs: DataFrame) -> dict:
+        existing = vecs.select(F.col(self.id_col).cast("long").alias(self.id_col)).join(
+            self._digests().select(self.id_col).distinct(), self.id_col, "left_semi"
+        )
+        r = self.retract_batch(existing)
+        stats = self.ingest_batch(vecs)
         stats["retracted"] = r["retracted"]
         return stats

@@ -128,3 +128,56 @@ def test_visible_index_matches_corpus(spark, tmp_path):
         .collect()
     }
     assert digests == {r.digest for r in ing._index().collect()}
+
+
+# -- vector gate ----------------------------------------------------------
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _base_vec(i, dim=16):
+    # deterministic well-separated directions: one-hot-ish per i
+    v = [0.01] * dim
+    v[i % dim] = 1.0
+    return v
+
+
+def test_vector_retract_and_readmit(spark, tmp_path):
+    from actyxos_data_flow_spark.streaming.mutable import MutableVectorIngestor
+
+    ing = MutableVectorIngestor(spark, str(tmp_path / "store"), dim=16)
+    ing.ingest_batch(_vecs(spark, [(1, _base_vec(0)), (2, _base_vec(5))]))
+    # exact value dup of vector 1 rejected while live
+    assert ing.ingest_batch(_vecs(spark, [(9, _base_vec(0))]))["accepted"] == 0
+    ing.retract_batch(spark.createDataFrame([(1,)], "vec_id long"))
+    assert {r.vec_id for r in ing.vectors().collect()} == {2}
+    # same value re-admitted after the switch
+    assert ing.ingest_batch(_vecs(spark, [(9, _base_vec(0))]))["accepted"] == 1
+    assert {r.vec_id for r in ing.vectors().collect()} == {2, 9}
+
+
+def test_vector_upsert_reembeds_through_gate(spark, tmp_path):
+    from actyxos_data_flow_spark.streaming.mutable import MutableVectorIngestor
+
+    ing = MutableVectorIngestor(spark, str(tmp_path / "store"), dim=16)
+    ing.ingest_batch(_vecs(spark, [(1, _base_vec(0)), (2, _base_vec(5))]))
+    s = ing.upsert_batch(_vecs(spark, [(1, _base_vec(9))]))
+    assert s["retracted"] == 1 and s["accepted"] == 1
+    got = {r.vec_id: list(r.embedding) for r in ing.vectors().collect()}
+    assert got[1][9 % 16] == 1.0 and got[2][5] == 1.0
+    # near-dup of the RETRACTED embedding no longer blocks: the old
+    # signature rows are invisible to the band probe
+    s = ing.ingest_batch(_vecs(spark, [(7, _base_vec(0))]))
+    assert s["accepted"] == 1
+
+
+def test_vector_upsert_near_dup_of_live_still_rejected(spark, tmp_path):
+    from actyxos_data_flow_spark.streaming.mutable import MutableVectorIngestor
+
+    ing = MutableVectorIngestor(spark, str(tmp_path / "store"), dim=16)
+    ing.ingest_batch(_vecs(spark, [(1, _base_vec(0)), (2, _base_vec(5))]))
+    # a new id arriving with (nearly) vector 2's direction is gated out
+    wobble = [x * 1.0001 for x in _base_vec(5)]
+    assert ing.ingest_batch(_vecs(spark, [(8, wobble)]))["accepted"] == 0
