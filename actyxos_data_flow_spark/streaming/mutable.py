@@ -243,6 +243,31 @@ class MutableCorpusIngestor(_TombstoneStore, CorpusIngestor):
         self._commit_clusters(new_labels.localCheckpoint(), epoch)
         return n_hit
 
+    def compact(self) -> None:
+        """Reclaim retracted rows: rewrite every store to its visible
+        rows (keeping the _seq stamps) and clear the tombstones. Safe
+        to crash at any point — see :func:`_compact_store`."""
+        raw_docs = self.spark.read.parquet(self.docs_path)
+        docs_v = self._visible(raw_docs, self.id_col)
+        sigs_v = self._visible(
+            self._read_or_empty(self.sigs_path, self._sig_schema() + ", _seq long"),
+            self.id_col,
+        )
+        idx_v = self._visible(
+            self._read_or_empty(self.index_path, DIGEST_SCHEMA + ", _seq long"), "doc_id"
+        )
+        edges_v = self._edges_visible().select("id_a", "id_b", "_seq")
+        _compact_store(
+            self.spark,
+            [
+                (self.docs_path, docs_v),
+                (self.sigs_path, sigs_v),
+                (self.index_path, idx_v),
+                (self.edges_path, edges_v),
+            ],
+            self.tombs_path,
+        )
+
     def upsert_batch(self, docs: DataFrame) -> dict:
         """Retract the ids that already exist (visible anywhere in the
         gate), then ingest the batch through the full front door — the
@@ -354,6 +379,37 @@ class MutableVectorIngestor(_TombstoneStore, VectorIngestor):
     def retract_batch(self, removed_ids: DataFrame) -> dict:
         return {"retracted": self._append_tombstones(removed_ids, self.id_col)}
 
+    def compact(self) -> None:
+        """Reclaim retracted vectors: rewrite the three stores to their
+        visible rows, clear tombstones last (see :func:`_compact_store`)."""
+        vec_raw = self.spark.read.parquet(self.vectors_path)
+        _compact_store(
+            self.spark,
+            [
+                (self.vectors_path, self._visible(vec_raw, self.id_col)),
+                (
+                    self.hsigs_path,
+                    self._visible(
+                        self._read_or_empty(
+                            self.hsigs_path, f"{self.id_col} long, hsig string, _seq long"
+                        ),
+                        self.id_col,
+                    ),
+                ),
+                (
+                    self.index_path,
+                    self._visible(
+                        self._read_or_empty(
+                            self.index_path,
+                            f"digest string, {self.id_col} long, _seq long",
+                        ),
+                        self.id_col,
+                    ),
+                ),
+            ],
+            self.tombs_path,
+        )
+
     def upsert_batch(self, vecs: DataFrame) -> dict:
         existing = vecs.select(F.col(self.id_col).cast("long").alias(self.id_col)).join(
             self._digests().select(self.id_col).distinct(), self.id_col, "left_semi"
@@ -362,3 +418,30 @@ class MutableVectorIngestor(_TombstoneStore, VectorIngestor):
         stats = self.ingest_batch(vecs)
         stats["retracted"] = r["retracted"]
         return stats
+
+
+def _compact_store(spark, paths_and_views: list[tuple[str, DataFrame]], tombs_path: str) -> None:
+    """Rewrite each store to its visible rows, then clear tombstones.
+
+    Crash-safe ORDER, not atomicity: every intermediate state reads
+    identically. A store that is already compacted has no dead rows, so
+    the (still present) tombstones filter nothing from it; stores not
+    yet rewritten still carry dead rows, which the tombstones still
+    hide. Tombstones are cleared LAST — a crash anywhere earlier
+    leaves a state that is merely un-reclaimed, never wrong. Each
+    store's own swap is made effectively atomic by materializing the
+    visible view (localCheckpoint — the read plan must not reference
+    the files being replaced), writing a sibling directory, and
+    os.replace'ing it over the live name."""
+    import shutil
+
+    for path, view in paths_and_views:
+        if not os.path.isdir(path):
+            continue
+        snap = view.localCheckpoint()
+        tmp = path + ".compact"
+        snap.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(path)
+        os.replace(tmp, path)
+    if os.path.isdir(tombs_path):
+        shutil.rmtree(tombs_path)

@@ -181,3 +181,46 @@ def test_vector_upsert_near_dup_of_live_still_rejected(spark, tmp_path):
     # a new id arriving with (nearly) vector 2's direction is gated out
     wobble = [x * 1.0001 for x in _base_vec(5)]
     assert ing.ingest_batch(_vecs(spark, [(8, wobble)]))["accepted"] == 0
+
+
+def test_compact_reclaims_without_changing_views(spark, tmp_path):
+    """Compaction drops dead rows from storage and clears tombstones;
+    every reader must see identical data before and after, and the
+    admission gate must keep behaving identically (same content still
+    rejected for live docs, still admitted for retracted ones)."""
+    import os
+
+    other = " ".join(f"z{i}q" for i in range(30))
+    ing = _ing(spark, tmp_path, near_dup=True)
+    ing.ingest_batch(_docs(spark, [(1, A_TEXT, "en", "s"), (9, other, "en", "s")]))
+    ing.ingest_batch(_docs(spark, [(2, B_TEXT, "en", "s")]))  # near-dup of A: rejected
+    ing.retract_batch(spark.createDataFrame([(1,)], "doc_id long"))
+    before_corpus = sorted(r.doc_id for r in ing.corpus().collect())
+    before_labels = {r.node: r.component for r in ing.clusters().collect()}
+    ing.compact()
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == before_corpus == [9]
+    assert {r.node: r.component for r in ing.clusters().collect()} == before_labels
+    assert not os.path.isdir(ing.tombs_path)
+    # raw storage truly shrank: no doc-1 rows anywhere
+    raw = spark.read.parquet(ing.docs_path)
+    assert raw.filter("doc_id = 1").count() == 0
+    # gate behavior unchanged after compaction: exact dup of the LIVE
+    # doc still rejected; the retracted doc's content (and its former
+    # near-dups) now pass
+    assert ing.ingest_batch(_docs(spark, [(7, other, "en", "s")]))["accepted"] == 0
+    assert ing.ingest_batch(_docs(spark, [(8, A_TEXT, "en", "s")]))["accepted"] == 1
+
+
+def test_vector_compact_reclaims(spark, tmp_path):
+    import os
+
+    from actyxos_data_flow_spark.streaming.mutable import MutableVectorIngestor
+
+    ing = MutableVectorIngestor(spark, str(tmp_path / "store"), dim=16)
+    ing.ingest_batch(_vecs(spark, [(1, _base_vec(0)), (2, _base_vec(5))]))
+    ing.retract_batch(spark.createDataFrame([(1,)], "vec_id long"))
+    ing.compact()
+    assert not os.path.isdir(ing.tombs_path)
+    assert {r.vec_id for r in ing.vectors().collect()} == {2}
+    assert spark.read.parquet(ing.vectors_path).filter("vec_id = 1").count() == 0
+    assert ing.ingest_batch(_vecs(spark, [(9, _base_vec(0))]))["accepted"] == 1
