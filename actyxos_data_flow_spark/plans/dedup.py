@@ -622,7 +622,7 @@ def bloom_filter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("decontaminate_bloom", oracle=DECON_ORACLE)
+@register("decontaminate_bloom", oracle=DECON_ORACLE, bench=True)
 def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     """decontaminate_vs_eval through the Bloom-prefiltered physical
     path — same oracle, bit-identical answer: false positives are

@@ -753,7 +753,7 @@ GROUP BY 1
 """
 
 
-@register("bucketed_join_colocated", oracle=BUCKETED_JOIN_ORACLE)
+@register("bucketed_join_colocated", oracle=BUCKETED_JOIN_ORACLE, bench=True)
 def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders ⋈ customer through bucketed mirrors (8 buckets on the
     custkey): first call writes the layout, every later join on the
