@@ -128,9 +128,12 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-cap treatment as LSH (operators/dedup.lsh_candidate_pairs)."""
     media = M.documents_as_media(load_table(spark, sf_dir, "documents"), frame_bytes=FRAME_BYTES)
     frames = M.sample_frames(media, every=EVERY, frame_bytes=FRAME_BYTES)
+    # persist: the inverted-index self-join references the digest table
+    # on both sides; without materialization the mapInPandas frame
+    # sampler runs twice (same reasoning as mm_phash_pairs)
     digests = frames.select(
         "media_id", F.md5(F.col("frame")).alias("digest")
-    ).distinct()
+    ).distinct().persist()
     a, b = digests.alias("a"), digests.alias("b")
     return (
         a.join(b, (F.col("a.digest") == F.col("b.digest")) & (F.col("a.media_id") < F.col("b.media_id")))
@@ -339,6 +342,12 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "mixed")
     ph = M.perceptual_hash(media, dw=PH_DW, dh=PH_DH)
-    sig = ph.select("media_id", F.col("phash").alias("simhash"))
+    # persist the (id, 32-bit hash) table: the banded self-join
+    # references it on BOTH sides, and when AQE broadcasts one side the
+    # two sides' exchanges differ — without materialization the whole
+    # Python encode+decode chain runs twice (measured 2.7s → 0.4s at
+    # sf0.1). The hash table is two narrow columns per image: at any
+    # corpus size this is the cheap thing to materialize.
+    sig = ph.select("media_id", F.col("phash").alias("simhash")).persist()
     pairs = D.simhash_near_pairs(sig, id_col="media_id", max_hamming=PH_MAX_HAMMING)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
