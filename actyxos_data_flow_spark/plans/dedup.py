@@ -121,7 +121,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle inverted index)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs)
-    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
+    # persist the signature table — (id, k longs), O(docs): the banded
+    # self-join references it on both sides, and if AQE broadcasts one
+    # side the md5/min-agg pipeline would otherwise run twice (the
+    # shingle table itself is NOT cached: it is token-sized and
+    # measured slower to materialize than to recompute)
+    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES).persist()
     # skew guard armed (no-op at test SF, where no bucket nears the cap;
     # the oracle is the uncapped pipeline, so the gate also proves it)
     cand = D.lsh_candidate_pairs(
