@@ -120,7 +120,11 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pipeline_training_batches reuses this cache too; at 100 TB this
     # intermediate becomes a materialized table between stages)
     sh = D.shingles(reps).persist()
-    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
+    # the signature table feeds BOTH sides of the band self-join; when
+    # AQE broadcasts one side the exchanges differ and the signature
+    # aggregate would run twice (once per side) even over cached
+    # shingles — (id, k longs) is cheap to pin
+    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES).persist()
     cand = D.lsh_candidate_pairs(
         sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
     )
