@@ -445,3 +445,50 @@ def _compact_store(spark, paths_and_views: list[tuple[str, DataFrame]], tombs_pa
         os.replace(tmp, path)
     if os.path.isdir(tombs_path):
         shutil.rmtree(tombs_path)
+
+
+def run_cdc_ingest_stream(
+    spark,
+    src_dir: str,
+    corpus_dir: str,
+    checkpoint_dir: str,
+    schema: str = "doc_id long, text string, lang string, source string, op string",
+    quality_min: float = 0.5,
+    near_dup: bool = False,
+    trigger_available_now: bool = True,
+) -> list[dict]:
+    """Change-data-capture front door: a Structured Streaming file
+    source whose rows carry an ``op`` column — ``'u'`` (upsert: insert
+    or replace by id) or ``'d'`` (delete). Each micro-batch applies
+    deletes first, then upserts, through :class:`MutableCorpusIngestor`
+    — so a batch carrying both a delete and a re-add of the same id
+    lands in the re-added state, and replays are idempotent (tombstone
+    max() + digest gate). Per-batch stats are returned for assertions/
+    metrics; swap the trigger for processingTime to run live."""
+    ing = MutableCorpusIngestor(spark, corpus_dir, quality_min=quality_min, near_dup=near_dup)
+    stats: list[dict] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            dels = batch_df.filter(F.col("op") == "d").select(ing.id_col)
+            ups = batch_df.filter(F.col("op") == "u").drop("op")
+            out = {"batch": batch_id}
+            out.update({f"del_{k}": v for k, v in ing.retract_batch(dels).items()})
+            if ups.limit(1).count():
+                out.update(ing.upsert_batch(ups))
+            stats.append(out)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        spark.readStream.schema(schema)
+        .json(src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return stats
+    return writer.trigger(processingTime="1 second").start()

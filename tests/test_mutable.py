@@ -224,3 +224,46 @@ def test_vector_compact_reclaims(spark, tmp_path):
     assert {r.vec_id for r in ing.vectors().collect()} == {2}
     assert spark.read.parquet(ing.vectors_path).filter("vec_id = 1").count() == 0
     assert ing.ingest_batch(_vecs(spark, [(9, _base_vec(0))]))["accepted"] == 1
+
+
+def test_cdc_stream_applies_deletes_then_upserts(spark, tmp_path):
+    """Files of (row, op) events drain through the CDC front door:
+    upserts replace content by id, deletes retract, and a delete+re-add
+    of the same id within one batch lands re-added."""
+    import json as j
+
+    from actyxos_data_flow_spark.streaming.mutable import run_cdc_ingest_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    other = " ".join(f"z{i}q" for i in range(30))
+    (src / "b1.json").write_text(
+        "\n".join(
+            j.dumps(d)
+            for d in [
+                {"doc_id": 1, "text": A_TEXT, "lang": "en", "source": "s", "op": "u"},
+                {"doc_id": 9, "text": other, "lang": "en", "source": "s", "op": "u"},
+            ]
+        )
+    )
+    stats = run_cdc_ingest_stream(
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ck1"), quality_min=0.0
+    )
+    assert stats[-1]["accepted"] == 2
+
+    new_text = " ".join(f"fresh{i}" for i in range(25))
+    (src / "b2.json").write_text(
+        "\n".join(
+            j.dumps(d)
+            for d in [
+                {"doc_id": 9, "text": None, "lang": None, "source": None, "op": "d"},
+                {"doc_id": 1, "text": new_text, "lang": "en", "source": "s", "op": "u"},
+            ]
+        )
+    )
+    stats = run_cdc_ingest_stream(
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ck1"), quality_min=0.0
+    )
+    ing = MutableCorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.0)
+    got = {r.doc_id: r.text for r in ing.corpus().collect()}
+    assert got == {1: new_text}
