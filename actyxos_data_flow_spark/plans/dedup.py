@@ -323,7 +323,9 @@ WHERE ({_hamming.replace('a.simhash', 'sh_a').replace('b.simhash', 'sh_b')}) <= 
 
 @register("dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = D.simhash(load_table(spark, sf_dir, "documents"))
+    # persist: the banded self-join reads sig on both sides (same
+    # double-execution reasoning as dedup_minhash_pairs)
+    sig = D.simhash(load_table(spark, sf_dir, "documents")).persist()
     return D.simhash_near_pairs(sig, max_hamming=6)
 
 

@@ -44,6 +44,8 @@ SF1_QUERIES = (
     "ann_hyperplane_topk",
     "dedup_minhash_pairs",
     "q1_pricing_summary",
+    "dedup_span_mask",
+    "decontaminate_bloom",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs")
 
