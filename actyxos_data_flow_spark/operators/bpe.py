@@ -1,0 +1,178 @@
+"""Distributed BPE tokenizer training and encoding.
+
+The missing piece between "count whitespace tokens" and a real
+training-data pipeline: learn a byte-pair-encoding merge table FROM the
+corpus, distributed, and encode the corpus with it. Classic BPE
+(Sennrich et al. 2016) made Spark-shaped:
+
+- work on WORD TYPES, not occurrences: the corpus collapses to a
+  (word, freq) table first, so every training pass scans vocab-sized
+  data regardless of corpus size — the standard trick that makes BPE
+  train on 100 TB (the corpus is touched exactly once, by the
+  word-count aggregate);
+- each merge round is one scan: explode adjacent symbol pairs weighted
+  by word freq, one map-side-combined sum, and a deterministic top-1
+  (count DESC, then lexicographic (left, right) — ties never depend on
+  partitioning); only the single winning pair crosses the driver per
+  round, like the k-means model;
+- applying a merge is a pure JVM fold over each word's symbol array
+  (struct accumulator: emitted prefix + one pending symbol), i.e.
+  leftmost-nonoverlapping replacement — 'aaa' under (a,a) becomes
+  [aa, a]. No Python anywhere;
+- encoding reuses the same fold: encode word TYPES (vocab-sized), then
+  join the tiny encoded vocabulary back to the corpus occurrences.
+
+Everything is derandomized, so the DuckDB oracle re-learns the SAME
+merge table from scratch (unrolled CTE stages with list_reduce folds)
+and must agree bit-for-bit — see plans/bpe.py.
+
+The reference has no tokenizer surface (payloads are structured
+events); this is extension surface for the training-data pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BPE_MERGES = 6
+END_MARK = "·"  # end-of-word sentinel appended as its own symbol
+
+
+def word_freqs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(word, freq) over whitespace tokens — the vocab-sized table all
+    training passes run on. Empty tokens dropped."""
+    return (
+        docs.select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def base_symbols(word: Column) -> Column:
+    """Characters plus the end-of-word sentinel as the final symbol."""
+    return F.concat(F.split(word, ""), F.array(F.lit(END_MARK)))
+
+
+def merge_fold(syms: Column, left: Column | str, right: Column | str) -> Column:
+    """Apply ONE merge (left, right) → left||right to a symbol array:
+    leftmost-nonoverlapping, single pass, pure JVM. Accumulator is
+    (out: emitted symbols, pend: one unemitted symbol); a match emits
+    the fused pair and clears pend, otherwise pend shifts into out."""
+    l = F.lit(left) if isinstance(left, str) else left
+    r = F.lit(right) if isinstance(right, str) else right
+    init = F.struct(
+        F.expr("array()").cast("array<string>").alias("out"),
+        F.lit(None).cast("string").alias("pend"),
+    )
+    step = lambda acc, s: F.when(  # noqa: E731
+        (acc["pend"] == l) & (s == r),
+        F.struct(
+            F.concat(acc["out"], F.array(F.concat(l, r))).alias("out"),
+            F.lit(None).cast("string").alias("pend"),
+        ),
+    ).otherwise(
+        F.struct(
+            F.when(acc["pend"].isNull(), acc["out"])
+            .otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+            .alias("out"),
+            s.alias("pend"),
+        )
+    )
+    finish = lambda acc: F.when(  # noqa: E731
+        acc["pend"].isNull(), acc["out"]
+    ).otherwise(F.concat(acc["out"], F.array(acc["pend"])))
+    return F.aggregate(syms, init, step, finish)
+
+
+def _pair_counts(syms_tbl: DataFrame) -> DataFrame:
+    """Adjacent-pair counts weighted by word freq: one explode + one
+    map-side-combined sum over the vocab-sized symbol table."""
+    n = F.size("syms")
+    pairs = F.zip_with(
+        F.slice("syms", 1, F.greatest(n - 1, F.lit(0))),
+        F.slice("syms", 2, F.greatest(n - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+    )
+    return (
+        syms_tbl.select("freq", F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("c"))
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = BPE_MERGES,
+    text_col: str = "text",
+    checkpoint_every: int = 8,
+) -> list[tuple[int, str, str, int]]:
+    """Learn the merge table: [(rank, left, right, pair_count)].
+
+    Per round only the winning (l, r, count) row reaches the driver.
+    The symbol column accretes one fold per round; every
+    ``checkpoint_every`` rounds the table is localCheckpoint'ed so plan
+    depth stays bounded for large merge counts (swap for checkpoint()
+    on a real cluster)."""
+    wf = word_freqs(docs, text_col).persist()
+    syms_tbl = wf.select("word", "freq", base_symbols(F.col("word")).alias("syms"))
+    merges: list[tuple[int, str, str, int]] = []
+    try:
+        for rank in range(n_merges):
+            top = (
+                _pair_counts(syms_tbl)
+                .orderBy(F.col("c").desc(), F.col("l").asc(), F.col("r").asc())
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            merges.append((rank, l, r, c))
+            syms_tbl = syms_tbl.withColumn("syms", merge_fold(F.col("syms"), l, r))
+            if (rank + 1) % checkpoint_every == 0:
+                syms_tbl = syms_tbl.localCheckpoint()
+    finally:
+        wf.unpersist()
+    return merges
+
+
+def bpe_encode_words(
+    words: DataFrame, merges: list[tuple[int, str, str, int]], word_col: str = "word"
+) -> DataFrame:
+    """Apply the merge table (in rank order) to word types: adds
+    ``bpe_syms`` (array) and ``n_bpe`` (symbol count incl. the
+    end-of-word sentinel)."""
+    syms = base_symbols(F.col(word_col))
+    for _, l, r, _ in sorted(merges):
+        syms = merge_fold(syms, l, r)
+    return words.withColumn("bpe_syms", syms).withColumn("n_bpe", F.size("bpe_syms"))
+
+
+def bpe_corpus_stats(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group compression report: whitespace tokens, characters, and
+    BPE symbols over the corpus — encoded on word TYPES and joined back
+    to per-group occurrence counts, so the merge folds run over the
+    vocabulary, never the corpus."""
+    occ = (
+        docs.select(group_col, F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy(group_col, "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    enc = bpe_encode_words(occ.select("word").distinct(), merges)
+    joined = occ.join(F.broadcast(enc.select("word", "n_bpe")), "word")
+    return (
+        joined.groupBy(group_col)
+        .agg(
+            F.sum("occ").cast("long").alias("ws_tokens"),
+            F.sum(F.col("occ") * F.length("word")).cast("long").alias("chars"),
+            F.sum(F.col("occ") * F.col("n_bpe")).cast("long").alias("bpe_tokens"),
+        )
+    )

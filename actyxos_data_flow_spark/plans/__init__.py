@@ -53,7 +53,7 @@ _PRIORITY: tuple[str, ...] = (
     # signed LSH deltas, bucketed co-located join layout
     "bloom_filter_stats", "decontaminate_bloom",
     "dedup_minhash_edit_delta", "dedup_embedding_edit_delta",
-    "bucketed_join_colocated",
+    "bucketed_join_colocated", "bpe_merges", "bpe_token_stats",
     # --- never-driver-graded below (driver artifact coverage rotation) ---
     # TPC-H back catalog
     "q2_best_supplier", "q9_product_profit", "q11_important_stock",
@@ -75,9 +75,7 @@ _PRIORITY: tuple[str, ...] = (
     "text_repetition_stats",
     "text_pmi_collocations", "text_lm_score", "text_lm_score_bigram",
     "text_vocab_coverage", "chunk_documents", "pack_curriculum_bins",
-    "sample_stratified_docs",
-    "sample_exact_k_per_lang", "corpus_split_assign",
-    "source_mix_weights",
+    "sample_stratified_docs", "corpus_split_assign",
     # multimodal (real-codec round-trips) + composite + skew
     "mm_audio_rms", "mm_wav_meta", "mm_phash", "mm_phash_pairs",
     "mm_frame_dedup", "pipeline_training_batches", "skew_salted_distinct",
@@ -98,6 +96,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import skew  # noqa: F401
     from . import temporal  # noqa: F401
     from . import profile  # noqa: F401
+    from . import bpe  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

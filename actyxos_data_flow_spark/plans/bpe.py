@@ -1,0 +1,128 @@
+"""BPE tokenizer queries with a DuckDB oracle that RE-LEARNS the merge
+table from scratch.
+
+The oracle cannot be handed Spark's merges — that would prove nothing —
+so it unrolls the training loop as CTE stages: stage i counts adjacent
+pairs over the current symbol table, picks the top pair with the same
+deterministic (count DESC, left, right) rule, and applies the same
+leftmost-nonoverlapping merge. Hash equality therefore certifies the
+full training trajectory, not just the final statistics.
+
+The merge step is deliberately a DIFFERENT formulation from Spark's
+fold (DuckDB 1.0's list_reduce cannot thread list-typed accumulators —
+probed: list_append(acc.out, x) yields [x] each iteration): candidate
+positions are paired by window arithmetic — within each maximal RUN of
+consecutive candidates (runs longer than 1 exist only when left ==
+right), the 1st, 3rd, 5th… positions merge — which is exactly
+leftmost-nonoverlapping semantics. Two independent formulations
+agreeing bit-for-bit is a stronger check than a mirrored one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import bpe as B
+from ..sources import load_table
+from . import register
+
+N_MERGES = B.BPE_MERGES
+
+
+def _train_ctes(k: int) -> str:
+    """wf → w0 → (p0, m0, w1) → … → (p{k-1}, m{k-1}, w{k})."""
+    parts = [
+        """wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1
+),
+w0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '·') AS syms FROM wf)"""
+    ]
+    for i in range(k):
+        parts.append(
+            f"""p{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS c
+  FROM w{i}, unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+c{i} AS (
+  SELECT w.word, u.i
+  FROM w{i} w, m{i} m, unnest(range(1, len(w.syms))) u(i)
+  WHERE w.syms[u.i] = m.l AND w.syms[u.i + 1] = m.r
+),
+s{i} AS MATERIALIZED (
+  SELECT word, i FROM (
+    SELECT word, i, row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS rr
+    FROM (SELECT word, i, row_number() OVER (PARTITION BY word ORDER BY i) AS rn FROM c{i})
+  ) WHERE rr % 2 = 1
+),
+w{i + 1} AS MATERIALIZED (
+  SELECT word, freq, list(sym ORDER BY j) AS syms FROM (
+    SELECT t.word, t.freq, u.j,
+           CASE WHEN st.i IS NOT NULL THEN m.l || m.r ELSE t.syms[u.j] END AS sym
+    FROM w{i} t CROSS JOIN m{i} m
+    CROSS JOIN unnest(range(1, len(t.syms) + 1)) u(j)
+    LEFT JOIN s{i} st ON st.word = t.word AND st.i = u.j
+    LEFT JOIN s{i} s2 ON s2.word = t.word AND s2.i = u.j - 1
+    WHERE s2.i IS NULL
+  ) GROUP BY word, freq
+)"""
+        )
+    return ",\n".join(parts)
+
+
+BPE_MERGES_ORACLE = (
+    "WITH "
+    + _train_ctes(N_MERGES)
+    + "\n"
+    + "\nUNION ALL\n".join(
+        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, c::BIGINT AS pair_count FROM m{i}"
+        for i in range(N_MERGES)
+    )
+)
+
+
+@register("bpe_merges", oracle=BPE_MERGES_ORACLE)
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned merge table, (merge_rank, left_sym, right_sym,
+    pair_count): the oracle re-runs training in DuckDB with the same
+    deterministic tie rule — agreement certifies every round's pair
+    counts AND every round's winner."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, n_merges=N_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
+    )
+
+
+BPE_STATS_ORACLE = (
+    "WITH "
+    + _train_ctes(N_MERGES)
+    + f""",
+occ AS (
+  SELECT lang, word, count(*) AS occ
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1, 2
+)
+SELECT occ.lang,
+       sum(occ)::BIGINT AS ws_tokens,
+       sum(occ * len(occ.word))::BIGINT AS chars,
+       sum(occ * len(w{N_MERGES}.syms))::BIGINT AS bpe_tokens
+FROM occ JOIN w{N_MERGES} ON w{N_MERGES}.word = occ.word
+GROUP BY 1
+"""
+)
+
+
+@register("bpe_token_stats", oracle=BPE_STATS_ORACLE)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language compression report of the trained tokenizer:
+    whitespace tokens vs characters vs BPE symbols. Encoding runs over
+    word TYPES (vocab-sized) and joins back to per-language occurrence
+    counts — the corpus is scanned once for the counts and never
+    touched by the merge folds."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, n_merges=N_MERGES)
+    return B.bpe_corpus_stats(docs, merges)

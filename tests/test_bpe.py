@@ -1,0 +1,102 @@
+"""BPE trainer/encoder unit tests (operators/bpe.py). The oracle gate
+(bpe_merges / bpe_token_stats) certifies the training trajectory against
+DuckDB's independent window-arithmetic formulation; these tests pin the
+fold semantics against a plain-Python reference and the operator-level
+contracts."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from actyxos_data_flow_spark.operators import bpe as B
+
+
+def _py_merge(syms: list[str], l: str, r: str) -> list[str]:
+    """Reference leftmost-nonoverlapping merge."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+            out.append(l + r)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_merge_fold_matches_reference_cases(spark):
+    cases = [
+        (["e", "r", "r", "o", "r"], "e", "r"),
+        (["h", "e", "r", "r"], "e", "r"),
+        (["a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a"], "a", "a"),
+        (["a", "a", "a", "a", "a"], "a", "a"),
+        (["c", "a", "t"], "x", "y"),
+        (["x"], "x", "y"),
+        ([], "x", "y"),
+        (["ab", "b", "ab", "b"], "ab", "b"),
+    ]
+    df = spark.createDataFrame(
+        [(i, syms, l, r) for i, (syms, l, r) in enumerate(cases)],
+        "i int, syms array<string>, l string, r string",
+    )
+    got = {
+        row["i"]: list(row["m"])
+        for row in df.select(
+            "i", B.merge_fold(F.col("syms"), F.col("l"), F.col("r")).alias("m")
+        ).collect()
+    }
+    for i, (syms, l, r) in enumerate(cases):
+        assert got[i] == _py_merge(syms, l, r), (syms, l, r, got[i])
+
+
+@given(
+    syms=st.lists(st.sampled_from(["a", "b", "ab"]), max_size=12),
+    pair=st.tuples(st.sampled_from(["a", "b", "ab"]), st.sampled_from(["a", "b", "ab"])),
+)
+@settings(max_examples=15, deadline=None)
+def test_merge_fold_matches_reference_property(spark, syms, pair):
+    l, r = pair
+    df = spark.createDataFrame([(syms,)], "syms array<string>")
+    got = list(df.select(B.merge_fold(F.col("syms"), l, r).alias("m")).collect()[0]["m"])
+    assert got == _py_merge(syms, l, r)
+
+
+def test_bpe_train_learns_expected_merge(spark):
+    """'aa' dominating the corpus: first merge must be (a, a) with the
+    exact weighted pair count, and re-running training is identical."""
+    docs = spark.createDataFrame(
+        [(1, "aaa aaa bb"), (2, "aaa bb cc")],
+        "doc_id long, text string",
+    )
+    merges = B.bpe_train(docs, n_merges=2)
+    # 'aaa' freq 3 contributes 2 (a,a) pairs each → 6
+    assert merges[0][1:] == ("a", "a", 6)
+    assert merges == B.bpe_train(docs, n_merges=2)
+
+
+def test_bpe_encode_words_applies_ranked_merges(spark):
+    docs = spark.createDataFrame([(1, "abab abab abab")], "doc_id long, text string")
+    merges = B.bpe_train(docs, n_merges=3)
+    enc = B.bpe_encode_words(spark.createDataFrame([("abab",)], "word string"), merges)
+    row = enc.collect()[0]
+    # 'abab' + sentinel collapses under 3 merges learned from itself
+    assert row["n_bpe"] <= 3
+    assert row["bpe_syms"][-1].endswith(B.END_MARK) or row["bpe_syms"][-1] == B.END_MARK
+
+
+def test_corpus_stats_consistency(spark):
+    """bpe_tokens is bounded by chars + words (no merges can expand)
+    and ws_tokens/chars match direct computation."""
+    docs = spark.createDataFrame(
+        [(1, "the cat sat", "en"), (2, "le chat", "fr")],
+        "doc_id long, text string, lang string",
+    )
+    merges = B.bpe_train(docs, n_merges=2)
+    out = {r["lang"]: r for r in B.bpe_corpus_stats(docs, merges).collect()}
+    assert out["en"]["ws_tokens"] == 3 and out["fr"]["ws_tokens"] == 2
+    assert out["en"]["chars"] == len("thecatsat")
+    for r in out.values():
+        assert r["bpe_tokens"] <= r["chars"] + r["ws_tokens"]
+        assert r["bpe_tokens"] >= r["ws_tokens"]  # ≥ one symbol per word
