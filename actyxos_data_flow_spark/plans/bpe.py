@@ -116,7 +116,7 @@ GROUP BY 1
 )
 
 
-@register("bpe_token_stats", oracle=BPE_STATS_ORACLE)
+@register("bpe_token_stats", oracle=BPE_STATS_ORACLE, bench=True)
 def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language compression report of the trained tokenizer:
     whitespace tokens vs characters vs BPE symbols. Encoding runs over
@@ -126,3 +126,58 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = B.bpe_train(docs, n_merges=N_MERGES)
     return B.bpe_corpus_stats(docs, merges)
+
+
+BPE_VOCAB_ORACLE = (
+    "WITH "
+    + _train_ctes(N_MERGES)
+    + f""",
+occ AS (
+  SELECT word, count(*) AS occ
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1
+),
+symocc AS (
+  SELECT s.sym, sum(occ.occ) AS n
+  FROM w{N_MERGES} w JOIN occ ON occ.word = w.word,
+       unnest(w.syms) AS s(sym)
+  GROUP BY 1
+)
+SELECT row_number() OVER (ORDER BY n DESC, sym ASC) - 1 AS token_id, sym, n::BIGINT AS n
+FROM symocc
+ORDER BY token_id
+LIMIT 64
+"""
+)
+
+
+@register("bpe_vocab", oracle=BPE_VOCAB_ORACLE)
+def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained tokenizer's top-64 vocabulary with deterministic
+    token ids (corpus frequency DESC, then symbol) — the id table a
+    training pipeline ships with its tokenizer. Symbol counting runs
+    over encoded word TYPES weighted by occurrence counts; the top-64
+    pick is a TakeOrderedAndProject, never a global sort."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.bpe_train(docs, n_merges=N_MERGES)
+    occ = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    enc = B.bpe_encode_words(occ, merges)
+    symocc = (
+        enc.select("occ", F.explode("bpe_syms").alias("sym"))
+        .groupBy("sym")
+        .agg(F.sum("occ").cast("long").alias("n"))
+    )
+    top = symocc.orderBy(F.col("n").desc(), F.col("sym").asc()).limit(64)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("n").desc(), F.col("sym").asc())
+    return top.select(
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"), "sym", "n"
+    )
