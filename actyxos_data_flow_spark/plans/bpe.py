@@ -29,12 +29,13 @@ from . import register
 N_MERGES = B.BPE_MERGES
 
 
-def _train_ctes(k: int) -> str:
-    """wf → w0 → (p0, m0, w1) → … → (p{k-1}, m{k-1}, w{k})."""
+def _train_ctes(k: int, src: str = "documents") -> str:
+    """wf → w0 → (p0, m0, w1) → … → (p{k-1}, m{k-1}, w{k}), trained on
+    the ``src`` relation's text column."""
     parts = [
-        """wf AS (
+        f"""wf AS (
   SELECT word, count(*) AS freq
-  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {src})
   WHERE word <> '' GROUP BY 1
 ),
 w0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '·') AS syms FROM wf)"""
@@ -180,4 +181,78 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.orderBy(F.col("n").desc(), F.col("sym").asc())
     return top.select(
         (F.row_number().over(w) - 1).cast("long").alias("token_id"), "sym", "n"
+    )
+
+
+# -- flagship composite: clean corpus → trained tokenizer → packed bins ----
+
+from .pipeline import PIPELINE_ORACLE  # noqa: E402
+from .text import PACK_BUDGET  # noqa: E402
+
+BPE_BATCHES_ORACLE = (
+    f"""WITH clean AS (
+  SELECT doc_id FROM ({PIPELINE_ORACLE})
+),
+documents_clean AS MATERIALIZED (
+  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN clean USING (doc_id)
+),
+"""
+    + _train_ctes(N_MERGES, src="documents_clean")
+    + f""",
+occ2 AS (
+  SELECT doc_id, lang, word, count(*) AS occ
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents_clean)
+  WHERE word <> '' GROUP BY 1, 2, 3
+),
+dl AS (
+  SELECT doc_id, lang, sum(occ * len(w{N_MERGES}.syms))::BIGINT AS bpe_tokens
+  FROM occ2 JOIN w{N_MERGES} ON w{N_MERGES}.word = occ2.word
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT lang, doc_id, bpe_tokens,
+         sum(bpe_tokens) OVER (PARTITION BY lang ORDER BY doc_id) - bpe_tokens AS strt
+  FROM dl
+)
+SELECT lang, doc_id, bpe_tokens,
+       CAST(strt // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(strt % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM cum
+"""
+)
+
+
+@register("pipeline_bpe_batches", oracle=BPE_BATCHES_ORACLE, bench=True)
+def pipeline_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer-aware flagship: clean the corpus (quality → exact
+    dedup → LSH near-dup removal), TRAIN the BPE tokenizer on the clean
+    text, measure every document in trained-tokenizer tokens, and pack
+    documents into fixed-token-budget training bins per language — one
+    oracle replays the whole composition including the training
+    trajectory. Scale shape: the clean set is doc_ids joined back to
+    the scan, training runs on the word-type table, per-doc lengths are
+    an occurrence join against the tiny encoded vocabulary, and packing
+    is the skew-proof two-level prefix sum."""
+    from pyspark.sql import functions as F
+
+    from ..operators import text as X
+    from .pipeline import pipeline_clean_corpus
+
+    clean = pipeline_clean_corpus(spark, sf_dir).select("doc_id")
+    docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id").persist()
+    merges = B.bpe_train(docs, n_merges=N_MERGES)
+    occ = (
+        docs.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "lang", "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    enc = B.bpe_encode_words(occ.select("word").distinct(), merges)
+    dl = (
+        occ.join(F.broadcast(enc.select("word", "n_bpe")), "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.sum(F.col("occ") * F.col("n_bpe")).cast("long").alias("bpe_tokens"))
+    )
+    return X.pack_sequences(
+        dl, id_col="doc_id", len_col="bpe_tokens", budget=PACK_BUDGET, order_cols=("doc_id",)
     )

@@ -492,3 +492,46 @@ def run_cdc_ingest_stream(
         q.awaitTermination()
         return stats
     return writer.trigger(processingTime="1 second").start()
+
+
+def run_cdc_vector_stream(
+    spark,
+    src_dir: str,
+    store_dir: str,
+    checkpoint_dir: str,
+    dim: int,
+    schema: str = "vec_id long, embedding array<double>, op string",
+    cosine_threshold: float = 0.98,
+    trigger_available_now: bool = True,
+) -> list[dict]:
+    """CDC front door for the vector store — the embedding twin of
+    :func:`run_cdc_ingest_stream`: rows carry op = 'u' (upsert) or 'd'
+    (delete); deletes apply first, then upserts re-embed through the
+    near-dup gate. Replay-idempotent for the same reasons."""
+    ing = MutableVectorIngestor(spark, store_dir, dim=dim, cosine_threshold=cosine_threshold)
+    stats: list[dict] = []
+
+    def handle(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            dels = batch_df.filter(F.col("op") == "d").select(ing.id_col)
+            ups = batch_df.filter(F.col("op") == "u").drop("op")
+            out = {"batch": batch_id}
+            out.update({f"del_{k}": v for k, v in ing.retract_batch(dels).items()})
+            if ups.limit(1).count():
+                out.update(ing.upsert_batch(ups))
+            stats.append(out)
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        spark.readStream.schema(schema)
+        .json(src_dir)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        return stats
+    return writer.trigger(processingTime="1 second").start()

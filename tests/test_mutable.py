@@ -267,3 +267,33 @@ def test_cdc_stream_applies_deletes_then_upserts(spark, tmp_path):
     ing = MutableCorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.0)
     got = {r.doc_id: r.text for r in ing.corpus().collect()}
     assert got == {1: new_text}
+
+
+def test_cdc_vector_stream(spark, tmp_path):
+    import json as j
+
+    from actyxos_data_flow_spark.streaming.mutable import (
+        MutableVectorIngestor,
+        run_cdc_vector_stream,
+    )
+
+    src = tmp_path / "vsrc"
+    src.mkdir()
+    (src / "b1.json").write_text(
+        "\n".join(
+            j.dumps({"vec_id": i, "embedding": _base_vec(i), "op": "u"}) for i in (1, 2)
+        )
+    )
+    run_cdc_vector_stream(spark, str(src), str(tmp_path / "store"), str(tmp_path / "vck"), dim=16)
+    (src / "b2.json").write_text(
+        "\n".join(
+            [
+                j.dumps({"vec_id": 2, "embedding": None, "op": "d"}),
+                j.dumps({"vec_id": 1, "embedding": _base_vec(7), "op": "u"}),
+            ]
+        )
+    )
+    run_cdc_vector_stream(spark, str(src), str(tmp_path / "store"), str(tmp_path / "vck"), dim=16)
+    ing = MutableVectorIngestor(spark, str(tmp_path / "store"), dim=16)
+    got = {r.vec_id: list(r.embedding) for r in ing.vectors().collect()}
+    assert set(got) == {1} and got[1][7] == 1.0
