@@ -46,6 +46,7 @@ SF1_QUERIES = (
     "q1_pricing_summary",
     "dedup_span_mask",
     "decontaminate_bloom",
+    "pipeline_bpe_batches",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs")
 
