@@ -54,6 +54,7 @@ _PRIORITY: tuple[str, ...] = (
     "bloom_filter_stats", "decontaminate_bloom",
     "dedup_minhash_edit_delta", "dedup_embedding_edit_delta",
     "bucketed_join_colocated", "bpe_merges", "bpe_token_stats",
+    "bpe_vocab", "pipeline_bpe_batches",
     # --- never-driver-graded below (driver artifact coverage rotation) ---
     # TPC-H back catalog
     "q2_best_supplier", "q9_product_profit", "q11_important_stock",
@@ -61,7 +62,7 @@ _PRIORITY: tuple[str, ...] = (
     # CBOR payload codec
     "cbor_props_stats",
     # dedup back catalog
-    "dedup_editdistance", "dedup_crossmodal", "dedup_clusters_star",
+    "dedup_editdistance", "dedup_clusters_star",
     "dedup_clusters_delta", "dedup_containment", "dedup_tfidf_cosine",
     "dedup_span_mask", "dedup_minhash_delta_pairs", "dedup_embedding_lsh",
     # similarity / ANN back catalog
@@ -78,7 +79,7 @@ _PRIORITY: tuple[str, ...] = (
     "sample_stratified_docs", "corpus_split_assign",
     # multimodal (real-codec round-trips) + composite + skew
     "mm_audio_rms", "mm_wav_meta", "mm_phash", "mm_phash_pairs",
-    "mm_frame_dedup", "pipeline_training_batches", "skew_salted_distinct",
+    "pipeline_training_batches", "skew_salted_distinct",
 )
 
 
