@@ -74,8 +74,10 @@ def bloom_build(
     word BIGINT holding a 32-bit pattern). One explode (k rows/key) and
     one hash aggregate whose map-side partial combine caps every
     partition's shuffle contribution at m/32 words regardless of key
-    count — the build never concentrates keys anywhere."""
-    pos = keys.select(
+    count — the build never concentrates keys anywhere. NULL keys are
+    dropped (a NULL key has no md5 and can never be probed for — the
+    contains predicate is NULL for NULL input, falsy in filters)."""
+    pos = keys.filter(F.col(key_col).isNotNull()).select(
         F.explode(F.array(*bloom_positions(F.col(key_col), m_bits, k))).alias("pos")
     )
     word = F.call_function(

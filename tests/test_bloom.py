@@ -100,3 +100,10 @@ def test_word_table_is_sparse_and_bounded(spark):
     for r in words:
         assert 0 <= r["word"] < (1 << 32)
         assert 0 <= r["word_idx"] < M // 32
+
+
+def test_null_keys_dropped_and_probe_null_safe(spark):
+    df = spark.createDataFrame([("x",), (None,), ("y",)], "shingle string")
+    dense = B.bloom_dense(B.bloom_build(df, "shingle", M, K), M)
+    # build didn't crash on the NULL; both real keys present
+    assert df.filter(B.bloom_contains(F.col("shingle"), dense, M, K)).count() == 2

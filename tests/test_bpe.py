@@ -100,3 +100,14 @@ def test_corpus_stats_consistency(spark):
     for r in out.values():
         assert r["bpe_tokens"] <= r["chars"] + r["ws_tokens"]
         assert r["bpe_tokens"] >= r["ws_tokens"]  # ≥ one symbol per word
+
+
+def test_bpe_train_empty_and_degenerate_corpora(spark):
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert B.bpe_train(empty, n_merges=3) == []
+    # single 1-char word: only pair is (char, sentinel)
+    one = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    merges = B.bpe_train(one, n_merges=3)
+    assert merges[0][1:] == ("a", B.END_MARK, 1)
+    enc = B.bpe_encode_words(spark.createDataFrame([("a",)], "word string"), merges)
+    assert enc.collect()[0]["n_bpe"] == 1
