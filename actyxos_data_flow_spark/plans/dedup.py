@@ -17,6 +17,7 @@ from . import register
 
 NUM_HASHES = 8
 BAND_SIZE = 2
+SHINGLE_PERSIST_MIN_DOCS = 20_000
 JACCARD_THRESHOLD = 0.5
 SIMHASH_BITS = D.SIMHASH_BITS
 
@@ -121,11 +122,18 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle inverted index)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs)
+    # The shingle table feeds FOUR consumers (signature build, both
+    # Jaccard index sides, per-doc sizes). Below the threshold,
+    # recomputing the tokenize+explode pipeline per consumer beats
+    # materializing token-sized rows (measured 1.6s vs 2.8s at sf0.1);
+    # above it the tradeoff flips hard (37s -> 6s at a 50k-doc probe),
+    # so the query adapts on the corpus row count — the "materialize
+    # between stages" decision every large pipeline makes explicitly.
+    if docs.count() > SHINGLE_PERSIST_MIN_DOCS:
+        sh = sh.persist()
     # persist the signature table — (id, k longs), O(docs): the banded
     # self-join references it on both sides, and if AQE broadcasts one
-    # side the md5/min-agg pipeline would otherwise run twice (the
-    # shingle table itself is NOT cached: it is token-sized and
-    # measured slower to materialize than to recompute)
+    # side the md5/min-agg pipeline would otherwise run twice
     sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES).persist()
     # skew guard armed (no-op at test SF, where no bucket nears the cap;
     # the oracle is the uncapped pipeline, so the gate also proves it)
