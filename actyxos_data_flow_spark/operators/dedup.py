@@ -175,9 +175,12 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") ->
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    # broadcast the CANDIDATE-sized side: `sizes` is one row per corpus
+    # document (unbroadcastable at scale), while `inter` is bounded by
+    # the LSH candidate count — the small side by construction
     return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        F.broadcast(inter).join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
