@@ -616,9 +616,10 @@ def containment_on_pairs(
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
     c_a = F.round(F.col("inter") / F.col("na"), 6)
     c_b = F.round(F.col("inter") / F.col("nb"), 6)
+    # broadcast the candidate-sized inter, never the per-doc sizes
     return (
-        inter.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        F.broadcast(inter).join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
@@ -666,9 +667,10 @@ def tfidf_cosine_on_pairs(
     )
     na = norms.select(F.col(id_col).alias("id_a"), F.col("norm").alias("na"))
     nb = norms.select(F.col(id_col).alias("id_b"), F.col("norm").alias("nb"))
+    # broadcast the candidate-sized dots, never the per-doc norms
     return (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        F.broadcast(dots).join(na, "id_a")
+        .join(nb, "id_b")
         .select(
             "id_a",
             "id_b",
