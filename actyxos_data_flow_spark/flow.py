@@ -441,4 +441,24 @@ class Flow:
             fn(d, d.get(ts) if ts else None, mult)
         return self
 
-    # probe (F9) has no batch analog: completion of an action == epoch done.
+    def probe(self, name: str = "probe", *metrics: Column):
+        """F9 — the reference's ``probe`` reports when the dataflow has
+        caught up with an epoch (timely progress tracking,
+        /root/reference/src/flow.rs:396-409, used by the runner to know
+        a commit unit is complete). Spark-native analog: a named
+        ``Observation`` attached to the flow — ``observation.get``
+        BLOCKS until the next action over this plan completes, at which
+        point the observed metrics (row count by default, any aggregate
+        expressions otherwise) are available: "probe passed the epoch"
+        == ``get`` returned. In streaming, the same ``observe`` metrics
+        surface per micro-batch in every progress event
+        (``StreamingQueryProgress.observedMetrics``) — use
+        :meth:`inspect` with a string name for that form.
+
+        Returns ``(flow, observation)``; the flow must then be used in
+        the action being probed (the observation watches THIS plan)."""
+        from pyspark.sql import Observation
+
+        obs = Observation(name)
+        cols = metrics or (F.count(F.lit(1)).alias("rows"),)
+        return self._wrap(self.df.observe(obs, *cols)), obs

@@ -172,3 +172,20 @@ def test_iter_rows_duplicate_column_names_fall_back_to_dict_rows():
     got = list(_iter_rows(pdf))
     # dict-backed rows: no positional _1/_2 fields fabricated
     assert all(set(r._asdict().keys()) == {"x"} for r in got)
+
+
+def test_probe_blocks_until_epoch_complete(spark):
+    """F9: the observation yields its metrics exactly when the action
+    (epoch) finishes — the reference's probe.less_than() contract in
+    Spark's Observation form."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.flow import Flow
+
+    df = spark.range(100).withColumnRenamed("id", "v")
+    flow, obs = Flow.source(df).filter(F.col("v") % 2 == 0).probe(
+        "epoch", F.count(F.lit(1)).alias("rows"), F.sum("v").alias("total")
+    )
+    flow.df.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    assert got["rows"] == 50 and got["total"] == sum(range(0, 100, 2))
