@@ -786,3 +786,198 @@ def hard_negatives(queries: DataFrame, corpus: DataFrame, k: int = 5) -> DataFra
     pairs = corpus.join(F.broadcast(queries), F.col("label") != F.col("qlabel"))
     cos = _dot(F.col("qe"), F.col("embedding")) / (_norm(F.col("qe")) * _norm(F.col("embedding")))
     return topk(pairs.select("qid", "vec_id", cos.alias("cosine")), k)
+
+# -- product quantization (PQ codes + ADC search) ---------------------------
+#
+# The compression step beyond SQ8: instead of 1 byte PER DIMENSION, PQ
+# stores 1 byte PER SUBSPACE — the 64-dim corpus here compresses 256 B
+# (float32) -> 4 B (m=4 codes), the 64x shrink that lets a 100 TB
+# embedding store's index live in cluster memory. Training is per-
+# subspace Lloyd's k-means with the same determinism contract as
+# kmeans_fit (smallest-id seeding, decimal-exact means, 9dp-rounded
+# argmin, empty cells keep their codeword), so a DuckDB oracle unrolls
+# the fit and reproduces codes bit-for-bit.
+
+PQ_M = 4  # subspaces
+PQ_KSUB = 16  # codewords per subspace (1 byte would allow 256)
+PQ_ITERS = 1  # Lloyd refinement passes over the smallest-id init
+
+
+def _nearest_code_expr(codewords: list[list[float]], sub: Column) -> Column:
+    """Argmin codeword id for ONE subvector column: squared-L2 rounded
+    to 9dp, ties to the lower code. Same folded-literal projection shape
+    as :func:`_nearest_cell_expr` (plan size O(dot), not O(ksub x dot))."""
+    mat = _matrix_lit([[float(x) for x in cw] for cw in codewords])
+    codes = _vector_lit(list(range(len(codewords))), "int")
+    d2 = lambda cw: F.aggregate(  # noqa: E731
+        F.zip_with(sub, cw, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cands = F.zip_with(
+        mat, codes, lambda cw, c: F.struct(F.round(d2(cw), 9).alias("d"), c.alias("code"))
+    )
+    return F.array_min(cands)["code"]
+
+
+def _pq_codes_expr(books: list[list[list[float]]], vec_col: str) -> Column:
+    """array<int> of per-subspace nearest-codeword ids (m entries) — a
+    pure projection; the m codebooks enter the plan as folded literals."""
+    dsub = len(books[0][0])
+    return F.array(
+        *(
+            _nearest_code_expr(books[s], F.slice(F.col(vec_col), s * dsub + 1, dsub))
+            for s in range(len(books))
+        )
+    )
+
+
+def pq_fit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace Lloyd's k-means -> PQ codebooks
+    ``books[sub][code] = codeword (dsub floats)``.
+
+    - init: codeword (s, j) = subspace-s slice of the j-th smallest-id
+      vector (no RNG);
+    - assign: per-subspace squared-L2 argmin, distances rounded to 9dp,
+      ties to the lower code;
+    - update: per-(sub, code, pos) DECIMAL-exact mean (order-free);
+      empty cells keep their previous codeword.
+
+    Scale shape: ALL m subspaces train in one job per pass — assignment
+    is a single projection emitting the m-code array, the update is one
+    posexplode + (sub, code, pos) partial-sum aggregate whose shuffle
+    carries m x ksub x dsub partials per task (the model, never the
+    corpus). Only the m x ksub x dsub model crosses the driver between
+    passes. Cache the corpus before calling at scale."""
+    seed_rows = (
+        emb.orderBy(F.col(id_col).asc())
+        .limit(ksub)
+        .select(F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("ce"))
+        .collect()
+    )
+    dim = len(seed_rows[0]["ce"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    dsub = dim // m
+    books: list[list[list[float]]] = [
+        [[float(x) for x in r["ce"][s * dsub : (s + 1) * dsub]] for r in seed_rows]
+        for s in range(m)
+    ]
+    for _ in range(iters):
+        # two selects, one stage: sharing a projection with the
+        # posexplode generator trips the same analyzer quirk noted in
+        # kmeans_fit (struct fields resolve as col1/col2); Catalyst
+        # collapses the projections anyway.
+        coded = emb.select(
+            _pq_codes_expr(books, vec_col).alias("_codes"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_vd"),
+        ).select("_codes", F.posexplode("_vd").alias("pos", "val"))
+        sub = (F.col("pos") / dsub).cast("int")
+        d = F.expr("CAST(round(val, 7) AS DECIMAL(12,7))")
+        comp = (
+            coded.select(
+                sub.alias("sub"),
+                F.element_at("_codes", sub + 1).alias("code"),
+                "pos",
+                "val",
+            )
+            .groupBy("sub", "code", "pos")
+            .agg((F.sum(d).cast("double") / F.count(F.lit(1))).alias("c"))
+        )
+        new: dict[tuple[int, int], list[float]] = {
+            (int(r["sub"]), int(r["code"])): [float(x) for x in r["cw"]]
+            for r in comp.groupBy("sub", "code")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+                ).alias("cw")
+            )
+            .collect()
+        }
+        books = [
+            [new.get((s, j), books[s][j]) for j in range(ksub)] for s in range(m)
+        ]
+    return books
+
+
+def pq_encode(
+    emb: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, pq_codes array<tinyint>) — m bytes per vector (vs 4 x dim
+    for float32: a dim/m compression, 64x here). Pure projection, no
+    shuffle; the codebooks are plan literals."""
+    return emb.select(
+        id_col,
+        F.transform(_pq_codes_expr(books, vec_col), lambda c: c.cast("tinyint")).alias(
+            "pq_codes"
+        ),
+    )
+
+
+def _pq_reconstruct_expr(books: list[list[list[float]]], codes_col: str) -> Column:
+    """Decoded vector (concat of the m looked-up codewords) — the ADC
+    estimate dot(q, recon) equals the classic per-subspace LUT sum, just
+    unfactored; expressing it as one reconstructed array keeps scoring
+    on the same JVM fold as every other kernel here."""
+    return F.flatten(
+        F.array(
+            *(
+                F.element_at(
+                    _matrix_lit([[float(x) for x in cw] for cw in books[s]]),
+                    F.element_at(F.col(codes_col), s + 1).cast("int") + 1,
+                )
+                for s in range(len(books))
+            )
+        )
+    )
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+) -> DataFrame:
+    """PQ-ADC ANN top-k: train codebooks on the corpus (:func:`pq_fit`),
+    encode to m-byte codes, score approximately via the asymmetric
+    distance estimate ``dot(q, reconstruct(codes))`` rounded to 9dp,
+    keep a k x rerank candidate pool per query (two-phase top-R: per-
+    partition window prune, then global — the corpus never shuffles),
+    and exact-cosine rerank the candidates only.
+
+    Scale shape: the scored scan reads m-byte codes instead of 4 x dim
+    float payloads (the bandwidth win that makes PQ the 100 TB index
+    format); queries broadcast; the rerank join touches only
+    |Q| x k x rerank rows of the full-precision corpus."""
+    r_pool = k * rerank
+    books = pq_fit(corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    adot = F.round(_dot(F.col("qe"), _pq_reconstruct_expr(books, "pq_codes")), 9)
+    scored = codes.crossJoin(F.broadcast(queries)).select(
+        "qid", id_col, adot.alias("_adot"), F.spark_partition_id().alias("_pid")
+    )
+    w1 = W.partitionBy("qid", "_pid").orderBy(F.col("_adot").desc(), F.col(id_col).asc())
+    pruned = scored.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= r_pool)
+    w2 = W.partitionBy("qid").orderBy(F.col("_adot").desc(), F.col(id_col).asc())
+    cand = (
+        pruned.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= r_pool)
+        .select("qid", id_col)
+    )
+    rer = cand.join(F.broadcast(queries), "qid").join(corpus.select(id_col, vec_col), id_col)
+    cos = _dot(F.col("qe"), F.col(vec_col)) / (_norm(F.col("qe")) * _norm(F.col(vec_col)))
+    return topk(rer.select("qid", id_col, cos.alias("cosine")), k)

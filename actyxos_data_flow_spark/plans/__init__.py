@@ -66,15 +66,17 @@ _PRIORITY: tuple[str, ...] = (
     "dedup_clusters_delta", "dedup_containment", "dedup_tfidf_cosine",
     "dedup_span_mask", "dedup_minhash_delta_pairs", "dedup_embedding_lsh",
     # similarity / ANN back catalog
-    "ann_sq8_topk", "ann_ivf_nprobe_topk", "ann_ivf_kmeans_topk",
+    "ann_sq8_topk", "ann_pq_topk", "ann_ivf_nprobe_topk", "ann_ivf_kmeans_topk",
     "ann_hard_negatives", "kmeans_cells", "embedding_centroid_outliers",
     # text / sampling / packing back catalog (text_normalize,
     # text_scrub_pii, sample_quality_weighted, class_weights_by_lang,
     # corpus_health_by_source rotated out to the unranked tail to make room for the round-4
     # capability rows above — their families keep representatives here
     # and the full-registry replica still covers them)
+    # (text_lm_score_bigram rotated to the unranked tail to keep the
+    # prefix at 50 after ann_pq_topk joined; text_lm_score stays)
     "text_repetition_stats",
-    "text_pmi_collocations", "text_lm_score", "text_lm_score_bigram",
+    "text_pmi_collocations", "text_lm_score",
     "text_vocab_coverage", "chunk_documents", "pack_curriculum_bins",
     "sample_stratified_docs", "corpus_split_assign",
     # multimodal (real-codec round-trips) + composite + skew

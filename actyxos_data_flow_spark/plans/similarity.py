@@ -573,6 +573,102 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.hard_negatives(queries, emb.select("vec_id", "embedding", "label"), k=NEG_K)
 
 
+# -- product quantization (m-byte codes + ADC search) ----------------------
+
+PQ_RERANK = 3
+
+
+def _pq_ctes(m: int, ksub: int, iters: int, dim: int) -> tuple[str, str, str]:
+    """Unrolled per-subspace Lloyd fit + encode as DuckDB CTEs, mirror
+    of operators.similarity.pq_fit/pq_encode (smallest-id init, 9dp
+    argmin with low-code ties, decimal-exact means, empty cells keep
+    their codeword). Returns (sql, final_codebook, final_assign)."""
+    dsub = dim // m
+    sql = f"""
+pvx AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
+               unnest(embedding)::DOUBLE AS a
+        FROM embeddings),
+psid AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {ksub})),
+pcb0 AS (SELECT CAST((v.pos - 1) // {dsub} AS INT) AS sub, s.code, v.pos, v.a AS c
+         FROM psid s JOIN pvx v ON v.vec_id = s.vec_id)"""
+    prev = "pcb0"
+    for i in range(1, iters + 2):
+        sql += f""",
+pd{i} AS (
+  SELECT v.vec_id, c.sub, c.code, round(sum((v.a - c.c) * (v.a - c.c)), 9) AS d2
+  FROM pvx v JOIN {prev} c ON v.pos = c.pos
+  GROUP BY v.vec_id, c.sub, c.code
+),
+pa{i} AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT vec_id, sub, code,
+           row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2, code) AS rn
+    FROM pd{i}
+  ) WHERE rn = 1
+)"""
+        if i <= iters:
+            sql += f""",
+pm{i} AS (
+  SELECT a.sub, a.code, v.pos,
+         CAST(sum(CAST(round(v.a, 7) AS DECIMAL(12,7))) AS DOUBLE) / count(*) AS c
+  FROM pvx v JOIN pa{i} a
+    ON v.vec_id = a.vec_id AND CAST((v.pos - 1) // {dsub} AS INT) = a.sub
+  GROUP BY a.sub, a.code, v.pos
+),
+pcb{i} AS (
+  SELECT p.sub, p.code, p.pos, COALESCE(m.c, p.c) AS c
+  FROM {prev} p LEFT JOIN pm{i} m
+    ON p.sub = m.sub AND p.code = m.code AND p.pos = m.pos
+)"""
+            prev = f"pcb{i}"
+    return sql, prev, f"pa{iters + 1}"
+
+
+_PQ_SQL, _PQ_CB, _PQ_ASSIGN = _pq_ctes(S.PQ_M, S.PQ_KSUB, S.PQ_ITERS, 64)
+
+ANN_PQ_ORACLE = (
+    "WITH "
+    + _COS_CTE
+    + _PQ_SQL
+    + f""",
+precon AS (
+  SELECT a.vec_id, c.pos, c.c
+  FROM {_PQ_ASSIGN} a JOIN {_PQ_CB} c ON c.sub = a.sub AND c.code = a.code
+),
+pqx AS (SELECT qid, unnest(generate_series(1, len(qe))) AS pos, unnest(qe)::DOUBLE AS a FROM q),
+pad AS (
+  SELECT x.qid, r.vec_id, round(sum(x.a * r.c), 9) AS adot
+  FROM pqx x JOIN precon r ON x.pos = r.pos
+  GROUP BY x.qid, r.vec_id
+),
+pcand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id ASC) AS crn
+    FROM pad
+  ) WHERE crn <= {K * PQ_RERANK}
+),
+p AS (SELECT c.qid, e.vec_id, q.qe, e.embedding
+      FROM pcand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+"""
+    + _SCORE.format(k=K)
+)
+
+
+@register("ann_pq_topk", oracle=ANN_PQ_ORACLE)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC ANN: per-subspace k-means codebooks (m=4, ksub=16, 1 Lloyd
+    pass over smallest-id init), m-byte codes (64x smaller than float32
+    payloads), asymmetric-distance candidate pool, exact-cosine rerank.
+    The oracle unrolls the subspace fits as CTEs and replays encode ->
+    ADC -> pool -> rerank bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return S.pq_adc_topk(queries, emb.select("vec_id", "embedding"), k=K, rerank=PQ_RERANK)
+
+
 # -- retrieval-quality report (recall@k vs exact ground truth) -------------
 #
 # Correctness rows for the ANN queries prove DETERMINISM (the same
@@ -589,6 +685,7 @@ _RECALL_METHODS = (
     ("ivf_kmeans", ANN_KMEANS_ORACLE),
     ("sq8_rerank", ANN_SQ8_ORACLE),
     ("hyperplane", ANN_HYPERPLANE_ORACLE),
+    ("pq_adc", ANN_PQ_ORACLE),
 )
 
 ANN_RECALL_ORACLE = (
@@ -625,6 +722,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ivf_kmeans": ann_ivf_kmeans_topk,
         "sq8_rerank": ann_sq8_topk,
         "hyperplane": ann_hyperplane_topk,
+        "pq_adc": ann_pq_topk,
     }
     approx = None
     for name, fn in fns.items():

@@ -846,9 +846,10 @@ def test_ann_recall_bounds(spark):
     from actyxos_data_flow_spark.plans.similarity import ann_recall_report
 
     got = {r["method"]: r["recall_at_k"] for r in ann_recall_report(spark, "/root/testdata/sf0.001").collect()}
-    assert set(got) == {"ivf_nprobe1", "ivf_nprobe3", "ivf_kmeans", "sq8_rerank", "hyperplane"}
+    assert set(got) == {"ivf_nprobe1", "ivf_nprobe3", "ivf_kmeans", "sq8_rerank", "hyperplane", "pq_adc"}
     assert got["ivf_kmeans"] >= 0.2  # trained quantizer, nprobe=2 floor
     assert got["sq8_rerank"] >= 0.9  # quantize+rerank ≈ exact (1.0 here)
+    assert got["pq_adc"] >= 0.5  # m-byte codes + 3x rerank pool floor
     assert got["ivf_nprobe3"] >= got["ivf_nprobe1"]  # more probes, more recall
     assert got["ivf_nprobe3"] >= 0.25  # loose floor: sf0.001 cells are coarse
     assert got["hyperplane"] >= 0.3  # 16-plane LSH floor
@@ -926,3 +927,36 @@ def test_hyperplane_edit_delta_apply_invariant(spark):
     }
     assert applied == new_pairs
     assert any(m == -1 for m in delta.values()) and any(m == 1 for m in delta.values())
+
+
+def test_pq_fit_encode_properties(spark):
+    """PQ codebooks/codes: m tinyint codes per vector (the dim/m
+    compression), every code in [0, ksub), encoding is deterministic
+    under repartitioning, and a vector equal to a seed vector encodes
+    to that seed's codewords after 0 refinement passes."""
+    from actyxos_data_flow_spark.operators.similarity import pq_encode, pq_fit
+
+    rows = [(i, [float((i * 7 + d * 3) % 11) - 5.0 for d in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    books = pq_fit(df, m=2, ksub=4, iters=1)
+    assert len(books) == 2 and all(len(b) == 4 for b in books)
+    assert all(len(cw) == 4 for b in books for cw in b)
+
+    codes = pq_encode(df, books)
+    assert dict(codes.dtypes)["pq_codes"] == "array<tinyint>"
+    got = {r["vec_id"]: list(r["pq_codes"]) for r in codes.collect()}
+    assert all(len(c) == 2 and all(0 <= x < 4 for x in c) for c in got.values())
+
+    # determinism under physical layout changes
+    got2 = {
+        r["vec_id"]: list(r["pq_codes"])
+        for r in pq_encode(df.repartition(7), books).collect()
+    }
+    assert got == got2
+
+    # iters=0: seed vector j encodes to (j, j) exactly (zero distance)
+    books0 = pq_fit(df, m=2, ksub=4, iters=0)
+    g0 = {r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(df, books0).collect()}
+    for j in range(4):
+        assert g0[j] == [j, j]
