@@ -62,9 +62,13 @@ _PRIORITY: tuple[str, ...] = (
     # CBOR payload codec
     "cbor_props_stats",
     # dedup back catalog
+    # (dedup_containment rotated to the unranked tail for the
+    # retrieval rows; 7 dedup rows remain in the prefix)
     "dedup_editdistance", "dedup_clusters_star",
-    "dedup_clusters_delta", "dedup_containment", "dedup_tfidf_cosine",
+    "dedup_clusters_delta", "dedup_tfidf_cosine",
     "dedup_span_mask", "dedup_minhash_delta_pairs", "dedup_embedding_lsh",
+    # inverted-index retrieval (new family: postings + BM25)
+    "index_postings_stats", "bm25_search_topk",
     # similarity / ANN back catalog
     "ann_sq8_topk", "ann_pq_topk", "ann_ivf_nprobe_topk", "ann_ivf_kmeans_topk",
     "ann_hard_negatives", "kmeans_cells", "embedding_centroid_outliers",
@@ -79,8 +83,9 @@ _PRIORITY: tuple[str, ...] = (
     "text_pmi_collocations", "text_lm_score",
     "text_vocab_coverage", "chunk_documents", "pack_curriculum_bins",
     "sample_stratified_docs", "corpus_split_assign",
-    # multimodal (real-codec round-trips) + composite + skew
-    "mm_audio_rms", "mm_wav_meta", "mm_phash", "mm_phash_pairs",
+    # multimodal (real-codec round-trips; mm_wav_meta rotated to the
+    # tail — mm_audio_rms covers the WAV decode path) + composite + skew
+    "mm_audio_rms", "mm_phash", "mm_phash_pairs",
     "pipeline_training_batches", "skew_salted_distinct",
 )
 
@@ -100,6 +105,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import temporal  # noqa: F401
     from . import profile  # noqa: F401
     from . import bpe  # noqa: F401
+    from . import retrieval  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

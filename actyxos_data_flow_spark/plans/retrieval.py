@@ -1,0 +1,107 @@
+"""Inverted-index retrieval queries (postings stats + BM25 search) over
+the ``documents`` table, each with a DuckDB oracle that rebuilds the
+index and replays the scoring with the same rounding/decimal-sum
+contract (see operators/retrieval.py docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import retrieval as R
+from ..sources import load_table
+from . import register
+
+TOP_TERMS = 20
+BM25_K = 10
+BM25_TERMS = ("vector", "hash", "merge", "scan")
+
+# shared tokenize/postings CTEs — tokenizer identical to the Spark side:
+# lower, split on one space, drop empties, NULL text -> zero tokens
+_IDX_CTE = """
+itok AS (
+  SELECT doc_id, t AS term FROM (
+    SELECT doc_id, unnest(string_split(lower(coalesce(text, '')), ' ')) AS t
+    FROM documents
+  ) WHERE t <> ''
+),
+ipost AS (SELECT term, doc_id, count(*) AS tf FROM itok GROUP BY 1, 2),
+idl AS (
+  SELECT doc_id,
+         len(list_filter(string_split(lower(coalesce(text, '')), ' '), t -> t <> '')) AS dl
+  FROM documents
+),
+"""
+
+POSTINGS_STATS_ORACLE = (
+    "WITH "
+    + _IDX_CTE
+    + f"""
+inn AS (SELECT count(*) AS n FROM documents),
+ipt AS (SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS cf FROM ipost GROUP BY 1),
+ir AS (
+  SELECT term, df, cf,
+         round(ln((inn.n - df + 0.5) / (df + 0.5) + 1), 6) AS idf,
+         row_number() OVER (ORDER BY df DESC, term ASC) AS rank
+  FROM ipt, inn
+)
+SELECT term, df, cf, idf, rank FROM ir WHERE rank <= {TOP_TERMS}
+"""
+)
+
+
+@register("index_postings_stats", oracle=POSTINGS_STATS_ORACLE)
+def index_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build + health report: top-20 terms by document
+    frequency with df, collection frequency, and 6dp BM25 idf. The
+    postings aggregate is the one corpus-sized stage (map-side combined
+    explode + hash agg); everything after is vocabulary-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    return R.postings_stats(docs, top=TOP_TERMS)
+
+
+_K1 = R.BM25_K1
+_B = R.BM25_B
+
+BM25_ORACLE = (
+    "WITH "
+    + _IDX_CTE
+    + f"""
+bqt AS (SELECT unnest({list(BM25_TERMS)!r}) AS term),
+bqp AS (SELECT p.term, p.doc_id, p.tf FROM ipost p JOIN bqt USING (term)),
+bst AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM idl) AS sumdl),
+bdf AS (SELECT term, count(*) AS df FROM bqp GROUP BY 1),
+bidf AS (
+  SELECT term, round(ln((bst.n - df + 0.5) / (df + 0.5) + 1), 6) AS idf
+  FROM bdf, bst
+),
+bcon AS (
+  SELECT q.doc_id,
+         CAST(round(i.idf * q.tf::DOUBLE * {_K1 + 1.0!r}
+                    / (q.tf + {_K1!r} * ({1.0 - _B!r} + {_B!r}
+                       * (d.dl::DOUBLE * bst.n / bst.sumdl))), 6)
+              AS DECIMAL(18,6)) AS c
+  FROM bqp q JOIN bidf i USING (term) JOIN idl d USING (doc_id), bst
+),
+bsc AS (SELECT doc_id, sum(c) AS s, count(*) AS n_terms FROM bcon GROUP BY 1),
+br AS (
+  SELECT doc_id, s, n_terms,
+         row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
+  FROM bsc
+)
+SELECT doc_id, rank, CAST(s AS DOUBLE) AS bm25, CAST(n_terms AS BIGINT) AS n_terms
+FROM br WHERE rank <= {BM25_K}
+"""
+)
+
+
+@register("bm25_search_topk", oracle=BM25_ORACLE)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for the bag-of-terms query
+    {terms}: Lucene-variant idf (6dp), exact dl·N/Σdl length
+    normalizer, DECIMAL-exact contribution sum, ties on doc_id. The
+    oracle rebuilds the index and replays scoring bit-for-bit.""".format(
+        terms=BM25_TERMS
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    return R.bm25_topk(docs, list(BM25_TERMS), k=BM25_K)

@@ -960,3 +960,53 @@ def test_pq_fit_encode_properties(spark):
     g0 = {r["vec_id"]: list(r["pq_codes"]) for r in pq_encode(df, books0).collect()}
     for j in range(4):
         assert g0[j] == [j, j]
+
+
+def test_bm25_hand_computed(spark):
+    """BM25 on a 3-doc corpus against hand-derived scores: the doc with
+    more query-term occurrences and shorter length ranks first; docs
+    without any query term are absent; n_terms counts matched terms."""
+    import math
+
+    rows = [
+        (1, "cat dog cat"),
+        (2, "cat mouse mouse mouse"),
+        (3, "bird bird"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from actyxos_data_flow_spark.operators.retrieval import bm25_topk
+
+    got = {r["doc_id"]: r for r in bm25_topk(docs, ["cat", "dog"], k=3).collect()}
+    assert set(got) == {1, 2}  # doc 3 matches nothing
+    assert got[1]["rank"] == 1 and got[2]["rank"] == 2
+    assert got[1]["n_terms"] == 2 and got[2]["n_terms"] == 1
+
+    # replicate doc 1's score: N=3, avgdl = 9/3 = 3, dl=3 -> dl/avgdl = 1
+    # (HALF_UP 6dp rounding, matching Spark's round(); Python round()
+    # is banker's and can differ by 1e-6)
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):
+        return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+    k1, b = 1.2, 0.75
+    def idf(df):
+        return r6(math.log((3 - df + 0.5) / (df + 0.5) + 1))
+    def term(tf, idf6):
+        return r6(idf6 * tf * (k1 + 1) / (tf + k1 * (1 - b + b * 1.0)))
+    expect = term(2, idf(2)) + term(1, idf(1))  # cat tf=2 (df=2), dog tf=1 (df=1)
+    assert abs(got[1]["bm25"] - expect) < 1e-9
+
+
+def test_bm25_null_and_empty_text(spark):
+    """NULL/empty text contributes dl=0 rows (still counted in N and
+    avgdl) and never crashes the tokenizer."""
+    rows = [(1, "cat cat"), (2, None), (3, "")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from actyxos_data_flow_spark.operators.retrieval import bm25_topk, build_postings
+
+    _, doclen = build_postings(docs)
+    dls = {r["doc_id"]: r["dl"] for r in doclen.collect()}
+    assert dls == {1: 2, 2: 0, 3: 0}
+    out = bm25_topk(docs, ["cat"], k=5).collect()
+    assert len(out) == 1 and out[0]["doc_id"] == 1

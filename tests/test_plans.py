@@ -397,3 +397,22 @@ def test_bucketed_mirror_is_idempotent(spark):
     assert spark.catalog.tableExists(name)
     b = ensure_bucketed(spark, SF, "customer", ("c_custkey",))
     assert a.count() == b.count() == load_table(spark, SF, "customer").count()
+
+
+def test_bm25_takeordered_not_global_window(spark, registry):
+    """Retrieval top-k must be TakeOrderedAndProject (distributed
+    partial top-k) — the rank window runs only over the k-row limited
+    set, never a single-partition sort of the scored/vocab set."""
+    for name in ("bm25_search_topk", "index_postings_stats"):
+        plan = _plan(registry[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_pq_scored_scan_no_corpus_shuffle(spark, registry):
+    """PQ-ADC candidate scoring: the corpus-side scan feeds the window
+    prune without an Exchange below the per-partition top-R (queries
+    broadcast; only pruned survivors shuffle)."""
+    plan = _plan(registry["ann_pq_topk"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
