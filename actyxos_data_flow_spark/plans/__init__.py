@@ -57,8 +57,9 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_vocab", "pipeline_bpe_batches",
     # --- never-driver-graded below (driver artifact coverage rotation) ---
     # TPC-H back catalog
+    # (q20 rotated to the tail for the layout rows; q2/q9/q11/q21 stay)
     "q2_best_supplier", "q9_product_profit", "q11_important_stock",
-    "q20_excess_suppliers", "q21_suppliers_waiting",
+    "q21_suppliers_waiting",
     # CBOR payload codec
     "cbor_props_stats",
     # dedup back catalog
@@ -71,7 +72,10 @@ _PRIORITY: tuple[str, ...] = (
     "index_postings_stats", "bm25_search_topk",
     # similarity / ANN back catalog
     "ann_sq8_topk", "ann_pq_topk", "ann_ivf_nprobe_topk", "ann_ivf_kmeans_topk",
-    "ann_hard_negatives", "kmeans_cells", "embedding_centroid_outliers",
+    "ann_hard_negatives", "kmeans_cells",
+    # z-order layout (new family: Morton bins + prune report;
+    # embedding_centroid_outliers rotated to the tail)
+    "layout_zorder_bins", "layout_zorder_prune",
     # text / sampling / packing back catalog (text_normalize,
     # text_scrub_pii, sample_quality_weighted, class_weights_by_lang,
     # corpus_health_by_source rotated out to the unranked tail to make room for the round-4
@@ -106,6 +110,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import profile  # noqa: F401
     from . import bpe  # noqa: F401
     from . import retrieval  # noqa: F401
+    from . import layout  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

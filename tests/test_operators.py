@@ -1010,3 +1010,34 @@ def test_bm25_null_and_empty_text(spark):
     assert dls == {1: 2, 2: 0, 3: 0}
     out = bm25_topk(docs, ["cat"], k=5).collect()
     assert len(out) == 1 and out[0]["doc_id"] == 1
+
+
+def test_zorder_key_locality_and_determinism(spark):
+    """Morton keys: integer-exact, layout-independent, and local — a
+    rectangle predicate's rows concentrate in few bins, the property
+    that makes min/max file-skipping work on both dimensions."""
+    from actyxos_data_flow_spark.operators.layout import zorder_key, zorder_prune_report
+
+    rows = [(a, b) for a in range(0, 64) for b in range(0, 64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    keyed = {(r["a"], r["b"]): r["zkey"] for r in zorder_key(df, "a", "b", bits=6).collect()}
+    # bijective on a full 6-bit grid, range exactly [0, 4096)
+    assert len(set(keyed.values())) == 64 * 64
+    assert min(keyed.values()) == 0 and max(keyed.values()) == 4095
+    # interleave pins the origin and the corners
+    assert keyed[(0, 0)] == 0 and keyed[(63, 63)] == 4095
+    # determinism under physical layout
+    keyed2 = {
+        (r["a"], r["b"]): r["zkey"]
+        for r in zorder_key(df.repartition(13), "a", "b", bits=6).collect()
+    }
+    assert keyed == keyed2
+
+    # pruning: a 16x16 rectangle in a 64x64 grid must scan a small
+    # fraction of the 64 bins (z-order locality), and scanned >= matched
+    rep = zorder_prune_report(df, "a", "b", 16, 31, 16, 31, bits=6, bin_bits=6).collect()[0]
+    assert rep["total_bins"] == 64
+    assert rep["matched_rows"] == 256
+    assert rep["scanned_rows"] >= rep["matched_rows"]
+    assert rep["hit_bins"] <= 16  # rectangle touches few z-regions
+    assert rep["scan_fraction"] <= 0.3

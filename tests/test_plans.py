@@ -416,3 +416,12 @@ def test_pq_scored_scan_no_corpus_shuffle(spark, registry):
     plan = _plan(registry["ann_pq_topk"].fn(spark, SF))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_zorder_projection_shape(spark, registry):
+    """The Morton key is a projection over one scan with the bounds
+    broadcast — no cartesian, no corpus self-join, one aggregate
+    exchange for the bin stats."""
+    plan = _plan(registry["layout_zorder_bins"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
