@@ -1,0 +1,134 @@
+"""Distributed training of a quality/language classifier — full-batch
+logistic regression by gradient descent, every pass one Spark job.
+
+LLM data pipelines filter with small linear classifiers (the
+fastText-style quality filter: seed labels + cheap features). Beyond
+APPLYING such a model, an engine at 100 TB must TRAIN it distributed:
+each gradient-descent pass here is one scan + a model-sized aggregate —
+the corpus never shuffles; only the (n_features+1)-element gradient
+crosses the driver between passes, exactly the kmeans_fit topology.
+
+Determinism contract (the whole fit replays as unrolled SQL CTEs):
+
+- features are 6dp-rounded ratios (deterministic single-op arithmetic);
+- sigmoid rounds to 7dp (``exp`` ulp across engines — same convention
+  as the ln-based scores elsewhere);
+- per-doc gradient contributions round to 7dp and sum as
+  DECIMAL(20,7) — exact, association-free — then one double division
+  by N;
+- weights update in plain IEEE doubles (w + lr·g, identical on both
+  engines); no RNG anywhere (zero init).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+LR = 1.0  # learning rate
+GD_ITERS = 3  # full-batch passes
+
+# feature names in vector order; x0 is the bias term
+FEATURES = ("bias", "len_sat", "stop_ratio", "distinct_ratio", "wlen_scaled")
+
+
+def feature_vector(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(id, y, x array<double>): 6dp-rounded quality features + English
+    weak label (lang = 'en' — the seed-set stand-in). Zero-token docs
+    are excluded (their ratios are undefined). One projection, no
+    shuffle."""
+    from .text import LANG_STOPWORDS, with_tokens
+
+    t = with_tokens(docs, text_col).filter(F.size("tokens") > 0)  # drops NULL text
+    n_tok = F.size("tokens").cast("double")
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter("tokens", lambda x: F.array_contains(en, x))).cast("double")
+    mean_wlen = (F.length(text_col).cast("double") - (n_tok - 1)) / n_tok
+    x = F.array(
+        F.lit(1.0),
+        F.round(F.least(n_tok / F.lit(100.0), F.lit(1.0)), 6),
+        F.round(stop_hits / n_tok, 6),
+        F.round(F.size(F.array_distinct("tokens")).cast("double") / n_tok, 6),
+        F.round(mean_wlen / F.lit(10.0), 6),
+    )
+    y = F.when(F.col("lang") == "en", 1.0).otherwise(0.0)
+    return t.select(F.col(id_col), y.alias("y"), x.alias("x"))
+
+
+def _sigmoid7(z: Column) -> Column:
+    """σ(round(z, 9)) rounded to 7dp: the 9dp pre-round absorbs dot-
+    product association ulps, the 7dp post-round absorbs exp() ulps —
+    both engines then rank/aggregate identical probabilities."""
+    z9 = F.round(z, 9)
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z9)), 7)
+
+
+def _dot_w(w: list[float]) -> Column:
+    """w·x as a folded-literal zip product (same shape as the ANN
+    kernels: plan size O(dot), model enters as one literal)."""
+    wl = F.from_json(F.lit(str(list(w))), "array<double>")
+    return F.aggregate(
+        F.zip_with(F.col("x"), wl, lambda xi, wi: xi * wi),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def logreg_fit(
+    feats: DataFrame, lr: float = LR, iters: int = GD_ITERS
+) -> list[list[float]]:
+    """Full-batch GD from zero init; returns the weight vector after
+    each pass (``weights[i]`` = after pass i+1), so callers can expose
+    the training trajectory. Each pass: one scan, p = σ(w·x) rounded
+    7dp, per-feature gradient mean via posexplode + DECIMAL-exact sum
+    (a model-sized aggregate — n_features×tasks partials, never the
+    corpus), one driver-side w += lr·g."""
+    n_feat = len(FEATURES)
+    w = [0.0] * n_feat
+    out: list[list[float]] = []
+    for _ in range(iters):
+        resid = feats.select(
+            (F.col("y") - _sigmoid7(_dot_w(w))).alias("_r"), "x"
+        )
+        g = resid.select(F.posexplode("x").alias("j", "xj"), "_r").groupBy("j").agg(
+            (
+                F.sum(
+                    F.expr("CAST(round(_r * xj, 7) AS DECIMAL(20,7))")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("g")
+        )
+        grad = {int(r["j"]): float(r["g"]) for r in g.collect()}
+        w = [w[j] + lr * grad[j] for j in range(n_feat)]
+        out.append(list(w))
+    return out
+
+
+def logreg_metrics(feats: DataFrame, w: list[float]) -> DataFrame:
+    """Training metrics for one weight vector: accuracy at p ≥ 0.5 and
+    6dp mean predicted probability per true class — one model-sized
+    aggregate. Output: (n_docs, accuracy, mean_p_pos, mean_p_neg)."""
+    p = _sigmoid7(_dot_w(w))
+    scored = feats.select("y", p.alias("p"))
+    correct = F.when(
+        ((F.col("p") >= 0.5) & (F.col("y") == 1.0))
+        | ((F.col("p") < 0.5) & (F.col("y") == 0.0)),
+        1,
+    ).otherwise(0)
+    dec = lambda c: F.sum(F.expr(f"CAST(round({c}, 7) AS DECIMAL(20,7))"))  # noqa: E731
+    return scored.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.sum(correct).cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
+        F.round(
+            dec("CASE WHEN y = 1.0 THEN p END").cast("double")
+            / F.sum(F.when(F.col("y") == 1.0, 1)),
+            6,
+        ).alias("mean_p_pos"),
+        F.round(
+            dec("CASE WHEN y = 0.0 THEN p END").cast("double")
+            / F.sum(F.when(F.col("y") == 0.0, 1)),
+            6,
+        ).alias("mean_p_neg"),
+    )

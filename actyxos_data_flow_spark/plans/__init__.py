@@ -83,10 +83,13 @@ _PRIORITY: tuple[str, ...] = (
     # and the full-registry replica still covers them)
     # (text_lm_score_bigram rotated to the unranked tail to keep the
     # prefix at 50 after ann_pq_topk joined; text_lm_score stays)
-    "text_repetition_stats",
-    "text_pmi_collocations", "text_lm_score",
+    # (text_pmi_collocations and corpus_split_assign rotated to the
+    # tail for the classifier rows; their families keep rows here)
+    "text_repetition_stats", "text_lm_score",
     "text_vocab_coverage", "chunk_documents", "pack_curriculum_bins",
-    "sample_stratified_docs", "corpus_split_assign",
+    "sample_stratified_docs",
+    # distributed-trained quality classifier (new family)
+    "quality_classifier_fit", "quality_classifier_metrics",
     # multimodal (real-codec round-trips; mm_wav_meta rotated to the
     # tail — mm_audio_rms covers the WAV decode path) + composite + skew
     "mm_audio_rms", "mm_phash", "mm_phash_pairs",
@@ -111,6 +114,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import bpe  # noqa: F401
     from . import retrieval  # noqa: F401
     from . import layout  # noqa: F401
+    from . import classifier  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

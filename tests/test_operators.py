@@ -1041,3 +1041,46 @@ def test_zorder_key_locality_and_determinism(spark):
     assert rep["scanned_rows"] >= rep["matched_rows"]
     assert rep["hit_bins"] <= 16  # rectangle touches few z-regions
     assert rep["scan_fraction"] <= 0.3
+
+
+def test_logreg_learns_separable_labels(spark):
+    """The distributed GD trainer must actually LEARN when the label is
+    learnable: English-stopword-rich docs labeled via lang='en' vs
+    stopword-free docs — after 3 passes accuracy is high and the
+    predicted probabilities separate the classes."""
+    from actyxos_data_flow_spark.operators.classifier import (
+        feature_vector,
+        logreg_fit,
+        logreg_metrics,
+    )
+
+    en = [(i, "the cat is in the hat and the dog is a friend of the bird", "en")
+          for i in range(20)]
+    xx = [(100 + i, "zyx wvu tsr qpo nml kji hgf edc ba zz yy xx ww vv uu tt", "xx")
+          for i in range(20)]
+    docs = spark.createDataFrame(en + xx, "doc_id long, text string, lang string")
+    feats = feature_vector(docs).persist()
+    traj = logreg_fit(feats)
+    assert len(traj) == 3 and all(len(w) == 5 for w in traj)
+    # stop_ratio (index 2) must carry positive weight — it's the signal
+    assert traj[-1][2] > 0
+    m = logreg_metrics(feats, traj[-1]).collect()[0]
+    assert m["n_docs"] == 40
+    assert m["accuracy"] >= 0.95
+    assert m["mean_p_pos"] > m["mean_p_neg"] + 0.05  # 3 passes, lr=1: clear but early separation
+    feats.unpersist()
+
+
+def test_logreg_deterministic_under_repartition(spark):
+    """Weight trajectories are bit-identical regardless of physical
+    layout (decimal-exact gradient sums; rounded sigmoid)."""
+    from actyxos_data_flow_spark.operators.classifier import feature_vector, logreg_fit
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} the and is of to {'x' * (i % 7)}", "en" if i % 3 == 0 else "de")
+         for i in range(30)],
+        "doc_id long, text string, lang string",
+    )
+    t1 = logreg_fit(feature_vector(docs))
+    t2 = logreg_fit(feature_vector(docs.repartition(11)))
+    assert t1 == t2
