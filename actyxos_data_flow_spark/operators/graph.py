@@ -1,0 +1,106 @@
+"""Iterative graph analytics beyond connected components: PageRank as
+pure DataFrame iterations.
+
+Dedup clustering (operators/dedup.py) already walks similarity graphs;
+PageRank generalizes that to weighted-importance propagation — in a
+data pipeline it ranks documents by how central they are in the
+near-dup/citation/link graph (centrality-weighted sampling, picking
+cluster representatives, spam sinks score low). The shape is the
+canonical MapReduce PageRank:
+
+    pr_{t+1}(v) = (1−d)/N + d · Σ_{u→v} pr_t(u) / outdeg(u)
+
+Each iteration is ONE job: edges join ranks on src (both sides keyed
+by node id — at scale, co-partitioned so the join is shuffle-free
+after the first), contributions aggregate per dst. Dangling nodes
+(no out-edges) keep receiving the teleport term; their mass is
+redistributed uniformly, the standard correction.
+
+Determinism contract (for the unrolled-CTE oracle): per-edge
+contributions pr/outdeg round to 9dp and sum as DECIMAL(28,9) (exact,
+association-free); each new rank rounds to 9dp. Iterations are a
+small fixed count. No RNG.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85
+PR_ITERS = 3
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping: float = DAMPING,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """PageRank over a directed edge list (duplicate edges count once —
+    deduped up front). Returns (node, pr) for every node appearing as
+    src or dst, ranks rounded to 9dp.
+
+    Scale notes: ``nodes``/``outdeg`` are node-sized; each pass is
+    edges ⋈ ranks (equi-join on src) + one hash aggregate on dst —
+    partial aggregation makes the shuffle carry per-task partials.
+    Persist the (deduped) edge list before calling; the rank table is
+    re-derived per pass so the lineage stays one join deep. Dangling
+    mass is computed as a 1-row aggregate and folded into the teleport
+    term (broadcast join)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+
+    # pr_0 = 1/N for every node
+    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", F.round(F.lit(1.0) / F.col("_n"), 9).alias("pr")
+    )
+    dec = "CAST(round(pr / deg, 9) AS DECIMAL(28,9))"
+    for _ in range(iters):
+        contrib = (
+            e.join(ranks.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), F.expr(dec).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").cast("double").alias("_in"))
+        )
+        # dangling mass: rank held by nodes with no out-edges
+        dang = (
+            ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
+            .agg(
+                F.sum(F.expr("CAST(round(pr, 9) AS DECIMAL(28,9))"))
+                .cast("double")
+                .alias("_dm")
+            )
+            .select(F.coalesce(F.col("_dm"), F.lit(0.0)).alias("_dm"))
+        )
+        base = (
+            nodes.crossJoin(F.broadcast(n_nodes))
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("_dm"))
+                    / F.col("_n")
+                ).alias("_base"),
+            )
+        )
+        ranks = (
+            base.join(contrib, "node", "left_outer")
+            .select(
+                "node",
+                F.round(
+                    F.col("_base")
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    9,
+                ).alias("pr"),
+            )
+        )
+    return ranks

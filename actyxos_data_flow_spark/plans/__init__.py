@@ -57,9 +57,11 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_vocab", "pipeline_bpe_batches",
     # --- never-driver-graded below (driver artifact coverage rotation) ---
     # TPC-H back catalog
-    # (q20 rotated to the tail for the layout rows; q2/q9/q11/q21 stay)
-    "q2_best_supplier", "q9_product_profit", "q11_important_stock",
+    # (q20, q11 rotated to the tail for the layout/graph rows)
+    "q2_best_supplier", "q9_product_profit",
     "q21_suppliers_waiting",
+    # PageRank (new family: iterative graph analytics)
+    "graph_pagerank_trade",
     # CBOR payload codec
     "cbor_props_stats",
     # dedup back catalog
@@ -115,6 +117,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import retrieval  # noqa: F401
     from . import layout  # noqa: F401
     from . import classifier  # noqa: F401
+    from . import graph  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

@@ -1,0 +1,101 @@
+"""PageRank query over the customer→supplier trade graph (orders ⋈
+lineitem), with an unrolled-iteration DuckDB oracle.
+
+Node encoding: customers = custkey·2, suppliers = suppkey·2 + 1 (the
+two key spaces overlap numerically). Suppliers have no out-edges, so
+the dangling-mass redistribution path is exercised on real data, not
+just in tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from ..operators import graph as G
+from ..sources import load_table
+from . import register
+
+PR_TOP = 20
+_D = G.DAMPING
+_T = 1.0 - G.DAMPING  # 0.15000000000000002 — repr'd into the SQL so
+# both engines fold the identical double
+
+
+def _pagerank_ctes(iters: int) -> tuple[str, str]:
+    """Unrolled PageRank iterations as CTEs; mirror of
+    operators/graph.pagerank (9dp contributions, DECIMAL(28,9) sums,
+    dangling mass folded into the teleport term). Returns (sql,
+    final_ranks_cte)."""
+    sql = """
+ge AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+gn AS (SELECT src AS node FROM ge UNION SELECT dst FROM ge),
+gd AS (SELECT src, count(*) AS deg FROM ge GROUP BY 1),
+gc AS (SELECT count(*) AS n FROM gn),
+gr0 AS (SELECT node, round(1.0 / gc.n, 9) AS pr FROM gn, gc)"""
+    prev = "gr0"
+    for i in range(1, iters + 1):
+        sql += f""",
+gin{i} AS (
+  SELECT e.dst AS node,
+         CAST(sum(CAST(round(r.pr / d.deg, 9) AS DECIMAL(28,9))) AS DOUBLE) AS cin
+  FROM ge e JOIN {prev} r ON r.node = e.src JOIN gd d ON d.src = e.src
+  GROUP BY e.dst
+),
+gdm{i} AS (
+  SELECT coalesce(CAST(sum(CAST(round(r.pr, 9) AS DECIMAL(28,9))) AS DOUBLE), 0.0) AS dm
+  FROM {prev} r LEFT JOIN gd d ON d.src = r.node WHERE d.src IS NULL
+),
+gr{i} AS (
+  SELECT n.node,
+         round(({_T!r} + {_D!r} * dm.dm) / gc.n
+               + {_D!r} * coalesce(i.cin, 0.0), 9) AS pr
+  FROM gn n CROSS JOIN gc CROSS JOIN gdm{i} dm
+  LEFT JOIN gin{i} i ON i.node = n.node
+)"""
+        prev = f"gr{i}"
+    return sql, prev
+
+
+_PR_SQL, _PR_FINAL = _pagerank_ctes(G.PR_ITERS)
+
+PAGERANK_ORACLE = (
+    "WITH "
+    + _PR_SQL
+    + f""",
+prr AS (
+  SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node ASC) AS rank
+  FROM {_PR_FINAL}
+)
+SELECT node, CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       pr, rank
+FROM prr WHERE rank <= {PR_TOP}
+"""
+)
+
+
+@register("graph_pagerank_trade", oracle=PAGERANK_ORACLE)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{top} PageRank nodes of the customer→supplier trade graph
+    after 3 damped iterations — importance propagation over a bipartite
+    edge list where every supplier is a dangling node. Each iteration
+    is one equi-join + one hash aggregate; the oracle unrolls the same
+    iterations as CTEs and hash-matches the 9dp ranks.""".format(top=PR_TOP)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+    ).persist()  # each PR pass rescans the edge list
+    ranks = G.pagerank(edges)
+    lim = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(PR_TOP)
+    w = W.orderBy(F.col("pr").desc(), F.col("node").asc())
+    kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    return lim.withColumn("rank", F.row_number().over(w)).select(
+        "node", kind.alias("kind"), "pr", "rank"
+    )

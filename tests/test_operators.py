@@ -1084,3 +1084,31 @@ def test_logreg_deterministic_under_repartition(spark):
     t1 = logreg_fit(feature_vector(docs))
     t2 = logreg_fit(feature_vector(docs.repartition(11)))
     assert t1 == t2
+
+
+def test_pagerank_properties(spark):
+    """PageRank invariants on a hand-built graph: ranks sum to ~1
+    (dangling mass redistributed), a node cited by everyone outranks
+    the rest, and the fit is layout-deterministic."""
+    from actyxos_data_flow_spark.operators.graph import pagerank
+
+    # star: 1,2,3 all point at 4; 4 points nowhere (dangling); 5 isolated-ish
+    edges = spark.createDataFrame(
+        [(1, 4), (2, 4), (3, 4), (5, 1)], "src long, dst long"
+    )
+    pr = {r["node"]: r["pr"] for r in pagerank(edges, iters=3).collect()}
+    assert set(pr) == {1, 2, 3, 4, 5}
+    assert abs(sum(pr.values()) - 1.0) < 1e-6  # mass conserved
+    assert pr[4] == max(pr.values())  # the hub wins
+    assert pr[5] == min(pr.values())  # nothing points at 5
+
+    pr2 = {
+        r["node"]: r["pr"]
+        for r in pagerank(edges.repartition(7), iters=3).collect()
+    }
+    assert pr == pr2
+
+    # duplicate edges must not double-count
+    dup = edges.unionByName(spark.createDataFrame([(1, 4)], "src long, dst long"))
+    pr3 = {r["node"]: r["pr"] for r in pagerank(dup, iters=3).collect()}
+    assert pr3 == pr
