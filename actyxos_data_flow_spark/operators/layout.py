@@ -156,3 +156,30 @@ def zorder_prune_report(
             "scan_fraction"
         ),
     )
+
+
+def zorder_write(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    bits: int = Z_BITS,
+    mode: str = "overwrite",
+) -> None:
+    """The physical re-layout: range-partition on the Morton key into
+    ``n_files`` write tasks, sort within each, drop the key, write
+    parquet. Each output file then covers a contiguous zkey range — a
+    small (a, b) bounding rectangle — so its parquet footer min/max on
+    BOTH columns enables the pruning :func:`zorder_prune_report`
+    simulates (Spark's own parquet filter pushdown does the skipping at
+    read time). This is the standard ``OPTIMIZE ZORDER BY`` compaction
+    job: one range shuffle, nothing else."""
+    keyed = zorder_key(df, col_a, col_b, bits)
+    (
+        keyed.repartitionByRange(n_files, F.col("zkey"))
+        .sortWithinPartitions("zkey")
+        .drop("zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

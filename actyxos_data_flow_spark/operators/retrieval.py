@@ -103,7 +103,26 @@ def bm25_topk(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """BM25 top-k documents for a bag-of-terms query.
+    """BM25 top-k documents for a bag-of-terms query, index built
+    in-flight from ``docs`` — see :func:`bm25_from_index` for the
+    scoring contract (this is the one-shot convenience; an
+    incrementally-maintained index scores identically because tf is
+    doc-local and df/N/Σdl are query-time aggregates)."""
+    postings, doclen = build_postings(docs, id_col, text_col)
+    return bm25_from_index(postings, doclen, terms, k=k, k1=k1, b=b, id_col=id_col)
+
+
+def bm25_from_index(
+    postings: DataFrame,
+    doclen: DataFrame,
+    terms: list[str],
+    k: int = 10,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 top-k over a prebuilt (possibly incrementally-maintained)
+    inverted index: ``postings(term, id, tf)`` + ``doclen(id, dl)``.
 
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
     with idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1) (the Lucene
@@ -117,7 +136,6 @@ def bm25_topk(
     aggregation, so everything downstream of the index scan is
     O(Σ df(query terms)); N/Σdl is a 1-row broadcast; final top-k is a
     TakeOrdered over the (small) scored set."""
-    postings, doclen = build_postings(docs, id_col, text_col)
     qpost = postings.filter(F.col("term").isin([t.lower() for t in terms]))
     stats = doclen.agg(
         F.count(F.lit(1)).alias("_n"), F.sum("dl").alias("_sumdl")

@@ -76,7 +76,7 @@ FROM prr WHERE rank <= {PR_TOP}
 )
 
 
-@register("graph_pagerank_trade", oracle=PAGERANK_ORACLE)
+@register("graph_pagerank_trade", oracle=PAGERANK_ORACLE, bench=True)
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{top} PageRank nodes of the customer→supplier trade graph
     after 3 damped iterations — importance propagation over a bipartite

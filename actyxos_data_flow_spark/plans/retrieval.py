@@ -95,7 +95,7 @@ FROM br WHERE rank <= {BM25_K}
 )
 
 
-@register("bm25_search_topk", oracle=BM25_ORACLE)
+@register("bm25_search_topk", oracle=BM25_ORACLE, bench=True)
 def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 top-10 documents for the bag-of-terms query
     {terms}: Lucene-variant idf (6dp), exact dl·N/Σdl length

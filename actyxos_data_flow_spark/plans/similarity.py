@@ -655,7 +655,7 @@ p AS (SELECT c.qid, e.vec_id, q.qe, e.embedding
 )
 
 
-@register("ann_pq_topk", oracle=ANN_PQ_ORACLE)
+@register("ann_pq_topk", oracle=ANN_PQ_ORACLE, bench=True)
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ-ADC ANN: per-subspace k-means codebooks (m=4, ksub=16, 1 Lloyd
     pass over smallest-id init), m-byte codes (64x smaller than float32

@@ -75,12 +75,16 @@ class CorpusIngestor:
         num_hashes: int = 8,
         band_size: int = 2,
         sim_threshold: float = 0.5,
+        postings: bool = False,
     ) -> None:
         self.spark = spark
         self.docs_path = os.path.join(corpus_dir, "docs")
         self.index_path = os.path.join(corpus_dir, "digests")
         self.sigs_path = os.path.join(corpus_dir, "sigs")
         self.clusters_path = os.path.join(corpus_dir, "clusters")
+        self.postings_flag = postings
+        self.postings_path = os.path.join(corpus_dir, "postings")
+        self.doclen_path = os.path.join(corpus_dir, "doclens")
         self.quality_min = quality_min
         self.id_col = id_col
         self.text_col = text_col
@@ -270,6 +274,23 @@ class CorpusIngestor:
                 out.drop("digest").write.mode("append").parquet(self.docs_path)
                 if sigs is not None:
                     sigs.write.mode("append").parquet(self.sigs_path)
+                if self.postings_flag:
+                    # Inverted-index maintenance is embarrassingly
+                    # incremental: tf is doc-local, so the batch's
+                    # postings/doclens just append; df, N, Σdl are
+                    # query-time aggregates over the merged index
+                    # (bm25_from_index), so the maintained index scores
+                    # EXACTLY like a from-scratch rebuild — invariant
+                    # pinned in tests/test_streaming.py. Same
+                    # at-least-once posture as the corpus append
+                    # (commits before the digest admission gate).
+                    from ..operators.retrieval import build_postings
+
+                    post, dl = build_postings(
+                        out.drop("digest"), self.id_col, self.text_col
+                    )
+                    post.write.mode("append").parquet(self.postings_path)
+                    dl.write.mode("append").parquet(self.doclen_path)
             if pre_gate is not None and pre_gate.limit(1).count():
                 self._maintain_clusters(pre_gate, near)
             if accepted:
@@ -286,6 +307,23 @@ class CorpusIngestor:
 
     def corpus(self) -> DataFrame:
         return self.spark.read.parquet(self.docs_path)
+
+    def postings(self) -> DataFrame:
+        """The incrementally-maintained inverted index (term, id, tf)."""
+        return self._read_or_empty(
+            self.postings_path, f"term string, {self.id_col} long, tf long"
+        )
+
+    def doclens(self) -> DataFrame:
+        return self._read_or_empty(self.doclen_path, f"{self.id_col} long, dl int")
+
+    def search(self, terms: list[str], k: int = 10) -> DataFrame:
+        """BM25 over the maintained index — identical results to a
+        from-scratch index over ``corpus()`` (tf is doc-local; df/N/Σdl
+        aggregate at query time)."""
+        from ..operators.retrieval import bm25_from_index
+
+        return bm25_from_index(self.postings(), self.doclens(), terms, k=k, id_col=self.id_col)
 
 
 def run_ingest_stream(

@@ -1112,3 +1112,40 @@ def test_pagerank_properties(spark):
     dup = edges.unionByName(spark.createDataFrame([(1, 4)], "src long, dst long"))
     pr3 = {r["node"]: r["pr"] for r in pagerank(dup, iters=3).collect()}
     assert pr3 == pr
+
+
+def test_zorder_write_file_rectangles(spark, tmp_path):
+    """The physical z-order write must land small per-file bounding
+    rectangles: every parquet file's (a, b) spans are a fraction of the
+    full domain, so footer min/max prunes on either column. Compare
+    against a row-major (sorted-by-a-only) layout where every file
+    spans the whole b domain."""
+    import glob
+
+    from actyxos_data_flow_spark.operators.layout import zorder_write
+
+    rows = [(a, b) for a in range(64) for b in range(64)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    zpath = str(tmp_path / "zordered")
+    zorder_write(df, zpath, "a", "b", n_files=16, bits=6)
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in glob.glob(zpath + "/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        mins = {"a": 1 << 60, "b": 1 << 60}
+        maxs = {"a": -1, "b": -1}
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                name = col.path_in_schema
+                if name in mins and col.statistics is not None:
+                    mins[name] = min(mins[name], col.statistics.min)
+                    maxs[name] = max(maxs[name], col.statistics.max)
+        spans.append((maxs["a"] - mins["a"], maxs["b"] - mins["b"]))
+    assert len(spans) >= 8  # the range partitioner actually split
+    # z-order: every file's rectangle is narrow in BOTH dims (≤ half
+    # the domain); a single-column sort would span b fully (63) in
+    # every file
+    assert all(sa <= 32 and sb <= 32 for sa, sb in spans), spans

@@ -772,3 +772,45 @@ def test_run_vector_ingest_stream_files(spark, tmp_path):
         for r in VectorIngestor(spark, str(tmp_path / "store"), dim=16).vectors().collect()
     )
     assert got == [1, 3]
+
+
+def test_ingest_maintains_inverted_index(spark, tmp_path):
+    """Postings maintained incrementally across ingest batches must
+    score IDENTICALLY to a from-scratch index over the final corpus
+    (tf is doc-local; df/N/Σdl aggregate at query time), including
+    after a cross-batch duplicate is gated out."""
+    from actyxos_data_flow_spark.operators.retrieval import bm25_topk, build_postings
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    b1 = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and the cat slept"),
+            (2, "dogs chase the cat around the big green yard"),
+        ],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [
+            (3, "the cat sat on the mat and the cat slept"),  # dup of 1 -> gated
+            (4, "a bird watches the cat from the old oak tree"),
+        ],
+        "doc_id long, text string",
+    )
+    s1 = ing.ingest_batch(b1)
+    s2 = ing.ingest_batch(b2)
+    assert s1["accepted"] == 2 and s2["accepted"] == 1
+
+    # maintained index == rebuilt index, row for row
+    rebuilt_post, rebuilt_dl = build_postings(ing.corpus())
+    assert sorted(map(tuple, ing.postings().collect())) == sorted(
+        map(tuple, rebuilt_post.collect())
+    )
+    assert sorted(map(tuple, ing.doclens().collect())) == sorted(
+        map(tuple, rebuilt_dl.collect())
+    )
+
+    # and search over it == one-shot bm25 over the corpus
+    maintained = sorted(map(tuple, ing.search(["cat", "mat"], k=5).collect()))
+    oneshot = sorted(map(tuple, bm25_topk(ing.corpus(), ["cat", "mat"], k=5).collect()))
+    assert maintained == oneshot and len(maintained) == 3
