@@ -45,11 +45,20 @@ def pagerank(
     Scale notes: ``nodes``/``outdeg`` are node-sized; each pass is
     edges ⋈ ranks (equi-join on src) + one hash aggregate on dst —
     partial aggregation makes the shuffle carry per-task partials.
-    Persist the (deduped) edge list before calling; the rank table is
-    re-derived per pass so the lineage stays one join deep. Dangling
-    mass is computed as a 1-row aggregate and folded into the teleport
-    term (broadcast join)."""
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    Persist the (deduped) edge list before calling. The rank table is
+    ``localCheckpoint``ed after every pass — like the connected-
+    components rounds, this CUTS the iterative lineage so pass i+1's
+    plan is one join deep instead of replaying every earlier pass
+    (without it the final plan is exponential in iterations: the
+    mechanized audit showed 154 Exchanges for 3 passes); swap in
+    ``checkpoint()`` on a real cluster. Dangling mass is a 1-row
+    aggregate folded into the teleport term (broadcast join)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()  # edge list + everything derived below is
+        # reused every pass; materialize once
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -102,5 +111,6 @@ def pagerank(
                     9,
                 ).alias("pr"),
             )
+            .localCheckpoint()  # cut the per-pass lineage (see docstring)
         )
     return ranks

@@ -47,6 +47,11 @@ SF1_QUERIES = (
     "dedup_span_mask",
     "decontaminate_bloom",
     "pipeline_bpe_batches",
+    # late round-4 families: index build + BM25 at 10x docs, PQ fit +
+    # ADC at 10x vectors, PageRank at 10x edges
+    "bm25_search_topk",
+    "ann_pq_topk",
+    "graph_pagerank_trade",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs")
 
