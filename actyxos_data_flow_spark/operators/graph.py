@@ -63,14 +63,18 @@ def pagerank(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
+        .localCheckpoint()  # reused every pass (base join) + final
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # N and the per-pass dangling mass are MODEL-SIZED scalars — collect
+    # them (1-row jobs) and fold as literals instead of broadcast-
+    # joining two 1-row frames per pass: same IEEE arithmetic (the
+    # scalar ops below mirror the oracle's expression order exactly),
+    # three fewer plan trees per iteration.
+    n = nodes.count()
 
     # pr_0 = 1/N for every node
-    ranks = nodes.crossJoin(F.broadcast(n_nodes)).select(
-        "node", F.round(F.lit(1.0) / F.col("_n"), 9).alias("pr")
-    )
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("pr"))
     dec = "CAST(round(pr / deg, 9) AS DECIMAL(28,9))"
     for _ in range(iters):
         contrib = (
@@ -81,32 +85,23 @@ def pagerank(
             .agg(F.sum("_c").cast("double").alias("_in"))
         )
         # dangling mass: rank held by nodes with no out-edges
-        dang = (
+        dm_row = (
             ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
             .agg(
                 F.sum(F.expr("CAST(round(pr, 9) AS DECIMAL(28,9))"))
                 .cast("double")
                 .alias("_dm")
             )
-            .select(F.coalesce(F.col("_dm"), F.lit(0.0)).alias("_dm"))
+            .first()
         )
-        base = (
-            nodes.crossJoin(F.broadcast(n_nodes))
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                (
-                    (F.lit(1.0 - damping) + F.lit(damping) * F.col("_dm"))
-                    / F.col("_n")
-                ).alias("_base"),
-            )
-        )
+        dm = float(dm_row["_dm"]) if dm_row["_dm"] is not None else 0.0
+        base = ((1.0 - damping) + damping * dm) / n  # matches oracle op order
         ranks = (
-            base.join(contrib, "node", "left_outer")
+            nodes.join(contrib, "node", "left_outer")
             .select(
                 "node",
                 F.round(
-                    F.col("_base")
+                    F.lit(base)
                     + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
                     9,
                 ).alias("pr"),

@@ -100,7 +100,7 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     at 1× and 10×."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SCRATCH, "_DONE")
+    marker = os.path.join(SCRATCH, "_DONE_v2")  # bump to regenerate (v2: +orders replica)
     if os.path.exists(marker):
         return
     main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
@@ -127,6 +127,15 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
         (F.col("l_orderkey") + F.col("_rep") * 100_000_000).alias("l_orderkey"),
         *[c for c in li.columns if c != "l_orderkey"],
     ).write.mode("overwrite").parquet(os.path.join(main, "lineitem.parquet"))
+    # orders, shifted in lockstep with lineitem's orderkey so the
+    # pagerank trade graph (orders ⋈ lineitem) still joins; custkeys
+    # shift too so the 10x graph has 10x customer nodes
+    orders = spark.read.parquet(os.path.join(base_dir, "orders.parquet"))
+    orders.crossJoin(reps).select(
+        (F.col("o_orderkey") + F.col("_rep") * 100_000_000).alias("o_orderkey"),
+        (F.col("o_custkey") + F.col("_rep") * 10_000_000).alias("o_custkey"),
+        *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+    ).coalesce(8).write.mode("overwrite").parquet(os.path.join(main, "orders.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
 
