@@ -88,7 +88,9 @@ _PRIORITY: tuple[str, ...] = (
     # (text_pmi_collocations and corpus_split_assign rotated to the
     # tail for the classifier rows; their families keep rows here)
     "text_repetition_stats", "text_lm_score",
-    "text_vocab_coverage", "chunk_documents", "pack_curriculum_bins",
+    "chunk_documents", "pack_curriculum_bins",
+    # count-min sketch (new family; text_vocab_coverage to the tail)
+    "cms_heavy_hitters",
     "sample_stratified_docs",
     # distributed-trained quality classifier (new family)
     "quality_classifier_fit", "quality_classifier_metrics",
@@ -118,6 +120,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import layout  # noqa: F401
     from . import classifier  # noqa: F401
     from . import graph  # noqa: F401
+    from . import cms  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

@@ -1149,3 +1149,30 @@ def test_zorder_write_file_rectangles(spark, tmp_path):
     # the domain); a single-column sort would span b fully (63) in
     # every file
     assert all(sa <= 32 and sb <= 32 for sa, sb in spans), spans
+
+
+def test_cms_never_underestimates(spark):
+    """Count-min invariant: est >= exact for EVERY item, equality when
+    no collisions; deterministic under repartition; weighted build from
+    pre-aggregated counts equals the raw one-row-per-item build."""
+    from actyxos_data_flow_spark.operators.cms import cms_build, cms_estimate
+
+    rows = [(f"t{i % 13}",) for i in range(200)]
+    items = spark.createDataFrame(rows, "term string")
+    sk = cms_build(items)
+    cand = items.distinct()
+    est = {r["term"]: r["est"] for r in cms_estimate(sk, cand).collect()}
+    exact = {f"t{j}": len([1 for i in range(200) if i % 13 == j]) for j in range(13)}
+    assert set(est) == set(exact)
+    for t, e in est.items():
+        assert e >= exact[t]
+
+    est2 = {
+        r["term"]: r["est"]
+        for r in cms_estimate(cms_build(items.repartition(9)), cand).collect()
+    }
+    assert est == est2
+
+    weighted = spark.createDataFrame(list({(t, c) for t, c in exact.items()}), "term string, cnt long")
+    sk_w = cms_build(weighted, weight_col="cnt")
+    assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, sk_w.collect()))
