@@ -238,7 +238,10 @@ def pipeline_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators import text as X
     from .pipeline import pipeline_clean_corpus
 
-    clean = pipeline_clean_corpus(spark, sf_dir).select("doc_id")
+    # lineage cut at the composition boundary — see
+    # pipeline_training_batches (this plan audited at 919 static
+    # Exchange nodes before the cut)
+    clean = pipeline_clean_corpus(spark, sf_dir).select("doc_id").localCheckpoint()
     docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id").persist()
     merges = B.bpe_train(docs, n_merges=N_MERGES)
     occ = (

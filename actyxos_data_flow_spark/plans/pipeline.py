@@ -182,7 +182,14 @@ def pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the clean set is doc_ids only (small) joined back to
     the corpus scan; chunking is explode-only; packing adds one
     per-language window."""
-    clean = pipeline_clean_corpus(spark, sf_dir).select("doc_id")
+    # localCheckpoint the (tiny) clean doc_id set: without the cut, the
+    # clean-corpus subtree — whose persisted intermediates are each
+    # referenced 2-3x — appears expanded in the downstream STATIC plan
+    # (mechanized audit: 461 Exchange nodes, 548 scans for this query;
+    # runtime was fine via cache reuse, but Catalyst analysis cost and
+    # driver plan memory scale with the tree). After the cut the
+    # downstream plan is scan + explode + two windows (~5 exchanges).
+    clean = pipeline_clean_corpus(spark, sf_dir).select("doc_id").localCheckpoint()
     docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id")
     chunks = X.chunk(
         docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP, extra_cols=("lang",)
