@@ -85,6 +85,7 @@ class CorpusIngestor:
         self.postings_flag = postings
         self.postings_path = os.path.join(corpus_dir, "postings")
         self.doclen_path = os.path.join(corpus_dir, "doclens")
+        self.cms_path = os.path.join(corpus_dir, "cms")
         self.quality_min = quality_min
         self.id_col = id_col
         self.text_col = text_col
@@ -284,6 +285,7 @@ class CorpusIngestor:
                     # pinned in tests/test_streaming.py. Same
                     # at-least-once posture as the corpus append
                     # (commits before the digest admission gate).
+                    from ..operators.cms import cms_build
                     from ..operators.retrieval import build_postings
 
                     post, dl = build_postings(
@@ -291,6 +293,13 @@ class CorpusIngestor:
                     )
                     post.write.mode("append").parquet(self.postings_path)
                     dl.write.mode("append").parquet(self.doclen_path)
+                    # the count-min sketch is a commutative monoid —
+                    # per-batch partial cells append; readers merge by
+                    # sum over (row, bucket) (cms_sketch()), identical
+                    # to a from-scratch build over the corpus
+                    cms_build(post, item_col="term", weight_col="tf").write.mode(
+                        "append"
+                    ).parquet(self.cms_path)
             if pre_gate is not None and pre_gate.limit(1).count():
                 self._maintain_clusters(pre_gate, near)
             if accepted:
@@ -324,6 +333,14 @@ class CorpusIngestor:
         from ..operators.retrieval import bm25_from_index
 
         return bm25_from_index(self.postings(), self.doclens(), terms, k=k, id_col=self.id_col)
+
+    def cms_sketch(self) -> DataFrame:
+        """The maintained count-min sketch: per-batch partial cells
+        merged by sum (the sketch is a commutative monoid, so the
+        merged table equals a from-scratch build over the corpus —
+        invariant pinned in tests). d×w rows max."""
+        parts = self._read_or_empty(self.cms_path, "row int, bucket long, c long")
+        return parts.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
 
 
 def run_ingest_stream(

@@ -814,3 +814,35 @@ def test_ingest_maintains_inverted_index(spark, tmp_path):
     maintained = sorted(map(tuple, ing.search(["cat", "mat"], k=5).collect()))
     oneshot = sorted(map(tuple, bm25_topk(ing.corpus(), ["cat", "mat"], k=5).collect()))
     assert maintained == oneshot and len(maintained) == 3
+
+
+def test_ingest_maintains_cms_sketch(spark, tmp_path):
+    """Per-batch count-min partials merged by sum must equal a
+    from-scratch sketch over the final corpus, and estimates from the
+    maintained sketch never undershoot exact counts."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators.cms import cms_build, cms_estimate
+    from actyxos_data_flow_spark.operators.retrieval import _tokens
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    ing.ingest_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta alpha"), (2, "beta gamma delta")],
+            "doc_id long, text string",
+        )
+    )
+    ing.ingest_batch(
+        spark.createDataFrame([(3, "alpha delta delta")], "doc_id long, text string")
+    )
+
+    tokens = ing.corpus().select(F.explode(_tokens("text")).alias("term"))
+    rebuilt = sorted(map(tuple, cms_build(tokens).collect()))
+    maintained = sorted(map(tuple, ing.cms_sketch().collect()))
+    assert maintained == rebuilt
+
+    cand = tokens.distinct().withColumnRenamed("term", "term")
+    est = {r["term"]: r["est"] for r in cms_estimate(ing.cms_sketch(), cand).collect()}
+    exact = {r["term"]: r["cnt"] for r in tokens.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert all(est[t] >= c for t, c in exact.items())
