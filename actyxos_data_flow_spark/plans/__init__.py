@@ -73,7 +73,11 @@ _PRIORITY: tuple[str, ...] = (
     # inverted-index retrieval (new family: postings + BM25)
     "index_postings_stats", "bm25_search_topk",
     # similarity / ANN back catalog
-    "ann_sq8_topk", "ann_pq_topk", "ann_ivf_nprobe_topk", "ann_ivf_kmeans_topk",
+    "ann_sq8_topk", "ann_pq_topk", "ann_ivf_nprobe_topk",
+    # (ann_ivf_kmeans_topk to the tail: ann_ivf_partitioned_topk runs
+    # the same trained probe against the cell-partitioned mirror with
+    # dynamic partition pruning — same oracle, more machinery proven)
+    "ann_ivf_partitioned_topk",
     "ann_hard_negatives", "kmeans_cells",
     # z-order layout (new family: Morton bins + prune report;
     # embedding_centroid_outliers rotated to the tail)

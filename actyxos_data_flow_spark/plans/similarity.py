@@ -791,3 +791,28 @@ def dedup_embedding_lsh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_c") >= NEAR_DUP_THRESHOLD)
         .select("id_a", "id_b", F.round("_c", 6).alias("cosine"))
     )
+
+
+@register("ann_ivf_partitioned_topk", oracle=ANN_KMEANS_ORACLE)
+def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The TRAINED IVF probe against the cell-PARTITIONED vector mirror
+    (sources/bucketed.ensure_ivf_layout): identical answer to
+    ann_ivf_kmeans_topk — same oracle — but the nprobe cut is enforced
+    by storage layout: the probe's equi-join triggers dynamic partition
+    pruning, so the scan reads only the probed cells' files
+    (plan-asserted). The 100 TB difference: nprobe/nlist of the BYTES,
+    not a post-scan filter."""
+    from ..sources.bucketed import ensure_ivf_layout
+
+    vecs_path, cents_path = ensure_ivf_layout(spark, sf_dir)
+    corpus = spark.read.parquet(vecs_path).withColumn(
+        "cell", F.col("cell").cast("int")
+    )
+    cent = spark.read.parquet(cents_path)
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return S.ivf_probe_topk(
+        queries, corpus, cent, k=K, nprobe=KM_NPROBE, partition_col="cell", probe_round=9
+    )

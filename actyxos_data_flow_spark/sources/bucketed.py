@@ -41,7 +41,18 @@ _WAREHOUSE = os.path.join(
 
 
 def bucketed_name(sf_dir: str, table: str, keys: tuple[str, ...], n_buckets: int) -> str:
-    tag = hashlib.md5(f"{os.path.abspath(sf_dir)}:{','.join(keys)}:{n_buckets}".encode())
+    # the source file's (mtime, size) is part of the identity: a
+    # driver-side testdata regeneration must invalidate the mirror, not
+    # silently serve stale rows
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(src)
+        stamp = f"{st.st_mtime_ns}:{st.st_size}"
+    except FileNotFoundError:
+        stamp = "nosrc"
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{','.join(keys)}:{n_buckets}:{stamp}".encode()
+    )
     return f"b_{table}_{tag.hexdigest()[:10]}"
 
 
@@ -65,3 +76,57 @@ def ensure_bucketed(
             w = w.sortBy(*keys)
         w.mode("overwrite").option("path", path).format("parquet").saveAsTable(name)
     return spark.table(name)
+
+
+# -- IVF layout: cell-partitioned embedding mirror --------------------------
+#
+# The lakehouse form of an IVF index: vectors written partitionBy(cell)
+# (one directory per coarse cell, the trained k-means assignment), the
+# nlist x dim centroid table alongside. A probe then touches only the
+# nprobe matching directories — on the probe's equi-join Spark applies
+# DYNAMIC PARTITION PRUNING, so the scan itself skips the other cells'
+# files (the plan shows the dynamicpruning subquery; asserted in
+# tests/test_plans.py). This is the same nprobe/nlist scan-fraction
+# story as ann_ivf_nprobe_topk, but enforced by STORAGE layout rather
+# than a post-scan join — at 100 TB the difference is reading
+# nprobe/nlist of the bytes vs reading everything and filtering.
+
+_IVF_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "ivf",
+)
+
+
+def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Write (once; idempotent per sf_dir) the cell-partitioned vector
+    mirror + centroid table from the deterministic k-means fit.
+    Returns (vectors_path, centroids_path)."""
+    from ..operators.similarity import kmeans_fit
+
+    # tag includes the source file's (mtime, size): a driver-side
+    # testdata regeneration invalidates the mirror instead of silently
+    # serving stale vectors
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    base = os.path.join(_IVF_DIR, tag)
+    vecs, cents = os.path.join(base, "vectors"), os.path.join(base, "centroids")
+    marker = os.path.join(base, "_DONE")
+    if not os.path.exists(marker):
+        emb = load_table(spark, sf_dir, "embeddings").persist()
+        cent, assign = kmeans_fit(emb)
+        (
+            emb.select("vec_id", "embedding")
+            .join(assign, "vec_id")
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(vecs)
+        )
+        cent.write.mode("overwrite").parquet(cents)
+        emb.unpersist()
+        with open(marker, "w") as f:
+            f.write("ok")
+    return vecs, cents

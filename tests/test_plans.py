@@ -425,3 +425,12 @@ def test_zorder_projection_shape(spark, registry):
     plan = _plan(registry["layout_zorder_bins"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_ivf_partitioned_scan_uses_dpp(spark, registry):
+    """The cell-partitioned IVF probe must skip non-probed cells at the
+    SCAN: dynamic partition pruning subquery on the partition column
+    (reading nprobe/nlist of the bytes is the point of the layout)."""
+    plan = _plan(registry["ann_ivf_partitioned_topk"].fn(spark, SF))
+    assert "dynamicpruning" in plan
+    assert "CartesianProduct" not in plan
