@@ -236,12 +236,12 @@ def pipeline_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     from ..operators import text as X
-    from .pipeline import pipeline_clean_corpus
+    from .pipeline import clean_doc_ids
 
-    # lineage cut at the composition boundary — see
-    # pipeline_training_batches (this plan audited at 919 static
+    # lineage cut at the composition boundary, memoized — see
+    # plans/pipeline.clean_doc_ids (this plan audited at 919 static
     # Exchange nodes before the cut)
-    clean = pipeline_clean_corpus(spark, sf_dir).select("doc_id").localCheckpoint()
+    clean = clean_doc_ids(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id").persist()
     merges = B.bpe_train(docs, n_merges=N_MERGES)
     occ = (

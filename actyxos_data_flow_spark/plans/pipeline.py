@@ -172,6 +172,30 @@ FROM bcum
 """
 
 
+# the checkpointed clean doc_id set, memoized per (session, sf_dir).
+# localCheckpoint cuts the clean-corpus subtree — whose persisted
+# intermediates are each referenced 2-3x — out of the downstream STATIC
+# plans (mechanized audit: 919/461 Exchange nodes for the two flagships
+# before the cut; runtime was fine via cache reuse, but Catalyst
+# analysis cost and driver plan memory scale with the tree; ~11/5
+# after). The memo restores cross-invocation reuse that CacheManager's
+# logical-plan matching used to provide (bench passes 2-3, and the BPE
+# flagship sharing the training flagship's prefix): checkpoints are
+# session-owned RDDs, so the cache is keyed by SparkSession and holds
+# only a doc_id-sized table. Testdata dirs are immutable within a
+# session, so the memo cannot serve stale rows.
+_CLEAN_IDS: dict = {}
+
+
+def clean_doc_ids(spark: SparkSession, sf_dir: str):
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _CLEAN_IDS:
+        _CLEAN_IDS[key] = (
+            pipeline_clean_corpus(spark, sf_dir).select("doc_id").localCheckpoint()
+        )
+    return _CLEAN_IDS[key]
+
+
 @register("pipeline_training_batches", oracle=BATCHES_ORACLE, bench=True)
 def pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-to-batches path: the cleaned corpus
@@ -182,14 +206,7 @@ def pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the clean set is doc_ids only (small) joined back to
     the corpus scan; chunking is explode-only; packing adds one
     per-language window."""
-    # localCheckpoint the (tiny) clean doc_id set: without the cut, the
-    # clean-corpus subtree — whose persisted intermediates are each
-    # referenced 2-3x — appears expanded in the downstream STATIC plan
-    # (mechanized audit: 461 Exchange nodes, 548 scans for this query;
-    # runtime was fine via cache reuse, but Catalyst analysis cost and
-    # driver plan memory scale with the tree). After the cut the
-    # downstream plan is scan + explode + two windows (~5 exchanges).
-    clean = pipeline_clean_corpus(spark, sf_dir).select("doc_id").localCheckpoint()
+    clean = clean_doc_ids(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id")
     chunks = X.chunk(
         docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP, extra_cols=("lang",)
