@@ -67,7 +67,7 @@ _PRIORITY: tuple[str, ...] = (
     # dedup back catalog
     # (dedup_containment rotated to the unranked tail for the
     # retrieval rows; 7 dedup rows remain in the prefix)
-    "dedup_editdistance", "dedup_clusters_star",
+    "dedup_clusters_star",
     "dedup_clusters_delta", "dedup_tfidf_cosine",
     "dedup_span_mask", "dedup_minhash_delta_pairs", "dedup_embedding_lsh",
     # inverted-index retrieval (new family: postings + BM25)
@@ -100,7 +100,10 @@ _PRIORITY: tuple[str, ...] = (
     "quality_classifier_fit", "quality_classifier_metrics",
     # multimodal (real-codec round-trips; mm_wav_meta rotated to the
     # tail — mm_audio_rms covers the WAV decode path) + composite + skew
-    "mm_audio_rms", "mm_phash", "mm_phash_pairs",
+    "mm_audio_rms", "mm_phash_pairs",
+    # corpus drift monitoring (new family; dedup_editdistance and
+    # mm_phash rotated to the tail to stay at 50)
+    "corpus_drift_jsd", "corpus_drift_terms",
     "pipeline_training_batches", "skew_salted_distinct",
 )
 
@@ -125,6 +128,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import classifier  # noqa: F401
     from . import graph  # noqa: F401
     from . import cms  # noqa: F401
+    from . import drift  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

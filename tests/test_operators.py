@@ -1176,3 +1176,28 @@ def test_cms_never_underestimates(spark):
     weighted = spark.createDataFrame(list({(t, c) for t, c in exact.items()}), "term string, cnt long")
     sk_w = cms_build(weighted, weight_col="cnt")
     assert sorted(map(tuple, sk.collect())) == sorted(map(tuple, sk_w.collect()))
+
+
+def test_drift_jsd_bounds_and_extremes(spark):
+    """JSD properties: 0 for identical corpora, ln(2) for disjoint
+    vocabularies, symmetric, and layout-deterministic."""
+    import math
+
+    from actyxos_data_flow_spark.operators.drift import drift_report, term_dist
+
+    a = spark.createDataFrame([(1, "x y z x")], "doc_id long, text string")
+    b = spark.createDataFrame([(2, "x y z x")], "doc_id long, text string")
+    c = spark.createDataFrame([(3, "p q r s")], "doc_id long, text string")
+
+    same, _ = drift_report(term_dist(a), term_dist(b))
+    assert same.collect()[0]["jsd"] == 0.0
+
+    disj, _ = drift_report(term_dist(a), term_dist(c))
+    assert abs(disj.collect()[0]["jsd"] - math.log(2)) < 1e-5
+
+    ab, _ = drift_report(term_dist(a), term_dist(c))
+    ba, _ = drift_report(term_dist(c), term_dist(a))
+    assert ab.collect()[0]["jsd"] == ba.collect()[0]["jsd"]  # symmetric
+
+    r1, _ = drift_report(term_dist(a.repartition(5)), term_dist(c.repartition(3)))
+    assert r1.collect()[0]["jsd"] == disj.collect()[0]["jsd"]
