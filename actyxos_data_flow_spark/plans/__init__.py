@@ -95,7 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     "chunk_documents", "pack_curriculum_bins",
     # count-min sketch (new family; text_vocab_coverage to the tail)
     "cms_heavy_hitters",
-    "sample_stratified_docs",
+    # (sample_stratified_docs to the tail for export_shard_manifest)
     # distributed-trained quality classifier (new family)
     "quality_classifier_fit", "quality_classifier_metrics",
     # multimodal (real-codec round-trips; mm_wav_meta rotated to the
@@ -104,7 +104,8 @@ _PRIORITY: tuple[str, ...] = (
     # corpus drift monitoring (new family; dedup_editdistance and
     # mm_phash rotated to the tail to stay at 50)
     "corpus_drift_jsd", "corpus_drift_terms",
-    "pipeline_training_batches", "skew_salted_distinct",
+    "pipeline_training_batches", "export_shard_manifest",
+    "skew_salted_distinct",
 )
 
 

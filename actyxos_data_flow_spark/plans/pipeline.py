@@ -218,3 +218,38 @@ def pipeline_training_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=PACK_BUDGET,
         order_cols=("doc_id", "chunk_id"),
     )
+
+
+# -- export manifest: the shippable dataset's verification table -----------
+
+EXPORT_MANIFEST_ORACLE = f"""
+WITH batches AS ({BATCHES_ORACLE})
+SELECT lang, bin_id,
+       count(*) AS n_chunks,
+       CAST(sum(chunk_tokens) AS BIGINT) AS bin_tokens,
+       bit_xor(('0x' || substr(md5(doc_id || ':' || chunk_id || ':' || chunk_tokens), 1, 15))::BIGINT) AS content_sig
+FROM batches
+GROUP BY lang, bin_id
+"""
+
+
+@register("export_shard_manifest", oracle=EXPORT_MANIFEST_ORACLE)
+def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset publisher's last mile: per training shard
+    (lang, bin) — chunk count, token sum, and an ORDER-FREE content
+    signature (bit_xor of a 60-bit md5 piece per chunk row), the
+    manifest a consumer re-derives to verify an exported shard arrived
+    complete and unaltered. One hash aggregate over the packed-bin
+    output; the signature is layout/partitioning-invariant by
+    construction (xor commutes), so any engine at any parallelism
+    reproduces it."""
+    batches = pipeline_training_batches(spark, sf_dir)
+    key = F.concat_ws(
+        ":", F.col("doc_id"), F.col("chunk_id"), F.col("chunk_tokens")
+    )
+    piece = F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+    return batches.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").cast("long").alias("bin_tokens"),
+        F.bit_xor(piece).alias("content_sig"),
+    )

@@ -334,6 +334,21 @@ class CorpusIngestor:
 
         return bm25_from_index(self.postings(), self.doclens(), terms, k=k, id_col=self.id_col)
 
+    def batch_drift(self, docs: DataFrame) -> DataFrame:
+        """Pre-admission drift check for an arriving batch: JSD of the
+        batch's term distribution against the standing corpus's —
+        derived from the MAINTAINED postings (Σ tf per term), so the
+        standing side never re-tokenizes the corpus. One row
+        (jsd, n_terms); gate on it before ingest_batch to quarantine a
+        drifted source (0 ≤ jsd ≤ ln 2 ≈ 0.693)."""
+        from ..operators.drift import drift_report, term_dist
+
+        base = self.postings().groupBy("term").agg(
+            F.sum("tf").cast("long").alias("cnt")
+        )
+        total, _ = drift_report(base, term_dist(docs, self.text_col))
+        return total
+
     def cms_sketch(self) -> DataFrame:
         """The maintained count-min sketch: per-batch partial cells
         merged by sum (the sketch is a commutative monoid, so the

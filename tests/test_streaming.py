@@ -846,3 +846,28 @@ def test_ingest_maintains_cms_sketch(spark, tmp_path):
     est = {r["term"]: r["est"] for r in cms_estimate(ing.cms_sketch(), cand).collect()}
     exact = {r["term"]: r["cnt"] for r in tokens.groupBy("term").agg(F.count(F.lit(1)).alias("cnt")).collect()}
     assert all(est[t] >= c for t, c in exact.items())
+
+
+def test_ingest_batch_drift_gate(spark, tmp_path):
+    """Per-batch drift against the maintained index: a same-mix batch
+    scores near 0, a disjoint-vocabulary batch near ln(2) — the
+    quarantine signal for a drifted source."""
+    import math
+
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    ing.ingest_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta gamma alpha"), (2, "beta gamma alpha beta")],
+            "doc_id long, text string",
+        )
+    )
+    same = ing.batch_drift(
+        spark.createDataFrame([(9, "alpha beta gamma beta")], "doc_id long, text string")
+    ).collect()[0]
+    far = ing.batch_drift(
+        spark.createDataFrame([(9, "zz yy xx ww")], "doc_id long, text string")
+    ).collect()[0]
+    assert same["jsd"] < 0.05
+    assert abs(far["jsd"] - math.log(2)) < 1e-5
