@@ -76,6 +76,7 @@ class CorpusIngestor:
         band_size: int = 2,
         sim_threshold: float = 0.5,
         postings: bool = False,
+        epochs: bool = False,
     ) -> None:
         self.spark = spark
         self.docs_path = os.path.join(corpus_dir, "docs")
@@ -86,6 +87,8 @@ class CorpusIngestor:
         self.postings_path = os.path.join(corpus_dir, "postings")
         self.doclen_path = os.path.join(corpus_dir, "doclens")
         self.cms_path = os.path.join(corpus_dir, "cms")
+        self.epochs_flag = epochs
+        self.epoch_file = os.path.join(corpus_dir, "_EPOCH")
         self.quality_min = quality_min
         self.id_col = id_col
         self.text_col = text_col
@@ -272,7 +275,28 @@ class CorpusIngestor:
         try:
             accepted = out.count()
             if accepted:
-                out.drop("digest").write.mode("append").parquet(self.docs_path)
+                if self.epochs_flag:
+                    # epoch-partitioned layout => TIME TRAVEL: corpus
+                    # state as of any batch is a partition-pruned read
+                    # (_epoch <= n), the lakehouse snapshot pattern with
+                    # plain parquet. The counter bumps AFTER the write:
+                    # a crash between them replays the batch into the
+                    # SAME epoch directory (at-least-once, consistent
+                    # with the admission-gate posture).
+                    seq = self.current_epoch() + 1
+                    (
+                        out.drop("digest")
+                        .withColumn("_epoch", F.lit(seq))
+                        .write.mode("append")
+                        .partitionBy("_epoch")
+                        .parquet(self.docs_path)
+                    )
+                    tmp = self.epoch_file + ".tmp"
+                    with open(tmp, "w") as f:
+                        f.write(str(seq))
+                    os.replace(tmp, self.epoch_file)
+                else:
+                    out.drop("digest").write.mode("append").parquet(self.docs_path)
                 if sigs is not None:
                     sigs.write.mode("append").parquet(self.sigs_path)
                 if self.postings_flag:
@@ -315,7 +339,24 @@ class CorpusIngestor:
         return {"arrived": arrived, "gated": gated.count(), "accepted": accepted}
 
     def corpus(self) -> DataFrame:
-        return self.spark.read.parquet(self.docs_path)
+        df = self.spark.read.parquet(self.docs_path)
+        return df.drop("_epoch") if "_epoch" in df.columns else df
+
+    def current_epoch(self) -> int:
+        try:
+            with open(self.epoch_file) as f:
+                return int(f.read().strip() or 0)
+        except FileNotFoundError:
+            return 0
+
+    def corpus_asof(self, epoch: int) -> DataFrame:
+        """The corpus exactly as it stood after ingest batch ``epoch``
+        (requires ``epochs=True``). A partition-pruned read — the scan
+        touches only ``_epoch <= epoch`` directories (PartitionFilters,
+        plan-asserted in tests), so historical snapshots cost
+        proportional-to-snapshot I/O, not full-corpus I/O."""
+        df = self.spark.read.parquet(self.docs_path)
+        return df.filter(F.col("_epoch") <= epoch).drop("_epoch")
 
     def postings(self) -> DataFrame:
         """The incrementally-maintained inverted index (term, id, tf)."""

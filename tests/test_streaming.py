@@ -871,3 +871,36 @@ def test_ingest_batch_drift_gate(spark, tmp_path):
     ).collect()[0]
     assert same["jsd"] < 0.05
     assert abs(far["jsd"] - math.log(2)) < 1e-5
+
+
+def test_ingest_epoch_time_travel(spark, tmp_path):
+    """epochs=True gives time travel: corpus_asof(n) returns exactly
+    the post-batch-n state via a partition-pruned read (_epoch is a
+    partition column — the scan's PartitionFilters prove snapshots
+    cost snapshot-sized I/O)."""
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, epochs=True)
+    for i, text in enumerate(
+        ["first doc alpha beta", "second doc gamma delta", "third doc epsilon zeta"]
+    ):
+        ing.ingest_batch(
+            spark.createDataFrame([(i + 1, text)], "doc_id long, text string")
+        )
+    assert ing.current_epoch() == 3
+
+    assert sorted(r.doc_id for r in ing.corpus_asof(1).collect()) == [1]
+    assert sorted(r.doc_id for r in ing.corpus_asof(2).collect()) == [1, 2]
+    assert sorted(r.doc_id for r in ing.corpus_asof(3).collect()) == [1, 2, 3]
+    assert sorted(r.doc_id for r in ing.corpus().collect()) == [1, 2, 3]
+    assert "_epoch" not in ing.corpus().columns
+
+    plan = ing.corpus_asof(1)._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "_epoch" in plan
+
+    # a duplicate replayed later never reaches a historical snapshot
+    ing.ingest_batch(
+        spark.createDataFrame([(9, "first doc alpha beta")], "doc_id long, text string")
+    )
+    assert ing.current_epoch() == 3  # nothing accepted, no new epoch
+    assert sorted(r.doc_id for r in ing.corpus_asof(3).collect()) == [1, 2, 3]
