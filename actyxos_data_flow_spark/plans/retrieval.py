@@ -105,3 +105,23 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     return R.bm25_topk(docs, list(BM25_TERMS), k=BM25_K)
+
+
+# reuse the token-stats oracle: the ORC hop must be value-lossless, so
+# the parquet-backed oracle IS the ground truth for the ORC-backed scan
+from .text import TOKEN_STATS_ORACLE  # noqa: E402
+
+
+@register("source_orc_roundtrip", oracle=TOKEN_STATS_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format portability: documents mirrored to ORC (written once,
+    mtime-keyed cache), then the token-stats query runs over the ORC
+    scan and must hash-match the PARQUET-backed oracle — strings,
+    longs, and token arrays survive the format hop bit-for-bit. The
+    ORC reader keeps the same pushdown/pruning machinery (vectorized
+    scan, PushedFilters) as parquet."""
+    from ..operators.text import token_stats
+    from ..sources.bucketed import ensure_orc_mirror
+
+    path = ensure_orc_mirror(spark, sf_dir, "documents")
+    return token_stats(spark.read.orc(path))

@@ -130,3 +130,34 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         with open(marker, "w") as f:
             f.write("ok")
     return vecs, cents
+
+
+# -- ORC mirror: format-portability surface ---------------------------------
+
+_ORC_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "orc",
+)
+
+
+def ensure_orc_mirror(spark: SparkSession, sf_dir: str, table: str) -> str:
+    """Write (once; cache keyed by the source file's mtime/size) an ORC
+    mirror of ``table`` and return its path. ORC is the other
+    first-class columnar format Spark ships (predicate pushdown, column
+    pruning, zlib/zstd) — an engine claiming lake compatibility must
+    read both; queries over the mirror hash-match their parquet
+    oracles, proving the format hop is lossless for every type the
+    corpus uses (strings, longs, arrays)."""
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(_ORC_DIR, f"{table}_{tag}")
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        load_table(spark, sf_dir, table).write.mode("overwrite").orc(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
