@@ -31,6 +31,84 @@ DAMPING = 0.85
 PR_ITERS = 3
 
 
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Exact triangle count + global clustering coefficient of an
+    undirected graph, via degree-ordered edge orientation (the
+    MapReduce-triangles formulation of Suri & Vassilvitskii, WWW'11).
+
+    Why this shape at 100 TB: the naive wedge enumeration explodes on
+    hub nodes (a degree-d node contributes d² wedges). Orienting every
+    edge from its lower-(degree, id) endpoint to the higher one caps
+    every node's OUT-degree at O(sqrt(m)), so the wedge join is
+    skew-bounded regardless of hub degree, and each triangle is
+    counted exactly once (at its lowest-ranked vertex). Three hash
+    equi-joins total — no windows, no cross joins.
+
+    Input may be directed/duplicated; it is canonicalized (a<b,
+    distinct, self-loops dropped). Output: one row (nodes, edges,
+    wedges, triangles, clustering) where wedges = Σ C(deg,2) — all
+    exact integers — and clustering = 3·triangles/wedges rounded 6dp
+    (a quotient of exact ints: identical doubles on both engines)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()  # scanned for degrees, orientation, closure
+    )
+    deg = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = (
+        e.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+            F.when(lower_first, F.col("db")).otherwise(F.col("da")).alias("dv"),
+        )
+        .localCheckpoint()  # wedge side × 2 + closure probe
+    )
+    o1 = oriented.select("u", F.col("v").alias("x"), F.col("dv").alias("dx"))
+    o2 = oriented.select("u", F.col("v").alias("y"), F.col("dv").alias("dy"))
+    wedge_order = (F.col("dx") < F.col("dy")) | (
+        (F.col("dx") == F.col("dy")) & (F.col("x") < F.col("y"))
+    )
+    wedges = o1.join(o2, "u").filter(wedge_order).select(
+        F.col("x").alias("u"), F.col("y").alias("v")
+    )
+    tri = wedges.join(oriented.select("u", "v"), ["u", "v"], "left_semi")
+    counts = tri.agg(F.count(F.lit(1)).alias("triangles"))
+    n_nodes = deg.count()
+    n_edges = e.count()
+    n_wedges = (
+        deg.agg(F.expr("sum((deg * (deg - 1)) DIV 2)").cast("long").alias("w"))
+        .first()["w"]
+        or 0
+    )
+    return counts.select(
+        F.lit(n_nodes).alias("nodes"),
+        F.lit(n_edges).alias("edges"),
+        F.lit(n_wedges).alias("wedges"),
+        F.col("triangles").cast("long").alias("triangles"),
+        F.round(
+            F.lit(3.0) * F.col("triangles") / F.lit(float(n_wedges or 1)), 6
+        ).alias("clustering"),
+    )
+
+
 def pagerank(
     edges: DataFrame,
     iters: int = PR_ITERS,

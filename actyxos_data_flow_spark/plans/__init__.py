@@ -46,8 +46,12 @@ _PRIORITY: tuple[str, ...] = (
     # regression sentinels (official-green in r3; one per core family)
     # + the round-4 recall-quality flagship (added after the rotation,
     # so it needs its first official row)
+    # (session_windows — already official-green — swapped for the
+    # late-round source_orc_roundtrip so the format-portability family
+    # gets its first official row; session_windows stays covered by the
+    # local full-registry replica)
     "e1_dashboard", "u4_threshold_clip", "g5_reduce_trail",
-    "ivm_snapshot_diff", "session_windows", "ann_recall_report",
+    "ivm_snapshot_diff", "source_orc_roundtrip", "ann_recall_report",
     # round-4 new capability surface (first official rows): Bloom
     # decontamination (bitmap + verified consumer), retraction-aware
     # signed LSH deltas, bucketed co-located join layout
@@ -67,9 +71,15 @@ _PRIORITY: tuple[str, ...] = (
     # dedup back catalog
     # (dedup_containment rotated to the unranked tail for the
     # retrieval rows; 7 dedup rows remain in the prefix)
+    # (dedup_tfidf_cosine / dedup_embedding_lsh to the tail: the two
+    # late-round NEW families below take their official-row slots;
+    # dedup keeps 4 prefix rows + the edit-delta pair above)
     "dedup_clusters_star",
-    "dedup_clusters_delta", "dedup_tfidf_cosine",
-    "dedup_span_mask", "dedup_minhash_delta_pairs", "dedup_embedding_lsh",
+    "dedup_clusters_delta",
+    "dedup_span_mask", "dedup_minhash_delta_pairs",
+    # HyperLogLog sketch + triangle census (new families: mergeable
+    # cardinality model; skew-bounded graph motif counting)
+    "sketch_hll_cardinality", "graph_triangles_supplier",
     # inverted-index retrieval (new family: postings + BM25)
     "index_postings_stats", "bm25_search_topk",
     # similarity / ANN back catalog
@@ -130,6 +140,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import graph  # noqa: F401
     from . import cms  # noqa: F401
     from . import drift  # noqa: F401
+    from . import hll  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

@@ -76,6 +76,71 @@ FROM prr WHERE rank <= {PR_TOP}
 )
 
 
+TRIANGLE_ORACLE = """
+WITH te AS (
+  SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a,
+                  greatest(x.l_suppkey, y.l_suppkey) AS b
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey
+),
+td AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM te UNION ALL SELECT b FROM te
+  ) GROUP BY 1
+),
+tor AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN db.deg ELSE da.deg END AS dv
+  FROM te e JOIN td da ON da.node = e.a JOIN td db ON db.node = e.b
+),
+tw AS (
+  SELECT o1.v AS u, o2.v AS v
+  FROM tor o1 JOIN tor o2 ON o1.u = o2.u
+  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)
+),
+tt AS (
+  SELECT count(*) AS triangles
+  FROM tw WHERE EXISTS (SELECT 1 FROM tor o WHERE o.u = tw.u AND o.v = tw.v)
+),
+tstats AS (
+  SELECT (SELECT count(*) FROM td) AS nodes,
+         (SELECT count(*) FROM te) AS edges,
+         (SELECT CAST(coalesce(sum((deg * (deg - 1)) // 2), 0) AS BIGINT) FROM td) AS wedges
+)
+SELECT s.nodes, s.edges, s.wedges, CAST(t.triangles AS BIGINT) AS triangles,
+       round(3.0 * t.triangles / CAST(CASE WHEN s.wedges = 0 THEN 1 ELSE s.wedges END AS DOUBLE), 6) AS clustering
+FROM tstats s CROSS JOIN tt t
+"""
+
+
+@register("graph_triangles_supplier", oracle=TRIANGLE_ORACLE)
+def graph_triangles_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact triangle census of the supplier co-occurrence graph
+    (suppliers sharing an order — pair generation is bounded by the
+    per-order item count, so edge building never explodes on hub
+    suppliers). Counting uses degree-ordered orientation
+    (operators/graph.triangle_stats): out-degree capped at O(sqrt(m)),
+    each triangle counted once at its lowest-ranked vertex, three hash
+    equi-joins and no windows. The oracle re-derives the same census
+    relationally; clustering = 3·triangles/wedges at 6dp gates the
+    ratio into the value hash."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x = li.alias("x")
+    y = li.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+    ).select(
+        F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+    )
+    return G.triangle_stats(pairs)
+
+
 @register("graph_pagerank_trade", oracle=PAGERANK_ORACLE, bench=True)
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{top} PageRank nodes of the customer→supplier trade graph

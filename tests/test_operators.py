@@ -1201,3 +1201,62 @@ def test_drift_jsd_bounds_and_extremes(spark):
 
     r1, _ = drift_report(term_dist(a.repartition(5)), term_dist(c.repartition(3)))
     assert r1.collect()[0]["jsd"] == disj.collect()[0]["jsd"]
+
+
+def test_hll_merge_equals_whole_and_accuracy(spark):
+    """HLL properties: (1) sketch of a union == merge of shard
+    sketches (the mergeability contract), (2) estimate within 3
+    standard errors of exact, (3) layout-deterministic, (4) the
+    linear-counting small-range branch engages for tiny cardinalities
+    and is near-exact there."""
+    from actyxos_data_flow_spark.operators.hll import (
+        hll_estimate,
+        hll_merge,
+        hll_registers,
+    )
+
+    items = spark.createDataFrame(
+        [(f"g{i % 2}", f"item-{i % 500}") for i in range(3000)],
+        "g string, item string",
+    )
+    whole = hll_registers(items, "item", "g")
+    half_a = hll_registers(items.filter("substr(item, -1) IN ('0','1','2','3','4')"), "item", "g")
+    half_b = hll_registers(items.filter("substr(item, -1) NOT IN ('0','1','2','3','4')"), "item", "g")
+    merged = hll_merge(half_a, half_b, group_cols=("g",))
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    est = {r["g"]: r["hll_est"] for r in hll_estimate(whole, "g").collect()}
+    exact = {r["g"]: r["n"] for r in items.groupBy("g").agg(
+        __import__("pyspark.sql.functions", fromlist=["countDistinct"]).countDistinct("item").alias("n")
+    ).collect()}
+    for g, n in exact.items():
+        assert abs(est[g] - n) <= 0.39 * n, (g, est[g], n)
+
+    est2 = {r["g"]: r["hll_est"] for r in hll_estimate(
+        hll_registers(items.repartition(7), "item", "g"), "g"
+    ).collect()}
+    assert est == est2
+
+    tiny = spark.createDataFrame([("a", "x"), ("a", "y"), ("a", "z")], "g string, item string")
+    tiny_est = hll_estimate(hll_registers(tiny, "item", "g"), "g").collect()[0]["hll_est"]
+    assert abs(tiny_est - 3) < 0.2  # linear counting is near-exact here
+
+
+def test_triangle_stats_known_graphs(spark):
+    """K4 has 4 triangles; a star has none (skew case: one hub,
+    orientation keeps the wedge join bounded); duplicated/reversed
+    edges canonicalize away."""
+    from actyxos_data_flow_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    noisy = k4 + [(b, a) for a, b in k4] + k4  # dup + reversed
+    df = spark.createDataFrame(noisy, "src long, dst long")
+    r = triangle_stats(df).collect()[0]
+    assert (r["nodes"], r["edges"], r["triangles"]) == (4, 6, 4)
+    assert r["wedges"] == 12  # 4 nodes of degree 3 -> 4*C(3,2)
+    assert r["clustering"] == 1.0
+
+    star = spark.createDataFrame([(0, i) for i in range(1, 50)], "src long, dst long")
+    s = triangle_stats(star).collect()[0]
+    assert (s["triangles"], s["clustering"]) == (0, 0.0)
+    assert s["wedges"] == 49 * 48 // 2
