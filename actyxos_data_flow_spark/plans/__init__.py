@@ -112,8 +112,9 @@ _PRIORITY: tuple[str, ...] = (
     # tail — mm_audio_rms covers the WAV decode path) + composite + skew
     "mm_audio_rms", "mm_phash_pairs",
     # corpus drift monitoring (new family; dedup_editdistance and
-    # mm_phash rotated to the tail to stay at 50)
-    "corpus_drift_jsd", "corpus_drift_terms",
+    # mm_phash rotated to the tail to stay at 50; corpus_drift_terms to
+    # the tail for the HDR quantile-sketch row — drift keeps its JSD row)
+    "corpus_drift_jsd", "sketch_hdr_quantiles",
     "pipeline_training_batches", "export_shard_manifest",
     "skew_salted_distinct",
 )
@@ -141,6 +142,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import cms  # noqa: F401
     from . import drift  # noqa: F401
     from . import hll  # noqa: F401
+    from . import quantiles  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

@@ -1260,3 +1260,50 @@ def test_triangle_stats_known_graphs(spark):
     s = triangle_stats(star).collect()[0]
     assert (s["triangles"], s["clustering"]) == (0, 0.0)
     assert s["wedges"] == 49 * 48 // 2
+
+
+def test_hdr_quantile_sketch_properties(spark):
+    """HDR sketch: merge == whole, estimate <= exact and within the
+    2^-k relative bound at every probed quantile, layout-deterministic,
+    and exact for values small enough to fit one bucket each."""
+    from actyxos_data_flow_spark.operators.quantiles import (
+        HDR_K,
+        hdr_build,
+        hdr_merge,
+        hdr_quantiles,
+    )
+
+    vals = [(("a" if i % 3 else "b"), (i * 7919) % 100000 + 1) for i in range(5000)]
+    df = spark.createDataFrame(vals, "g string, v long")
+    whole = hdr_build(df, "v", "g")
+    merged = hdr_merge(
+        hdr_build(df.filter("v % 2 = 0"), "v", "g"),
+        hdr_build(df.filter("v % 2 = 1"), "v", "g"),
+        group_cols=("g",),
+    )
+    assert sorted(map(tuple, whole.collect())) == sorted(map(tuple, merged.collect()))
+
+    qs = [0.5, 0.9, 0.99]
+    est = {(r["g"], r["q"]): r["est"] for r in hdr_quantiles(whole, qs, "g").collect()}
+    import math
+
+    by_g = {}
+    for g, v in vals:
+        by_g.setdefault(g, []).append(v)
+    for g, xs in by_g.items():
+        xs.sort()
+        for q in qs:
+            exact = xs[math.ceil(q * len(xs)) - 1]
+            e = est[(g, q)]
+            assert e <= exact
+            assert (exact - e) * (1 << HDR_K) <= exact, (g, q, e, exact)
+
+    est2 = {
+        (r["g"], r["q"]): r["est"]
+        for r in hdr_quantiles(hdr_build(df.repartition(9), "v", "g"), qs, "g").collect()
+    }
+    assert est == est2
+
+    tiny = spark.createDataFrame([("t", v) for v in (1, 2, 3, 40)], "g string, v long")
+    te = {r["q"]: r["est"] for r in hdr_quantiles(hdr_build(tiny, "v", "g"), [0.5, 0.99], "g").collect()}
+    assert te[0.5] == 2 and te[0.99] == 40  # small values: bucket == value
