@@ -87,6 +87,7 @@ class CorpusIngestor:
         self.postings_path = os.path.join(corpus_dir, "postings")
         self.doclen_path = os.path.join(corpus_dir, "doclens")
         self.cms_path = os.path.join(corpus_dir, "cms")
+        self.hll_path = os.path.join(corpus_dir, "hll")
         self.epochs_flag = epochs
         self.epoch_file = os.path.join(corpus_dir, "_EPOCH")
         self.quality_min = quality_min
@@ -324,6 +325,15 @@ class CorpusIngestor:
                     cms_build(post, item_col="term", weight_col="tf").write.mode(
                         "append"
                     ).parquet(self.cms_path)
+                    # ... and the HyperLogLog registers are a max-monoid:
+                    # per-batch registers append, readers merge by max
+                    # (hll_sketch()) — distinct-term cardinality tracks
+                    # the growing corpus at 512 bytes of state
+                    from ..operators.hll import hll_registers
+
+                    hll_registers(post, "term").write.mode("append").parquet(
+                        self.hll_path
+                    )
             if pre_gate is not None and pre_gate.limit(1).count():
                 self._maintain_clusters(pre_gate, near)
             if accepted:
@@ -397,6 +407,21 @@ class CorpusIngestor:
         invariant pinned in tests). d×w rows max."""
         parts = self._read_or_empty(self.cms_path, "row int, bucket long, c long")
         return parts.groupBy("row", "bucket").agg(F.sum("c").alias("c"))
+
+    def hll_sketch(self) -> DataFrame:
+        """The maintained HyperLogLog register table: per-batch
+        registers merged by max (max is the sketch's monoid, so the
+        merged table equals a from-scratch build over the corpus's
+        distinct terms — invariant pinned in tests). m rows max."""
+        parts = self._read_or_empty(self.hll_path, "idx long, r int")
+        return parts.groupBy("idx").agg(F.max("r").alias("r"))
+
+    def distinct_terms_estimate(self) -> DataFrame:
+        """One-row distinct-term cardinality estimate of the standing
+        corpus, answered from 512 bytes of maintained state."""
+        from ..operators.hll import hll_estimate
+
+        return hll_estimate(self.hll_sketch())
 
 
 def run_ingest_stream(

@@ -904,3 +904,35 @@ def test_ingest_epoch_time_travel(spark, tmp_path):
     )
     assert ing.current_epoch() == 3  # nothing accepted, no new epoch
     assert sorted(r.doc_id for r in ing.corpus_asof(3).collect()) == [1, 2, 3]
+
+
+def test_ingest_maintains_hll_registers(spark, tmp_path):
+    """Per-batch HLL registers merged by max must equal a from-scratch
+    sketch over the final corpus's tokens (max is the monoid), and the
+    512-byte estimate lands within the 3-sigma band of the exact
+    distinct-term count."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators.hll import hll_registers
+    from actyxos_data_flow_spark.operators.retrieval import _tokens
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    ing.ingest_batch(
+        spark.createDataFrame(
+            [(1, "alpha beta alpha"), (2, "beta gamma delta")],
+            "doc_id long, text string",
+        )
+    )
+    ing.ingest_batch(
+        spark.createDataFrame([(3, "alpha delta epsilon")], "doc_id long, text string")
+    )
+
+    tokens = ing.corpus().select(F.explode(_tokens("text")).alias("term"))
+    rebuilt = sorted(map(tuple, hll_registers(tokens, "term").collect()))
+    maintained = sorted(map(tuple, ing.hll_sketch().collect()))
+    assert maintained == rebuilt
+
+    est = ing.distinct_terms_estimate().collect()[0]["hll_est"]
+    exact = tokens.distinct().count()  # 5
+    assert abs(est - exact) <= max(0.39 * exact, 1.0)
