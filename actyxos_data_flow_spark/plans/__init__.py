@@ -107,7 +107,9 @@ _PRIORITY: tuple[str, ...] = (
     "cms_heavy_hitters",
     # (sample_stratified_docs to the tail for export_shard_manifest)
     # distributed-trained quality classifier (new family)
-    "quality_classifier_fit", "quality_classifier_metrics",
+    # (quality_classifier_metrics to the tail for the Deequ-style
+    # constraint-report row — the classifier family keeps its fit row)
+    "quality_classifier_fit", "quality_constraints_report",
     # multimodal (real-codec round-trips; mm_wav_meta rotated to the
     # tail — mm_audio_rms covers the WAV decode path) + composite + skew
     "mm_audio_rms", "mm_phash_pairs",
@@ -143,6 +145,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import drift  # noqa: F401
     from . import hll  # noqa: F401
     from . import quantiles  # noqa: F401
+    from . import validate  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

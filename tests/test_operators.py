@@ -1307,3 +1307,57 @@ def test_hdr_quantile_sketch_properties(spark):
     tiny = spark.createDataFrame([("t", v) for v in (1, 2, 3, 40)], "g string, v long")
     te = {r["q"]: r["est"] for r in hdr_quantiles(hdr_build(tiny, "v", "g"), [0.5, 0.99], "g").collect()}
     assert te[0.5] == 2 and te[0.99] == 40  # small values: bucket == value
+
+
+def test_validation_rules_count_injected_violations(spark):
+    """Each rule counts exactly the violations planted in the fixture;
+    pass flips accordingly; NULL fks count as referential orphans."""
+    from actyxos_data_flow_spark.operators.validate import Check, validation_report
+
+    facts = spark.createDataFrame(
+        [
+            (1, 10, "A", 5.0),
+            (1, 20, "A", -1.0),   # dup id, negative price
+            (2, None, "X", 2.0),  # null fk, bad code
+            (3, 99, "B", 0.0),    # orphan fk, zero price
+        ],
+        "id long, fk long, code string, price double",
+    )
+    dim = spark.createDataFrame([(10,), (20,)], "k long")
+    from pyspark.sql import functions as F
+
+    rep = {
+        r["rule"]: (r["violations"], r["total"], r["pass"])
+        for r in validation_report(
+            Check(facts, "facts")
+            .not_null("fk")
+            .in_set("code", ["A", "B"])
+            .satisfies("positive_price", F.col("price") > 0)
+            .unique("id")
+            .references("fk", dim, "k")
+        ).collect()
+    }
+    assert rep["not_null(fk)"] == (1, 4, False)
+    assert rep["in_set(code)"] == (1, 4, False)  # only 'X' violates
+    assert rep["satisfies(positive_price)"] == (2, 4, False)  # -1.0 and 0.0
+    assert rep["unique(id)"] == (1, 4, False)  # one surplus row for id=1
+    assert rep["references(fk)"] == (2, 4, False)  # NULL fk + orphan 99
+
+
+def test_validation_row_rules_single_scan(spark):
+    """The row-local checklist compiles to ONE scan and one 1-row
+    combine — no per-rule jobs, no extra shuffles."""
+    from actyxos_data_flow_spark.operators.validate import Check
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    rep = (
+        Check(df, "lineitem")
+        .in_range("l_quantity", 1, 50)
+        .not_null("l_returnflag")
+        .satisfies("positive_price", F.col("l_extendedprice") > 0)
+        .report()
+    )
+    plan = rep._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan parquet") == 1
+    assert plan.count("Exchange") <= 2  # partial->final combine only
