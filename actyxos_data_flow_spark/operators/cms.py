@@ -55,6 +55,32 @@ def cms_build(
     return rows.groupBy("row", "bucket").agg(F.sum("_w").alias("c"))
 
 
+def cms_join_estimate(
+    sketch_a: DataFrame, sketch_b: DataFrame, d: int = CMS_D, w: int = CMS_W
+) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches:
+    |A ⋈ B| ≈ min over the d hash rows of Σ_bucket aᵣᵦ·bᵣᵦ (the
+    AMS/CMS inner-product estimator — Cormode & Muthukrishnan '05).
+    One-sided like the point estimate: NEVER undershoots the true join
+    size (every colliding pair only adds mass). All-integer arithmetic
+    (products sum in DECIMAL for 100 TB headroom), so a SQL oracle
+    reproduces it exactly. Both sketches are d×w rows — the whole
+    estimate is a model-sized join, no data is touched. Output: one
+    row (est_pairs)."""
+    a = sketch_a.select("row", "bucket", F.col("c").alias("ca"))
+    b = sketch_b.select("row", "bucket", F.col("c").alias("cb"))
+    per_row = (
+        a.join(b, ["row", "bucket"])
+        .groupBy("row")
+        .agg(
+            F.sum(
+                F.col("ca").cast("decimal(19,0)") * F.col("cb").cast("decimal(19,0)")
+            ).alias("_ip")
+        )
+    )
+    return per_row.agg(F.min("_ip").cast("long").alias("est_pairs"))
+
+
 def cms_estimate(
     sketch: DataFrame, candidates: DataFrame, item_col: str = "term",
     d: int = CMS_D, w: int = CMS_W,

@@ -57,7 +57,9 @@ _PRIORITY: tuple[str, ...] = (
     # signed LSH deltas, bucketed co-located join layout
     "bloom_filter_stats", "decontaminate_bloom",
     "dedup_minhash_edit_delta", "dedup_embedding_edit_delta",
-    "bucketed_join_colocated", "bpe_merges", "bpe_token_stats",
+    # (bpe_token_stats to the tail — BPE keeps merges/vocab/pipeline
+    # rows — for the CMS join-cardinality estimator's official row)
+    "bucketed_join_colocated", "bpe_merges", "cms_join_cardinality",
     "bpe_vocab", "pipeline_bpe_batches",
     # --- never-driver-graded below (driver artifact coverage rotation) ---
     # TPC-H back catalog

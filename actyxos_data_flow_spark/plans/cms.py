@@ -59,6 +59,73 @@ FROM ccand c JOIN cest e USING (term)
 """
 
 
+CMS_JOIN_ORACLE = f"""
+WITH ka AS (SELECT CAST(o_orderkey AS VARCHAR) AS term FROM orders),
+kb AS (SELECT CAST(l_orderkey AS VARCHAR) AS term FROM lineitem),
+rows_ AS (SELECT unnest(generate_series(0, {_D - 1})) AS row),
+ha AS (
+  SELECT t.term, count(*) AS cnt,
+         ('0x' || substr(md5(t.term), 1, 15))::BIGINT AS p1,
+         ('0x' || substr(md5(t.term), 17, 15))::BIGINT AS p2
+  FROM ka t GROUP BY 1
+),
+hb AS (
+  SELECT t.term, count(*) AS cnt,
+         ('0x' || substr(md5(t.term), 1, 15))::BIGINT AS p1,
+         ('0x' || substr(md5(t.term), 17, 15))::BIGINT AS p2
+  FROM kb t GROUP BY 1
+),
+ska AS (
+  SELECT r.row, (h.p1 + r.row * h.p2) % {_W} AS bucket, sum(h.cnt) AS c
+  FROM ha h CROSS JOIN rows_ r GROUP BY 1, 2
+),
+skb AS (
+  SELECT r.row, (h.p1 + r.row * h.p2) % {_W} AS bucket, sum(h.cnt) AS c
+  FROM hb h CROSS JOIN rows_ r GROUP BY 1, 2
+),
+ip AS (
+  SELECT a.row, sum(a.c * b.c) AS ip
+  FROM ska a JOIN skb b ON a.row = b.row AND a.bucket = b.bucket
+  GROUP BY 1
+),
+jest AS (SELECT CAST(min(ip) AS BIGINT) AS est_pairs FROM ip),
+jexact AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_pairs
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+)
+SELECT x.exact_pairs, e.est_pairs,
+       CAST(e.est_pairs - x.exact_pairs AS BIGINT) AS overshoot,
+       e.est_pairs >= x.exact_pairs AS never_undershoots
+FROM jexact x CROSS JOIN jest e
+"""
+
+
+@register("cms_join_cardinality", oracle=CMS_JOIN_ORACLE)
+def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """|orders ⋈ lineitem| estimated from two 2 KB count-min sketches
+    via the AMS/CMS inner-product (min over hash rows of the bucket
+    dot product) — the optimizer-statistics primitive that prices a
+    join WITHOUT touching the data: the whole estimate is a d×w
+    model join. One-sided overshoot (collisions only add mass) is
+    asserted into the hashed output; the true join count appears only
+    as ground truth."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ska = C.cms_build(orders.select(F.col("o_orderkey").cast("string").alias("term")))
+    skb = C.cms_build(li.select(F.col("l_orderkey").cast("string").alias("term")))
+    est = C.cms_join_estimate(ska, skb)
+    exact = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_pairs"))
+    )
+    return exact.crossJoin(est).select(
+        "exact_pairs",
+        "est_pairs",
+        (F.col("est_pairs") - F.col("exact_pairs")).cast("long").alias("overshoot"),
+        (F.col("est_pairs") >= F.col("exact_pairs")).alias("never_undershoots"),
+    )
+
+
 @register("cms_heavy_hitters", oracle=CMS_HH_ORACLE)
 def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-min sketch (d=4, w=64 — a 2 KB model) built in one pass

@@ -88,6 +88,7 @@ class CorpusIngestor:
         self.doclen_path = os.path.join(corpus_dir, "doclens")
         self.cms_path = os.path.join(corpus_dir, "cms")
         self.hll_path = os.path.join(corpus_dir, "hll")
+        self.hdr_path = os.path.join(corpus_dir, "hdr")
         self.epochs_flag = epochs
         self.epoch_file = os.path.join(corpus_dir, "_EPOCH")
         self.quality_min = quality_min
@@ -334,6 +335,15 @@ class CorpusIngestor:
                     hll_registers(post, "term").write.mode("append").parquet(
                         self.hll_path
                     )
+                    # ... and the HDR doc-length histogram is a
+                    # sum-monoid like the CMS: per-batch bucket counts
+                    # append, readers merge by sum — corpus length
+                    # percentiles from a few KB of maintained state
+                    from ..operators.quantiles import hdr_build
+
+                    hdr_build(
+                        dl.select(F.col("dl").cast("long").alias("dl")), "dl"
+                    ).write.mode("append").parquet(self.hdr_path)
             if pre_gate is not None and pre_gate.limit(1).count():
                 self._maintain_clusters(pre_gate, near)
             if accepted:
@@ -415,6 +425,21 @@ class CorpusIngestor:
         distinct terms — invariant pinned in tests). m rows max."""
         parts = self._read_or_empty(self.hll_path, "idx long, r int")
         return parts.groupBy("idx").agg(F.max("r").alias("r"))
+
+    def doclen_sketch(self) -> DataFrame:
+        """The maintained HDR doc-length histogram: per-batch bucket
+        counts merged by sum (equal to a from-scratch build over the
+        corpus's doc lengths — invariant pinned in tests)."""
+        parts = self._read_or_empty(self.hdr_path, "bid long, c long")
+        return parts.groupBy("bid").agg(F.sum("c").alias("c"))
+
+    def doclen_quantiles(self, quantiles: list[float]) -> DataFrame:
+        """Corpus doc-length percentiles (token counts) answered from
+        the maintained bucket model — within 2^-5 relative error,
+        without rescanning a single document."""
+        from ..operators.quantiles import hdr_quantiles
+
+        return hdr_quantiles(self.doclen_sketch(), quantiles)
 
     def distinct_terms_estimate(self) -> DataFrame:
         """One-row distinct-term cardinality estimate of the standing

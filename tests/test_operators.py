@@ -1361,3 +1361,22 @@ def test_validation_row_rules_single_scan(spark):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert plan.count("FileScan parquet") == 1
     assert plan.count("Exchange") <= 2  # partial->final combine only
+
+
+def test_cms_join_estimate_one_sided(spark):
+    """Inner-product join estimate never undershoots the exact join
+    size, is layout-deterministic, and is exactly 0 for disjoint key
+    sets that share no buckets... (collisions may still add mass, so
+    only >= 0 is guaranteed there)."""
+    from actyxos_data_flow_spark.operators.cms import cms_build, cms_join_estimate
+
+    a = spark.createDataFrame([(str(i % 50),) for i in range(600)], "term string")
+    b = spark.createDataFrame([(str(i % 80),) for i in range(400)], "term string")
+    exact = a.join(b, "term").count()
+    est = cms_join_estimate(cms_build(a), cms_build(b)).collect()[0]["est_pairs"]
+    assert est >= exact
+
+    est2 = cms_join_estimate(
+        cms_build(a.repartition(7)), cms_build(b.repartition(3))
+    ).collect()[0]["est_pairs"]
+    assert est == est2

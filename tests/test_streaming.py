@@ -936,3 +936,33 @@ def test_ingest_maintains_hll_registers(spark, tmp_path):
     est = ing.distinct_terms_estimate().collect()[0]["hll_est"]
     exact = tokens.distinct().count()  # 5
     assert abs(est - exact) <= max(0.39 * exact, 1.0)
+
+
+def test_ingest_maintains_hdr_doclen_sketch(spark, tmp_path):
+    """Per-batch HDR bucket counts merged by sum equal a from-scratch
+    histogram over the corpus doc lengths, and the maintained p50 is
+    within the 2^-5 relative bound of the exact median length."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators.quantiles import HDR_K, hdr_build
+    from actyxos_data_flow_spark.operators.retrieval import _tokens
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    ing.ingest_batch(
+        spark.createDataFrame(
+            [(1, "a b c"), (2, "a b c d e f g h")], "doc_id long, text string"
+        )
+    )
+    ing.ingest_batch(
+        spark.createDataFrame([(3, "a b c d e")], "doc_id long, text string")
+    )
+
+    lens = ing.corpus().select(F.size(_tokens("text")).cast("long").alias("dl"))
+    rebuilt = sorted(map(tuple, hdr_build(lens, "dl").collect()))
+    maintained = sorted(map(tuple, ing.doclen_sketch().collect()))
+    assert maintained == rebuilt
+
+    p50 = {r["q"]: r["est"] for r in ing.doclen_quantiles([0.5]).collect()}[0.5]
+    exact = 5  # lengths 3, 5, 8 -> median 5
+    assert p50 <= exact and (exact - p50) * (1 << HDR_K) <= exact
