@@ -56,13 +56,19 @@ def hll_registers(
     idx = p1 mod m; rho = 61 - bit_length(p2) = leading zeros of the
     60-bit p2 plus one (p2=0 -> bit_length 1 -> rho 60 on both engines
     — a 2^-60 event, pinned identically rather than special-cased)."""
+    idx, rho = hll_proj_cols(item_col, m)
+    proj = items.select(*group_cols, idx, rho)
+    return proj.groupBy(*group_cols, "idx").agg(F.max("rho").alias("r"))
+
+
+def hll_proj_cols(item_col: str, m: int = HLL_M):
+    """The (idx, rho) projection columns of one item — shared by the
+    batch build above and the streaming windowed build
+    (streaming/windows.windowed_distinct_hll)."""
     p1 = _md5_piece(F.col(item_col), 1)
     p2 = _md5_piece(F.col(item_col), 17)
     rho = F.lit(61) - F.length(F.conv(p2, 10, 2))
-    proj = items.select(
-        *group_cols, F.pmod(p1, F.lit(m)).alias("idx"), rho.alias("rho")
-    )
-    return proj.groupBy(*group_cols, "idx").agg(F.max("rho").alias("r"))
+    return F.pmod(p1, F.lit(m)).alias("idx"), rho.alias("rho")
 
 
 def hll_merge(*register_tables: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame:

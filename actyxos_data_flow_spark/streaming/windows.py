@@ -64,3 +64,38 @@ def session_agg(
         F.col("session_window.end").alias("session_end"),
         *[c for c in out.columns if c != "session_window"],
     )
+
+
+def windowed_distinct_hll(
+    stream: DataFrame,
+    ts_col: str,
+    item_col: str,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Approximate distinct items per event-time window, as the HLL
+    REGISTER table — (window_start, window_end, idx, r) — rather than
+    a finished number: registers survive re-aggregation, so downstream
+    can roll 1-minute windows into hours (groupBy + max) or merge
+    shards, which a scalar estimate cannot. Streaming state per window
+    is at most m=64 rows (the max-aggregate is the sketch's monoid),
+    and the watermark evicts closed windows, so state is O(open
+    windows × 64) no matter how many distinct items flow through —
+    the exact reason windowed COUNT(DISTINCT) is unsupported in
+    streaming and this is the scalable substitute. Estimate with
+    operators/hll.hll_estimate grouped by the window columns."""
+    from ..operators.hll import hll_proj_cols
+
+    idx, rho = hll_proj_cols(item_col)
+    regs = (
+        stream.withWatermark(ts_col, watermark)
+        .select(F.window(F.col(ts_col), window).alias("window"), idx, rho)
+        .groupBy("window", "idx")
+        .agg(F.max("rho").alias("r"))
+    )
+    return regs.select(
+        F.col("window.start").alias("window_start"),
+        F.col("window.end").alias("window_end"),
+        "idx",
+        "r",
+    )

@@ -966,3 +966,69 @@ def test_ingest_maintains_hdr_doclen_sketch(spark, tmp_path):
     p50 = {r["q"]: r["est"] for r in ing.doclen_quantiles([0.5]).collect()}[0.5]
     exact = 5  # lengths 3, 5, 8 -> median 5
     assert p50 <= exact and (exact - p50) * (1 << HDR_K) <= exact
+
+
+def test_windowed_distinct_hll_matches_batch(spark, tmp_path):
+    """Streamed per-window HLL registers (watermarked, append-safe
+    max-monoid state) equal a batch build over the same events grouped
+    by the same windows, and the per-window estimates are exact in the
+    linear-counting regime for small distinct counts."""
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators.hll import hll_estimate, hll_registers
+    from actyxos_data_flow_spark.streaming.windows import windowed_distinct_hll
+
+    rows = [
+        ("u1", "2024-01-01 10:00:05"),
+        ("u2", "2024-01-01 10:00:25"),
+        ("u1", "2024-01-01 10:00:45"),  # dup in window 1
+        ("u3", "2024-01-01 10:01:10"),
+        ("u4", "2024-01-01 10:01:20"),
+        ("u5", "2024-01-01 10:01:30"),
+    ]
+    src = str(tmp_path / "hsrc")
+    d = src + "/b=1"
+    spark.createDataFrame(rows, "uid string, ts string").selectExpr(
+        "uid", "cast(ts as timestamp) ts"
+    ).coalesce(1).write.parquet(d)
+    for f in _os.listdir(d):
+        _os.utime(_os.path.join(d, f), (_time.time() - 30,) * 2)
+
+    stream = spark.readStream.schema("uid string, ts timestamp").parquet(src + "/b=*")
+    out = windowed_distinct_hll(stream, "ts", "uid", window="1 minute")
+
+    got = []
+
+    def record(df, bid):
+        got.extend(map(tuple, df.select("window_start", "idx", "r").collect()))
+
+    q = (
+        out.writeStream.foreachBatch(record)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "hckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = spark.createDataFrame(rows, "uid string, ts string").selectExpr(
+        "uid", "cast(ts as timestamp) ts"
+    )
+    expect = (
+        hll_registers(
+            batch.select(F.window("ts", "1 minute").alias("w"), "uid"), "uid", "w"
+        )
+        .select(F.col("w.start").alias("window_start"), "idx", "r")
+    )
+    assert sorted(got) == sorted(map(tuple, expect.collect()))
+
+    # estimates: 2 distinct in 10:00, 3 in 10:01 (linear counting -> near-exact)
+    regs = spark.createDataFrame(
+        [(str(w), i, r) for w, i, r in got], "w string, idx long, r int"
+    )
+    est = {r["w"]: r["hll_est"] for r in hll_estimate(regs, "w").collect()}
+    assert abs(est["2024-01-01 10:00:00"] - 2) < 0.1
+    assert abs(est["2024-01-01 10:01:00"] - 3) < 0.2
