@@ -34,6 +34,55 @@ FROM hexact x JOIN hest e USING (g)
 """
 
 
+_NDV_COLS = ["l_returnflag", "l_linestatus", "l_suppkey", "l_partkey", "l_orderkey"]
+
+_NDV_ITEMS_SQL = " UNION ALL ".join(
+    f"SELECT '{c}' AS g, CAST({c} AS VARCHAR) AS item FROM lineitem WHERE {c} IS NOT NULL"
+    for c in _NDV_COLS
+)
+
+NDV_ORACLE = f"""
+WITH {H.hll_oracle_cte(_NDV_ITEMS_SQL)},
+nexact AS (SELECT g, count(DISTINCT item) AS exact_ndv FROM hitems GROUP BY 1)
+SELECT x.g AS column_name, x.exact_ndv, e.hll_est AS ndv_est,
+       abs(e.hll_est - x.exact_ndv) <= {_BOUND!r} * x.exact_ndv AS within_3se
+FROM nexact x JOIN hest e USING (g)
+"""
+
+
+@register("table_stats_ndv", oracle=NDV_ORACLE)
+def table_stats_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column distinct-value counts (NDV) for five lineitem
+    columns — the statistic every cost-based optimizer prices joins
+    and aggregations with — estimated from one shared scan: the
+    columns unpivot to (column_name, value) rows and the HLL build
+    aggregates them all at once (64 registers per column cross the
+    shuffle, nothing else). Only string/integer columns participate:
+    integer-to-VARCHAR rendering is identical on both engines, while
+    double rendering (scientific-notation thresholds) is not — a
+    double column would need an explicit decimal rendering first.
+    Paired with
+    cms_join_cardinality this is the sketch-backed statistics surface
+    a 100 TB catalog would maintain."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stacked = None
+    for c in _NDV_COLS:
+        part = li.filter(F.col(c).isNotNull()).select(
+            F.lit(c).alias("lang"), F.col(c).cast("string").alias("item")
+        )
+        stacked = part if stacked is None else stacked.unionByName(part)
+    regs = H.hll_registers(stacked, "item", "lang")
+    est = H.hll_estimate(regs, "lang")
+    exact = stacked.groupBy("lang").agg(F.countDistinct("item").alias("exact_ndv"))
+    err = F.abs(F.col("hll_est") - F.col("exact_ndv"))
+    return exact.join(est, "lang").select(
+        F.col("lang").alias("column_name"),
+        "exact_ndv",
+        F.col("hll_est").alias("ndv_est"),
+        (err <= F.lit(_BOUND) * F.col("exact_ndv")).alias("within_3se"),
+    )
+
+
 @register("sketch_hll_cardinality", oracle=HLL_ORACLE)
 def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog (m=64 — a 512-byte model per group) distinct-token
