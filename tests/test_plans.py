@@ -434,3 +434,39 @@ def test_ivf_partitioned_scan_uses_dpp(spark, registry):
     plan = _plan(registry["ann_ivf_partitioned_topk"].fn(spark, SF))
     assert "dynamicpruning" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_sketch_builds_are_model_sized_aggregates(spark, registry):
+    """Sketch family plan shapes: no cartesian products anywhere; the
+    HLL/HDR builds are scan -> partial-agg shuffles whose keys are
+    register/bucket ids (model-sized), never value-sized windows over
+    the data; the CMS join estimate touches only the two d*w models."""
+    for q in (
+        "sketch_hll_cardinality",
+        "sketch_hdr_quantiles",
+        "cms_join_cardinality",
+        "table_stats_ndv",
+    ):
+        plan = _plan(registry[q].fn(spark, SF))
+        assert "CartesianProduct" not in plan, q
+        assert "PythonEval" not in plan and "MapInPandas" not in plan, q
+
+
+def test_triangle_census_is_equi_join_only(spark, registry):
+    """Degree-ordered triangle counting: hash/sort-merge equi-joins
+    only — a cartesian or broadcast-nested-loop product here would
+    mean the orientation trick silently degraded to all-pairs."""
+    plan = _plan(registry["graph_triangles_supplier"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_validation_report_single_scan_per_table_block(spark, registry):
+    """The constraint report: row-local rules of each table share one
+    conditional aggregate — the whole 9-rule report reads its three
+    tables a bounded number of times (row-local block + one total for
+    table rules + each table rule's own job), with no cartesian beyond
+    the deliberate 1-row cross joins."""
+    plan = _plan(registry["quality_constraints_report"].fn(spark, SF))
+    # lineitem has 4 row-local rules -> exactly ONE lineitem scan
+    assert plan.count("lineitem.parquet") == 1
