@@ -8,6 +8,30 @@ products, LSH banding instead of pairwise comparison, broadcast of
 candidate sets, no driver-side loops).
 """
 
-from . import codecs, dedup, multimodal, profile, similarity, skew, temporal, text  # noqa: F401, E402
+from . import (  # noqa: F401, E402
+    bloom,
+    bpe,
+    classifier,
+    cms,
+    codecs,
+    dedup,
+    drift,
+    graph,
+    hll,
+    layout,
+    multimodal,
+    profile,
+    quantiles,
+    retrieval,
+    similarity,
+    skew,
+    temporal,
+    text,
+    validate,
+)
 
-__all__ = ["codecs", "dedup", "multimodal", "profile", "similarity", "skew", "temporal", "text"]
+__all__ = [
+    "bloom", "bpe", "classifier", "cms", "codecs", "dedup", "drift",
+    "graph", "hll", "layout", "multimodal", "profile", "quantiles",
+    "retrieval", "similarity", "skew", "temporal", "text", "validate",
+]
