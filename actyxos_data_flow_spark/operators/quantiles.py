@@ -32,12 +32,18 @@ _TOPW = 1 << (HDR_K + 1)  # bucket-id stride (64): bid = shift*64 + top
 
 
 def hdr_build(
-    values: DataFrame, value_col: str, *group_cols: str, k: int = HDR_K
+    values: DataFrame,
+    value_col: str,
+    *group_cols: str,
+    k: int = HDR_K,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """The sketch build: one narrow projection + one map-side-combined
     count aggregate -> (group..., bid, c). At most ~64*64 buckets per
     group cross the shuffle per task regardless of row count; merging
-    shard sketches is ``groupBy(bid).sum(c)``."""
+    shard sketches is ``groupBy(bid).sum(c)``. Pass ``weight_col`` to
+    add pre-aggregated counts in bulk (same contract as cms_build) —
+    quantiles then answer over the weighted distribution."""
     stride = 1 << (k + 1)
     bid = F.expr(
         f"CAST(greatest(length(conv({value_col}, 10, 2)) - {1 + k}, 0) AS INT)"
@@ -45,10 +51,11 @@ def hdr_build(
         f" + shiftright({value_col},"
         f" CAST(greatest(length(conv({value_col}, 10, 2)) - {1 + k}, 0) AS INT))"
     )
+    wcol = F.col(weight_col) if weight_col else F.lit(1)
     return (
-        values.select(*group_cols, bid.alias("bid"))
+        values.select(*group_cols, bid.alias("bid"), wcol.alias("_w"))
         .groupBy(*group_cols, "bid")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("_w").cast("long").alias("c"))
     )
 
 

@@ -1380,3 +1380,21 @@ def test_cms_join_estimate_one_sided(spark):
         cms_build(a.repartition(7)), cms_build(b.repartition(3))
     ).collect()[0]["est_pairs"]
     assert est == est2
+
+
+def test_hdr_weighted_build_equals_expanded(spark):
+    """A weighted build over the pre-aggregated value distribution
+    equals the unweighted build over the expanded rows (the cms_build
+    weight contract carried over)."""
+    from actyxos_data_flow_spark.operators.quantiles import hdr_build
+
+    expanded = spark.createDataFrame(
+        [("g", v) for v, n in [(7, 3), (100, 2), (5000, 4)] for _ in range(n)],
+        "g string, v long",
+    )
+    weighted = spark.createDataFrame(
+        [("g", 7, 3), ("g", 100, 2), ("g", 5000, 4)], "g string, v long, n long"
+    )
+    a = sorted(map(tuple, hdr_build(expanded, "v", "g").collect()))
+    b = sorted(map(tuple, hdr_build(weighted, "v", "g", weight_col="n").collect()))
+    assert a == b
