@@ -54,10 +54,12 @@ FROM nexact x JOIN hest e USING (g)
 def table_stats_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-column distinct-value counts (NDV) for five lineitem
     columns — the statistic every cost-based optimizer prices joins
-    and aggregations with — estimated from one shared scan: the
-    columns unpivot to (column_name, value) rows and the HLL build
-    aggregates them all at once (64 registers per column cross the
-    shuffle, nothing else). Only string/integer columns participate:
+    and aggregations with — estimated from one job: the columns
+    unpivot to (column_name, value) rows and the HLL build aggregates
+    them all at once (64 registers per column cross the shuffle,
+    nothing else). The union plans as one column-pruned scan PER
+    column (audit: every scan pushes its single-column ReadSchema),
+    so total I/O equals one wide scan of exactly the probed columns. Only string/integer columns participate:
     integer-to-VARCHAR rendering is identical on both engines, while
     double rendering (scientific-notation thresholds) is not — a
     double column would need an explicit decimal rendering first.
