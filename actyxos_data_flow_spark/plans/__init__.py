@@ -103,7 +103,9 @@ _PRIORITY: tuple[str, ...] = (
     # prefix at 50 after ann_pq_topk joined; text_lm_score stays)
     # (text_pmi_collocations and corpus_split_assign rotated to the
     # tail for the classifier rows; their families keep rows here)
-    "text_repetition_stats", "text_lm_score",
+    # (text_lm_score to the tail — text keeps its repetition row —
+    # for the join-order advisor's official row)
+    "text_repetition_stats", "join_order_advisor",
     "chunk_documents", "pack_curriculum_bins",
     # count-min sketch (new family; text_vocab_coverage to the tail)
     "cms_heavy_hitters",

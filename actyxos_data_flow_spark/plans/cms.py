@@ -100,6 +100,115 @@ FROM jexact x CROSS JOIN jest e
 """
 
 
+def _sketch_cte(tag: str, table: str, key: str) -> str:
+    """CTEs building the count-min sketch of one join key — shared by
+    the advisor oracle for each (table, key) side."""
+    return f"""
+k{tag} AS (SELECT CAST({key} AS VARCHAR) AS term FROM {table}),
+h{tag} AS (
+  SELECT t.term, count(*) AS cnt,
+         ('0x' || substr(md5(t.term), 1, 15))::BIGINT AS p1,
+         ('0x' || substr(md5(t.term), 17, 15))::BIGINT AS p2
+  FROM k{tag} t GROUP BY 1
+),
+s{tag} AS (
+  SELECT r.row, (h.p1 + r.row * h.p2) % {_W} AS bucket, sum(h.cnt) AS c
+  FROM h{tag} h CROSS JOIN rows_ r GROUP BY 1, 2
+)"""
+
+
+def _ip_cte(tag: str, a: str, b: str) -> str:
+    return f"""
+ip{tag} AS (
+  SELECT a.row, sum(a.c * b.c) AS ip
+  FROM s{a} a JOIN s{b} b ON a.row = b.row AND a.bucket = b.bucket
+  GROUP BY 1
+),
+e{tag} AS (SELECT CAST(min(ip) AS BIGINT) AS est_pairs FROM ip{tag})"""
+
+
+ADVISOR_ORACLE = (
+    f"WITH rows_ AS (SELECT unnest(generate_series(0, {_D - 1})) AS row),"
+    + _sketch_cte("c", "customer", "c_custkey")
+    + ","
+    + _sketch_cte("o1", "orders", "o_custkey")
+    + ","
+    + _sketch_cte("o2", "orders", "o_orderkey")
+    + ","
+    + _sketch_cte("l", "lineitem", "l_orderkey")
+    + ","
+    + _ip_cte("co", "c", "o1")
+    + ","
+    + _ip_cte("ol", "o2", "l")
+    + f""",
+xco AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs
+        FROM customer JOIN orders ON o_custkey = c_custkey),
+xol AS (SELECT CAST(count(*) AS BIGINT) AS exact_pairs
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+steps AS (
+  SELECT 'customer*orders' AS first_join, e.est_pairs, x.exact_pairs
+  FROM eco e CROSS JOIN xco x
+  UNION ALL
+  SELECT 'orders*lineitem', e.est_pairs, x.exact_pairs
+  FROM eol e CROSS JOIN xol x
+)
+SELECT first_join, est_pairs, exact_pairs,
+       est_pairs >= exact_pairs AS never_undershoots,
+       est_pairs = (SELECT min(est_pairs) FROM steps) AS chosen,
+       exact_pairs = (SELECT min(exact_pairs) FROM steps) AS optimal
+FROM steps
+"""
+)
+
+
+@register("join_order_advisor", oracle=ADVISOR_ORACLE)
+def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch statistics DRIVING a plan decision: for the 3-table
+    chain customer ⋈ orders ⋈ lineitem, estimate both candidate first
+    joins from 2 KB sketches (no data touched) and mark the cheaper
+    one ``chosen``; ``optimal`` records whether the sketch pick agrees
+    with the exact cardinalities — so the hash gate verifies not just
+    the estimates but the DECISION they imply. This is the classic
+    cost-based join-ordering step, priced entirely from the model
+    layer (Selinger-style, with AMS/CMS inner products as the
+    cardinality model)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def sk(df, col):
+        return C.cms_build(df.select(F.col(col).cast("string").alias("term")))
+
+    est_co = C.cms_join_estimate(sk(cust, "c_custkey"), sk(orders, "o_custkey"))
+    est_ol = C.cms_join_estimate(sk(orders, "o_orderkey"), sk(li, "l_orderkey"))
+    x_co = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_pairs"))
+    )
+    x_ol = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_pairs"))
+    )
+    a = est_co.crossJoin(x_co).select(
+        F.lit("customer*orders").alias("first_join"), "est_pairs", "exact_pairs"
+    )
+    b = est_ol.crossJoin(x_ol).select(
+        F.lit("orders*lineitem").alias("first_join"), "est_pairs", "exact_pairs"
+    )
+    steps = a.unionByName(b)
+    mins = steps.agg(
+        F.min("est_pairs").alias("_me"), F.min("exact_pairs").alias("_mx")
+    )
+    return steps.crossJoin(F.broadcast(mins)).select(
+        "first_join",
+        "est_pairs",
+        "exact_pairs",
+        (F.col("est_pairs") >= F.col("exact_pairs")).alias("never_undershoots"),
+        (F.col("est_pairs") == F.col("_me")).alias("chosen"),
+        (F.col("exact_pairs") == F.col("_mx")).alias("optimal"),
+    )
+
+
 @register("cms_join_cardinality", oracle=CMS_JOIN_ORACLE)
 def cms_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """|orders ⋈ lineitem| estimated from two 2 KB count-min sketches

@@ -52,6 +52,11 @@ SF1_QUERIES = (
     "bm25_search_topk",
     "ann_pq_topk",
     "graph_pagerank_trade",
+    # sketch + motif families: the HLL build must stay linear (model-
+    # sized shuffle) and the degree-ordered triangle census must hold
+    # its O(sqrt m) wedge bound at 10x edges
+    "sketch_hll_cardinality",
+    "graph_triangles_supplier",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs")
 
