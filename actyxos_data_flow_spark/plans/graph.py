@@ -76,12 +76,30 @@ FROM prr WHERE rank <= {PR_TOP}
 )
 
 
-TRIANGLE_ORACLE = """
-WITH te AS (
-  SELECT DISTINCT least(x.l_suppkey, y.l_suppkey) AS a,
-                  greatest(x.l_suppkey, y.l_suppkey) AS b
+PARTNERS_TOP = 8
+
+TRIANGLE_ORACLE = f"""
+WITH tco AS (
+  SELECT least(x.l_suppkey, y.l_suppkey) AS a,
+         greatest(x.l_suppkey, y.l_suppkey) AS b,
+         count(DISTINCT x.l_orderkey) AS shared
   FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
   WHERE x.l_suppkey < y.l_suppkey
+  GROUP BY 1, 2
+),
+tdir AS (
+  SELECT a AS s, b AS p, shared FROM tco
+  UNION ALL
+  SELECT b, a, shared FROM tco
+),
+ttop AS (
+  SELECT s, p FROM (
+    SELECT s, p, row_number() OVER (PARTITION BY s ORDER BY shared DESC, p ASC) AS rn
+    FROM tdir
+  ) WHERE rn <= {PARTNERS_TOP}
+),
+te AS (
+  SELECT DISTINCT least(s, p) AS a, greatest(s, p) AS b FROM ttop
 ),
 td AS (
   SELECT node, count(*) AS deg FROM (
@@ -119,26 +137,43 @@ FROM tstats s CROSS JOIN tt t
 
 @register("graph_triangles_supplier", oracle=TRIANGLE_ORACLE)
 def graph_triangles_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact triangle census of the supplier co-occurrence graph
-    (suppliers sharing an order — pair generation is bounded by the
-    per-order item count, so edge building never explodes on hub
-    suppliers). Counting uses degree-ordered orientation
-    (operators/graph.triangle_stats): out-degree capped at O(sqrt(m)),
-    each triangle counted once at its lowest-ranked vertex, three hash
-    equi-joins and no windows. The oracle re-derives the same census
-    relationally; clustering = 3·triangles/wedges at 6dp gates the
-    ratio into the value hash."""
+    """Exact triangle census of the supplier STRONG-TIE graph: each
+    supplier keeps its top-{top} partners by shared-order count (ties
+    by id), so the graph has O(n) edges BY CONSTRUCTION no matter how
+    dense the raw co-occurrence gets — the raw sharing graph is >90%
+    dense at sf0.1 (every pair of 1000 suppliers shares some order),
+    where a triangle census just enumerates a clique; the thresholded
+    partner graph is the form social/affinity analysis actually runs
+    at scale. Pair generation stays bounded by the per-order item
+    count; the top-k window partitions by supplier (no skew: each
+    partition is at most n rows); counting is degree-ordered
+    orientation (operators/graph.triangle_stats — wedge out-degree
+    O(sqrt m), three equi-joins). clustering = 3·triangles/wedges at
+    6dp gates the ratio into the value hash.""".format(top=PARTNERS_TOP)
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     x = li.alias("x")
     y = li.alias("y")
-    pairs = x.join(
-        y,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
-    ).select(
-        F.col("x.l_suppkey").alias("src"), F.col("y.l_suppkey").alias("dst")
+    co = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .agg(F.countDistinct(F.col("x.l_orderkey")).alias("shared"))
     )
-    return G.triangle_stats(pairs)
+    directed = co.select(
+        F.col("a").alias("s"), F.col("b").alias("p"), "shared"
+    ).unionByName(co.select(F.col("b").alias("s"), F.col("a").alias("p"), "shared"))
+    w = W.partitionBy("s").orderBy(F.col("shared").desc(), F.col("p").asc())
+    top = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PARTNERS_TOP)
+        .select(F.col("s").alias("src"), F.col("p").alias("dst"))
+    )
+    return G.triangle_stats(top)
 
 
 @register("graph_pagerank_trade", oracle=PAGERANK_ORACLE, bench=True)

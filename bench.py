@@ -105,7 +105,7 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     at 1× and 10×."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SCRATCH, "_DONE_v2")  # bump to regenerate (v2: +orders replica)
+    marker = os.path.join(SCRATCH, "_DONE_v3")  # bump to regenerate (v3: suppkeys shift)
     if os.path.exists(marker):
         return
     main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
@@ -127,10 +127,16 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
         "label",
     ).coalesce(8).write.mode("overwrite").parquet(os.path.join(main, "embeddings.parquet"))
 
+    # suppkeys shift in lockstep too: a TRUE 10x graph has 10x supplier
+    # nodes at constant density. Leaving suppkeys unshifted would
+    # DENSIFY the co-occurrence graph instead (same 1k nodes, 10x
+    # edges — wedge growth ~m^1.5 makes the triangle probe read as
+    # super-linear when the operator is actually scaling fine)
     li = spark.read.parquet(os.path.join(base_dir, "lineitem.parquet"))
     li.crossJoin(reps).select(
         (F.col("l_orderkey") + F.col("_rep") * 100_000_000).alias("l_orderkey"),
-        *[c for c in li.columns if c != "l_orderkey"],
+        (F.col("l_suppkey") + F.col("_rep") * 10_000_000).alias("l_suppkey"),
+        *[c for c in li.columns if c not in ("l_orderkey", "l_suppkey")],
     ).write.mode("overwrite").parquet(os.path.join(main, "lineitem.parquet"))
     # orders, shifted in lockstep with lineitem's orderkey so the
     # pagerank trade graph (orders ⋈ lineitem) still joins; custkeys
