@@ -176,3 +176,47 @@ def bm25_from_index(
         F.col("_s").cast("double").alias("bm25"),
         "n_terms",
     )
+
+
+def build_positional_postings(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Positional inverted index: (term, id, pos) with pos the 0-based
+    token offset — the structure phrase and proximity queries need.
+    One posexplode + nothing else; positions are doc-local so the
+    index appends per batch exactly like the tf postings."""
+    return docs.select(
+        F.col(id_col), F.posexplode(_tokens(text_col)).alias("pos", "term")
+    ).select(id_col, "term", "pos")
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact-phrase top-k: documents containing the tokens of
+    ``phrase`` CONSECUTIVELY, ranked by occurrence count (ties by id).
+
+    The scalable shape: the positional index is filtered to the
+    phrase's terms FIRST (an IN filter the scan can push), then the
+    occurrences self-join term-by-term on (id, pos+i) — each join is
+    an equi-join on (id, position) whose build side only holds
+    postings of one query term, so cost scales with the phrase terms'
+    document frequency, never the corpus. A windowless
+    orderBy+limit(k) produces the final ranking (TakeOrdered).
+    Output: (id, n_hits, rank)."""
+    pp = build_positional_postings(docs, id_col, text_col)
+    first = pp.filter(F.col("term") == phrase[0]).select(id_col, "pos")
+    hits = first
+    for i, t in enumerate(phrase[1:], start=1):
+        nxt = pp.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("pos")
+        )
+        hits = hits.join(nxt, [id_col, "pos"])
+    perdoc = hits.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+    lim = perdoc.orderBy(F.col("n_hits").desc(), F.col(id_col).asc()).limit(k)
+    w = W.orderBy(F.col("n_hits").desc(), F.col(id_col).asc())
+    return lim.withColumn("rank", F.row_number().over(w))

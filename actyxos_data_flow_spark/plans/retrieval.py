@@ -112,6 +112,51 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 from .text import TOKEN_STATS_ORACLE  # noqa: E402
 
 
+PHRASE = ("part", "filter")
+PHRASE_K = 10
+
+PHRASE_ORACLE = f"""
+WITH ptok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(coalesce(text, '')), ' '), t -> t <> '') AS toks
+  FROM documents
+),
+ppos AS (
+  SELECT doc_id, toks[i] AS term, i - 1 AS pos
+  FROM ptok, unnest(generate_series(1, len(toks))) AS s(i)
+  WHERE toks[i] IN ('{PHRASE[0]}', '{PHRASE[1]}')
+),
+pm AS (
+  SELECT a.doc_id, count(*) AS n_hits
+  FROM (SELECT doc_id, pos FROM ppos WHERE term = '{PHRASE[0]}') a
+  JOIN (SELECT doc_id, pos - 1 AS pos FROM ppos WHERE term = '{PHRASE[1]}') b
+    ON a.doc_id = b.doc_id AND a.pos = b.pos
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+       row_number() OVER (ORDER BY n_hits DESC, doc_id ASC) AS rank
+FROM pm ORDER BY n_hits DESC, doc_id ASC LIMIT {PHRASE_K}
+"""
+
+
+@register("index_phrase_search", oracle=PHRASE_ORACLE)
+def index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-phrase retrieval ("{p0} {p1}" consecutively) from the
+    POSITIONAL inverted index: the index is filtered to the phrase's
+    terms before anything joins, so each adjacency join's inputs are
+    df-sized (one query term's postings), never corpus-sized; matching
+    is an (id, pos+i) equi-join chain and the ranking a windowless
+    TakeOrdered top-{k}. The oracle rebuilds the positional index via
+    ordinal unnest and replays the adjacency join.""".format(
+        p0=PHRASE[0], p1=PHRASE[1], k=PHRASE_K
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    out = R.phrase_search(docs, list(PHRASE), k=PHRASE_K)
+    from pyspark.sql import functions as F
+
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"), "rank")
+
+
 @register("source_orc_roundtrip", oracle=TOKEN_STATS_ORACLE)
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format portability: documents mirrored to ORC (written once,

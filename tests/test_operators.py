@@ -1398,3 +1398,26 @@ def test_hdr_weighted_build_equals_expanded(spark):
     a = sorted(map(tuple, hdr_build(expanded, "v", "g").collect()))
     b = sorted(map(tuple, hdr_build(weighted, "v", "g", weight_col="n").collect()))
     assert a == b
+
+
+def test_phrase_search_consecutive_only(spark):
+    """Phrase matching requires CONSECUTIVE tokens in order: scattered
+    or reversed occurrences don't match; multiple occurrences in one
+    doc count individually; 3-term phrases chain the adjacency join."""
+    from actyxos_data_flow_spark.operators.retrieval import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "quick the brown fox"),       # reversed pair
+            (3, "the slow quick brown thing"),  # "quick brown" present
+            (4, "quick brown quick brown"),   # two occurrences
+            (5, "quick stop brown"),          # scattered
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: (x["n_hits"], x["rank"]) for x in phrase_search(docs, ["quick", "brown"]).collect()}
+    assert r == {4: (2, 1), 1: (1, 2), 3: (1, 3)}
+
+    r3 = {x["doc_id"]: x["n_hits"] for x in phrase_search(docs, ["the", "quick", "brown"]).collect()}
+    assert r3 == {1: 1}
