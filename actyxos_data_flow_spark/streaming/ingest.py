@@ -76,6 +76,7 @@ class CorpusIngestor:
         band_size: int = 2,
         sim_threshold: float = 0.5,
         postings: bool = False,
+        positional: bool = False,
         epochs: bool = False,
     ) -> None:
         self.spark = spark
@@ -89,6 +90,8 @@ class CorpusIngestor:
         self.cms_path = os.path.join(corpus_dir, "cms")
         self.hll_path = os.path.join(corpus_dir, "hll")
         self.hdr_path = os.path.join(corpus_dir, "hdr")
+        self.positional_flag = positional
+        self.positions_path = os.path.join(corpus_dir, "positions")
         self.epochs_flag = epochs
         self.epoch_file = os.path.join(corpus_dir, "_EPOCH")
         self.quality_min = quality_min
@@ -344,6 +347,18 @@ class CorpusIngestor:
                     hdr_build(
                         dl.select(F.col("dl").cast("long").alias("dl")), "dl"
                     ).write.mode("append").parquet(self.hdr_path)
+                    if self.positional_flag:
+                        # positions are doc-local like tf, so the
+                        # phrase index appends too — phrase queries
+                        # over the merged index match a from-scratch
+                        # build exactly
+                        from ..operators.retrieval import (
+                            build_positional_postings,
+                        )
+
+                        build_positional_postings(
+                            out.drop("digest"), self.id_col, self.text_col
+                        ).write.mode("append").parquet(self.positions_path)
             if pre_gate is not None and pre_gate.limit(1).count():
                 self._maintain_clusters(pre_gate, near)
             if accepted:
@@ -425,6 +440,34 @@ class CorpusIngestor:
         distinct terms — invariant pinned in tests). m rows max."""
         parts = self._read_or_empty(self.hll_path, "idx long, r int")
         return parts.groupBy("idx").agg(F.max("r").alias("r"))
+
+    def positional_postings(self) -> DataFrame:
+        """The incrementally-maintained positional index
+        (term, id, pos); requires ``positional=True``."""
+        return self._read_or_empty(
+            self.positions_path, f"{self.id_col} long, term string, pos int"
+        )
+
+    def phrase_search(self, phrase: list[str], k: int = 10) -> DataFrame:
+        """Exact-phrase top-k over the maintained positional index —
+        identical results to operators/retrieval.phrase_search over
+        ``corpus()`` (positions are doc-local)."""
+        from pyspark.sql import Window as W
+
+        pp = self.positional_postings()
+        first = pp.filter(F.col("term") == phrase[0]).select(self.id_col, "pos")
+        hits = first
+        for i, t in enumerate(phrase[1:], start=1):
+            nxt = pp.filter(F.col("term") == t).select(
+                F.col(self.id_col), (F.col("pos") - i).alias("pos")
+            )
+            hits = hits.join(nxt, [self.id_col, "pos"])
+        perdoc = hits.groupBy(self.id_col).agg(F.count(F.lit(1)).alias("n_hits"))
+        lim = perdoc.orderBy(
+            F.col("n_hits").desc(), F.col(self.id_col).asc()
+        ).limit(k)
+        w = W.orderBy(F.col("n_hits").desc(), F.col(self.id_col).asc())
+        return lim.withColumn("rank", F.row_number().over(w))
 
     def doclen_sketch(self) -> DataFrame:
         """The maintained HDR doc-length histogram: per-batch bucket

@@ -1032,3 +1032,28 @@ def test_windowed_distinct_hll_matches_batch(spark, tmp_path):
     est = {r["w"]: r["hll_est"] for r in hll_estimate(regs, "w").collect()}
     assert abs(est["2024-01-01 10:00:00"] - 2) < 0.1
     assert abs(est["2024-01-01 10:01:00"] - 3) < 0.2
+
+
+def test_ingest_maintains_positional_index(spark, tmp_path):
+    """Phrase search over the incrementally-maintained positional index
+    equals a from-scratch phrase search over the final corpus."""
+    from actyxos_data_flow_spark.operators.retrieval import phrase_search
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    ing = CorpusIngestor(
+        spark, str(tmp_path / "c"), quality_min=0.0, postings=True, positional=True
+    )
+    ing.ingest_batch(
+        spark.createDataFrame(
+            [(1, "red fox jumps red fox"), (2, "fox red jumps")],
+            "doc_id long, text string",
+        )
+    )
+    ing.ingest_batch(
+        spark.createDataFrame([(3, "the red fox sleeps")], "doc_id long, text string")
+    )
+
+    maintained = sorted(map(tuple, ing.phrase_search(["red", "fox"]).collect()))
+    oneshot = sorted(map(tuple, phrase_search(ing.corpus(), ["red", "fox"]).collect()))
+    assert maintained == oneshot
+    assert {t[0]: t[1] for t in maintained} == {1: 2, 3: 1}
