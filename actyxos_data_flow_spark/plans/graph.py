@@ -176,6 +176,81 @@ def graph_triangles_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_stats(top)
 
 
+def _census_over_edges_sql(edges_cte: str) -> str:
+    """The degree-ordered census CTE chain over an (a, b) edge relation
+    named ``te`` — shared by the supplier and near-dup censuses."""
+    return f"""
+{edges_cte},
+td AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM te UNION ALL SELECT b FROM te
+  ) GROUP BY 1
+),
+tor AS (
+  SELECT CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.a ELSE e.b END AS u,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN e.b ELSE e.a END AS v,
+         CASE WHEN da.deg < db.deg OR (da.deg = db.deg AND e.a < e.b)
+              THEN db.deg ELSE da.deg END AS dv
+  FROM te e JOIN td da ON da.node = e.a JOIN td db ON db.node = e.b
+),
+tw AS (
+  SELECT o1.v AS u, o2.v AS v
+  FROM tor o1 JOIN tor o2 ON o1.u = o2.u
+  WHERE o1.dv < o2.dv OR (o1.dv = o2.dv AND o1.v < o2.v)
+),
+tt AS (
+  SELECT count(*) AS triangles
+  FROM tw WHERE EXISTS (SELECT 1 FROM tor o WHERE o.u = tw.u AND o.v = tw.v)
+),
+tstats AS (
+  SELECT (SELECT count(*) FROM td) AS nodes,
+         (SELECT count(*) FROM te) AS edges,
+         (SELECT CAST(coalesce(sum((deg * (deg - 1)) // 2), 0) AS BIGINT) FROM td) AS wedges
+)
+SELECT s.nodes, s.edges, s.wedges, CAST(t.triangles AS BIGINT) AS triangles,
+       round(3.0 * t.triangles / CAST(CASE WHEN s.wedges = 0 THEN 1 ELSE s.wedges END AS DOUBLE), 6) AS clustering
+FROM tstats s CROSS JOIN tt t
+"""
+
+
+def _dedup_transitivity_oracle() -> str:
+    from .dedup import MINHASH_PAIRS_ORACLE
+
+    return (
+        f"WITH mp AS ({MINHASH_PAIRS_ORACLE}),"
+        + _census_over_edges_sql("te AS (SELECT id_a AS a, id_b AS b FROM mp)")[1:]
+    )
+
+
+@register("dedup_graph_transitivity", oracle=None)
+def dedup_graph_transitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census over the VERIFIED near-dup pair graph (the
+    dedup_minhash_pairs output): clustering here measures how
+    transitive the >= 0.5-Jaccard relation actually is — high
+    clustering justifies treating connected components as duplicate
+    groups (the dedup_clusters assumption); low clustering would mean
+    chains of borderline pairs are gluing unrelated docs together.
+    The near-dup graph is sparse by construction (LSH banding), so the
+    census is equi-joins over an O(dup-pairs) edge list. Same census
+    machinery as graph_triangles_supplier; oracle replays the MinHash
+    pipeline AND the census."""
+    from .dedup import dedup_minhash_pairs
+
+    pairs = dedup_minhash_pairs(spark, sf_dir).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return G.triangle_stats(pairs)
+
+
+# the oracle composes another module's CTE chain — bind it after both
+# definitions exist (import inside a function avoids a load-order trap)
+from . import REGISTRY as _REG  # noqa: E402
+
+_REG["dedup_graph_transitivity"].oracle = _dedup_transitivity_oracle()
+
+
 @register("graph_pagerank_trade", oracle=PAGERANK_ORACLE, bench=True)
 def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-{top} PageRank nodes of the customer→supplier trade graph
