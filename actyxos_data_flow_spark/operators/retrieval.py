@@ -220,3 +220,32 @@ def phrase_search(
     lim = perdoc.orderBy(F.col("n_hits").desc(), F.col(id_col).asc()).limit(k)
     w = W.orderBy(F.col("n_hits").desc(), F.col(id_col).asc())
     return lim.withColumn("rank", F.row_number().over(w))
+
+
+def proximity_search(
+    docs: DataFrame,
+    term_a: str,
+    term_b: str,
+    window: int = 5,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """NEAR/k retrieval: documents where ``term_a`` and ``term_b``
+    occur within ``window`` token positions (either order), ranked by
+    co-occurrence pair count (ties by id). Same scalable shape as
+    phrase_search: the positional index is term-filtered before the
+    (id)-equi-join, so the join sides are each one term's df-sized
+    postings with per-doc position lists bounded by doc length; the
+    band predicate |pos_a − pos_b| <= window filters the joined pairs.
+    Output: (id, n_pairs, rank)."""
+    pp = build_positional_postings(docs, id_col, text_col)
+    a = pp.filter(F.col("term") == term_a).select(id_col, F.col("pos").alias("pa"))
+    b = pp.filter(F.col("term") == term_b).select(id_col, F.col("pos").alias("pb"))
+    pairs = a.join(b, id_col).filter(
+        (F.abs(F.col("pa") - F.col("pb")) <= window) & (F.col("pa") != F.col("pb"))
+    )
+    perdoc = pairs.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_pairs"))
+    lim = perdoc.orderBy(F.col("n_pairs").desc(), F.col(id_col).asc()).limit(k)
+    w = W.orderBy(F.col("n_pairs").desc(), F.col(id_col).asc())
+    return lim.withColumn("rank", F.row_number().over(w))

@@ -157,6 +157,52 @@ def index_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"), "rank")
 
 
+NEAR_TERMS = ("hash", "join")
+NEAR_WINDOW = 5
+
+PROXIMITY_ORACLE = f"""
+WITH ptok AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(coalesce(text, '')), ' '), t -> t <> '') AS toks
+  FROM documents
+),
+ppos AS (
+  SELECT doc_id, toks[i] AS term, i - 1 AS pos
+  FROM ptok, unnest(generate_series(1, len(toks))) AS s(i)
+  WHERE toks[i] IN ('{NEAR_TERMS[0]}', '{NEAR_TERMS[1]}')
+),
+pm AS (
+  SELECT a.doc_id, count(*) AS n_pairs
+  FROM (SELECT doc_id, pos FROM ppos WHERE term = '{NEAR_TERMS[0]}') a
+  JOIN (SELECT doc_id, pos FROM ppos WHERE term = '{NEAR_TERMS[1]}') b
+    ON a.doc_id = b.doc_id
+  WHERE abs(a.pos - b.pos) <= {NEAR_WINDOW} AND a.pos <> b.pos
+  GROUP BY 1
+)
+SELECT doc_id, CAST(n_pairs AS BIGINT) AS n_pairs,
+       row_number() OVER (ORDER BY n_pairs DESC, doc_id ASC) AS rank
+FROM pm ORDER BY n_pairs DESC, doc_id ASC LIMIT {PHRASE_K}
+"""
+
+
+@register("index_proximity_search", oracle=PROXIMITY_ORACLE)
+def index_proximity_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR/{w} retrieval ("{a}" within {w} tokens of "{b}", either
+    order) from the positional index — the other classic positional
+    query: term-filter first, (id)-equi-join of two df-sized postings
+    sets, band predicate on the position gap, TakeOrdered top-k.
+    Oracle replays via ordinal unnest.""".format(
+        w=NEAR_WINDOW, a=NEAR_TERMS[0], b=NEAR_TERMS[1]
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    out = R.proximity_search(
+        docs, NEAR_TERMS[0], NEAR_TERMS[1], window=NEAR_WINDOW, k=PHRASE_K
+    )
+    from pyspark.sql import functions as F
+
+    return out.select("doc_id", F.col("n_pairs").cast("long").alias("n_pairs"), "rank")
+
+
 @register("source_orc_roundtrip", oracle=TOKEN_STATS_ORACLE)
 def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Format portability: documents mirrored to ORC (written once,

@@ -1421,3 +1421,21 @@ def test_phrase_search_consecutive_only(spark):
 
     r3 = {x["doc_id"]: x["n_hits"] for x in phrase_search(docs, ["the", "quick", "brown"]).collect()}
     assert r3 == {1: 1}
+
+
+def test_proximity_search_window_semantics(spark):
+    """NEAR/k: order-free, gap-bounded, pair-counted; the same
+    position never pairs with itself."""
+    from actyxos_data_flow_spark.operators.retrieval import proximity_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha x x beta"),        # gap 3 -> within 5
+            (2, "beta x x x x x alpha"),  # gap 6 -> outside
+            (3, "alpha beta alpha"),      # pairs: (0,1) and (2,1) -> 2
+            (4, "alpha only here"),
+        ],
+        "doc_id long, text string",
+    )
+    r = {x["doc_id"]: x["n_pairs"] for x in proximity_search(docs, "alpha", "beta", window=5).collect()}
+    assert r == {1: 1, 3: 2}
