@@ -31,98 +31,48 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 
     return deco
 
-
-# Registry order IS the driver's grading order, and the driver's
-# correctness run may grade only a prefix (round 2: first 50 of 117 —
-# whole families went officially unexamined). Rounds 1-3 accumulated
-# official rows for 78 of the registry's queries; this round ROTATES
-# the graded prefix (round-3 judge directive): every query that has
-# never appeared in a CORRECTNESS_r* artifact (44 as of round 4) goes
-# first, padded to 50 with six already-green family representatives
-# kept as cross-round regression sentinels. Everything else follows in
-# module order and stays covered by the local full-registry replica
-# (tools/check.py).
+# Registry order IS the driver's grading order, and the driver grades
+# only a ~50-row prefix. Rounds 1-4 accumulated official driver rows for
+# 124 of the 159 registry queries; this round (round-4 judge directive
+# "Next round #1") puts ALL 35 never-driver-graded rows first, followed
+# by this round's NEW queries (which have no official row by
+# construction), padded to 50 with already-green cross-family
+# regression sentinels. Everything else follows in module order and
+# stays covered by the local full-registry replica (tools/check.py).
 _PRIORITY: tuple[str, ...] = (
-    # regression sentinels (official-green in r3; one per core family)
-    # + the round-4 recall-quality flagship (added after the rotation,
-    # so it needs its first official row)
-    # (session_windows — already official-green — swapped for the
-    # late-round source_orc_roundtrip so the format-portability family
-    # gets its first official row; session_windows stays covered by the
-    # local full-registry replica)
+    # --- the 35 rows that have never appeared in any CORRECTNESS_r* ---
+    # TPC-H back-catalog tail
+    "q11_important_stock", "q20_excess_suppliers",
+    # dedup back catalog
+    "dedup_containment", "dedup_crossmodal", "dedup_editdistance",
+    "dedup_embedding_lsh", "dedup_embedding_lsh_delta",
+    "dedup_graph_transitivity", "dedup_minhash_quality",
+    "dedup_tfidf_cosine",
+    # ANN / embedding tail
+    "ann_ivf_kmeans_topk", "embedding_centroid_outliers",
+    # retrieval positional tail
+    "index_phrase_search", "index_proximity_search",
+    # multimodal tail
+    "mm_frame_dedup", "mm_phash", "mm_resize_grid", "mm_wav_meta",
+    # text tail
+    "text_lm_score", "text_lm_score_bigram", "text_normalize",
+    "text_pmi_collocations", "text_scrub_pii", "text_vocab_coverage",
+    # sampling / corpus-management tail
+    "sample_exact_k_per_lang", "sample_quality_weighted",
+    "sample_stratified_docs", "source_mix_weights",
+    "corpus_split_assign", "corpus_drift_terms",
+    "corpus_health_by_source", "class_weights_by_lang",
+    # stats / classifier tail
+    "table_stats_ndv", "quality_classifier_metrics", "bpe_token_stats",
+    # --- new this round (first possible official rows) ---
+    "mutable_corpus_replay", "join_rewrite_applied",
+    # --- already-green cross-family regression sentinels ---
     "e1_dashboard", "u4_threshold_clip", "g5_reduce_trail",
     "ivm_snapshot_diff", "source_orc_roundtrip", "ann_recall_report",
-    # round-4 new capability surface (first official rows): Bloom
-    # decontamination (bitmap + verified consumer), retraction-aware
-    # signed LSH deltas, bucketed co-located join layout
-    "bloom_filter_stats", "decontaminate_bloom",
-    "dedup_minhash_edit_delta", "dedup_embedding_edit_delta",
-    # (bpe_token_stats to the tail — BPE keeps merges/vocab/pipeline
-    # rows — for the CMS join-cardinality estimator's official row)
-    "bucketed_join_colocated", "bpe_merges", "cms_join_cardinality",
-    "bpe_vocab", "pipeline_bpe_batches",
-    # --- never-driver-graded below (driver artifact coverage rotation) ---
-    # TPC-H back catalog
-    # (q20, q11 rotated to the tail for the layout/graph rows)
-    "q2_best_supplier", "q9_product_profit",
-    "q21_suppliers_waiting",
-    # PageRank (new family: iterative graph analytics)
-    "graph_pagerank_trade",
-    # CBOR payload codec
-    "cbor_props_stats",
-    # dedup back catalog
-    # (dedup_containment rotated to the unranked tail for the
-    # retrieval rows; 7 dedup rows remain in the prefix)
-    # (dedup_tfidf_cosine / dedup_embedding_lsh to the tail: the two
-    # late-round NEW families below take their official-row slots;
-    # dedup keeps 4 prefix rows + the edit-delta pair above)
-    "dedup_clusters_star",
-    "dedup_clusters_delta",
-    "dedup_span_mask", "dedup_minhash_delta_pairs",
-    # HyperLogLog sketch + triangle census (new families: mergeable
-    # cardinality model; skew-bounded graph motif counting)
-    "sketch_hll_cardinality", "graph_triangles_supplier",
-    # inverted-index retrieval (new family: postings + BM25)
-    "index_postings_stats", "bm25_search_topk",
-    # similarity / ANN back catalog
-    "ann_sq8_topk", "ann_pq_topk", "ann_ivf_nprobe_topk",
-    # (ann_ivf_kmeans_topk to the tail: ann_ivf_partitioned_topk runs
-    # the same trained probe against the cell-partitioned mirror with
-    # dynamic partition pruning — same oracle, more machinery proven)
-    "ann_ivf_partitioned_topk",
-    "ann_hard_negatives", "kmeans_cells",
-    # z-order layout (new family: Morton bins + prune report;
-    # embedding_centroid_outliers rotated to the tail)
-    "layout_zorder_bins", "layout_zorder_prune",
-    # text / sampling / packing back catalog (text_normalize,
-    # text_scrub_pii, sample_quality_weighted, class_weights_by_lang,
-    # corpus_health_by_source rotated out to the unranked tail to make room for the round-4
-    # capability rows above — their families keep representatives here
-    # and the full-registry replica still covers them)
-    # (text_lm_score_bigram rotated to the unranked tail to keep the
-    # prefix at 50 after ann_pq_topk joined; text_lm_score stays)
-    # (text_pmi_collocations and corpus_split_assign rotated to the
-    # tail for the classifier rows; their families keep rows here)
-    # (text_lm_score to the tail — text keeps its repetition row —
-    # for the join-order advisor's official row)
-    "text_repetition_stats", "join_order_advisor",
-    "chunk_documents", "pack_curriculum_bins",
-    # count-min sketch (new family; text_vocab_coverage to the tail)
-    "cms_heavy_hitters",
-    # (sample_stratified_docs to the tail for export_shard_manifest)
-    # distributed-trained quality classifier (new family)
-    # (quality_classifier_metrics to the tail for the Deequ-style
-    # constraint-report row — the classifier family keeps its fit row)
-    "quality_classifier_fit", "quality_constraints_report",
-    # multimodal (real-codec round-trips; mm_wav_meta rotated to the
-    # tail — mm_audio_rms covers the WAV decode path) + composite + skew
-    "mm_audio_rms", "mm_phash_pairs",
-    # corpus drift monitoring (new family; dedup_editdistance and
-    # mm_phash rotated to the tail to stay at 50; corpus_drift_terms to
-    # the tail for the HDR quantile-sketch row — drift keeps its JSD row)
-    "corpus_drift_jsd", "sketch_hdr_quantiles",
-    "pipeline_training_batches", "export_shard_manifest",
-    "skew_salted_distinct",
+    "decontaminate_bloom", "dedup_minhash_delta_pairs", "bpe_merges",
+    "bm25_search_topk", "graph_pagerank_trade", "sketch_hll_cardinality",
+    "layout_zorder_prune", "pipeline_training_batches",
+    "quality_constraints_report",
 )
 
 
@@ -150,6 +100,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import hll  # noqa: F401
     from . import quantiles  # noqa: F401
     from . import validate  # noqa: F401
+    from . import mutable  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

@@ -260,3 +260,128 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("rank", F.row_number().over(w))
     )
+
+
+# -- sketch-driven join rewrite, APPLIED ------------------------------------
+#
+# join_order_advisor emits the decision; this query ACTS on it: the two
+# candidate first joins of the filtered customer ⋈ orders ⋈ lineitem
+# chain (the q3 shape) are priced from 2 KB count-min sketches of the
+# FILTERED join keys, the Spark join tree is then BUILT in the chosen
+# order (left-deep, cheaper first join innermost, dimension side
+# broadcast), and both the answer and the decision are value-hashed —
+# the oracle re-derives the same estimates, the same choice, and the
+# same (order-independent) answer. tests/test_plans.py asserts the
+# physical plan's scan nesting matches the sketch decision, proving the
+# rewrite FIRED rather than being a reported bit.
+
+_REWRITE_FILTERS = """
+fc AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+fo AS (SELECT o_custkey, o_orderkey, o_orderpriority FROM orders
+       WHERE o_orderdate < TIMESTAMP '1995-03-15'),
+fl AS (SELECT l_orderkey, l_extendedprice, l_discount FROM lineitem
+       WHERE l_shipdate > TIMESTAMP '1995-03-15')"""
+
+JOIN_REWRITE_ORACLE = (
+    f"WITH rows_ AS (SELECT unnest(generate_series(0, {_D - 1})) AS row),"
+    + _REWRITE_FILTERS
+    + ","
+    + _sketch_cte("c", "fc", "c_custkey")
+    + ","
+    + _sketch_cte("o1", "fo", "o_custkey")
+    + ","
+    + _sketch_cte("o2", "fo", "o_orderkey")
+    + ","
+    + _sketch_cte("l", "fl", "l_orderkey")
+    + ","
+    + _ip_cte("co", "c", "o1")
+    + ","
+    + _ip_cte("ol", "o2", "l")
+    + """,
+choice AS (
+  SELECT CASE WHEN e1.est_pairs <= e2.est_pairs
+              THEN 'customer*orders' ELSE 'orders*lineitem' END AS first_join,
+         CAST(least(e1.est_pairs, e2.est_pairs) AS BIGINT) AS est_first
+  FROM eco e1 CROSS JOIN eol e2
+),
+ans AS (
+  SELECT o.o_orderpriority,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+  FROM fc c JOIN fo o ON c.c_custkey = o.o_custkey
+            JOIN fl l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1
+)
+SELECT a.o_orderpriority, a.revenue, a.n_items, ch.first_join, ch.est_first
+FROM ans a CROSS JOIN choice ch
+"""
+)
+
+
+def _rewrite_inputs(spark: SparkSession, sf_dir: str):
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1995-03-15"
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1995-03-15")
+    return cust, orders, li
+
+
+def rewrite_decision(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Price both candidate first joins from sketches of the FILTERED
+    keys (two d×w model aggregates — the only rows that cross the
+    driver) and return (chosen first join, its estimate)."""
+    cust, orders, li = _rewrite_inputs(spark, sf_dir)
+
+    def sk(df, col):
+        return C.cms_build(df.select(F.col(col).cast("string").alias("term")))
+
+    est_co = C.cms_join_estimate(sk(cust, "c_custkey"), sk(orders, "o_custkey")).first()[
+        "est_pairs"
+    ]
+    est_ol = C.cms_join_estimate(sk(orders, "o_orderkey"), sk(li, "l_orderkey")).first()[
+        "est_pairs"
+    ]
+    if est_co <= est_ol:
+        return "customer*orders", int(est_co)
+    return "orders*lineitem", int(est_ol)
+
+
+@register("join_rewrite_applied", oracle=JOIN_REWRITE_ORACLE)
+def join_rewrite_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the q3-shaped chain in the order the sketches choose:
+    cheaper first join innermost (left-deep), customer side broadcast.
+    Catalyst does not reorder joins without CBO statistics, so the
+    constructed nesting IS the executed nesting (plan-asserted in
+    tests); the decision columns ride along under the value hash."""
+    from .tpch import _dec
+
+    first_join, est_first = rewrite_decision(spark, sf_dir)
+    cust, orders, li = _rewrite_inputs(spark, sf_dir)
+    if first_join == "customer*orders":
+        joined = orders.join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        ).join(li, li.l_orderkey == orders.o_orderkey)
+    else:
+        joined = orders.join(li, li.l_orderkey == orders.o_orderkey).join(
+            F.broadcast(cust), orders.o_custkey == cust.c_custkey
+        )
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "o_orderpriority",
+            "revenue",
+            "n_items",
+            F.lit(first_join).alias("first_join"),
+            F.lit(est_first).cast("long").alias("est_first"),
+        )
+    )

@@ -97,7 +97,14 @@ class _TombstoneStore:
         """One atomic visibility switch: every reader consults this
         table, so a single append retracts the ids everywhere."""
         seq = self._current_seq()
-        t = ids.select(F.col(id_field).cast("long").alias("tomb_id")).distinct()
+        # localCheckpoint: the count below and the write after it must see
+        # the SAME id set even when ``ids`` is a lazy plan over the very
+        # stores this append hides rows from.
+        t = (
+            ids.select(F.col(id_field).cast("long").alias("tomb_id"))
+            .distinct()
+            .localCheckpoint()
+        )
         n = t.count()
         if n:
             t.withColumn("upto_seq", F.lit(seq).cast("long")).write.mode("append").parquet(
@@ -202,7 +209,16 @@ class MutableCorpusIngestor(_TombstoneStore, CorpusIngestor):
         off for every reader (corpus view, admission gate, signature
         index, edge set), then cluster labels are recomputed for the
         affected components only. Idempotent on replay."""
-        ids = removed_ids.select(F.col(self.id_col).cast("long").alias("doc_id")).distinct()
+        # Pin the id set BEFORE the tombstone append: callers (upsert_batch)
+        # pass plans derived from the stores this method MUTATES — e.g.
+        # ``existing`` reads the digest index through the tombstone filter,
+        # so once the tombstones land, re-evaluating the lazy plan yields a
+        # different (empty) id set and the relabel silently drops labels.
+        ids = (
+            removed_ids.select(F.col(self.id_col).cast("long").alias("doc_id"))
+            .distinct()
+            .localCheckpoint()
+        )
         n = self._append_tombstones(ids, "doc_id")
         if n == 0:
             return {"retracted": 0, "relabeled_components": 0}

@@ -297,3 +297,23 @@ def test_cdc_vector_stream(spark, tmp_path):
     ing = MutableVectorIngestor(spark, str(tmp_path / "store"), dim=16)
     got = {r.vec_id: list(r.embedding) for r in ing.vectors().collect()}
     assert set(got) == {1} and got[1][7] == 1.0
+
+
+def test_upsert_lazy_existing_ids_keep_other_labels(spark, tmp_path):
+    """Regression: upsert_batch derives its retract set LAZILY from the
+    digest index, which the retraction itself mutates (tombstone append).
+    Before retract_batch pinned the id set (localCheckpoint), the relabel
+    re-evaluated the plan post-append, saw an empty/different id set, and
+    silently DROPPED the labels of surviving members of hit components."""
+    ing = _ing(spark, tmp_path, near_dup=True)
+    # doc 2 is a near-dup reject of doc 1 (est(A,B)=0.5 >= gate): it is
+    # labeled into component 1 but never enters the corpus or sig index
+    ing.ingest_batch(_docs(spark, [(1, A_TEXT, "en", "s"), (2, B_TEXT, "en", "s")]))
+    assert {(r["node"], r["component"]) for r in ing.clusters().collect()} == {(1, 1), (2, 1)}
+    # upsert doc 1 with changed content: internal retract of {1} hits
+    # component 1; survivor 2 must be relabeled (singleton), not lost
+    ing.upsert_batch(_docs(spark, [(1, C_TEXT, "en", "s")]))
+    labels = {r["node"]: r["component"] for r in ing.clusters().collect()}
+    assert labels[2] == 2, f"survivor label lost/wrong: {labels}"
+    assert labels[1] == 1  # re-ingested version re-labeled
+    assert set(labels) == {1, 2}

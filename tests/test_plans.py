@@ -470,3 +470,28 @@ def test_validation_report_single_scan_per_table_block(spark, registry):
     plan = _plan(registry["quality_constraints_report"].fn(spark, SF))
     # lineitem has 4 row-local rules -> exactly ONE lineitem scan
     assert plan.count("lineitem.parquet") == 1
+
+
+def test_join_rewrite_choice_fires(spark, registry):
+    """The sketch-driven join rewrite must be APPLIED, not just
+    reported: the executed plan's scan nesting matches the decision
+    rewrite_decision derives from the CMS sketches, and the dimension
+    side is broadcast."""
+    import re
+
+    from actyxos_data_flow_spark.plans.cms import rewrite_decision
+
+    first, est = rewrite_decision(spark, SF)
+    df = registry["join_rewrite_applied"].fn(spark, SF)
+    plan = _plan(df)
+    scans = [m for m in re.findall(r"(customer|orders|lineitem)", plan)]
+    order = list(dict.fromkeys(scans))
+    assert set(order) >= {"customer", "lineitem"}
+    if first == "customer*orders":
+        assert order.index("customer") < order.index("lineitem"), order
+    else:
+        assert order.index("lineitem") < order.index("customer"), order
+    assert "BroadcastHashJoin" in plan
+    # the reported decision columns agree with the plan that ran
+    row = df.select("first_join", "est_first").first()
+    assert row["first_join"] == first and row["est_first"] == est
