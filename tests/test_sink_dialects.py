@@ -283,3 +283,83 @@ def test_pgshim_distributed_stage_finalize(spark, tmp_path):
     assert sink.rows(RECORD) == [(None, 3), ("x", 1), ("y", 2)]
     assert sink.read_offsets(RECORD) == {"src": 20}
     sink.close()
+
+
+# -- the VERBATIM MSSQL dialect over SQLite (cursor-layer shim) ----------
+#
+# Same posture as the Postgres shim above: nothing in MssqlDialect is
+# replaced — DELETE TOP (?) with the count first, sys.tables/sys.indexes
+# DDL guards, CASE NULL-safe compares and the SERIALIZABLE prologue all
+# execute, mapped mechanically at the cursor layer
+# (tests/mssql_sqlite_shim.py).
+
+
+@pytest.fixture()
+def mssql_shim_sink(tmp_path):
+    from tests.mssql_sqlite_shim import MssqlShimConnection
+
+    conn = MssqlShimConnection(str(tmp_path / "msshim.db"))
+    s = DbapiSink(conn, MssqlDialect())
+    s.ensure(RECORD)
+    yield s
+    s.close()
+
+
+def test_mssqlshim_round_trip_multiplicities(mssql_shim_sink):
+    s = mssql_shim_sink
+    s.advance_offsets(
+        {RECORD: [(("x", 1), 1), (("y", 2), 2), (("x", 1), 1)]}, {"src-a": 10}
+    )
+    assert s.rows(RECORD) == [("x", 1), ("x", 1), ("y", 2), ("y", 2)]
+    assert s.read_offsets(RECORD) == {"src-a": 10}
+    s.advance_offsets({RECORD: [(("y", 2), -1)]}, {"src-a": 11, "src-b": 5})
+    assert s.rows(RECORD) == [("x", 1), ("x", 1), ("y", 2)]
+    assert s.read_offsets(RECORD) == {"src-a": 11, "src-b": 5}
+
+
+def test_mssqlshim_delete_exact_null_safe(mssql_shim_sink):
+    """DELETE TOP (n) with the count as the FIRST parameter
+    (mssql.rs:216-218, :288) removes EXACTLY n copies, NULL keys
+    included, through the doubled-bind CASE compare."""
+    s = mssql_shim_sink
+    s.advance_offsets({RECORD: [((None, 7), 3)]}, {"s": 1})
+    s.advance_offsets({RECORD: [((None, 7), -2)]}, {"s": 2})
+    assert s.rows(RECORD) == [(None, 7)]
+
+
+def test_mssqlshim_version_bump_migration(mssql_shim_sink):
+    s = mssql_shim_sink
+    s.advance_offsets({RECORD: [(("x", 1), 1)]}, {"s": 1})
+    bumped = DbTable(name=RECORD.name, columns=RECORD.columns, version=2)
+    assert s.ensure(bumped) is True  # drop + recreate
+    assert s.rows(bumped) == []
+
+
+def test_mssqlshim_distributed_stage_finalize(spark, tmp_path):
+    """The distributed applier under the VERBATIM MSSQL dialect:
+    executor-side staging, the implicit-recursion WITH (T-SQL style, no
+    RECURSIVE keyword) + OPTION (MAXRECURSION 0) finalize, and
+    delete-exactly-n via DELETE TOP."""
+    from actyxos_data_flow_spark.sinks.distributed import DistributedApplier
+    from tests.mssql_sqlite_shim import MssqlShimConnection, mssql_shim_factory
+
+    path = str(tmp_path / "msdist.db")
+    sink = DbapiSink(MssqlShimConnection(path), MssqlDialect())
+    sink.ensure(RECORD)
+    applier = DistributedApplier(mssql_shim_factory(path), MssqlDialect())
+    applier.ensure_stage(sink, RECORD)
+
+    delta = spark.createDataFrame(
+        [("x", 1, 2), ("y", 2, 1), (None, 3, 1)], "a string, b long, delta long"
+    ).repartition(3)
+    applier.stage(delta, RECORD, epoch="e1")
+    ins, dels = applier.finalize(sink, RECORD, "e1", {"src": 10})
+    assert (ins, dels) == (4, 0)
+    assert sink.rows(RECORD) == [(None, 3), ("x", 1), ("x", 1), ("y", 2)]
+
+    d2 = spark.createDataFrame([("x", 1, -1)], "a string, b long, delta long")
+    applier.stage(d2, RECORD, epoch="e2")
+    ins2, dels2 = applier.finalize(sink, RECORD, "e2", {"src": 11})
+    assert (ins2, dels2) == (0, 1)
+    assert sink.rows(RECORD) == [(None, 3), ("x", 1), ("y", 2)]
+    assert sink.read_offsets(RECORD) == {"src": 11}
