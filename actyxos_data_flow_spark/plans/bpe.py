@@ -27,18 +27,57 @@ from ..sources import load_table
 from . import register
 
 N_MERGES = B.BPE_MERGES
+TOPR = B.BPE_TOPR
+_CAND_N = 4 * TOPR
+
+
+def _apply_cte(win: str, wout: str, mm: str, cp: str, sp: str) -> str:
+    """Apply table ``mm``'s single merge (0 or 1 rows) to symbol table
+    ``win`` → ``wout``: window-arithmetic leftmost-nonoverlapping, with
+    a scalar-subquery fused symbol so an EMPTY mm is the identity (the
+    unrolled round may have accepted fewer than TOPR merges)."""
+    return f"""{cp} AS (
+  SELECT w.word, u.k
+  FROM {win} w, {mm} m, unnest(range(1, len(w.syms))) u(k)
+  WHERE w.syms[u.k] = m.l AND w.syms[u.k + 1] = m.r
+),
+{sp} AS MATERIALIZED (
+  SELECT word, k FROM (
+    SELECT word, k, row_number() OVER (PARTITION BY word, k - rn ORDER BY k) AS rr
+    FROM (SELECT word, k, row_number() OVER (PARTITION BY word ORDER BY k) AS rn FROM {cp})
+  ) WHERE rr % 2 = 1
+),
+{wout} AS MATERIALIZED (
+  SELECT word, freq, list(sym ORDER BY jj) AS syms FROM (
+    SELECT t.word, t.freq, u.jj,
+           CASE WHEN st.k IS NOT NULL THEN (SELECT l || r FROM {mm}) ELSE t.syms[u.jj] END AS sym
+    FROM {win} t CROSS JOIN unnest(range(1, len(t.syms) + 1)) u(jj)
+    LEFT JOIN {sp} st ON st.word = t.word AND st.k = u.jj
+    LEFT JOIN {sp} s2 ON s2.word = t.word AND s2.k = u.jj - 1
+    WHERE s2.k IS NULL
+  ) GROUP BY word, freq
+)"""
 
 
 def _train_ctes(k: int, src: str = "documents") -> str:
-    """wf → w0 → (p0, m0, w1) → … → (p{k-1}, m{k-1}, w{k}), trained on
-    the ``src`` relation's text column."""
+    """wf → w0 → per round i: (p{i} pair counts, cand{i} top-{_CAND_N},
+    gsel{i} greedy disjoint acceptance via a nested recursive CTE,
+    acc{i} capped to the remaining budget, am{i+1} cumulative merge
+    table, {TOPR} apply stages) → … → w{k}, trained on ``src``'s text
+    column. Replays :func:`operators.bpe.bpe_train_topr`'s trajectory:
+    rank by (count DESC, l, r), accept pairs symbol-disjoint from every
+    higher-ranked accepted pair, at most {TOPR} per round. ``k`` rounds
+    always suffice for ``k`` merges (a nonempty round accepts >= 1)."""
+    grd = f"(NOT list_contains(gr.used, c2.l)) AND (NOT list_contains(gr.used, c2.r)) AND gr.n_acc < {TOPR}"
     parts = [
         f"""wf AS (
   SELECT word, count(*) AS freq
   FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {src})
   WHERE word <> '' GROUP BY 1
 ),
-w0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '·') AS syms FROM wf)"""
+w0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '·') AS syms FROM wf),
+am0 AS (SELECT CAST(NULL AS BIGINT) AS grank, CAST(NULL AS VARCHAR) AS l,
+               CAST(NULL AS VARCHAR) AS r, CAST(NULL AS HUGEINT) AS c WHERE false)"""
     ]
     for i in range(k):
         parts.append(
@@ -47,52 +86,57 @@ w0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '·')
   FROM w{i}, unnest(range(1, len(syms))) AS t(i)
   GROUP BY 1, 2
 ),
-m{i} AS MATERIALIZED (SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-c{i} AS (
-  SELECT w.word, u.i
-  FROM w{i} w, m{i} m, unnest(range(1, len(w.syms))) u(i)
-  WHERE w.syms[u.i] = m.l AND w.syms[u.i + 1] = m.r
+cand{i} AS MATERIALIZED (
+  SELECT l, r, c, row_number() OVER (ORDER BY c DESC, l ASC, r ASC) AS rk
+  FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT {_CAND_N}
 ),
-s{i} AS MATERIALIZED (
-  SELECT word, i FROM (
-    SELECT word, i, row_number() OVER (PARTITION BY word, i - rn ORDER BY i) AS rr
-    FROM (SELECT word, i, row_number() OVER (PARTITION BY word ORDER BY i) AS rn FROM c{i})
-  ) WHERE rr % 2 = 1
+gsel{i} AS MATERIALIZED (
+  WITH RECURSIVE gr(rk, l, r, c, acc, used, n_acc) AS (
+    SELECT rk, l, r, c, true, [l, r], 1 FROM cand{i} WHERE rk = 1
+    UNION ALL
+    SELECT c2.rk, c2.l, c2.r, c2.c, {grd},
+           CASE WHEN {grd} THEN list_concat(gr.used, [c2.l, c2.r]) ELSE gr.used END,
+           gr.n_acc + CASE WHEN {grd} THEN 1 ELSE 0 END
+    FROM gr JOIN cand{i} c2 ON c2.rk = gr.rk + 1
+  )
+  SELECT rk, l, r, c FROM gr WHERE acc
 ),
-w{i + 1} AS MATERIALIZED (
-  SELECT word, freq, list(sym ORDER BY j) AS syms FROM (
-    SELECT t.word, t.freq, u.j,
-           CASE WHEN st.i IS NOT NULL THEN m.l || m.r ELSE t.syms[u.j] END AS sym
-    FROM w{i} t CROSS JOIN m{i} m
-    CROSS JOIN unnest(range(1, len(t.syms) + 1)) u(j)
-    LEFT JOIN s{i} st ON st.word = t.word AND st.i = u.j
-    LEFT JOIN s{i} s2 ON s2.word = t.word AND s2.i = u.j - 1
-    WHERE s2.i IS NULL
-  ) GROUP BY word, freq
+acc{i} AS MATERIALIZED (
+  SELECT l, r, c, row_number() OVER (ORDER BY rk) AS j FROM gsel{i}
+  QUALIFY row_number() OVER (ORDER BY rk) <= {k} - (SELECT count(*) FROM am{i})
+),
+am{i + 1} AS MATERIALIZED (
+  SELECT * FROM am{i}
+  UNION ALL
+  SELECT (SELECT count(*) FROM am{i}) + j AS grank, l, r, c FROM acc{i}
 )"""
         )
+        win = f"w{i}"
+        for j in range(1, TOPR + 1):
+            wout = f"w{i + 1}" if j == TOPR else f"w{i}x{j}"
+            parts.append(f"mm{i}x{j} AS MATERIALIZED (SELECT l, r FROM acc{i} WHERE j = {j})")
+            parts.append(_apply_cte(win, wout, f"mm{i}x{j}", f"cp{i}x{j}", f"sp{i}x{j}"))
+            win = wout
     return ",\n".join(parts)
 
 
 BPE_MERGES_ORACLE = (
     "WITH "
     + _train_ctes(N_MERGES)
-    + "\n"
-    + "\nUNION ALL\n".join(
-        f"SELECT {i} AS merge_rank, l AS left_sym, r AS right_sym, c::BIGINT AS pair_count FROM m{i}"
-        for i in range(N_MERGES)
-    )
+    + f"\nSELECT (grank - 1)::INT AS merge_rank, l AS left_sym, r AS right_sym,"
+    f" c::BIGINT AS pair_count FROM am{N_MERGES}"
 )
 
 
 @register("bpe_merges", oracle=BPE_MERGES_ORACLE)
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The learned merge table, (merge_rank, left_sym, right_sym,
-    pair_count): the oracle re-runs training in DuckDB with the same
-    deterministic tie rule — agreement certifies every round's pair
-    counts AND every round's winner."""
+    pair_count): the oracle re-runs the TOP-R training in DuckDB with
+    the same deterministic rank + disjoint-acceptance rule — agreement
+    certifies every round's pair counts, every round's accepted batch,
+    and the batching itself."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_train(docs, n_merges=N_MERGES)
+    merges = B.bpe_train_topr(docs, n_merges=N_MERGES)
     return spark.createDataFrame(
         merges, "merge_rank int, left_sym string, right_sym string, pair_count long"
     )
@@ -125,7 +169,7 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the corpus is scanned once for the counts and never
     touched by the merge folds."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_train(docs, n_merges=N_MERGES)
+    merges = B.bpe_train_topr(docs, n_merges=N_MERGES)
     return B.bpe_corpus_stats(docs, merges)
 
 
@@ -162,7 +206,7 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_train(docs, n_merges=N_MERGES)
+    merges = B.bpe_train_topr(docs, n_merges=N_MERGES)
     occ = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
@@ -243,7 +287,7 @@ def pipeline_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exchange nodes before the cut)
     clean = clean_doc_ids(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id").persist()
-    merges = B.bpe_train(docs, n_merges=N_MERGES)
+    merges = B.bpe_train_topr(docs, n_merges=N_MERGES)
     occ = (
         docs.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter(F.col("word") != "")

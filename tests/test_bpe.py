@@ -111,3 +111,26 @@ def test_bpe_train_empty_and_degenerate_corpora(spark):
     assert merges[0][1:] == ("a", B.END_MARK, 1)
     enc = B.bpe_encode_words(spark.createDataFrame([("a",)], "word string"), merges)
     assert enc.collect()[0]["n_bpe"] == 1
+
+
+def test_bpe_train_topr_r1_degenerates_to_classic(spark):
+    """With r=1 the batched trainer IS the classic sequential trainer —
+    same candidates, same tie rule, one accept per round."""
+    docs = spark.createDataFrame(
+        [(1, "abc abc abd xy xy xy xy"), (2, "abc xy abd abd")],
+        "doc_id long, text string",
+    )
+    assert B.bpe_train_topr(docs, n_merges=4, r=1) == B.bpe_train(docs, n_merges=4)
+
+
+def test_bpe_train_topr_accepts_disjoint_batches(spark):
+    """Top-R fills the merge budget in ceil(n/r) rounds when the top
+    pairs are symbol-disjoint, and each accepted pair's recorded count
+    is its true pre-round count (disjoint merges cannot create, destroy
+    or shift each other's occurrences)."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab cd cd ef")], "doc_id long, text string"
+    )
+    m = B.bpe_train_topr(docs, n_merges=3, r=3)
+    assert [(r, l_, rt) for r, l_, rt, _ in m][:3] == [(0, "a", "b"), (1, "c", "d"), (2, "e", "f")]
+    assert [c for *_, c in m] == [3, 2, 1]
