@@ -66,6 +66,7 @@ _PRIORITY: tuple[str, ...] = (
     "table_stats_ndv", "quality_classifier_metrics", "bpe_token_stats",
     # --- new this round (first possible official rows) ---
     "mutable_corpus_replay", "join_rewrite_applied",
+    "windowed_distinct_hll_replay",
     # --- already-green cross-family regression sentinels ---
     "e1_dashboard", "u4_threshold_clip", "g5_reduce_trail",
     "ivm_snapshot_diff", "source_orc_roundtrip", "ann_recall_report",

@@ -202,3 +202,75 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "value", ns_micros("ts").alias("ts_micros"), "event_id")
     )
     return TJ.scd2(ev)
+
+
+# -- windowed distinct (HLL registers), batch replay -------------------------
+#
+# streaming/windows.windowed_distinct_hll is the scalable substitute for
+# the (unsupported) streaming windowed COUNT(DISTINCT): per event-time
+# window it keeps at most m=64 register rows (max is the sketch's
+# monoid), so state is O(open windows x 64) regardless of item flow.
+# The window/register arithmetic is identical in batch mode (streaming
+# only adds watermark eviction, pytest-covered), so this row puts the
+# SAME function under the DuckDB value hash: daily windows over events,
+# distinct user_id per window, estimate + exact + 3-sigma contract all
+# hashed. Window starts cross the oracle boundary as epoch micros
+# (TZ-independent on both engines: Spark buckets internal epoch micros,
+# DuckDB date_trunc's the NTZ value whose epoch_us is the same number).
+
+_HLL_BOUND = 3 * 1.04 / 8.0  # 3 sigma at m=64
+
+_WIN_ITEMS_SQL = """
+  SELECT epoch_us(date_trunc('day', ts)) AS g, CAST(user_id AS VARCHAR) AS item
+  FROM events WHERE user_id IS NOT NULL
+"""
+
+WINDOWED_HLL_ORACLE = None  # assigned below (needs operators.hll import)
+
+
+def _windowed_hll_oracle() -> str:
+    from ..operators import hll as H
+
+    return f"""
+WITH {H.hll_oracle_cte(_WIN_ITEMS_SQL)},
+wexact AS (
+  SELECT epoch_us(date_trunc('day', ts)) AS g,
+         count(DISTINCT CAST(user_id AS VARCHAR)) AS exact_distinct
+  FROM events WHERE user_id IS NOT NULL GROUP BY 1
+)
+SELECT x.g AS win_us, x.exact_distinct, e.hll_est,
+       abs(e.hll_est - x.exact_distinct) <= {_HLL_BOUND!r} * x.exact_distinct AS within_3se
+FROM wexact x JOIN hest e USING (g)
+"""
+
+
+WINDOWED_HLL_ORACLE = _windowed_hll_oracle()
+
+
+@register("windowed_distinct_hll_replay", oracle=WINDOWED_HLL_ORACLE)
+def windowed_distinct_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily distinct-user estimates from the streaming operator's
+    register tables, replayed in batch: windowed_distinct_hll buckets
+    (window, idx, max rho), hll_estimate folds the registers per
+    window, and the exact count joins in for the hashed 3-sigma
+    accuracy contract."""
+    from ..operators import hll as H
+    from ..streaming.windows import windowed_distinct_hll
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    evt = ev.select(
+        F.timestamp_micros(ns_micros("ts")).alias("ts2"),
+        F.col("user_id").cast("string").alias("item"),
+    )
+    regs = windowed_distinct_hll(evt, "ts2", "item", window="1 day", watermark="2 days")
+    est = H.hll_estimate(regs, "window_start")
+    exact = evt.groupBy(
+        F.window(F.col("ts2"), "1 day")["start"].alias("window_start")
+    ).agg(F.countDistinct("item").alias("exact_distinct"))
+    err = F.abs(F.col("hll_est") - F.col("exact_distinct"))
+    return exact.join(est, "window_start").select(
+        F.unix_micros(F.col("window_start")).alias("win_us"),
+        "exact_distinct",
+        "hll_est",
+        (err <= F.lit(_HLL_BOUND) * F.col("exact_distinct")).alias("within_3se"),
+    )
