@@ -44,6 +44,27 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def quality_col(text_col: str = "text"):
+    """The combined quality score as ONE column expression over the raw
+    text (6dp-rounded, same formula as :func:`quality_score`) — for
+    callers that want to gate inline in a projection instead of joining
+    the score table back (one scan, zero shuffles)."""
+    tokens = F.split(F.col(text_col), " ")
+    n_tok = F.size(tokens).cast("double")
+    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
+    stop_hits = F.size(F.filter(tokens, lambda x: F.array_contains(en, x))).cast("double")
+    distinct_ratio = F.size(F.array_distinct(tokens)).cast("double") / n_tok
+    mean_wlen = (F.length(text_col).cast("double") - (n_tok - 1)) / n_tok
+    stop_ratio = stop_hits / n_tok
+    score = (
+        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.25
+        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
+        + distinct_ratio * 0.25
+        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0) * 0.25
+    )
+    return F.round(score, 6)
+
+
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: length, mean word length, stopword
     ratio, alpha ratio, repetition (distinct/total tokens) — combined
