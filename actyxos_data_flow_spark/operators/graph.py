@@ -144,6 +144,20 @@ def pagerank(
         .localCheckpoint()  # reused every pass (base join) + final
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # Pre-join the out-degree into the edge table ONCE and materialize
+    # it src-partitioned (the groupBy/join leave it hash-partitioned by
+    # src, and localCheckpoint PRESERVES outputPartitioning): every
+    # pass's contrib join then exchanges only the node-sized rank table
+    # — the edge side never reshuffles. Before this, each of the
+    # `iters` passes re-aggregated outdeg from e and reshuffled the
+    # edge list for the join: two edge-sized stages per pass gone.
+    e2 = e.join(outdeg, "src").localCheckpoint()
+    # the dangling set (no out-edges) is STATIC — materialize once; the
+    # per-pass dangling-mass scan is then a semi-join against it
+    dangling = (
+        nodes.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
+        .localCheckpoint()
+    )
     # N and the per-pass dangling mass are MODEL-SIZED scalars — collect
     # them (1-row jobs) and fold as literals instead of broadcast-
     # joining two 1-row frames per pass: same IEEE arithmetic (the
@@ -156,15 +170,14 @@ def pagerank(
     dec = "CAST(round(pr / deg, 9) AS DECIMAL(28,9))"
     for _ in range(iters):
         contrib = (
-            e.join(ranks.withColumnRenamed("node", "src"), "src")
-            .join(outdeg, "src")
+            e2.join(ranks.withColumnRenamed("node", "src"), "src")
             .select(F.col("dst").alias("node"), F.expr(dec).alias("_c"))
             .groupBy("node")
             .agg(F.sum("_c").cast("double").alias("_in"))
         )
         # dangling mass: rank held by nodes with no out-edges
         dm_row = (
-            ranks.join(outdeg.withColumnRenamed("src", "node"), "node", "left_anti")
+            ranks.join(dangling, "node", "left_semi")
             .agg(
                 F.sum(F.expr("CAST(round(pr, 9) AS DECIMAL(28,9))"))
                 .cast("double")
