@@ -720,3 +720,107 @@ def lm_score_bigram(
         F.count(F.lit(1)).alias("n_scored"),
         (F.sum(d).cast("double") / F.count(F.lit(1))).alias("mean_logp"),
     )
+
+
+def epoch_schedule(
+    df: DataFrame,
+    group_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    alpha: float = 0.3,
+    budget_num: int = 17,
+    budget_den: int = 10,
+    salt: str = "mix:1",
+) -> DataFrame:
+    """Epoch-aware domain-mixing schedule — the step AFTER
+    :func:`mix_weights`: turn the α-temperature target mixture into an
+    actual, materialized sampling plan over a fixed token budget
+    (transposing the reference's deterministic-replay posture,
+    src/flow.rs:28-41, onto the corpus-mixing plane). Every LLM
+    pretraining pipeline needs this exact artifact: which documents,
+    from which domain, repeated how many times (epochs), in what
+    deterministic order.
+
+    Mechanics (all engine-portable, no RNG state):
+    - global budget B = Σ size · budget_num // budget_den (pure
+      integer, scale-invariant);
+    - per-domain budget: floor(B · mix_weight + 0.5) — mix_weight is
+      the 6dp-rounded temperature weight, identical in any engine, and
+      floor(x+0.5) is the cross-engine quantization convention;
+    - domains smaller than their budget replicate: full_epochs =
+      budget // domain_size, and the remainder epoch takes a PREFIX of
+      the domain's deterministic permutation — docs ordered by a
+      salted 60-bit md5 of their id (the stratified_sample hash), so
+      the partial epoch is an unbiased, reproducible subset;
+    - one output row per (doc, epoch), with a salted per-(doc, epoch)
+      md5 schedule key: sorting by it interleaves domains and epochs
+      into the final training order WITHOUT any global row_number —
+      at 100 TB the consumer range-partitions by sched_key and no
+      unpartitioned window ever materializes.
+
+    Scale shape: one size aggregate per domain (map-side combined),
+    the |domains|-row budget table broadcast back, one window per
+    domain partition for the prefix sum, and a per-row sequence()
+    explode bounded by the epoch count — no global shuffle beyond the
+    domain-keyed window, no driver loops."""
+    from pyspark.sql import Window
+
+    sizes = df.groupBy(group_col).agg(F.sum(F.col(size_col)).alias("_dom_sz"))
+    weights = mix_weights(df, group_col, alpha)
+    bt = sizes.agg(F.sum("_dom_sz").alias("_tot")).select(
+        F.expr(f"CAST(_tot * {budget_num} div {budget_den} AS BIGINT)").alias("_budget")
+    )
+    dom = (
+        sizes.join(F.broadcast(weights.select(group_col, "mix_weight")), group_col)
+        .crossJoin(F.broadcast(bt))
+        .select(
+            group_col,
+            "_dom_sz",
+            F.floor(F.col("_budget").cast("double") * F.col("mix_weight") + F.lit(0.5))
+            .cast("long")
+            .alias("_dom_budget"),
+        )
+        .select(
+            group_col,
+            F.expr("_dom_budget div _dom_sz").alias("_full_epochs"),
+            F.expr("_dom_budget % _dom_sz").alias("_rem"),
+        )
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")).cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(group_col).orderBy("_hkey", id_col)
+    placed = (
+        df.select(group_col, id_col, F.col(size_col).alias("_sz"), h.alias("_hkey"))
+        .withColumn("_start", F.sum("_sz").over(w) - F.col("_sz"))
+        .join(F.broadcast(dom), group_col)
+        .withColumn(
+            "n_epochs",
+            (F.col("_full_epochs") + F.when(F.col("_start") < F.col("_rem"), 1).otherwise(0)).cast(
+                "int"
+            ),
+        )
+        .filter(F.col("n_epochs") > 0)
+    )
+    sched_key = F.md5(
+        F.concat(
+            F.lit(salt + ":sched:"),
+            F.col(id_col).cast("string"),
+            F.lit(":"),
+            F.col("epoch").cast("string"),
+        ).cast("binary")
+    )
+    return (
+        placed.select(
+            group_col,
+            id_col,
+            F.col("_sz").alias(size_col),
+            "n_epochs",
+            F.explode(F.sequence(F.lit(0), F.col("n_epochs") - 1)).alias("epoch"),
+        )
+        .select(group_col, id_col, size_col, "n_epochs", "epoch", sched_key.alias("sched_key"))
+    )

