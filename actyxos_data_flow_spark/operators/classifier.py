@@ -132,3 +132,29 @@ def logreg_metrics(feats: DataFrame, w: list[float]) -> DataFrame:
             6,
         ).alias("mean_p_neg"),
     )
+
+
+def logreg_calibration(feats: DataFrame, w: list[float], bins: int = 10) -> DataFrame:
+    """Reliability diagram for one weight vector: predictions bucketed
+    into ``bins`` equal-width probability bins; per bin the count, the
+    6dp decimal-exact mean predicted probability, the positive fraction,
+    and their absolute gap (the per-bin calibration error — the ECE
+    numerator). One scan + one |bins|-row aggregate, same shape as
+    logreg_metrics. floor(p·bins) with a top clamp is the cross-engine
+    binning convention (p is already rounded to 7dp, so both engines
+    bin identical doubles)."""
+    p = _sigmoid7(_dot_w(w))
+    scored = feats.select("y", p.alias("p"))
+    bin_id = F.least(F.floor(F.col("p") * bins).cast("int"), F.lit(bins - 1))
+    dec = F.sum(F.expr("CAST(round(p, 7) AS DECIMAL(20,7))"))
+    per = scored.groupBy(bin_id.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(dec.cast("double") / F.count(F.lit(1)), 6).alias("mean_p"),
+        F.round(
+            F.sum(F.col("y").cast("int")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("frac_pos"),
+    )
+    return per.select(
+        "bin", "n", "mean_p", "frac_pos",
+        F.round(F.abs(F.col("mean_p") - F.col("frac_pos")), 6).alias("abs_gap"),
+    )

@@ -158,6 +158,53 @@ def lsh_oversized_buckets(
     )
 
 
+def shingle_sets(sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Per-document shingle SET as one array row — the compact mirror
+    of the exploded shingle table (one map-side-combined collect_set).
+    Persist it next to the shingle cache: verification joins against it
+    are broadcast-hash scans instead of corpus-wide shuffles."""
+    return sh.groupBy(id_col).agg(F.collect_set("shingle").alias("_sh"))
+
+
+def jaccard_on_pairs_arrays(
+    pairs: DataFrame,
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    max_broadcast_pairs: int = 500_000,
+) -> DataFrame:
+    """Exact Jaccard on candidate pairs via per-doc shingle ARRAYS:
+    broadcast the (bucket-capped) candidate list onto the set table
+    twice — two broadcast-hash scans, zero exchanges — then
+    ``array_intersect`` per pair. Same values as :func:`jaccard_on_pairs`
+    (set intersection is order-free), ~1.4x faster per pass at sf0.1
+    because the corpus shingle table never shuffles.
+
+    The second broadcast carries candidate rows WITH their first-side
+    arrays, so it is only safe while candidates are bounded (LSH
+    ``max_bucket`` does this by construction). The guard counts the
+    (persisted) pair list and falls back to the exploded-join
+    formulation beyond ``max_broadcast_pairs`` — the same
+    adaptive-above-threshold posture as similarity.cosine_topk's
+    query-matrix chunking."""
+    n = pairs.count()
+    if n > max_broadcast_pairs:
+        exploded = sets.select(id_col, F.explode("_sh").alias("shingle"))
+        return jaccard_on_pairs(pairs, exploded, id_col)
+    a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
+    b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
+    x = a.join(F.broadcast(pairs), "id_a")
+    y = F.broadcast(x).join(b, "id_b")
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    return y.select(
+        "id_a",
+        "id_b",
+        (
+            inter.cast("double")
+            / (F.size("_sha") + F.size("_shb") - inter).cast("double")
+        ).alias("jaccard"),
+    )
+
+
 def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Exact Jaccard for given (id_a, id_b) pairs via inverted-index
     intersection: join pair→shingles of a→shingles of b on equal shingle,

@@ -67,11 +67,12 @@ _PRIORITY: tuple[str, ...] = (
     # --- new this round (first possible official rows) ---
     "mutable_corpus_replay", "join_rewrite_applied",
     "windowed_distinct_hll_replay", "dedup_semantic", "mix_epoch_schedule",
-    # --- already-green cross-family regression sentinels (exactly 10,
+    "quality_classifier_calibration",
+    # --- already-green cross-family regression sentinels (exactly 9,
     # so every must-grade row above sits inside the driver's ~50-row
     # graded window) ---
     "e1_dashboard", "ivm_snapshot_diff", "ann_recall_report",
-    "decontaminate_bloom", "bpe_merges", "bm25_search_topk",
+    "decontaminate_bloom", "bpe_merges",
     "graph_pagerank_trade", "sketch_hll_cardinality",
     "pipeline_training_batches", "quality_constraints_report",
 )

@@ -140,3 +140,48 @@ def quality_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = C.feature_vector(docs).persist()
     w = C.logreg_fit(feats)[-1]
     return C.logreg_metrics(feats, w)
+
+
+QC_CAL_BINS = 10
+
+QC_CALIBRATION_ORACLE = (
+    "WITH "
+    + _LR_SQL_FIT
+    + f""",
+lrp AS (
+  SELECT x.doc_id, x.y,
+         round(1.0 / (1.0 + exp(-round(sum(x.xj * w.w), 9))), 7) AS p
+  FROM lrx x JOIN {_LR_WFINAL} w ON x.j = w.j
+  GROUP BY x.doc_id, x.y
+),
+cbin AS (
+  SELECT least(CAST(floor(p * {QC_CAL_BINS}) AS INTEGER), {QC_CAL_BINS - 1}) AS bin, y, p
+  FROM lrp
+),
+cagg AS (
+  SELECT bin, count(*) AS n,
+         round(CAST(sum(CAST(round(p, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*), 6)
+           AS mean_p,
+         round(sum(CAST(y AS INTEGER))::DOUBLE / count(*), 6) AS frac_pos
+  FROM cbin GROUP BY bin
+)
+SELECT bin, CAST(n AS BIGINT) AS n, mean_p, frac_pos,
+       round(abs(mean_p - frac_pos), 6) AS abs_gap
+FROM cagg
+"""
+)
+
+
+@register("quality_classifier_calibration", oracle=QC_CALIBRATION_ORACLE)
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the fitted classifier: 10 equal-width
+    probability bins, each with its decimal-exact mean prediction, the
+    observed positive rate, and their gap (the ECE numerator) — the
+    go/no-go artifact before a trained quality filter is allowed to
+    gate a corpus. Same one-scan + |bins|-row-aggregate shape as the
+    metrics row; the oracle replays binning and the decimal means over
+    the unrolled-GD predictions."""
+    docs = load_table(spark, sf_dir, "documents")
+    feats = C.feature_vector(docs).persist()
+    w = C.logreg_fit(feats)[-1]
+    return C.logreg_calibration(feats, w, bins=QC_CAL_BINS)

@@ -139,8 +139,12 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle is the uncapped pipeline, so the gate also proves it)
     cand = D.lsh_candidate_pairs(
         sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
+    ).persist()
+    # array-set verification: candidates broadcast onto the per-doc
+    # shingle-set table twice, so the corpus never shuffles in verify
+    return D.jaccard_on_pairs_arrays(cand, D.shingle_sets(sh)).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
-    return D.jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 # -- minhash estimator quality (the dedup companion to ann_recall) ---------

@@ -139,8 +139,14 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES).persist()
     cand = D.lsh_candidate_pairs(
         sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
+    ).persist()
+    # verify on per-doc shingle ARRAYS: the candidate list (bucket-capped,
+    # persisted so its guard count is free) broadcasts onto the set table
+    # twice — zero corpus-wide exchanges in the verify stage
+    sets = D.shingle_sets(sh).persist()
+    near = D.jaccard_on_pairs_arrays(cand, sets).filter(
+        F.col("jaccard") >= JACCARD_THRESHOLD
     )
-    near = D.jaccard_on_pairs(cand, sh).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     dropped = near.select("id_b").distinct()
     return (
         reps.join(dropped, reps.doc_id == dropped.id_b, "left_anti")
