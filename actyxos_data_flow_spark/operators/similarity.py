@@ -966,8 +966,16 @@ def pq_adc_topk(
     r_pool = k * rerank
     books = pq_fit(corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters)
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
-    adot = F.round(_dot(F.col("qe"), _pq_reconstruct_expr(books, "pq_codes")), 9)
-    scored = codes.crossJoin(F.broadcast(queries)).select(
+    # materialize the reconstructed vector ONCE per corpus row BELOW the
+    # query crossJoin — the codebook lookups amortize over all |Q|
+    # queries instead of re-evaluating per (query, row); the dot fold
+    # above is unchanged (same elementwise order), so scores are
+    # bit-identical to the inline form
+    recon = codes.select(
+        id_col, _pq_reconstruct_expr(books, "pq_codes").alias("_rec")
+    )
+    adot = F.round(_dot(F.col("qe"), F.col("_rec")), 9)
+    scored = recon.crossJoin(F.broadcast(queries)).select(
         "qid", id_col, adot.alias("_adot"), F.spark_partition_id().alias("_pid")
     )
     w1 = W.partitionBy("qid", "_pid").orderBy(F.col("_adot").desc(), F.col(id_col).asc())
