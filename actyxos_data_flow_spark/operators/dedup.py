@@ -195,13 +195,20 @@ def jaccard_on_pairs_arrays(
     x = a.join(F.broadcast(pairs), "id_a")
     y = F.broadcast(x).join(b, "id_b")
     inter = F.size(F.array_intersect("_sha", "_shb"))
-    return y.select(
-        "id_a",
-        "id_b",
-        (
-            inter.cast("double")
-            / (F.size("_sha") + F.size("_shb") - inter).cast("double")
-        ).alias("jaccard"),
+    # zero-intersection pairs produce NO row in the exploded-join form
+    # (the inverted-index join finds nothing) — keep that contract here
+    return (
+        y.select(
+            "id_a",
+            "id_b",
+            inter.alias("_i"),
+            (
+                inter.cast("double")
+                / (F.size("_sha") + F.size("_shb") - inter).cast("double")
+            ).alias("jaccard"),
+        )
+        .filter(F.col("_i") > 0)
+        .drop("_i")
     )
 
 

@@ -33,12 +33,14 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 
 # Registry order IS the driver's grading order, and the driver grades
 # only a ~50-row prefix. Rounds 1-4 accumulated official driver rows for
-# 124 of the 159 registry queries; this round (round-4 judge directive
-# "Next round #1") puts ALL 35 never-driver-graded rows first, followed
-# by this round's NEW queries (which have no official row by
-# construction), padded to 50 with already-green cross-family
-# regression sentinels. Everything else follows in module order and
-# stays covered by the local full-registry replica (tools/check.py).
+# 124 of the 159 then-registered queries; round 5 (round-4 judge
+# directive "Next round #1") puts ALL 35 never-driver-graded rows
+# first, then round 5's six NEW queries (no official row by
+# construction), then exactly 9 already-green cross-family regression
+# sentinels so every must-grade row sits inside the graded window.
+# A green round-5 run makes cumulative official coverage
+# registry-complete. Everything else follows in module order and stays
+# covered by the local full-registry replica (tools/check.py).
 _PRIORITY: tuple[str, ...] = (
     # --- the 35 rows that have never appeared in any CORRECTNESS_r* ---
     # TPC-H back-catalog tail
@@ -67,13 +69,12 @@ _PRIORITY: tuple[str, ...] = (
     # --- new this round (first possible official rows) ---
     "mutable_corpus_replay", "join_rewrite_applied",
     "windowed_distinct_hll_replay", "dedup_semantic", "mix_epoch_schedule",
-    "quality_classifier_calibration",
-    # --- already-green cross-family regression sentinels (exactly 9,
+    "quality_classifier_calibration", "dedup_source_matrix", "text_zipf_fit",
+    # --- already-green cross-family regression sentinels (exactly 8,
     # so every must-grade row above sits inside the driver's ~50-row
     # graded window) ---
     "e1_dashboard", "ivm_snapshot_diff", "ann_recall_report",
-    "decontaminate_bloom", "bpe_merges",
-    "graph_pagerank_trade", "sketch_hll_cardinality",
+    "decontaminate_bloom", "bpe_merges", "graph_pagerank_trade",
     "pipeline_training_batches", "quality_constraints_report",
 )
 

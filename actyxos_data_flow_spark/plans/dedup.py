@@ -973,3 +973,56 @@ def dedup_minhash_edit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_edit_delta_pairs(
         sig_base, sig_edits, removed, num_hashes=NUM_HASHES, band_size=BAND_SIZE
     )
+
+
+# -- cross-source duplication matrix ---------------------------------------
+
+SOURCE_MATRIX_ORACLE = f"""
+WITH vp AS ({MINHASH_PAIRS_ORACLE}),
+sm AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         vp.jaccard
+  FROM vp
+  JOIN documents da ON da.doc_id = vp.id_a
+  JOIN documents db ON db.doc_id = vp.id_b
+)
+SELECT source_a, source_b, count(*) AS n_pairs,
+       round(CAST(sum(CAST(round(jaccard, 7) AS DECIMAL(20,7))) AS DOUBLE)
+             / count(*), 6) AS mean_jaccard
+FROM sm GROUP BY source_a, source_b
+"""
+
+
+@register("dedup_source_matrix", oracle=SOURCE_MATRIX_ORACLE)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance view of the verified near-dup graph: which SOURCES
+    duplicate which (pair count + decimal-exact mean Jaccard per
+    unordered source pair) — the leakage matrix a corpus owner reads
+    before deciding which feed to trust or drop. Two broadcast-size
+    joins from the (already candidate-bounded) verified pairs onto the
+    doc→source map, one |sources|²-bounded aggregate. The unordered key
+    uses least/greatest so the matrix is symmetric by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup_minhash_pairs(spark, sf_dir)
+    src = docs.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
+    j7 = F.expr("CAST(round(jaccard, 7) AS DECIMAL(20,7))")
+    return (
+        F.broadcast(pairs)
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+            j7.alias("_j7"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.round(F.sum("_j7").cast("double") / F.count(F.lit(1)), 6).alias(
+                "mean_jaccard"
+            ),
+        )
+    )

@@ -749,3 +749,99 @@ def text_lm_score_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality proxy (λ=0.7 conditional + 0.3 unigram, add-one smoothed);
     one step from the unigram filter toward CCNet's KenLM buckets."""
     return X.lm_score_bigram(load_table(spark, sf_dir, "documents"), lam=LM2_LAM)
+
+
+# -- Zipf rank-frequency fit -----------------------------------------------
+
+ZIPF_TOP = 1000
+
+ZIPF_ORACLE = f"""
+WITH zt AS (
+  SELECT unnest(string_split(text, ' ')) AS w FROM documents
+),
+zc AS (SELECT w, count(*) AS c FROM zt GROUP BY w),
+ztop AS (SELECT w, c FROM zc ORDER BY c DESC, w LIMIT {ZIPF_TOP}),
+zr AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk FROM ztop
+),
+zxy AS (
+  SELECT CAST(round(ln(rnk), 7) AS DECIMAL(20,7)) AS x,
+         CAST(round(ln(c), 7) AS DECIMAL(20,7)) AS y,
+         CAST(round(ln(rnk) * ln(rnk), 7) AS DECIMAL(20,7)) AS xx,
+         CAST(round(ln(rnk) * ln(c), 7) AS DECIMAL(20,7)) AS xy,
+         CAST(round(ln(c) * ln(c), 7) AS DECIMAL(20,7)) AS yy
+  FROM zr
+),
+zs AS (
+  SELECT count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
+         CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy,
+         CAST(sum(yy) AS DOUBLE) AS syy
+  FROM zxy
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
+             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+FROM zs
+"""
+
+
+@register("text_zipf_fit", oracle=ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostic: log-log OLS over the top-1000
+    rank-frequency curve — slope ≈ −1 is the healthy-natural-corpus
+    signature; flat slopes flag boilerplate floods, steep ones
+    vocabulary collapse. Shape: one map-side-combined token count, a
+    TakeOrdered top-1000 (never an unpartitioned window over the full
+    vocabulary), rank via row_number over the LIMITED set, and the
+    regression as decimal-exact sums of 7dp ln terms — the slope is one
+    double expression over six order-free aggregates, so the fit is
+    bit-identical on any partitioning and both engines."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = counts.orderBy(F.col("c").desc(), F.col("w")).limit(ZIPF_TOP)
+    rnk = top.select(
+        "c", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w"))).alias("rnk")
+    )
+    d7 = lambda col: F.expr(f"CAST(round({col}, 7) AS DECIMAL(20,7))")  # noqa: E731
+    xy = rnk.select(
+        d7("ln(rnk)").alias("x"),
+        d7("ln(c)").alias("y"),
+        d7("ln(rnk) * ln(rnk)").alias("xx"),
+        d7("ln(rnk) * ln(c)").alias("xy"),
+        d7("ln(c) * ln(c)").alias("yy"),
+    )
+    s = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum("xx").cast("double").alias("sxx"),
+        F.sum("xy").cast("double").alias("sxy"),
+        F.sum("yy").cast("double").alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return s.select(
+        F.col("n").cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )

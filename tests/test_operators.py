@@ -1552,3 +1552,36 @@ def test_semantic_dedup_keeps_one_per_group(spark):
     # loners keep themselves
     for v in range(2, 8):
         assert got[v] == (v, True)
+
+
+def test_jaccard_arrays_matches_exploded_and_falls_back(spark):
+    """jaccard_on_pairs_arrays == jaccard_on_pairs on the same pairs
+    (both formulations of exact set Jaccard), including through the
+    above-threshold fallback path."""
+    import pyspark.sql.functions as F
+    from actyxos_data_flow_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "completely different words entirely here now"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = D.shingles(docs)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 4)], "id_a long, id_b long"
+    )
+    base = D.jaccard_on_pairs(pairs, sh)
+    sets = D.shingle_sets(sh)
+    fast = D.jaccard_on_pairs_arrays(pairs, sets)
+    fallback = D.jaccard_on_pairs_arrays(pairs, sets, max_broadcast_pairs=2)
+    key = lambda df: sorted(  # noqa: E731
+        (r.id_a, r.id_b, round(r.jaccard, 9)) for r in df.collect()
+    )
+    assert key(base) == key(fast) == key(fallback)
+    # identical duplicates verify at jaccard 1.0
+    j14 = dict(((r.id_a, r.id_b), r.jaccard) for r in fast.collect())[(1, 4)]
+    assert j14 == 1.0
