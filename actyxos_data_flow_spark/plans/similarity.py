@@ -821,19 +821,21 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- semantic dedup (SemDeDup: cluster, then dedup within cells) -----------
 
 SEMDEDUP_TAU = 0.35
+SEMDEDUP_SCALE = S.SEMDEDUP_SCALE
 
 SEMDEDUP_ORACLE = f"""
 WITH RECURSIVE {_KM_SQL},
 sv AS (SELECT vec_id, unnest(generate_series(1, len(embedding))) AS pos,
               unnest(embedding)::DOUBLE AS a
        FROM embeddings),
-snorm AS (SELECT vec_id, sum(CAST(round(a * a, 9) AS DECIMAL(20,9))) AS nn
+snorm AS (SELECT vec_id,
+                 sum(CAST(floor(a * a * {SEMDEDUP_SCALE} + 0.5) AS BIGINT)) AS nq
           FROM sv GROUP BY vec_id),
 sm AS (SELECT t.vec_id, t.cell, v.pos, v.a
        FROM {_KM_ASSIGN} t JOIN sv v ON v.vec_id = t.vec_id),
 sp AS (
   SELECT x.vec_id AS ia, y.vec_id AS ib,
-         sum(CAST(round(x.a * y.a, 9) AS DECIMAL(20,9))) AS dot
+         sum(CAST(floor(x.a * y.a * {SEMDEDUP_SCALE} + 0.5) AS BIGINT)) AS dq
   FROM sm x JOIN sm y ON x.cell = y.cell AND x.pos = y.pos AND x.vec_id < y.vec_id
   GROUP BY 1, 2
 ),
@@ -841,8 +843,8 @@ se AS (
   SELECT ia, ib FROM sp
   JOIN snorm na ON na.vec_id = ia
   JOIN snorm nb ON nb.vec_id = ib
-  WHERE round(CAST(dot AS DOUBLE)
-              / (sqrt(CAST(na.nn AS DOUBLE)) * sqrt(CAST(nb.nn AS DOUBLE))), 9)
+  WHERE round((dq / {SEMDEDUP_SCALE}.0)
+              / (sqrt(na.nq / {SEMDEDUP_SCALE}.0) * sqrt(nb.nq / {SEMDEDUP_SCALE}.0)), 9)
         >= {SEMDEDUP_TAU}
 ),
 sce AS (SELECT ia AS src, ib AS dst FROM se UNION SELECT ib, ia FROM se),
@@ -870,60 +872,27 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep-one-representative contract (monotonic_representative_by,
     /root/reference/src/flow.rs:328-352) onto cluster space.
 
-    Determinism: dot products and squared norms are per-position
-    products rounded to 9dp and summed as DECIMAL (order-free, so any
-    partitioning and either engine produces the identical bit pattern);
-    the cosine is one double division of those exact sums, rounded to
-    9dp BEFORE the threshold compare — both engines see the same
-    comparison operands, so the edge set is identical by construction.
+    Determinism: per-element products and squares quantize to 9dp
+    fixed-point BIGINTs via floor(v*1e9 + 0.5) — the engine-portable
+    quantization convention — and integer sums are exact and
+    order-free, so the edge set is identical on any partitioning and
+    both engines by construction (operators/similarity.py
+    semantic_near_pairs).
 
     Scale shape: the all-pairs comparison never happens — candidates
-    are cell-local (one equi-join on cell), so the quadratic term is
-    bounded by the largest cell, and k grows with N at 100 TB to hold
-    cells at ~constant size (the published SemDeDup recipe). Components
-    run through the O(log n)-round star contraction; the per-vector
-    verdict is one broadcast-size left join. Zero Python in the plan.
+    are cell-local (one (cell, pos) equi-join), so the quadratic term
+    is bounded by the largest cell, and k grows with N at 100 TB to
+    hold cells at ~constant size (the published SemDeDup recipe).
+    Components run through the O(log n)-round star contraction; the
+    per-vector verdict is one broadcast-size left join. Zero Python,
+    zero higher-order-function folds in the pair path — the whole edge
+    computation stays in whole-stage codegen.
     """
     emb = load_table(spark, sf_dir, "embeddings").persist()
     _, assign = S.kmeans_fit(emb)
     assign = assign.persist()
-    d9 = lambda c: F.round(c, 9).cast("decimal(20,9)")  # noqa: E731
-    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_e"))
-    nn = F.aggregate(
-        F.transform("_e", lambda x: d9(x * x)),
-        F.lit(0).cast("decimal(30,9)"),
-        lambda acc, v: (acc + v).cast("decimal(30,9)"),
-    )
-    sided = vec.select("vec_id", "_e", nn.alias("_nn"))
-    m = assign.join(sided, "vec_id")
-    a = m.select(
-        F.col("cell"),
-        F.col("vec_id").alias("ia"),
-        F.col("_e").alias("_ea"),
-        F.col("_nn").alias("_na"),
-    )
-    b = m.select(
-        F.col("cell"),
-        F.col("vec_id").alias("ib"),
-        F.col("_e").alias("_eb"),
-        F.col("_nn").alias("_nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("_ea", "_eb", lambda x, y: d9(x * y)),
-        F.lit(0).cast("decimal(30,9)"),
-        lambda acc, v: (acc + v).cast("decimal(30,9)"),
-    )
-    cos = F.round(
-        dot.cast("double")
-        / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))),
-        9,
-    )
-    edges = (
-        a.join(b, "cell")
-        .filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib", cos.alias("_cos"))
-        .filter(F.col("_cos") >= SEMDEDUP_TAU)
-        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    edges = S.semantic_near_pairs(emb, assign, tau=SEMDEDUP_TAU).select(
+        F.col("ia").alias("id_a"), F.col("ib").alias("id_b")
     )
     from ..operators import dedup as D
 

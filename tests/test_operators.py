@@ -1511,30 +1511,11 @@ def test_semantic_dedup_keeps_one_per_group(spark):
     emb = spark.createDataFrame(data, "vec_id long, embedding array<double>, label int")
 
     # run the composed row's logic at its real threshold
-    from actyxos_data_flow_spark.plans.similarity import dedup_semantic  # noqa: F401
+    from actyxos_data_flow_spark.operators.similarity import semantic_near_pairs
 
     _, assign = kmeans_fit(emb)
-    d9 = lambda c: F.round(c, 9).cast("decimal(20,9)")  # noqa: E731
-    vec = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("_e"))
-    nn = F.aggregate(
-        F.transform("_e", lambda x: d9(x * x)),
-        F.lit(0).cast("decimal(30,9)"),
-        lambda acc, v: (acc + v).cast("decimal(30,9)"),
-    )
-    sided = vec.select("vec_id", "_e", nn.alias("_nn"))
-    m = assign.join(sided, "vec_id")
-    a = m.select("cell", F.col("vec_id").alias("ia"), F.col("_e").alias("_ea"), F.col("_nn").alias("_na"))
-    b2 = m.select("cell", F.col("vec_id").alias("ib"), F.col("_e").alias("_eb"), F.col("_nn").alias("_nb"))
-    dot = F.aggregate(
-        F.zip_with("_ea", "_eb", lambda x, y: d9(x * y)),
-        F.lit(0).cast("decimal(30,9)"),
-        lambda acc, v: (acc + v).cast("decimal(30,9)"),
-    )
-    cos = F.round(dot.cast("double") / (F.sqrt(F.col("_na").cast("double")) * F.sqrt(F.col("_nb").cast("double"))), 9)
-    edges = (
-        a.join(b2, "cell").filter(F.col("ia") < F.col("ib"))
-        .select("ia", "ib", cos.alias("_c")).filter(F.col("_c") >= SEMDEDUP_TAU)
-        .select(F.col("ia").alias("id_a"), F.col("ib").alias("id_b"))
+    edges = semantic_near_pairs(emb, assign, tau=SEMDEDUP_TAU).select(
+        F.col("ia").alias("id_a"), F.col("ib").alias("id_b")
     )
     comp = connected_components_star(edges)
     rep = F.coalesce(F.col("component"), F.col("vec_id"))
