@@ -758,11 +758,16 @@ def epoch_schedule(
       at 100 TB the consumer range-partitions by sched_key and no
       unpartitioned window ever materializes.
 
-    Scale shape: one size aggregate per domain (map-side combined),
-    the |domains|-row budget table broadcast back, one window per
-    domain partition for the prefix sum, and a per-row sequence()
-    explode bounded by the epoch count — no global shuffle beyond the
-    domain-keyed window, no driver loops."""
+    Scale shape: one size aggregate per domain (map-side combined), the
+    |domains|-row budget table broadcast back, and the per-domain
+    running sum via the SAME two-level prefix sum as pack_sequences —
+    repartitionByRange over (domain, hkey, id) + local window +
+    per-(domain, range-partition) offsets — so a 95%-one-domain corpus
+    never becomes one sort task (a plain per-domain window would).
+    Values are identical to the single-window form for any boundary
+    placement, so the one-window SQL oracle still hash-matches. The
+    sequence() explode is bounded by the per-doc epoch count. No
+    driver loops."""
     from pyspark.sql import Window
 
     sizes = df.groupBy(group_col).agg(F.sum(F.col(size_col)).alias("_dom_sz"))
@@ -793,10 +798,40 @@ def epoch_schedule(
         16,
         10,
     ).cast("long")
-    w = Window.partitionBy(group_col).orderBy("_hkey", id_col)
-    placed = (
+    spark = df.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    # two-level prefix sum (pack_sequences pattern): range partitions
+    # hold contiguous slices of each domain's permutation, sized by
+    # config rather than domain skew; persist pins one partitioning so
+    # _pid agrees between the local-sum and totals branches
+    ranged = (
         df.select(group_col, id_col, F.col(size_col).alias("_sz"), h.alias("_hkey"))
-        .withColumn("_start", F.sum("_sz").over(w) - F.col("_sz"))
+        .repartitionByRange(
+            n_parts, F.col(group_col).asc(), F.col("_hkey").asc(), F.col(id_col).asc()
+        )
+        .withColumn("_pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = (
+        Window.partitionBy(group_col, "_pid")
+        .orderBy(F.col("_hkey").asc(), F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn(
+        "_lstart", (F.sum("_sz").over(w_local) - F.col("_sz")).cast("long")
+    )
+    totals = ranged.groupBy(group_col, "_pid").agg(F.sum("_sz").cast("long").alias("_tot"))
+    w_prefix = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("_pid").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        group_col, "_pid", F.coalesce(F.sum("_tot").over(w_prefix), F.lit(0)).alias("_off")
+    )
+    placed = (
+        local.join(F.broadcast(offsets), [group_col, "_pid"])
+        .withColumn("_start", (F.col("_lstart") + F.col("_off")).cast("long"))
         .join(F.broadcast(dom), group_col)
         .withColumn(
             "n_epochs",

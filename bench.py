@@ -62,7 +62,7 @@ SF1_QUERIES = (
     "dedup_clusters_star",
     "dedup_clusters_delta",
 )
-SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs")
+SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule")
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the
 # degree-ordered orientation must keep the census near-linear when one
 # node's raw degree explodes
@@ -97,11 +97,20 @@ def _synth_documents(spark, n: int, skew: bool):
             ),
         ),
     )
+    if skew:
+        # hot DOMAIN too (95% one source): the mixing-schedule probe
+        # must show the two-level prefix sum holds when one domain
+        # dominates (a plain per-domain window would serialize it)
+        source = F.when(F.pmod("doc_id", 20) < 19, F.lit("s0")).otherwise(
+            F.concat(F.lit("s"), (F.pmod("doc_id", 6) + 1).cast("int"))
+        )
+    else:
+        source = F.concat(F.lit("s"), F.pmod("doc_id", 7))
     return base.select(
         "doc_id",
         text.alias("text"),
         lang.alias("lang"),
-        F.concat(F.lit("s"), F.pmod("doc_id", 7)).alias("source"),
+        source.alias("source"),
         F.length(text).alias("n_chars"),
     )
 
@@ -113,7 +122,7 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     at 1× and 10×."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SCRATCH, "_DONE_v4")  # bump to regenerate (v4: skewed lineitem)
+    marker = os.path.join(SCRATCH, "_DONE_v5")  # bump to regenerate (v5: skewed source domain)
     if os.path.exists(marker):
         return
     main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
