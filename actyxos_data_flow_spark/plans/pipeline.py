@@ -271,3 +271,95 @@ def export_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("chunk_tokens").cast("long").alias("bin_tokens"),
         F.bit_xor(piece).alias("content_sig"),
     )
+
+
+# -- mixing flagship: clean -> epoch schedule -> chunk -> epoch-major bins --
+
+from .text import MIX_ALPHA, MIX_BUDGET_NUM, MIX_BUDGET_DEN, MIX_SALT  # noqa: E402
+from .text import epoch_schedule_ctes  # noqa: E402
+
+_MEP_BODY, _MEP_FINAL = epoch_schedule_ctes("mdoc", "m")
+
+MIX_BATCHES_ORACLE = f"""
+WITH mclean AS (
+  SELECT doc_id FROM ({PIPELINE_ORACLE})
+),
+mdoc AS (
+  SELECT d.doc_id, d.source, d.n_chars, d.text
+  FROM documents d JOIN mclean USING (doc_id)
+),
+{_MEP_BODY},
+mbd AS (
+  SELECT doc_id, string_split(text, ' ') AS tokens,
+         len(string_split(text, ' ')) AS n
+  FROM mdoc
+),
+mbst AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(1, greatest(1, n - {CHUNK_OVERLAP}), {_STRIDE})) AS s,
+         unnest(generate_series(0, (greatest(1, n - {CHUNK_OVERLAP}) - 1) // {_STRIDE})) AS i
+  FROM mbd
+),
+mbch AS (
+  SELECT doc_id, i AS chunk_id,
+         len(list_slice(tokens, s, s + {CHUNK_SIZE} - 1)) AS chunk_tokens
+  FROM mbst
+),
+mj AS (
+  SELECT sc.epoch, sc.source, c.doc_id, sc.sched_key, c.chunk_id, c.chunk_tokens
+  FROM mbch c JOIN {_MEP_FINAL} sc ON sc.doc_id = c.doc_id
+),
+mcum AS (
+  SELECT epoch, source, doc_id, sched_key, chunk_id, chunk_tokens,
+         sum(chunk_tokens) OVER (PARTITION BY epoch ORDER BY sched_key, chunk_id)
+           - chunk_tokens AS strt
+  FROM mj
+)
+SELECT epoch, doc_id, sched_key, chunk_id, source, chunk_tokens,
+       CAST(strt // {PACK_BUDGET} AS BIGINT) AS bin_id,
+       CAST(strt % {PACK_BUDGET} AS BIGINT) AS bin_offset
+FROM mcum
+"""
+
+
+@register("pipeline_mix_batches", oracle=MIX_BATCHES_ORACLE, bench=True)
+def pipeline_mix_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing flagship — the full modern pretraining data path in
+    one composition, one oracle: quality gate -> exact dedup -> LSH
+    near-dup removal (the clean corpus), then the alpha-temperature
+    EPOCH SCHEDULE over the clean corpus (per-domain budgets, document
+    replication, salted-permutation remainder epochs), context-window
+    chunking, and packing into fixed-token-budget bins PER EPOCH,
+    ordered by the schedule key — so each epoch's bins interleave
+    domains deterministically (epoch-major, source-mixed: exactly the
+    artifact a trainer streams). Scale shape: every stage is the
+    engine operator that already proved itself standalone — the clean
+    set is doc_ids only, the schedule is domain-aggregate + two-level
+    prefix sum, chunking is explode-only, the epoch join replicates
+    chunk metadata (not text), and packing uses the skew-proof
+    two-level prefix sum with epoch as the shard."""
+    clean = clean_doc_ids(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id")
+    sched = X.epoch_schedule(
+        docs,
+        group_col="source",
+        size_col="n_chars",
+        alpha=MIX_ALPHA,
+        budget_num=MIX_BUDGET_NUM,
+        budget_den=MIX_BUDGET_DEN,
+        salt=MIX_SALT,
+    )
+    chunks = X.chunk(docs, size=CHUNK_SIZE, overlap=CHUNK_OVERLAP).select(
+        "doc_id", "chunk_id", "chunk_tokens"
+    )
+    ch = chunks.join(
+        sched.select("source", "doc_id", "epoch", "sched_key"), "doc_id"
+    )
+    return X.pack_sequences(
+        ch,
+        id_col="doc_id",
+        len_col="chunk_tokens",
+        shard_col="epoch",
+        budget=PACK_BUDGET,
+        order_cols=("sched_key", "chunk_id", "source"),
+    )

@@ -599,39 +599,51 @@ def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIX_BUDGET_NUM, MIX_BUDGET_DEN = 17, 10  # budget = 1.7x the corpus
 MIX_SALT = "mix:1"
 
-EPOCH_SCHEDULE_ORACLE = f"""
-WITH xs AS (SELECT source, sum(n_chars) AS dom_sz FROM documents GROUP BY source),
-xb AS (SELECT CAST(sum(dom_sz) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS BIGINT) AS budget FROM xs),
-xc AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
-xt AS (SELECT sum(n) AS total FROM xc),
-xp AS (SELECT source,
-              CAST(round(pow(n / xt.total::DOUBLE, {MIX_ALPHA}), 6) AS DECIMAL(12,6)) AS p6
-       FROM xc, xt),
-xz AS (SELECT sum(p6) AS z FROM xp),
-xw AS (SELECT source, round(CAST(p6 AS DOUBLE) / CAST(xz.z AS DOUBLE), 6) AS mix_weight
-       FROM xp, xz),
-xd AS (SELECT s.source, s.dom_sz,
-              CAST(floor(xb.budget::DOUBLE * w.mix_weight + 0.5) AS BIGINT) AS dom_budget
-       FROM xs s JOIN xw w ON w.source = s.source, xb),
-xe AS (SELECT source, dom_budget // dom_sz AS full_epochs, dom_budget % dom_sz AS rem
-       FROM xd),
-xh AS (SELECT source, doc_id, n_chars,
+def epoch_schedule_ctes(rel: str, p: str = "x") -> tuple[str, str]:
+    """The mixing-schedule pipeline as composable CTEs over relation
+    ``rel`` (must expose source, doc_id, n_chars). Returns
+    (cte_body, final_cte_name); prefix ``p`` keeps names collision-free
+    when embedded in a larger oracle."""
+    body = f"""{p}s AS (SELECT source, sum(n_chars) AS dom_sz FROM {rel} GROUP BY source),
+{p}b AS (SELECT CAST(sum(dom_sz) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS BIGINT) AS budget FROM {p}s),
+{p}c AS (SELECT source, count(*) AS n FROM {rel} GROUP BY source),
+{p}t AS (SELECT sum(n) AS total FROM {p}c),
+{p}p AS (SELECT source,
+              CAST(round(pow(n / {p}t.total::DOUBLE, {MIX_ALPHA}), 6) AS DECIMAL(12,6)) AS p6
+       FROM {p}c, {p}t),
+{p}z AS (SELECT sum(p6) AS z FROM {p}p),
+{p}w AS (SELECT source, round(CAST(p6 AS DOUBLE) / CAST({p}z.z AS DOUBLE), 6) AS mix_weight
+       FROM {p}p, {p}z),
+{p}d AS (SELECT s.source, s.dom_sz,
+              CAST(floor({p}b.budget::DOUBLE * w.mix_weight + 0.5) AS BIGINT) AS dom_budget
+       FROM {p}s s JOIN {p}w w ON w.source = s.source, {p}b),
+{p}e AS (SELECT source, dom_budget // dom_sz AS full_epochs, dom_budget % dom_sz AS rem
+       FROM {p}d),
+{p}h AS (SELECT source, doc_id, n_chars,
               ('0x' || substr(md5('{MIX_SALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS hkey
-       FROM documents),
-xstart AS (SELECT source, doc_id, n_chars,
+       FROM {rel}),
+{p}start AS (SELECT source, doc_id, n_chars,
                   sum(n_chars) OVER (PARTITION BY source ORDER BY hkey, doc_id) - n_chars AS strt
-           FROM xh),
-xn AS (SELECT s.source, s.doc_id, s.n_chars,
+           FROM {p}h),
+{p}n AS (SELECT s.source, s.doc_id, s.n_chars,
               CAST(e.full_epochs + (CASE WHEN s.strt < e.rem THEN 1 ELSE 0 END) AS INTEGER)
                 AS n_epochs
-       FROM xstart s JOIN xe e ON e.source = s.source),
-xx AS (SELECT source, doc_id, n_chars, n_epochs,
+       FROM {p}start s JOIN {p}e e ON e.source = s.source),
+{p}x AS (SELECT source, doc_id, n_chars, n_epochs,
               unnest(generate_series(0, n_epochs - 1)) AS epoch
-       FROM xn WHERE n_epochs > 0)
-SELECT source, doc_id, n_chars, n_epochs, CAST(epoch AS INTEGER) AS epoch,
-       md5('{MIX_SALT}:sched:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
-         AS sched_key
-FROM xx
+       FROM {p}n WHERE n_epochs > 0),
+{p}sched AS (
+  SELECT source, doc_id, n_chars, n_epochs, CAST(epoch AS INTEGER) AS epoch,
+         md5('{MIX_SALT}:sched:' || CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR))
+           AS sched_key
+  FROM {p}x)"""
+    return body, f"{p}sched"
+
+
+_EP_BODY, _EP_FINAL = epoch_schedule_ctes("documents", "x")
+EPOCH_SCHEDULE_ORACLE = f"""
+WITH {_EP_BODY}
+SELECT source, doc_id, n_chars, n_epochs, epoch, sched_key FROM {_EP_FINAL}
 """
 
 
