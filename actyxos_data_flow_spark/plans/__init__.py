@@ -70,13 +70,12 @@ _PRIORITY: tuple[str, ...] = (
     "mutable_corpus_replay", "join_rewrite_applied",
     "windowed_distinct_hll_replay", "dedup_semantic", "mix_epoch_schedule",
     "quality_classifier_calibration", "dedup_source_matrix", "text_zipf_fit",
-    "pipeline_mix_batches",
-    # --- already-green cross-family regression sentinels (exactly 7,
+    "pipeline_mix_batches", "stream_attribution_replay",
+    # --- already-green cross-family regression sentinels (exactly 6,
     # so every must-grade row above sits inside the driver's ~50-row
     # graded window) ---
     "e1_dashboard", "ivm_snapshot_diff", "ann_recall_report",
-    "bpe_merges", "graph_pagerank_trade",
-    "pipeline_training_batches", "quality_constraints_report",
+    "bpe_merges", "graph_pagerank_trade", "pipeline_training_batches",
 )
 
 

@@ -274,3 +274,78 @@ def windowed_distinct_hll_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hll_est",
         (err <= F.lit(_HLL_BOUND) * F.col("exact_distinct")).alias("within_3se"),
     )
+
+
+# -- stream-stream interval join (last-click attribution), batch replay ------
+#
+# streaming/joins.interval_join is the packaged stream-stream event-time
+# join (watermark-bounded state; pytest drives it through two real file
+# streams with availableNow). The join CONDITION is identical in batch,
+# so this row puts the same operator under the DuckDB value hash:
+# last-click attribution — every purchase joined to the same user's
+# clicks in the preceding hour, keep the latest qualifying click.
+
+ATTRIBUTION_ORACLE = """
+WITH pj AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us,
+         c.event_id AS click_id,
+         row_number() OVER (
+           PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC
+         ) AS rn
+  FROM events p
+  JOIN events c
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click' AND p.event_type = 'purchase'
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+)
+SELECT purchase_id, user_id, purchase_us, click_id, click_us,
+       purchase_us - click_us AS gap_us
+FROM pj WHERE rn = 1
+"""
+
+
+@register("stream_attribution_replay", oracle=ATTRIBUTION_ORACLE)
+def stream_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-click attribution through streaming.joins.interval_join in
+    batch mode: purchases joined to the same user's clicks in the
+    preceding hour (the stream-stream interval-join shape — in
+    streaming the watermark bounds both sides' state; the condition and
+    therefore the answer are identical), then one bounded per-purchase
+    window keeps the latest qualifying click. The hashed output carries
+    the attribution gap in micros."""
+    from pyspark.sql import Window
+
+    from ..streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.timestamp_micros(ns_micros("ts")).alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.timestamp_micros(ns_micros("ts")).alias("c_ts"),
+    )
+    j = interval_join(
+        purchases, clicks, key="user_id",
+        left_ts="p_ts", right_ts="c_ts",
+        lower="1 HOUR", upper="0 SECONDS",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc(), F.col("click_id").desc()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("p_ts").alias("purchase_us"),
+            "click_id",
+            F.unix_micros("c_ts").alias("click_us"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+        )
+    )

@@ -1057,3 +1057,70 @@ def test_ingest_maintains_positional_index(spark, tmp_path):
     oneshot = sorted(map(tuple, phrase_search(ing.corpus(), ["red", "fox"]).collect()))
     assert maintained == oneshot
     assert {t[0]: t[1] for t in maintained} == {1: 2, 3: 1}
+
+
+def test_interval_join_operator_stream_matches_batch(spark, tmp_path):
+    """streaming/joins.interval_join: the SAME operator call runs on two
+    real file streams (availableNow, watermarked state) and on the batch
+    frames — identical join results, late-beyond-horizon rows excluded
+    by the condition in both."""
+    import os as _os
+    import time as _time
+
+    import pyspark.sql.functions as F
+
+    from actyxos_data_flow_spark.streaming.joins import interval_join
+
+    left_src = str(tmp_path / "purch")
+    right_src = str(tmp_path / "clicks")
+
+    def write(base, i, rows):
+        d = base + f"/b={i}"
+        spark.createDataFrame(rows, "id long, user_id long, ts string").selectExpr(
+            "id", "user_id", "cast(ts as timestamp) ts"
+        ).coalesce(1).write.parquet(d)
+        for f in _os.listdir(d):
+            _os.utime(_os.path.join(d, f), (_time.time() - 60 + i,) * 2)
+
+    write(left_src, 1, [(100, 7, "2024-01-01 10:30:00"), (101, 8, "2024-01-01 11:00:00")])
+    write(left_src, 2, [(102, 7, "2024-01-01 12:00:00")])
+    write(right_src, 1, [(1, 7, "2024-01-01 10:00:00"), (2, 8, "2024-01-01 09:00:00")])
+    write(right_src, 2, [(3, 7, "2024-01-01 11:55:00"), (4, 7, "2024-01-01 12:30:00")])
+
+    def frames(streaming):
+        if streaming:
+            p = spark.readStream.schema("id long, user_id long, ts timestamp").parquet(
+                left_src + "/b=*"
+            )
+            c = spark.readStream.schema("id long, user_id long, ts timestamp").parquet(
+                right_src + "/b=*"
+            )
+        else:
+            p = spark.read.parquet(left_src + "/b=*")
+            c = spark.read.parquet(right_src + "/b=*")
+        p = p.withColumnRenamed("id", "pid").withColumnRenamed("ts", "p_ts")
+        c = c.withColumnRenamed("id", "cid").withColumnRenamed("ts", "c_ts")
+        return interval_join(
+            p, c, key="user_id", left_ts="p_ts", right_ts="c_ts",
+            lower="1 HOUR", upper="0 SECONDS", watermark="2 hours",
+        ).select("pid", "cid")
+
+    got: list[tuple] = []
+
+    q = (
+        frames(streaming=True)
+        .writeStream.foreachBatch(
+            lambda df, bid: got.extend((r.pid, r.cid) for r in df.collect())
+        )
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    batch = sorted((r.pid, r.cid) for r in frames(streaming=False).collect())
+    assert sorted(got) == batch
+    # semantics spot-check: purchase 100 attributes to click 1 (10:00 in
+    # its 1h window); click 2 (09:00) is outside purchase 101's window;
+    # purchase 102 matches click 3 (11:55) but NOT click 4 (after it)
+    assert batch == [(100, 1), (102, 3)]
