@@ -349,3 +349,74 @@ def stream_attribution_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
         )
     )
+
+
+ATTRIBUTION_OUTER_ORACLE = """
+WITH pj AS (
+  SELECT p.event_id AS purchase_id, p.user_id,
+         epoch_us(p.ts) AS purchase_us, epoch_us(c.ts) AS click_us,
+         c.event_id AS click_id,
+         row_number() OVER (
+           PARTITION BY p.event_id
+           ORDER BY c.ts DESC NULLS LAST, c.event_id DESC NULLS LAST
+         ) AS rn
+  FROM events p
+  LEFT JOIN events c
+    ON c.user_id = p.user_id
+   AND c.event_type = 'click'
+   AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts < p.ts
+  WHERE p.event_type = 'purchase'
+)
+SELECT purchase_id, user_id, purchase_us, click_id, click_us,
+       purchase_us - click_us AS gap_us,
+       (click_id IS NULL) AS organic
+FROM pj WHERE rn = 1
+"""
+
+
+@register("stream_attribution_outer_replay", oracle=ATTRIBUTION_OUTER_ORACLE)
+def stream_attribution_outer_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LEFT-OUTER form of stream_attribution_replay: purchases with
+    no qualifying click survive as organic (NULL click side) — in
+    streaming this is the subtle case (Spark emits the NULL-side row
+    only once the watermark passes the join horizon; in batch and in
+    the oracle the same rows fall out of the left join directly). The
+    per-purchase window orders with explicit NULLS LAST on both
+    engines so the organic rows rank deterministically."""
+    from pyspark.sql import Window
+
+    from ..streaming.joins import interval_join
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.timestamp_micros(ns_micros("ts")).alias("p_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id"),
+        F.timestamp_micros(ns_micros("ts")).alias("c_ts"),
+    )
+    j = interval_join(
+        purchases, clicks, key="user_id",
+        left_ts="p_ts", right_ts="c_ts",
+        lower="1 HOUR", upper="0 SECONDS",
+        how="left_outer",
+    )
+    w = Window.partitionBy("purchase_id").orderBy(
+        F.col("c_ts").desc_nulls_last(), F.col("click_id").desc_nulls_last()
+    )
+    return (
+        j.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "purchase_id",
+            "user_id",
+            F.unix_micros("p_ts").alias("purchase_us"),
+            "click_id",
+            F.unix_micros("c_ts").alias("click_us"),
+            (F.unix_micros("p_ts") - F.unix_micros("c_ts")).alias("gap_us"),
+            F.col("click_id").isNull().alias("organic"),
+        )
+    )

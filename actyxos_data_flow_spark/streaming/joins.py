@@ -45,9 +45,14 @@ def interval_join(
             left = left.withWatermark(left_ts, watermark)
         if right.isStreaming:
             right = right.withWatermark(right_ts, watermark)
+    # rename the right key BEFORE joining: with outer joins, dropping
+    # right[key] after the fact is ambiguous when both frames share
+    # lineage, and keeping the wrong side NULLs the key on unmatched
+    # rows — an explicit rename makes the surviving key the left's
+    right = right.withColumnRenamed(key, "_ij_rkey")
     cond = (
-        (left[key] == right[key])
+        (left[key] == right["_ij_rkey"])
         & (right[right_ts] >= left[left_ts] - F.expr(f"INTERVAL {lower}"))
         & (right[right_ts] < left[left_ts] + F.expr(f"INTERVAL {upper}"))
     )
-    return left.join(right, cond, how).drop(right[key])
+    return left.join(right, cond, how).drop("_ij_rkey")
