@@ -66,7 +66,7 @@ SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the
 # degree-ordered orientation must keep the census near-linear when one
 # node's raw degree explodes
-SKEW_LI_QUERIES = ("graph_triangles_supplier",)
+SKEW_LI_QUERIES = ("graph_triangles_supplier", "graph_pagerank_trade")
 
 
 def _synth_documents(spark, n: int, skew: bool):
@@ -122,7 +122,7 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     at 1× and 10×."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SCRATCH, "_DONE_v5")  # bump to regenerate (v5: skewed source domain)
+    marker = os.path.join(SCRATCH, "_DONE_v6")  # bump to regenerate (v6: orders in skew dirs for the hub pagerank probe)
     if os.path.exists(marker):
         return
     main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
@@ -180,6 +180,16 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
         .alias("l_suppkey"),
         *[c for c in li.columns if c not in ("l_orderkey", "l_suppkey")],
     ).write.mode("overwrite").parquet(os.path.join(s1, "lineitem.parquet"))
+    # orders for the skew dirs, so the hub-supplier probe can build the
+    # customer->supplier trade graph (orders join lineitem): skew01 =
+    # the base orders verbatim; skew1 = the same 10x shifted replicas
+    # as main (keys line up with skew1's shifted lineitem)
+    orders.coalesce(2).write.mode("overwrite").parquet(
+        os.path.join(s01, "orders.parquet")
+    )
+    spark.read.parquet(os.path.join(main, "orders.parquet")).coalesce(8).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(s1, "orders.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
 
