@@ -71,11 +71,11 @@ _PRIORITY: tuple[str, ...] = (
     "windowed_distinct_hll_replay", "dedup_semantic", "mix_epoch_schedule",
     "quality_classifier_calibration", "dedup_source_matrix", "text_zipf_fit",
     "pipeline_mix_batches", "stream_attribution_replay",
-    "stream_attribution_outer_replay",
-    # --- already-green cross-family regression sentinels (exactly 5,
+    "stream_attribution_outer_replay", "mutable_corpus_compact_replay",
+    # --- already-green cross-family regression sentinels (exactly 4,
     # so every must-grade row above sits inside the driver's ~50-row
     # graded window) ---
-    "e1_dashboard", "ivm_snapshot_diff", "ann_recall_report",
+    "e1_dashboard", "ann_recall_report",
     "graph_pagerank_trade", "pipeline_training_batches",
 )
 

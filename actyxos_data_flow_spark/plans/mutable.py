@@ -241,3 +241,44 @@ def mutable_corpus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "digest", "seq", "component"
     )
     return out.localCheckpoint()
+
+
+@register("mutable_corpus_compact_replay", oracle=MUTABLE_REPLAY_ORACLE)
+def mutable_corpus_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same B1..B4 lifecycle, then :meth:`compact` — the physical
+    reclaim (every store rewritten to its visible rows, tombstones
+    cleared) — and the view re-read from the COMPACTED storage. Held to
+    the IDENTICAL oracle as mutable_corpus_replay: compaction must
+    preserve the logical corpus view and cluster labeling bit-for-bit,
+    which is precisely the contract that makes background reclaim safe
+    to run at any time on a 100 TB mutable corpus."""
+    import tempfile
+
+    from ..streaming.mutable import MutableCorpusIngestor
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = tempfile.mkdtemp(prefix="mutable_compact_")
+    ing = MutableCorpusIngestor(spark, base, quality_min=QUALITY_MIN, near_dup=True)
+    ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 0))
+    ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 1))
+    ing.retract_batch(docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"))
+    batch4 = docs.filter(F.col("doc_id") % 3 == 2).unionByName(
+        docs.filter(F.col("doc_id") % 6 == 0).withColumn(
+            "text", F.concat(F.col("text"), F.lit(" (rev 2)"))
+        )
+    )
+    ing.upsert_batch(batch4)
+    ing.compact()
+    # post-compaction read: the raw store IS the visible view (the
+    # _visible filter stays in the path to prove it is now a no-op)
+    raw = spark.read.parquet(ing.docs_path)
+    view = ing._visible(raw, "doc_id").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.col("_seq").alias("seq"),
+    )
+    labels = ing.clusters().select(F.col("node").alias("doc_id"), "component")
+    out = view.join(labels, "doc_id", "full_outer").select(
+        "doc_id", "digest", "seq", "component"
+    )
+    return out.localCheckpoint()
