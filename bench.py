@@ -352,6 +352,11 @@ def main() -> None:
         # inflate the heavy probes 2-9x; a child JVM prices the PLANS
         import subprocess
 
+        # stop the parent session FIRST: a resident local[32] JVM with a
+        # populated heap distorts the child 3-7x (measured: the same
+        # probe 12.7s standalone vs 89s beside the idle parent — page
+        # cache and CPU are shared, the probe prices the plan)
+        spark.stop()
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scale-only"],
@@ -360,9 +365,10 @@ def main() -> None:
             )
             out["sf1"] = json.loads(proc.stdout.strip().splitlines()[-1])
         except Exception as ex:  # noqa: BLE001 — fall back to in-process
+            spark = get_spark("bench-fallback")
             out["sf1"] = run_scale_probe(spark, registry, sf_dir)
             out["sf1"]["subprocess_fallback"] = (
-                f"{type(ex).__name__}: in-process numbers (aged JVM)"
+                f"{type(ex).__name__}: in-process numbers (fresh fallback session)"
             )
 
     out["notes"] = (
