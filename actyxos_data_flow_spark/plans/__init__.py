@@ -72,6 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "quality_classifier_calibration", "dedup_source_matrix", "text_zipf_fit",
     "pipeline_mix_batches", "stream_attribution_replay",
     "stream_attribution_outer_replay", "mutable_corpus_compact_replay",
+    "funnel_conversion", "cohort_retention",
     # --- already-green cross-family regression sentinels (exactly 4,
     # so every must-grade row above sits inside the driver's ~50-row
     # graded window) ---
@@ -105,6 +106,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import quantiles  # noqa: F401
     from . import validate  # noqa: F401
     from . import mutable  # noqa: F401
+    from . import behavior  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"
