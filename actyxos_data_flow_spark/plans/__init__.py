@@ -72,7 +72,7 @@ _PRIORITY: tuple[str, ...] = (
     "quality_classifier_calibration", "dedup_source_matrix", "text_zipf_fit",
     "pipeline_mix_batches", "stream_attribution_replay",
     "stream_attribution_outer_replay", "mutable_corpus_compact_replay",
-    "funnel_conversion", "cohort_retention",
+    "funnel_conversion", "cohort_retention", "dedup_prefix_filter_pairs",
     # --- already-green cross-family regression sentinels (exactly 4,
     # so every must-grade row above sits inside the driver's ~50-row
     # graded window) ---

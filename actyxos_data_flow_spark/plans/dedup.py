@@ -1026,3 +1026,72 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+PREFIX_JACCARD_T = (7, 10)  # exact threshold 0.7 as a rational
+
+PREFIX_FILTER_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.i AS intersection,
+       sa.n + sb.n - i.i AS union_size
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE {PREFIX_JACCARD_T[1]} * i.i >= {PREFIX_JACCARD_T[0]} * (sa.n + sb.n - i.i)
+"""
+
+
+@register("dedup_prefix_filter_pairs", oracle=PREFIX_FILTER_ORACLE)
+def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= 0.7 similarity join via PREFIX FILTERING
+    (AllPairs/PPJoin family): rare-first global token order, only the
+    ``n - ceil(0.7 n) + 1``-token prefixes enter the inverted-index
+    self-join, integer length filter, then exact verification on the
+    candidates only (inverted-index intersection count). Deterministic and
+    exact-recall where MinHash banding is probabilistic — the right
+    tool at high thresholds, where prefixes are short and candidates
+    scarce.
+
+    The oracle is algorithm-independent ground truth (ALL pairs sharing
+    a shingle, exact-counted, integer cross-multiplied threshold — no
+    doubles anywhere), so any recall hole the prefix filter opened
+    would surface as a missing row, not a lucky hash. Intersection and
+    union sizes are emitted as exact BIGINTs; the threshold compare is
+    ``10·inter >= 7·union`` on both sides.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs)
+    a, b = PREFIX_JACCARD_T
+    pairs = D.prefix_filter_candidates(sh, a, b)
+    # exact integer verification on candidates only, inverted-index
+    # form (same economics as jaccard_on_pairs: the broadcast candidate
+    # list filters the shingle table, per-pair cost is shared-shingle
+    # count — no per-pair arrays, no corpus shuffle)
+    sha = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        F.broadcast(pairs)
+        .join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("intersection"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("_nb"))
+    return (
+        F.broadcast(inter)
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            (F.col("_na") + F.col("_nb") - F.col("intersection")).cast("long").alias("union_size"),
+        )
+        .filter(F.lit(b) * F.col("intersection") >= F.lit(a) * F.col("union_size"))
+    )

@@ -1566,3 +1566,41 @@ def test_jaccard_arrays_matches_exploded_and_falls_back(spark):
     # identical duplicates verify at jaccard 1.0
     j14 = dict(((r.id_a, r.id_b), r.jaccard) for r in fast.collect())[(1, 4)]
     assert j14 == 1.0
+
+
+# -- prefix-filter similarity join (operators/dedup.py) --------------------
+
+
+def test_prefix_filter_candidates_complete_and_tight(spark):
+    from itertools import combinations
+
+    from actyxos_data_flow_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),          # shares 4-shingle run with 2
+            (2, "a b c d e g"),
+            (3, "x y z w v u"),          # disjoint
+            (4, "a b c d e f"),          # identical to 1
+            (5, "p q r"),                # single shingle
+            (6, "p q r"),                # identical to 5
+        ],
+        "doc_id long, text string",
+    )
+    sh = D.shingles(docs)
+    got = set(
+        tuple(r) for r in D.prefix_filter_candidates(sh, 7, 10).collect()
+    )
+    # brute-force truth at J >= 0.7 over the same shingle sets
+    sets = {r["doc_id"]: set() for r in sh.select("doc_id").distinct().collect()}
+    for r in sh.collect():
+        sets[r["doc_id"]].add(r["shingle"])
+    truth = set()
+    for i, j in combinations(sorted(sets), 2):
+        inter = len(sets[i] & sets[j])
+        uni = len(sets[i] | sets[j])
+        if 10 * inter >= 7 * uni:
+            truth.add((i, j))
+    assert truth <= got, f"prefix filter lost true pairs: {truth - got}"
+    # the filter must also do real work: disjoint docs never pair
+    assert all(3 not in p for p in got)
