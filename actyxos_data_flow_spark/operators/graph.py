@@ -200,3 +200,51 @@ def pagerank(
             .localCheckpoint()  # cut the per-pass lineage (see docstring)
         )
     return ranks
+
+
+def bfs_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    depth: int,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded-depth BFS over a directed edge list (symmetrize before
+    calling for undirected semantics): returns ``(node, dist)`` with the
+    MINIMUM hop count from any seed, for every node within ``depth``
+    hops. Seeds appear at dist 0 even when isolated.
+
+    Scale shape: per round ONE equi-join of the frontier against the
+    src-partitioned edge list plus one anti-join against the visited
+    set — cost is O(frontier-adjacent edges), never the whole graph.
+    The visited table grows monotonically and is ``localCheckpoint``ed
+    per round (same lineage-cut discipline as :func:`pagerank`; swap in
+    ``checkpoint()`` on a real cluster). Min-distance needs no
+    aggregation: a node enters `dist` the first round it is seen and
+    the anti-join keeps later sightings out."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint()  # rescanned every round
+    )
+    dist = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("dist"))
+        .localCheckpoint()
+    )
+    frontier = dist.select("node")
+    for d in range(1, depth + 1):
+        nxt = (
+            frontier.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(d).cast("int").alias("dist"))
+            .localCheckpoint()
+        )
+        dist = dist.unionByName(nxt).localCheckpoint()
+        frontier = nxt.select("node")
+    return dist

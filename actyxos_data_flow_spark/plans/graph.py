@@ -274,3 +274,58 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lim.withColumn("rank", F.row_number().over(w)).select(
         "node", kind.alias("kind"), "pr", "rank"
     )
+
+
+BFS_DEPTH = 3
+BFS_NATION = 0
+
+BFS_ORACLE = f"""
+WITH RECURSIVE
+be AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+bu AS (SELECT src, dst FROM be UNION SELECT dst, src FROM be),
+bs AS (SELECT DISTINCT c_custkey * 2 AS node FROM customer
+       WHERE c_nationkey = {BFS_NATION}),
+walk AS (
+  SELECT node, 0 AS dist FROM bs
+  UNION
+  SELECT bu.dst, walk.dist + 1 FROM walk JOIN bu ON bu.src = walk.node
+  WHERE walk.dist < {BFS_DEPTH}
+)
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
+       CAST(min(dist) AS INT) AS dist
+FROM walk GROUP BY 1, 2
+"""
+
+
+@register("graph_bfs_reach", oracle=BFS_ORACLE)
+def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-depth BFS (depth {d}) over the UNDIRECTED trade graph
+    from the nation-{n} customer seed set: every reached node with its
+    minimum hop count. Transposes the reference's recursive-subscription
+    reachability idiom onto an iterative frontier expansion — per round
+    one frontier⋈edges equi-join + one anti-join against the visited
+    set, lineage cut per round. The oracle is a recursive CTE computing
+    the same bounded-depth minimum-distance closure, so any node the
+    frontier expansion missed (or reached at the wrong depth) breaks
+    the hash. Seeds with no orders stay isolated at dist 0 on both
+    sides — the dist histogram is 0/1/2/3 with real mass in each
+    bucket (suppliers only at odd depths: the graph is bipartite).
+    """.format(d=BFS_DEPTH, n=BFS_NATION)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    fwd = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    edges = fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    seeds = cust.filter(F.col("c_nationkey") == BFS_NATION).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    dist = G.bfs_distances(edges, seeds, BFS_DEPTH)
+    kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    return dist.select("node", kind.alias("kind"), "dist")

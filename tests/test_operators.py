@@ -1604,3 +1604,24 @@ def test_prefix_filter_candidates_complete_and_tight(spark):
     assert truth <= got, f"prefix filter lost true pairs: {truth - got}"
     # the filter must also do real work: disjoint docs never pair
     assert all(3 not in p for p in got)
+
+
+# -- bounded-depth BFS (operators/graph.py) --------------------------------
+
+
+def test_bfs_distances_min_depth_and_isolated(spark):
+    from actyxos_data_flow_spark.operators import graph as G
+
+    # path 1-2-3-4-5 plus a shortcut 1-4; seed {1, 99} (99 isolated)
+    fwd = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (1, 4)], "src long, dst long"
+    )
+    edges = fwd.union(fwd.selectExpr("dst as src", "src as dst"))
+    seeds = spark.createDataFrame([(1,), (99,)], "node long")
+    got = {r.node: r.dist for r in G.bfs_distances(edges, seeds, 2).collect()}
+    # min distance wins (4 via the shortcut, not the 3-hop path);
+    # depth 2 excludes nothing here except nothing: 5 is 2 hops via 4
+    assert got == {1: 0, 99: 0, 2: 1, 4: 1, 3: 2, 5: 2}
+    # depth 1 cuts the frontier
+    got1 = {r.node: r.dist for r in G.bfs_distances(edges, seeds, 1).collect()}
+    assert got1 == {1: 0, 99: 0, 2: 1, 4: 1}
