@@ -63,10 +63,9 @@ def index_postings_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _K1 = R.BM25_K1
 _B = R.BM25_B
 
-BM25_ORACLE = (
-    "WITH "
-    + _IDX_CTE
-    + f"""
+# CTE chain ending in `br` (every term-matching doc BM25-scored and
+# ranked) — shared by the plain top-k row and the RRF fusion row
+_BM25_CTE = f"""
 bqt AS (SELECT unnest({list(BM25_TERMS)!r}) AS term),
 bqp AS (SELECT p.term, p.doc_id, p.tf FROM ipost p JOIN bqt USING (term)),
 bst AS (SELECT (SELECT count(*) FROM documents) AS n, (SELECT sum(dl) FROM idl) AS sumdl),
@@ -88,7 +87,13 @@ br AS (
   SELECT doc_id, s, n_terms,
          row_number() OVER (ORDER BY s DESC, doc_id ASC) AS rank
   FROM bsc
-)
+)"""
+
+BM25_ORACLE = (
+    "WITH "
+    + _IDX_CTE
+    + _BM25_CTE
+    + f"""
 SELECT doc_id, rank, CAST(s AS DOUBLE) AS bm25, CAST(n_terms AS BIGINT) AS n_terms
 FROM br WHERE rank <= {BM25_K}
 """
@@ -216,3 +221,90 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     path = ensure_orc_mirror(spark, sf_dir, "documents")
     return token_stats(spark.read.orc(path))
+
+
+FUSE_N = 50     # depth of each per-system ranking fed into the fusion
+HYBRID_K = 15   # fused results returned
+RRF_C = 60      # the standard reciprocal-rank-fusion constant
+
+
+HYBRID_RRF_ORACLE = (
+    "WITH "
+    + _IDX_CTE
+    + _BM25_CTE
+    + f""",
+hq AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+hu AS (SELECT e.vec_id, unnest(hq.qe)::DOUBLE a, unnest(e.embedding)::DOUBLE b
+       FROM embeddings e, hq),
+hs AS (SELECT vec_id, sum(a*b) AS dot, sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+       FROM hu GROUP BY 1),
+hd AS (
+  SELECT vec_id AS doc_id,
+         row_number() OVER (ORDER BY dot/(na*nb) DESC, vec_id ASC) AS rank
+  FROM hs
+),
+hlex AS (SELECT doc_id, rank FROM br WHERE rank <= {FUSE_N}),
+hden AS (SELECT doc_id, rank FROM hd WHERE rank <= {FUSE_N}),
+hfuse AS (
+  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         CAST(l.rank AS INT) AS rank_lex, CAST(d.rank AS INT) AS rank_dense,
+         round(coalesce(1.0::DOUBLE / ({RRF_C} + l.rank), 0.0)
+               + coalesce(1.0::DOUBLE / ({RRF_C} + d.rank), 0.0), 9) AS rrf
+  FROM hlex l FULL OUTER JOIN hden d ON l.doc_id = d.doc_id
+),
+htop AS (
+  SELECT doc_id, rank_lex, rank_dense, rrf,
+         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+  FROM hfuse
+)
+SELECT doc_id, rank_lex, rank_dense, rrf, fused_rank
+FROM htop WHERE fused_rank <= {HYBRID_K}
+"""
+)
+
+
+@register("hybrid_rrf_search", oracle=HYBRID_RRF_ORACLE)
+def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by RECIPROCAL-RANK FUSION: the BM25 top-{n}
+    for the bag-of-terms query and the dense cosine top-{n} for the
+    vec_id-0 query embedding (doc_id = vec_id, the corpus is 1:1
+    text/vector) are fused as ``rrf = Σ 1/({c} + rank)``, missing
+    membership contributing 0; top-{k} by fused score. The two
+    rankings run independently (their plans are the proven
+    bm25_topk / cosine_topk shapes — term-filtered postings join;
+    broadcast query matmul that never shuffles the corpus), and the
+    fusion itself is list-sized: a full-outer join of two {n}-row
+    frames. Ranks are ints, the RRF sum is double with a fixed
+    addition order, so the hash is bit-stable; the oracle replays
+    index build, both scorings, and the fusion.""".format(
+        n=FUSE_N, c=RRF_C, k=HYBRID_K
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from ..operators import similarity as S
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    lex = R.bm25_topk(docs, list(BM25_TERMS), k=FUSE_N).select(
+        "doc_id", F.col("rank").cast("int").alias("rank_lex")
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    den = S.cosine_topk(q, emb, k=FUSE_N).select(
+        F.col("vec_id").alias("doc_id"), F.col("rank").cast("int").alias("rank_dense")
+    )
+    fused = lex.join(den, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_dense",
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_dense")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    lim = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(HYBRID_K)
+    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    return lim.withColumn("fused_rank", F.row_number().over(w))
