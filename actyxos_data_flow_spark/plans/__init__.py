@@ -107,6 +107,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import validate  # noqa: F401
     from . import mutable  # noqa: F401
     from . import behavior  # noqa: F401
+    from . import mining  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

@@ -1625,3 +1625,40 @@ def test_bfs_distances_min_depth_and_isolated(spark):
     # depth 1 cuts the frontier
     got1 = {r.node: r.dist for r in G.bfs_distances(edges, seeds, 1).collect()}
     assert got1 == {1: 0, 99: 0, 2: 1, 4: 1}
+
+
+# -- association-rule mining (operators/mining.py) -------------------------
+
+
+def test_pair_rules_counts_and_basket_cap(spark):
+    from actyxos_data_flow_spark.operators import mining as M
+
+    tx = spark.createDataFrame(
+        [
+            (1, "a"), (1, "b"), (1, "c"),
+            (2, "a"), (2, "b"),
+            (3, "a"), (3, "b"),
+            (4, "c"),
+            (5, "x"), (5, "y"), (5, "z"),  # dropped by max_basket=2
+            (1, "a"),                       # duplicate line, same basket
+        ],
+        "basket_id long, item string",
+    )
+    rules = {
+        (r.item_a, r.item_b): r
+        for r in M.pair_rules(tx, min_support=2, max_basket=2).collect()
+    }
+    # basket 1 (3 items) and basket 5 exceed the cap; only baskets
+    # 2,3,4 survive -> N=3, a:2 b:2 c:1, pair (a,b) sup 2
+    assert set(rules) == {("a", "b")}
+    r = rules[("a", "b")]
+    assert (r.sup_ab, r.sup_a, r.sup_b) == (2, 2, 2)
+    assert r.conf_a_b == 1.0 and r.conf_b_a == 1.0
+    assert r.lift == round(2 * 3 / (2 * 2), 6)
+
+    # without the cap, basket 1 pairs and min_support keeps {a,b},{a,c},{b,c}
+    full = {
+        (r.item_a, r.item_b): r.sup_ab
+        for r in M.pair_rules(tx, min_support=2, max_basket=64).collect()
+    }
+    assert full == {("a", "b"): 3}
