@@ -907,3 +907,154 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             (rep == F.col("vec_id")).alias("is_kept"),
         )
     )
+
+
+# -- ranking-quality evaluation (MRR / P@10 / R@10 / nDCG@10) --------------
+
+EVAL_CUT = 100  # ranking cutoff: metrics are computed over the top-100
+EVAL_K = 10
+
+
+def _dcg_literals() -> tuple[list[str], list[str]]:
+    """Per-rank nDCG discounts 1/log2(i+1), i=1..EVAL_K, pre-rounded to
+    9dp HALF_UP as exact decimal strings, plus their cumulative sums
+    (the ideal DCG for 1..EVAL_K relevant docs). Computed ONCE here and
+    folded into BOTH engines as literals — neither engine evaluates a
+    logarithm, so there is no cross-engine libm divergence to round
+    away (same trick as the PageRank teleport constant)."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal("1e-9")
+    disc = [
+        Decimal(repr(1.0 / math.log2(i + 1))).quantize(q, ROUND_HALF_UP)
+        for i in range(1, EVAL_K + 1)
+    ]
+    cum, run = [], Decimal(0)
+    for d in disc:
+        run += d
+        cum.append(run)
+    return [str(d) for d in disc], [str(c) for c in cum]
+
+
+_DISC, _IDCG = _dcg_literals()
+_DEC = "DECIMAL(28,9)"
+_DISC_ARR = "array(" + ", ".join(f"CAST({d} AS {_DEC})" for d in _DISC) + ")"
+_IDCG_ARR = "array(" + ", ".join(f"CAST({c} AS {_DEC})" for c in _IDCG) + ")"
+_DISC_LIST = "[" + ", ".join(f"CAST({d} AS {_DEC})" for d in _DISC) + "]"
+_IDCG_LIST = "[" + ", ".join(f"CAST({c} AS {_DEC})" for c in _IDCG) + "]"
+
+RETRIEVAL_EVAL_ORACLE = (
+    "WITH "
+    + _COS_CTE
+    + f"""
+vp AS (SELECT qid, qlabel, vec_id, label, qe, embedding FROM q, e),
+vu AS (SELECT qid, vec_id, unnest(qe)::DOUBLE a, unnest(embedding)::DOUBLE b FROM vp),
+vs AS (SELECT qid, vec_id, sum(a*b) AS dot, sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+       FROM vu GROUP BY 1, 2),
+vrk AS (
+  SELECT qid, vec_id,
+         row_number() OVER (PARTITION BY qid ORDER BY dot/(na*nb) DESC, vec_id ASC) AS rnk
+  FROM vs WHERE vec_id <> qid
+),
+vrel AS (
+  SELECT r.qid, r.rnk, (e.label = q.qlabel) AS rel
+  FROM vrk r JOIN e ON e.vec_id = r.vec_id JOIN q ON q.qid = r.qid
+  WHERE r.rnk <= {EVAL_CUT}
+),
+vr AS (
+  SELECT q.qid,
+         (SELECT count(*) FROM e WHERE e.label = q.qlabel AND e.vec_id <> q.qid)
+           AS n_relevant
+  FROM q
+),
+vagg AS (
+  SELECT qid,
+         count(*) FILTER (rel AND rnk <= {EVAL_K}) AS hits10,
+         min(rnk) FILTER (rel) AS first_rel,
+         coalesce(sum(CASE WHEN rel AND rnk <= {EVAL_K}
+                           THEN {_DISC_LIST}[rnk] END),
+                  CAST(0 AS {_DEC})) AS dcg
+  FROM vrel GROUP BY qid
+)
+SELECT r.qid, CAST(r.n_relevant AS BIGINT) AS n_relevant,
+       round(coalesce(CAST(1.0 AS DOUBLE) / a.first_rel, 0.0), 6) AS mrr,
+       round(CAST(a.hits10 AS DOUBLE) / {EVAL_K}, 6) AS prec_at_10,
+       round(CAST(a.hits10 AS DOUBLE)
+             / greatest(least(r.n_relevant, {EVAL_K}), 1), 6) AS recall_at_10,
+       round(CAST(a.dcg AS DOUBLE)
+             / CAST({_IDCG_LIST}[CAST(greatest(least(r.n_relevant, {EVAL_K}), 1) AS INT)]
+                    AS DOUBLE), 6) AS ndcg_at_10
+FROM vr r JOIN vagg a USING (qid)
+ORDER BY qid
+"""
+)
+
+
+@register("retrieval_eval_ndcg", oracle=RETRIEVAL_EVAL_ORACLE)
+def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality report for the dense retriever: per query
+    (vec_id < {nq}, self excluded) MRR@{cut}, precision@{k},
+    recall@{k}, and nDCG@{k} against label-match relevance. The ranked
+    lists come from the proven cosine_topk shape at k={cut}+1 (corpus
+    never shuffles); every metric is then list-sized arithmetic —
+    windows partition by qid over ≤{cut} rows. DCG discounts and ideal
+    DCGs are pre-rounded decimal LITERALS folded into both engines, so
+    the hash covers the metric values exactly with zero float-sum
+    order sensitivity.""".format(nq=N_QUERIES, cut=EVAL_CUT, k=EVAL_K)
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("qlabel"),
+    )
+    topk = S.cosine_topk(
+        q.select("qid", "qe"), emb.select("vec_id", "embedding"), k=EVAL_CUT + 1
+    )
+    from pyspark.sql import Window as _W
+
+    rnk_w = _W.partitionBy("qid").orderBy(F.col("rank").asc())
+    ranked = (
+        topk.filter(F.col("vec_id") != F.col("qid"))
+        .withColumn("rnk", F.row_number().over(rnk_w))
+        .filter(F.col("rnk") <= EVAL_CUT)
+    )
+    lab = emb.select("vec_id", "label")
+    qlab = q.select("qid", "qlabel")
+    rel = (
+        ranked.join(lab, "vec_id")
+        .join(F.broadcast(qlab), "qid")
+        .select("qid", "rnk", (F.col("label") == F.col("qlabel")).alias("rel"))
+    )
+    in10 = F.col("rel") & (F.col("rnk") <= EVAL_K)
+    disc = F.expr(f"element_at({_DISC_ARR}, CAST(rnk AS INT))")
+    agg = rel.groupBy("qid").agg(
+        F.count(F.when(in10, 1)).alias("hits10"),
+        F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel"),
+        F.coalesce(
+            F.sum(F.when(in10, disc)), F.expr(f"CAST(0 AS {_DEC})")
+        ).alias("dcg"),
+    )
+    # n_relevant per query = label-class size minus self
+    cnt = lab.groupBy("label").agg(F.count(F.lit(1)).alias("_c"))
+    nrel = qlab.join(F.broadcast(cnt), qlab["qlabel"] == cnt["label"]).select(
+        "qid", (F.col("_c") - 1).cast("long").alias("n_relevant")
+    )
+    ideal_n = F.greatest(F.least(F.col("n_relevant"), F.lit(EVAL_K)), F.lit(1))
+    idcg = F.expr(f"element_at({_IDCG_ARR}, CAST(greatest(least(n_relevant, {EVAL_K}), 1) AS INT))")
+    return (
+        agg.join(F.broadcast(nrel), "qid")
+        .select(
+            "qid",
+            "n_relevant",
+            F.round(
+                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
+            ).alias("mrr"),
+            F.round(F.col("hits10") / F.lit(EVAL_K), 6).alias("prec_at_10"),
+            F.round(F.col("hits10") / ideal_n, 6).alias("recall_at_10"),
+            F.round(
+                F.col("dcg").cast("double") / idcg.cast("double"), 6
+            ).alias("ndcg_at_10"),
+        )
+        .orderBy("qid")
+    )
