@@ -103,3 +103,55 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "cohort_period", "period_offset", F.col("users").cast("long").alias("users")
     )
+
+
+# -- exponentially time-decayed engagement ---------------------------------
+
+HALF_LIFE_US = 7 * B.DAY_US  # one-week half-life
+import math as _math
+
+_DECAY_RATE = repr(_math.log(2.0) / HALF_LIFE_US)  # folded identically
+# into both engines (the PageRank teleport-constant trick)
+
+DECAY_ORACLE = f"""
+WITH de AS (
+  SELECT user_id, event_type, value, epoch_us(ts) AS tsm FROM events
+),
+dnow AS (SELECT max(tsm) AS now FROM de)
+SELECT user_id, event_type,
+       CAST(sum(CAST(round(value * exp(-CAST(dnow.now - tsm AS DOUBLE)
+                                       * {_DECAY_RATE}), 7)
+                     AS DECIMAL(28,9))) AS DOUBLE) AS decay_score,
+       CAST(count(*) AS BIGINT) AS n_events,
+       max(tsm) AS last_seen_micros
+FROM de, dnow
+GROUP BY 1, 2
+"""
+
+
+@register("events_decay_score", oracle=DECAY_ORACLE)
+def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement per (user, event_type):
+    each event contributes value·2^(-age/half_life) with age measured
+    from the corpus's max timestamp (a deterministic "now"), one-week
+    half-life. The decay rate is ONE repr-folded double constant in
+    both engines; each contribution is rounded to 7dp and summed as
+    DECIMAL(28,9), so the aggregate is order-free and the hash exact.
+    Plan: one scan (the "now" scalar is a 1-row aggregate folded as a
+    literal), one map-side-combined hash aggregate — the streaming
+    ingest gate maintains the same monoid incrementally, since
+    exp-decay scores merge by plain addition once anchored to a fixed
+    epoch."""
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "value", ns_micros("ts").alias("tsm")
+    )
+    now = base.agg(F.max("tsm").alias("_m")).first()["_m"]
+    contrib = F.expr(
+        f"CAST(round(value * exp(-CAST({now} - tsm AS DOUBLE) * {_DECAY_RATE}), 7)"
+        " AS DECIMAL(28,9))"
+    )
+    return base.groupBy("user_id", "event_type").agg(
+        F.sum(contrib).cast("double").alias("decay_score"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.max("tsm").alias("last_seen_micros"),
+    )
