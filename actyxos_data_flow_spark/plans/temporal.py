@@ -420,3 +420,43 @@ def stream_attribution_outer_replay(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("click_id").isNull().alias("organic"),
         )
     )
+
+
+# -- day-partitioned layout + planning-time pruning ------------------------
+
+PRUNE_DAY = 19725  # 2024-01-03 as an epoch-day index; inside every SF's span
+
+DAYPART_ORACLE = f"""
+WITH pe AS (
+  SELECT event_id, epoch_us(ts) AS tsm, event_type, value FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       min(event_id) AS first_event, max(event_id) AS last_event
+FROM pe WHERE tsm // 86400000000 = {PRUNE_DAY}
+GROUP BY 1
+"""
+
+
+@register("source_partitioned_prune", oracle=DAYPART_ORACLE)
+def source_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day's per-type event rollup read from the DAY-PARTITIONED
+    events mirror (sources/bucketed.ensure_day_partitioned_events):
+    the ``day_idx = {d}`` predicate is a planning-time PartitionFilter
+    — the scan lists one directory out of ~30 and never opens the rest
+    (plan-asserted in tests/test_plans.py). The oracle computes the
+    same day slice from the RAW table, so the partitioned rewrite is
+    proven value-lossless, not just faster. At 100 TB this layout is
+    the first lever for any time-bounded query: day directories bound
+    the bytes before a single row is read.""".format(d=PRUNE_DAY)
+    from ..sources.bucketed import ensure_day_partitioned_events
+
+    path = ensure_day_partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path).filter(F.col("day_idx") == PRUNE_DAY)
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double").alias("sum_value"),
+        F.min("event_id").alias("first_event"),
+        F.max("event_id").alias("last_event"),
+    )

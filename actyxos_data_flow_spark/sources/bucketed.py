@@ -161,3 +161,55 @@ def ensure_orc_mirror(spark: SparkSession, sf_dir: str, table: str) -> str:
         with open(marker, "w") as f:
             f.write("ok")
     return path
+
+
+# -- day-partitioned events mirror: the partition-pruning scale lever --------
+
+_DAYPART_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+    "daypart",
+)
+
+DAY_US = 86_400_000_000
+
+
+def ensure_day_partitioned_events(spark: SparkSession, sf_dir: str) -> str:
+    """Write (once; cache keyed by the source file's mtime/size) the
+    ``events`` table as hive-partitioned parquet on ``day_idx``
+    (epoch-day of the event timestamp), rows within each day sorted by
+    ``ts_micros``. Time-partitioning is the canonical 100 TB events
+    layout: every time-bounded query prunes to its day directories at
+    PLANNING time, and the within-file sort keeps row-group min/max
+    stats tight for intra-day ranges."""
+    from ..functions.scalar import ns_micros
+    from .tables import save_partitioned
+
+    src = os.path.join(sf_dir, "events.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(_DAYPART_DIR, tag)
+    marker = os.path.join(path, "_DONE")
+    if not os.path.exists(marker):
+        from pyspark.sql import functions as F
+
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id",
+            ns_micros("ts").alias("ts_micros"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        save_partitioned(
+            ev.withColumn(
+                "day_idx", F.expr(f"ts_micros DIV {DAY_US}").cast("int")
+            ),
+            path,
+            ["day_idx"],
+            sort_cols=["ts_micros"],
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path

@@ -495,3 +495,16 @@ def test_join_rewrite_choice_fires(spark, registry):
     # the reported decision columns agree with the plan that ran
     row = df.select("first_join", "est_first").first()
     assert row["first_join"] == first and row["est_first"] == est
+
+
+def test_source_partitioned_prune_lists_one_day(spark, registry):
+    """The registered day-slice query's scan prunes on the day_idx
+    partition column at planning time — the mirror's whole point."""
+    df = registry["source_partitioned_prune"].fn(spark, SF)
+    plan = _plan(df)
+    part = plan.split("PartitionFilters")[1][:200]
+    assert "day_idx" in part and "19725" in part
+    # the day predicate is consumed ENTIRELY by pruning: no data filter
+    # remains and day_idx never reaches the read schema
+    assert "DataFilters: []" in plan
+    assert "day_idx" not in plan.split("ReadSchema")[1][:200]
