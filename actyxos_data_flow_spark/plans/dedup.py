@@ -1064,7 +1064,11 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``10·inter >= 7·union`` on both sides.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs)
+    # the shingle table feeds 8 downstream scans (df-rank, prefix
+    # sides, verify sides, size tables) — materialize it ONCE; at
+    # 100 TB this is the persisted shingle/posting table every
+    # similarity-join system keeps anyway
+    sh = D.shingles(docs).localCheckpoint()
     a, b = PREFIX_JACCARD_T
     pairs = D.prefix_filter_candidates(sh, a, b)
     # exact integer verification on candidates only, inverted-index
