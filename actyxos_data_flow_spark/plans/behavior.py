@@ -155,3 +155,62 @@ def events_decay_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_events"),
         F.max("tsm").alias("last_seen_micros"),
     )
+
+
+# -- first-order Markov transitions over per-user event sequences ----------
+
+MARKOV_ORACLE = """
+WITH me AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tsm, event_id FROM events
+),
+mseq AS (
+  SELECT user_id, event_type AS to_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY tsm ASC, event_id ASC
+         ) AS from_type
+  FROM me
+),
+mcnt AS (
+  SELECT from_type, to_type, count(*) AS n FROM mseq
+  WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+mtot AS (SELECT from_type, sum(n) AS tot FROM mcnt GROUP BY 1)
+SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
+       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
+FROM mcnt c JOIN mtot t USING (from_type)
+"""
+
+
+@register("events_markov_transitions", oracle=MARKOV_ORACLE)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov chain over each user's event sequence:
+    counts and row-normalized probabilities for every observed
+    (from_type -> to_type) transition, sequence order = (ts, event_id).
+    The lag window partitions by user_id — per-user state never
+    crosses executors and there is no global sort; the transition
+    matrix itself is |event types|² rows, so everything after the one
+    windowed scan is model-sized. Probabilities are single integer
+    ratios (one double division, 6dp) — no float-sum ordering anywhere.
+    The sequence-mining sibling of the funnel row: where the funnel
+    asks "does the ordered chain complete", this measures the full
+    empirical transition structure."""
+    base = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", ns_micros("ts").alias("tsm"), "event_id"
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("user_id").orderBy(F.col("tsm").asc(), F.col("event_id").asc())
+    seq = base.select(
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    cnt = seq.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    tot = cnt.groupBy("from_type").agg(F.sum("n").alias("_tot"))
+    return cnt.join(F.broadcast(tot), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n") / F.col("_tot"), 6).alias("prob"),
+    )
