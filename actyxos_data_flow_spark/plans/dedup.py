@@ -1045,7 +1045,7 @@ WHERE {PREFIX_JACCARD_T[1]} * i.i >= {PREFIX_JACCARD_T[0]} * (sa.n + sb.n - i.i)
 """
 
 
-@register("dedup_prefix_filter_pairs", oracle=PREFIX_FILTER_ORACLE)
+@register("dedup_prefix_filter_pairs", oracle=PREFIX_FILTER_ORACLE, bench=True)
 def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard >= 0.7 similarity join via PREFIX FILTERING
     (AllPairs/PPJoin family): rare-first global token order, only the
