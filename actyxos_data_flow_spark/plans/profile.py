@@ -48,3 +48,51 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     distincts, numeric ranges). exact=True for the oracle gate;
     exact=False is the sketched 100 TB path (same schema)."""
     return P.profile(load_table(spark, sf_dir, "orders"), [c for c, _ in PROFILE_COLS], exact=True)
+
+
+# -- k-anonymity privacy report --------------------------------------------
+
+KANON_K = 5
+KANON_CHAR_BUCKET = 100
+
+KANON_ORACLE = f"""
+WITH kq AS (
+  SELECT lang, source, n_chars // {KANON_CHAR_BUCKET} AS size_bucket, count(*) AS class_n
+  FROM documents GROUP BY 1, 2, 3
+)
+SELECT CAST(class_n AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(class_n) AS BIGINT) AS n_docs,
+       class_n < {KANON_K} AS at_risk
+FROM kq GROUP BY class_n
+"""
+
+
+@register("kanonymity_report", oracle=KANON_ORACLE)
+def kanonymity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (lang, source,
+    n_chars/{b}): the equivalence-class size distribution, with classes
+    below k={k} flagged ``at_risk`` — the docs whose quasi-identifiers
+    make them re-identifiable and that a release would suppress or
+    generalize. Two map-side-combined aggregates (class counts, then
+    the size histogram); output is histogram-sized regardless of
+    corpus size. Pure integers — nothing to round. The privacy sibling
+    of `text_scrub_pii`: scrubbing removes direct identifiers, this
+    measures the indirect ones.""".format(b=KANON_CHAR_BUCKET, k=KANON_K)
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    classes = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars DIV {KANON_CHAR_BUCKET}").alias("size_bucket"),
+    ).agg(F.count(F.lit(1)).alias("class_n"))
+    return classes.groupBy("class_n").agg(
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.sum("class_n").cast("long").alias("n_docs"),
+    ).select(
+        F.col("class_n").cast("long").alias("class_size"),
+        "n_classes",
+        "n_docs",
+        (F.col("class_n") < KANON_K).alias("at_risk"),
+    )

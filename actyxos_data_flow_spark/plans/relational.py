@@ -771,3 +771,36 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         dec_sum("o_totalprice").alias("total_price"),
     )
+
+
+# -- SQL front door: ONE ANSI text, two engines ----------------------------
+
+# This exact string is BOTH the Spark query (spark.sql) and the DuckDB
+# oracle — nothing is translated, so the row proves the engine's SQL
+# surface is genuinely ANSI-portable (types, casts, grouping, ordering
+# semantics all agree bit-for-bit under the value hash).
+SQL_FRONTDOOR_TEXT = """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_discount >= 0.02 AND l_quantity < 45
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@register("sql_frontdoor_pricing", oracle=SQL_FRONTDOOR_TEXT)
+def sql_frontdoor_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: the oracle string itself runs verbatim
+    through ``spark.sql`` over a registered ``lineitem`` view — the
+    DataFrame path is bypassed entirely, and the identical ANSI text
+    is what DuckDB executes. Decimal-cast sums keep the aggregate
+    order-free; the double products inside CAST(... AS DECIMAL(18,4))
+    are single expressions, identical IEEE ops on both engines.
+    Catalyst still gets its usual shots: the WHERE conjuncts reach the
+    parquet scan as PushedFilters and only the 5 referenced columns
+    are read — declaring the plan in SQL loses nothing."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(SQL_FRONTDOOR_TEXT)
