@@ -25,6 +25,7 @@ small fixed count. No RNG.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 DAMPING = 0.85
@@ -248,3 +249,53 @@ def bfs_distances(
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
     return dist
+
+
+def label_propagation(
+    edges: DataFrame,
+    iters: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation over an UNDIRECTED edge list
+    (pass (a,b) once; both directions are derived here): labels start
+    as the node id, and each round every node adopts its neighbors'
+    most frequent label (ties → smallest label). Deterministic by
+    construction — no asynchronous update order to pin down — and
+    bounded to ``iters`` rounds, which is how LPA is run in practice
+    (it plateaus in a handful of rounds; fixed rounds also keep the
+    unrolled oracle finite). Returns (node, community).
+
+    Scale shape: per round one neighbor-label equi-join + one
+    (node,label) count aggregate + one per-node arg-max — all
+    hash-partitioned on node, no global window (the arg-max partitions
+    by node). Label tables are ``localCheckpoint``ed per round (the
+    pagerank/CC lineage discipline)."""
+    und = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("p"))
+        .unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("p"))
+        )
+        .distinct()
+        .localCheckpoint()  # rescanned every round
+    )
+    labels = (
+        und.select(F.col("s").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("community"))
+        .localCheckpoint()
+    )
+    w = W.partitionBy("node").orderBy(F.col("_c").desc(), F.col("community").asc())
+    for _ in range(iters):
+        cnt = (
+            und.join(labels.withColumnRenamed("node", "p"), "p")
+            .groupBy(F.col("s").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        labels = (
+            cnt.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", "community")
+            .localCheckpoint()
+        )
+    return labels

@@ -78,8 +78,10 @@ FROM prr WHERE rank <= {PR_TOP}
 
 PARTNERS_TOP = 8
 
-TRIANGLE_ORACLE = f"""
-WITH tco AS (
+# the supplier strong-tie edge chain (shared-order co-occurrence →
+# per-supplier top-k partners → undirected edge set `te`) — shared by
+# the triangle census, link prediction, and label propagation
+_STRONG_TIE_CTE = f"""tco AS (
   SELECT least(x.l_suppkey, y.l_suppkey) AS a,
          greatest(x.l_suppkey, y.l_suppkey) AS b,
          count(DISTINCT x.l_orderkey) AS shared
@@ -100,7 +102,10 @@ ttop AS (
 ),
 te AS (
   SELECT DISTINCT least(s, p) AS a, greatest(s, p) AS b FROM ttop
-),
+)"""
+
+TRIANGLE_ORACLE = f"""
+WITH {_STRONG_TIE_CTE},
 td AS (
   SELECT node, count(*) AS deg FROM (
     SELECT a AS node FROM te UNION ALL SELECT b FROM te
@@ -150,6 +155,16 @@ def graph_triangles_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation (operators/graph.triangle_stats — wedge out-degree
     O(sqrt m), three equi-joins). clustering = 3·triangles/wedges at
     6dp gates the ratio into the value hash.""".format(top=PARTNERS_TOP)
+    return G.triangle_stats(_strong_tie_edges(spark, sf_dir))
+
+
+def _strong_tie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The supplier strong-tie graph (undirected, (src,dst) with
+    src<dst): shared-order co-occurrence counts, each supplier keeping
+    its top-{top} partners — the Spark twin of _STRONG_TIE_CTE's `te`.
+    Shared by the census, link-prediction, and community rows.""".format(
+        top=PARTNERS_TOP
+    )
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     x = li.alias("x")
     y = li.alias("y")
@@ -171,9 +186,11 @@ def graph_triangles_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = (
         directed.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= PARTNERS_TOP)
-        .select(F.col("s").alias("src"), F.col("p").alias("dst"))
+        .select("s", "p")
     )
-    return G.triangle_stats(top)
+    return top.select(
+        F.least("s", "p").alias("src"), F.greatest("s", "p").alias("dst")
+    ).distinct()
 
 
 def _census_over_edges_sql(edges_cte: str) -> str:
@@ -329,3 +346,146 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = G.bfs_distances(edges, seeds, BFS_DEPTH)
     kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
     return dist.select("node", kind.alias("kind"), "dist")
+
+
+# -- link prediction: common neighbors + Adamic-Adar -----------------------
+
+LINKPRED_TOP = 25
+
+LINKPRED_ORACLE = f"""
+WITH {_STRONG_TIE_CTE},
+lud AS (SELECT a AS s, b AS p FROM te UNION ALL SELECT b, a FROM te),
+lnd AS (SELECT s AS node, count(*) AS deg FROM lud GROUP BY 1),
+lwedge AS (
+  SELECT u1.p AS u, u2.p AS v, u1.s AS w
+  FROM lud u1 JOIN lud u2 ON u1.s = u2.s AND u1.p < u2.p
+),
+lsc AS (
+  SELECT w.u, w.v, count(*) AS common_neighbors,
+         sum(CAST(round(CAST(1.0 AS DOUBLE) / ln(d.deg), 7) AS DECIMAL(28,9))) AS aa
+  FROM lwedge w JOIN lnd d ON d.node = w.w
+  GROUP BY 1, 2
+),
+lnew AS (
+  SELECT s.u, s.v, s.common_neighbors, s.aa
+  FROM lsc s LEFT JOIN te ON te.a = s.u AND te.b = s.v
+  WHERE te.a IS NULL
+),
+lrank AS (
+  SELECT u, v, common_neighbors, aa,
+         row_number() OVER (ORDER BY aa DESC, u ASC, v ASC) AS rank
+  FROM lnew
+)
+SELECT u, v, CAST(common_neighbors AS BIGINT) AS common_neighbors,
+       CAST(aa AS DOUBLE) AS adamic_adar, rank
+FROM lrank WHERE rank <= {LINKPRED_TOP}
+"""
+
+
+@register("graph_link_prediction", oracle=LINKPRED_ORACLE)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the supplier strong-tie graph: the top-{k}
+    NOT-YET-CONNECTED pairs by Adamic-Adar (Σ 1/ln(deg(w)) over common
+    neighbors w — rare shared partners count more), with the
+    common-neighbor count alongside. Wedge enumeration is the same
+    per-center neighbor self-join the census uses — bounded because
+    the strong-tie construction caps the graph at top-{p} partners per
+    supplier — existing edges drop out with one anti-join against the
+    edge set. Per-wedge weights round to 7dp and sum as DECIMAL(28,9)
+    (order-free); ranking happens ON the decimal sum, ties on (u,v).
+    """.format(k=LINKPRED_TOP, p=PARTNERS_TOP)
+    te = _strong_tie_edges(spark, sf_dir).localCheckpoint()  # edges +
+    # wedge sides + anti-join probe: scanned 4x
+    ud = te.select(F.col("src").alias("s"), F.col("dst").alias("p")).unionByName(
+        te.select(F.col("dst").alias("s"), F.col("src").alias("p"))
+    )
+    deg = ud.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    u1 = ud.select(F.col("s").alias("w"), F.col("p").alias("u"))
+    u2 = ud.select(F.col("s").alias("w"), F.col("p").alias("v"))
+    wedges = u1.join(u2, "w").filter(F.col("u") < F.col("v"))
+    aa_term = F.expr("CAST(round(CAST(1.0 AS DOUBLE) / ln(deg), 7) AS DECIMAL(28,9))")
+    scored = (
+        wedges.join(deg.withColumnRenamed("node", "w"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(aa_term).alias("_aa"),
+        )
+    )
+    new = scored.join(
+        te,
+        (scored["u"] == te["src"]) & (scored["v"] == te["dst"]),
+        "left_anti",
+    )
+    lim = new.orderBy(
+        F.col("_aa").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(LINKPRED_TOP)
+    w = W.orderBy(F.col("_aa").desc(), F.col("u").asc(), F.col("v").asc())
+    return lim.withColumn("rank", F.row_number().over(w)).select(
+        "u", "v", "common_neighbors", F.col("_aa").cast("double").alias("adamic_adar"), "rank"
+    )
+
+
+# -- community detection: synchronous label propagation --------------------
+
+LPA_ITERS = 3
+
+def _lpa_ctes(iters: int) -> tuple[str, str]:
+    """Unrolled synchronous LPA rounds; mirror of
+    operators/graph.label_propagation (most frequent neighbor label,
+    ties to the smallest label)."""
+    sql = """
+cud AS (SELECT a AS s, b AS p FROM te UNION SELECT b, a FROM te),
+cl0 AS (SELECT DISTINCT s AS node, s AS community FROM cud)"""
+    prev = "cl0"
+    for i in range(1, iters + 1):
+        sql += f""",
+ccnt{i} AS (
+  SELECT u.s AS node, l.community, count(*) AS c
+  FROM cud u JOIN {prev} l ON l.node = u.p
+  GROUP BY 1, 2
+),
+cl{i} AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node ORDER BY c DESC, community ASC) AS rn
+    FROM ccnt{i}
+  ) WHERE rn = 1
+)"""
+        prev = f"cl{i}"
+    return sql, prev
+
+
+_LPA_SQL, _LPA_FINAL = _lpa_ctes(LPA_ITERS)
+
+LPA_ORACLE = (
+    f"WITH {_STRONG_TIE_CTE},"
+    + _LPA_SQL
+    + f""",
+csize AS (SELECT community, count(*) AS community_size FROM {_LPA_FINAL} GROUP BY 1)
+SELECT l.node, l.community, CAST(s.community_size AS BIGINT) AS community_size
+FROM {_LPA_FINAL} l JOIN csize s USING (community)
+"""
+)
+
+
+@register("graph_label_propagation", oracle=LPA_ORACLE)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by {n} rounds of SYNCHRONOUS label
+    propagation over the supplier strong-tie graph: every node adopts
+    its neighbors' most frequent community label, ties to the smallest
+    label — fully deterministic, no RNG, no update-order dependence,
+    which is what makes the round-for-round unrolled oracle possible.
+    Per round one neighbor equi-join + one count aggregate + one
+    per-node arg-max (window partitions by node — no global sort);
+    community sizes join back node-sized. The community structure
+    complements the census (local transitivity) and link prediction
+    (edge-level affinity) with the graph's mesoscale.""".format(n=LPA_ITERS)
+    te = _strong_tie_edges(spark, sf_dir)
+    labels = G.label_propagation(te, iters=LPA_ITERS)
+    size = labels.groupBy("community").agg(
+        F.count(F.lit(1)).cast("long").alias("community_size")
+    )
+    return labels.join(F.broadcast(size), "community").select(
+        "node", "community", "community_size"
+    )

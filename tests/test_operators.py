@@ -1699,3 +1699,23 @@ def test_prefix_filter_complete_on_random_corpus(spark):
     }
     assert truth, "seed produced no true pairs — test would be vacuous"
     assert truth <= got, f"lost true pairs: {truth - got}"
+
+
+# -- label propagation (operators/graph.py) --------------------------------
+
+
+def test_label_propagation_two_cliques(spark):
+    from actyxos_data_flow_spark.operators import graph as G
+
+    # two disjoint triangles: each settles to its min id (sync LPA can
+    # legitimately oscillate across bridges — determinism, not
+    # convergence, is the operator's contract)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    got = {r.node: r.community for r in G.label_propagation(edges, iters=3).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+    # deterministic: a second run reproduces the labeling exactly
+    again = {r.node: r.community for r in G.label_propagation(edges, iters=3).collect()}
+    assert again == got
