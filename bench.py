@@ -61,6 +61,11 @@ SF1_QUERIES = (
     # are the rounds-based families where superlinear blowups would hide
     "dedup_clusters_star",
     "dedup_clusters_delta",
+    # late round-5: the prefix-filter similarity join — its claim is
+    # that prefixes shrink the inverted-index self-join enough to stay
+    # near-linear at 10x docs (rare-first ordering keeps bucket sizes
+    # at the corpus minimum)
+    "dedup_prefix_filter_pairs",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule")
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the
