@@ -299,3 +299,51 @@ def label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def bounded_min_plus(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+    cost: str = "cost",
+    node: str = "node",
+) -> DataFrame:
+    """Bounded-round Bellman-Ford: ``rounds`` synchronous min-plus
+    relaxations of an integer-cost edge list from a seed set, returning
+    (node, cost) with the cheapest known path using <= rounds hops.
+    Integer costs keep every value exact — no float accumulation, so
+    the unrolled oracle matches bit-for-bit.
+
+    Scale shape: per round ONE dist⋈edges equi-join (frontier-adjacent
+    edges only) + one min aggregate over (old ∪ relaxed); dist is
+    node-sized and ``localCheckpoint``ed per round (the pagerank/CC
+    lineage discipline). The weighted sibling of :func:`bfs_distances`
+    — same iteration skeleton, min-plus semiring instead of
+    first-discovery."""
+    e = (
+        edges.select(
+            F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(cost).alias("w")
+        )
+        .localCheckpoint()
+    )
+    dist = (
+        sources.select(F.col(node).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("long").alias("cost"))
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.withColumnRenamed("node", "src")
+            .join(e, "src")
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+            .localCheckpoint()
+        )
+    return dist

@@ -489,3 +489,107 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.join(F.broadcast(size), "community").select(
         "node", "community", "community_size"
     )
+
+
+# -- weighted shortest paths: bounded-round Bellman-Ford -------------------
+
+SP_ROUNDS = 3
+SP_COST_NUM = 1000  # edge cost = 1000 DIV shared — strong ties are cheap
+
+def _sp_ctes(rounds: int) -> tuple[str, str]:
+    """Unrolled min-plus relaxations; mirror of
+    operators/graph.bounded_min_plus over the strong-tie graph with
+    integer costs and the min-suppkey seed."""
+    sql = f"""
+swe AS (
+  SELECT least(s, p) AS a, greatest(s, p) AS b,
+         {SP_COST_NUM} // max(shared) AS w
+  FROM ttop JOIN tdir USING (s, p) GROUP BY 1, 2
+),
+sue AS (SELECT a AS src, b AS dst, w FROM swe UNION ALL SELECT b, a, w FROM swe),
+sp0 AS (SELECT (SELECT min(a) FROM te) AS node, CAST(0 AS BIGINT) AS cost)"""
+    prev = "sp0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+sp{i} AS (
+  SELECT node, min(cost) AS cost FROM (
+    SELECT node, cost FROM {prev}
+    UNION ALL
+    SELECT e.dst AS node, s.cost + e.w AS cost
+    FROM {prev} s JOIN sue e ON e.src = s.node
+  ) GROUP BY node
+)"""
+        prev = f"sp{i}"
+    return sql, prev
+
+
+_SP_SQL, _SP_FINAL = _sp_ctes(SP_ROUNDS)
+
+SHORTEST_PATH_ORACLE = (
+    f"WITH {_STRONG_TIE_CTE},"
+    + _SP_SQL
+    + f"""
+SELECT node, cost FROM {_SP_FINAL}
+"""
+)
+
+
+@register("graph_shortest_paths", oracle=SHORTEST_PATH_ORACLE)
+def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-round Bellman-Ford over the supplier strong-tie graph:
+    cheapest <= {r}-hop path cost from the smallest supplier node,
+    edge cost = {c} DIV tie-strength (strong ties are cheap) — all
+    INTEGER arithmetic, so the min-plus semiring is exact and the
+    unrolled oracle replays it bit-for-bit. Per round one
+    frontier-adjacent equi-join + one min aggregate, lineage cut per
+    round; the weighted sibling of graph_bfs_reach. At 100 TB the same
+    skeleton runs delta-stepping-style: seeds become a frontier table
+    and rounds continue until the relaxation fixpoint.""".format(
+        r=SP_ROUNDS, c=SP_COST_NUM
+    )
+    te_w = _strong_tie_weighted_edges(spark, sf_dir)
+    seed_row = te_w.agg(F.min(F.least("src", "dst")).alias("_m")).first()
+    seeds = spark.createDataFrame([(int(seed_row["_m"]),)], "node long")
+    und = te_w.select("src", "dst", "cost").unionByName(
+        te_w.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "cost")
+    )
+    return G.bounded_min_plus(und, seeds, rounds=SP_ROUNDS)
+
+
+def _strong_tie_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The strong-tie edge set WITH integer costs: canonical (src<dst)
+    pairs kept by either endpoint's top-{k} list, cost = {c} DIV
+    shared-order count (max over the two directed copies, which carry
+    the same value).""".format(k=PARTNERS_TOP, c=SP_COST_NUM)
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    x = li.alias("x")
+    y = li.alias("y")
+    co = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .groupBy(
+            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
+        )
+        .agg(F.countDistinct(F.col("x.l_orderkey")).alias("shared"))
+    )
+    directed = co.select(
+        F.col("a").alias("s"), F.col("b").alias("p"), "shared"
+    ).unionByName(co.select(F.col("b").alias("s"), F.col("a").alias("p"), "shared"))
+    w = W.partitionBy("s").orderBy(F.col("shared").desc(), F.col("p").asc())
+    kept = (
+        directed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PARTNERS_TOP)
+        .select("s", "p")
+    )
+    return (
+        kept.join(directed.select("s", "p", "shared"), ["s", "p"])
+        .groupBy(
+            F.least("s", "p").alias("src"), F.greatest("s", "p").alias("dst")
+        )
+        .agg(
+            F.expr(f"{SP_COST_NUM} DIV max(shared)").cast("long").alias("cost")
+        )
+    )

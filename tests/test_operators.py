@@ -1719,3 +1719,21 @@ def test_label_propagation_two_cliques(spark):
     # deterministic: a second run reproduces the labeling exactly
     again = {r.node: r.community for r in G.label_propagation(edges, iters=3).collect()}
     assert again == got
+
+
+def test_bounded_min_plus_relaxation(spark):
+    from actyxos_data_flow_spark.operators import graph as G
+
+    # 1 -5-> 2 -1-> 3 ; 1 -10-> 3 ; 3 -1-> 4: two rounds find 1->3 via
+    # the cheap 2-hop path; the direct edge wins after ONE round only
+    edges = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 1)],
+        "src long, dst long, cost long",
+    )
+    seeds = spark.createDataFrame([(1,)], "node long")
+    one = {r.node: r.cost for r in G.bounded_min_plus(edges, seeds, 1).collect()}
+    assert one == {1: 0, 2: 5, 3: 10}
+    two = {r.node: r.cost for r in G.bounded_min_plus(edges, seeds, 2).collect()}
+    assert two == {1: 0, 2: 5, 3: 6, 4: 11}
+    three = {r.node: r.cost for r in G.bounded_min_plus(edges, seeds, 3).collect()}
+    assert three == {1: 0, 2: 5, 3: 6, 4: 7}
