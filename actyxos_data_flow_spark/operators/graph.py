@@ -347,3 +347,55 @@ def bounded_min_plus(
             .localCheckpoint()
         )
     return dist
+
+
+def kcore_prune(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Bounded-round k-core peeling of an undirected edge list
+    (canonicalized here): ``rounds`` synchronous passes of "drop every
+    node with degree < k, then drop edges touching dropped nodes".
+    Returns the surviving (node, deg) — after enough rounds this IS
+    the k-core; with a fixed round count it is the standard bounded
+    approximation (run to fixpoint on a cluster; bounded rounds keep
+    the unrolled oracle finite, and peeling converges fast in
+    practice).
+
+    Scale shape: per round one degree aggregate + two semi-joins
+    (edge endpoints against surviving nodes) — all hash-partitioned,
+    no windows; the edge table shrinks monotonically and is
+    ``localCheckpoint``ed per round."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+        e = (
+            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint()
+        )
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        .filter(F.col("deg") >= k)
+    )

@@ -81,7 +81,7 @@ PARTNERS_TOP = 8
 # the supplier strong-tie edge chain (shared-order co-occurrence →
 # per-supplier top-k partners → undirected edge set `te`) — shared by
 # the triangle census, link prediction, and label propagation
-_STRONG_TIE_CTE = f"""tco AS (
+_STRONG_TIE_CTE = f"""tco AS MATERIALIZED (
   SELECT least(x.l_suppkey, y.l_suppkey) AS a,
          greatest(x.l_suppkey, y.l_suppkey) AS b,
          count(DISTINCT x.l_orderkey) AS shared
@@ -100,7 +100,7 @@ ttop AS (
     FROM tdir
   ) WHERE rn <= {PARTNERS_TOP}
 ),
-te AS (
+te AS MATERIALIZED (
   SELECT DISTINCT least(s, p) AS a, greatest(s, p) AS b FROM ttop
 )"""
 
@@ -593,3 +593,146 @@ def _strong_tie_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"{SP_COST_NUM} DIV max(shared)").cast("long").alias("cost")
         )
     )
+
+
+# -- GNN-style neighborhood feature aggregation ----------------------------
+
+NEIGH_ORACLE = (
+    f"WITH {_STRONG_TIE_CTE},"
+    + """
+nud AS (SELECT a AS s, b AS p FROM te UNION ALL SELECT b, a FROM te),
+nf AS (SELECT s_suppkey AS node, CAST(s_acctbal AS DECIMAL(18,2)) AS bal FROM supplier),
+nh1 AS (
+  SELECT u.s AS node, count(*) AS deg,
+         CAST(sum(f.bal) AS DOUBLE) / count(*) AS h1_mean_bal,
+         CAST(min(f.bal) AS DOUBLE) AS h1_min_bal,
+         CAST(max(f.bal) AS DOUBLE) AS h1_max_bal
+  FROM nud u JOIN nf f ON f.node = u.p
+  GROUP BY 1
+),
+n2 AS (
+  SELECT DISTINCT u1.s AS node, u2.p AS v
+  FROM nud u1 JOIN nud u2 ON u2.s = u1.p
+  WHERE u2.p <> u1.s
+),
+nh2 AS (
+  SELECT n2.node, count(*) AS h2_count,
+         CAST(sum(f.bal) AS DOUBLE) / count(*) AS h2_mean_bal
+  FROM n2 JOIN nf f ON f.node = n2.v
+  GROUP BY 1
+)
+SELECT h1.node, CAST(h1.deg AS BIGINT) AS deg, h1.h1_mean_bal, h1.h1_min_bal,
+       h1.h1_max_bal, CAST(h2.h2_count AS BIGINT) AS h2_count, h2.h2_mean_bal
+FROM nh1 h1 JOIN nh2 h2 USING (node)
+"""
+)
+
+
+@register("graph_neighbor_features", oracle=NEIGH_ORACLE)
+def graph_neighbor_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GNN-style neighborhood feature aggregation (the batch core of a
+    GraphSAGE-like pipeline): for every strong-tie node, mean/min/max
+    account balance over 1-hop neighbors and the mean over the
+    DISTINCT within-2-hop set (self excluded) — message passing as two
+    equi-join + aggregate layers, features broadcast onto the edge
+    list. Balances are DECIMAL(18,2) sums (order-free) and the means
+    are exact-sum quotients — never re-rounded, per the half-ulp rule.
+    The per-layer costs are |E| and Σdeg² — the latter bounded by the
+    top-{p}-partner construction, exactly the wedge bound the census
+    relies on.""".format(p=PARTNERS_TOP)
+    te = _strong_tie_edges(spark, sf_dir).localCheckpoint()
+    ud = te.select(F.col("src").alias("s"), F.col("dst").alias("p")).unionByName(
+        te.select(F.col("dst").alias("s"), F.col("src").alias("p"))
+    ).localCheckpoint()
+    feats = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("p"),
+        F.expr("CAST(s_acctbal AS DECIMAL(18,2))").alias("bal"),
+    )
+    h1 = (
+        ud.join(F.broadcast(feats), "p")
+        .groupBy(F.col("s").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("deg"),
+            (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("h1_mean_bal"),
+            F.min("bal").cast("double").alias("h1_min_bal"),
+            F.max("bal").cast("double").alias("h1_max_bal"),
+        )
+    )
+    u2 = ud.select(F.col("s").alias("p"), F.col("p").alias("v"))
+    n2 = (
+        ud.join(u2, "p")
+        .filter(F.col("v") != F.col("s"))
+        .select(F.col("s").alias("node"), "v")
+        .distinct()
+    )
+    h2 = (
+        n2.join(F.broadcast(feats.withColumnRenamed("p", "v")), "v")
+        .groupBy("node")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("h2_count"),
+            (F.sum("bal").cast("double") / F.count(F.lit(1))).alias("h2_mean_bal"),
+        )
+    )
+    return h1.join(h2, "node").select(
+        "node", "deg", "h1_mean_bal", "h1_min_bal", "h1_max_bal",
+        "h2_count", "h2_mean_bal",
+    )
+
+
+# -- bounded k-core peeling ------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+def _kcore_ctes(k: int, rounds: int) -> tuple[str, str]:
+    """Unrolled peeling rounds; mirror of operators/graph.kcore_prune
+    (per round: degrees -> keep deg>=k -> prune edges)."""
+    sql = """
+ke0 AS (SELECT a, b FROM te)"""
+    prev = "ke0"
+    for i in range(1, rounds + 1):
+        sql += f""",
+kd{i} AS MATERIALIZED (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM {prev} UNION ALL SELECT b FROM {prev}
+  ) GROUP BY 1
+),
+kk{i} AS MATERIALIZED (SELECT node FROM kd{i} WHERE deg >= {k}),
+ke{i} AS MATERIALIZED (
+  SELECT e.a, e.b FROM {prev} e
+  JOIN kk{i} x ON x.node = e.a JOIN kk{i} y ON y.node = e.b
+)"""
+        prev = f"ke{i}"
+    return sql, prev
+
+
+_KC_SQL, _KC_FINAL = _kcore_ctes(KCORE_K, KCORE_ROUNDS)
+
+KCORE_ORACLE = (
+    f"WITH {_STRONG_TIE_CTE},"
+    + _KC_SQL
+    + f""",
+kfin AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT a AS node FROM {_KC_FINAL} UNION ALL SELECT b FROM {_KC_FINAL}
+  ) GROUP BY 1
+)
+SELECT node, CAST(deg AS BIGINT) AS deg FROM kfin WHERE deg >= {KCORE_K}
+"""
+)
+
+
+@register("graph_kcore", oracle=KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling (k={k}, {r} rounds) of the supplier
+    strong-tie graph: iteratively drop nodes with degree < {k} and the
+    edges touching them — the standard dense-substructure filter
+    (spam rings, tightly-coupled supplier cliques). Per round one
+    degree aggregate + two LeftSemi prunes over a monotonically
+    shrinking edge table, lineage cut per round; the oracle unrolls
+    the same peeling sequence round for round, so a single node
+    surviving or dying at the wrong round breaks the hash.""".format(
+        k=KCORE_K, r=KCORE_ROUNDS
+    )
+    te = _strong_tie_edges(spark, sf_dir)
+    return G.kcore_prune(te, k=KCORE_K, rounds=KCORE_ROUNDS)

@@ -1737,3 +1737,18 @@ def test_bounded_min_plus_relaxation(spark):
     assert two == {1: 0, 2: 5, 3: 6, 4: 11}
     three = {r.node: r.cost for r in G.bounded_min_plus(edges, seeds, 3).collect()}
     assert three == {1: 0, 2: 5, 3: 6, 4: 7}
+
+
+def test_kcore_prune_peels_tail(spark):
+    from actyxos_data_flow_spark.operators import graph as G
+
+    # a 4-clique with a pendant path 4-5-6: the path peels off in two
+    # rounds, the clique (every degree 3) survives k=3 intact
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    got = {r.node: r.deg for r in G.kcore_prune(edges, k=3, rounds=3).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+    # k=4: nothing has degree 4 -> empty
+    assert G.kcore_prune(edges, k=4, rounds=3).count() == 0
