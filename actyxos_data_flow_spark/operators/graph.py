@@ -210,6 +210,7 @@ def bfs_distances(
     src: str = "src",
     dst: str = "dst",
     node: str = "node",
+    info: dict | None = None,
 ) -> DataFrame:
     """Bounded-depth BFS over a directed edge list (symmetrize before
     calling for undirected semantics): returns ``(node, dist)`` with the
@@ -223,7 +224,14 @@ def bfs_distances(
     per round (same lineage-cut discipline as :func:`pagerank`; swap in
     ``checkpoint()`` on a real cluster). Min-distance needs no
     aggregation: a node enters `dist` the first round it is seen and
-    the anti-join keeps later sightings out."""
+    the anti-join keeps later sightings out.
+
+    Convergence early-exit: each round's frontier is already
+    materialized (localCheckpoint), so counting it is a model-sized
+    job; an empty frontier means every later round is a no-op and the
+    loop stops — the bounded result IS the exact fixpoint whenever the
+    graph is exhausted before ``depth``. Pass ``info={}`` to receive
+    ``{"rounds_run": r, "converged": bool}``."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -236,6 +244,7 @@ def bfs_distances(
         .localCheckpoint()
     )
     frontier = dist.select("node")
+    rounds_run, converged = 0, False
     for d in range(1, depth + 1):
         nxt = (
             frontier.withColumnRenamed("node", "src")
@@ -246,8 +255,15 @@ def bfs_distances(
             .select("node", F.lit(d).cast("int").alias("dist"))
             .localCheckpoint()
         )
+        if nxt.count() == 0:  # model-sized: nxt is already materialized
+            converged = True
+            break
+        rounds_run = d
         dist = dist.unionByName(nxt).localCheckpoint()
         frontier = nxt.select("node")
+    if info is not None:
+        info["rounds_run"] = rounds_run
+        info["converged"] = converged
     return dist
 
 
@@ -256,6 +272,7 @@ def label_propagation(
     iters: int = 3,
     src: str = "src",
     dst: str = "dst",
+    info: dict | None = None,
 ) -> DataFrame:
     """Synchronous label propagation over an UNDIRECTED edge list
     (pass (a,b) once; both directions are derived here): labels start
@@ -270,7 +287,14 @@ def label_propagation(
     (node,label) count aggregate + one per-node arg-max — all
     hash-partitioned on node, no global window (the arg-max partitions
     by node). Label tables are ``localCheckpoint``ed per round (the
-    pagerank/CC lineage discipline)."""
+    pagerank/CC lineage discipline).
+
+    Convergence early-exit: after each round a node-sized changed-rows
+    count (new vs old labels) runs against two already-materialized
+    tables; zero changes means sync-LPA — a deterministic function of
+    the label table — has reached a fixpoint and every later round
+    would reproduce it, so the loop stops with the trajectory intact.
+    Pass ``info={}`` to receive ``{"rounds_run", "converged"}``."""
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("p"))
         .unionByName(
@@ -286,18 +310,33 @@ def label_propagation(
         .localCheckpoint()
     )
     w = W.partitionBy("node").orderBy(F.col("_c").desc(), F.col("community").asc())
+    rounds_run, converged = 0, False
     for _ in range(iters):
         cnt = (
             und.join(labels.withColumnRenamed("node", "p"), "p")
             .groupBy(F.col("s").alias("node"), "community")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
-        labels = (
+        new_labels = (
             cnt.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("node", "community")
             .localCheckpoint()
         )
+        changed = (
+            new_labels.withColumnRenamed("community", "_new")
+            .join(labels, "node")
+            .filter(F.col("_new") != F.col("community"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            converged = True
+            break
+        rounds_run += 1
+    if info is not None:
+        info["rounds_run"] = rounds_run
+        info["converged"] = converged
     return labels
 
 
@@ -309,6 +348,7 @@ def bounded_min_plus(
     dst: str = "dst",
     cost: str = "cost",
     node: str = "node",
+    info: dict | None = None,
 ) -> DataFrame:
     """Bounded-round Bellman-Ford: ``rounds`` synchronous min-plus
     relaxations of an integer-cost edge list from a seed set, returning
@@ -316,12 +356,21 @@ def bounded_min_plus(
     Integer costs keep every value exact — no float accumulation, so
     the unrolled oracle matches bit-for-bit.
 
-    Scale shape: per round ONE dist⋈edges equi-join (frontier-adjacent
-    edges only) + one min aggregate over (old ∪ relaxed); dist is
-    node-sized and ``localCheckpoint``ed per round (the pagerank/CC
-    lineage discipline). The weighted sibling of :func:`bfs_distances`
-    — same iteration skeleton, min-plus semiring instead of
-    first-discovery."""
+    Scale shape: per round only the CHANGED frontier (rows whose cost
+    improved in the previous round, seeds in round 1) joins the edge
+    list, so the relax join touches frontier-adjacent edges only —
+    re-relaxing a settled node u is provably a no-op (dist(v) already
+    absorbed dist(u)+w the round u last changed, and dist only
+    decreases), so skipping it preserves the exact per-round
+    trajectory of full synchronous Bellman-Ford. One min aggregate
+    over (old ∪ relaxed) per round; dist is node-sized and
+    ``localCheckpoint``ed per round (the pagerank/CC lineage
+    discipline). The weighted sibling of :func:`bfs_distances` — same
+    iteration skeleton, min-plus semiring instead of first-discovery.
+
+    Convergence early-exit: an empty frontier (no cost improved) is a
+    fixpoint — the loop stops and the bounded result is exact. Pass
+    ``info={}`` to receive ``{"rounds_run", "converged"}``."""
     e = (
         edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(cost).alias("w")
@@ -334,18 +383,36 @@ def bounded_min_plus(
         .select("node", F.lit(0).cast("long").alias("cost"))
         .localCheckpoint()
     )
+    frontier = dist
+    rounds_run, converged = 0, False
     for _ in range(rounds):
         relaxed = (
-            dist.withColumnRenamed("node", "src")
+            frontier.withColumnRenamed("node", "src")
             .join(e, "src")
             .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
         )
-        dist = (
+        new_dist = (
             dist.unionByName(relaxed)
             .groupBy("node")
             .agg(F.min("cost").alias("cost"))
             .localCheckpoint()
         )
+        frontier = (
+            new_dist.join(
+                dist.withColumnRenamed("cost", "_old"), "node", "left_outer"
+            )
+            .filter(F.col("_old").isNull() | (F.col("cost") < F.col("_old")))
+            .select("node", "cost")
+            .localCheckpoint()
+        )
+        dist = new_dist
+        if frontier.count() == 0:
+            converged = True
+            break
+        rounds_run += 1
+    if info is not None:
+        info["rounds_run"] = rounds_run
+        info["converged"] = converged
     return dist
 
 
@@ -355,6 +422,7 @@ def kcore_prune(
     rounds: int,
     src: str = "src",
     dst: str = "dst",
+    info: dict | None = None,
 ) -> DataFrame:
     """Bounded-round k-core peeling of an undirected edge list
     (canonicalized here): ``rounds`` synchronous passes of "drop every
@@ -368,7 +436,13 @@ def kcore_prune(
     Scale shape: per round one degree aggregate + two semi-joins
     (edge endpoints against surviving nodes) — all hash-partitioned,
     no windows; the edge table shrinks monotonically and is
-    ``localCheckpoint``ed per round."""
+    ``localCheckpoint``ed per round.
+
+    Convergence early-exit: the surviving-edge count per round is a
+    model-sized aggregate over the just-materialized edge table; an
+    unchanged count means no node fell below k, so peeling has reached
+    its fixpoint — the bounded result IS the exact k-core. Pass
+    ``info={}`` to receive ``{"rounds_run", "converged"}``."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),
@@ -378,6 +452,8 @@ def kcore_prune(
         .distinct()
         .localCheckpoint()
     )
+    n_edges = e.count()
+    rounds_run, converged = 0, False
     for _ in range(rounds):
         deg = (
             e.select(F.col("a").alias("node"))
@@ -392,6 +468,15 @@ def kcore_prune(
             .select("a", "b")
             .localCheckpoint()
         )
+        n_after = e.count()
+        if n_after == n_edges:
+            converged = True
+            break
+        rounds_run += 1
+        n_edges = n_after
+    if info is not None:
+        info["rounds_run"] = rounds_run
+        info["converged"] = converged
     return (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))

@@ -1752,3 +1752,61 @@ def test_kcore_prune_peels_tail(spark):
     assert got == {1: 3, 2: 3, 3: 3, 4: 3}
     # k=4: nothing has degree 4 -> empty
     assert G.kcore_prune(edges, k=4, rounds=3).count() == 0
+
+
+# -- convergence early-exit (operators/graph.py, round-6) -------------------
+
+
+def test_graph_convergence_early_exit(spark):
+    """Bounded iterative ops stop at the fixpoint and report it, and the
+    early-exited result equals the full-round bounded result."""
+    from actyxos_data_flow_spark.operators import graph as G
+
+    fwd = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    edges = fwd.union(fwd.selectExpr("dst as src", "src as dst"))
+    seeds = spark.createDataFrame([(1,)], "node long")
+
+    # BFS: graph exhausts after 3 hops; depth 10 must converge early
+    info = {}
+    d10 = {r.node: r.dist for r in G.bfs_distances(edges, seeds, 10, info=info).collect()}
+    assert info["converged"] and info["rounds_run"] == 3
+    d3 = {r.node: r.dist for r in G.bfs_distances(edges, seeds, 3).collect()}
+    assert d10 == d3 == {1: 0, 2: 1, 3: 2, 4: 3}
+
+    # Bellman-Ford: path costs settle after 3 relaxations
+    we = spark.createDataFrame(
+        [(1, 2, 5), (2, 3, 1), (1, 3, 10), (3, 4, 1)],
+        "src long, dst long, cost long",
+    )
+    info = {}
+    c10 = {r.node: r.cost for r in G.bounded_min_plus(we, seeds, 10, info=info).collect()}
+    assert info["converged"]
+    assert c10 == {1: 0, 2: 5, 3: 6, 4: 7}
+    # frontier-delta trajectory matches full relaxation at every bound
+    for rounds in (1, 2, 3):
+        got = {r.node: r.cost for r in G.bounded_min_plus(we, seeds, rounds).collect()}
+        exp = {1: {1: 0, 2: 5, 3: 10}, 2: {1: 0, 2: 5, 3: 6, 4: 11},
+               3: {1: 0, 2: 5, 3: 6, 4: 7}}[rounds]
+        assert got == exp
+
+    # LPA: two triangles settle in <= 2 rounds; iters=10 converges early
+    tri = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    info = {}
+    lab = {r.node: r.community for r in G.label_propagation(tri, iters=10, info=info).collect()}
+    assert info["converged"]
+    assert lab == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10}
+
+    # k-core: clique+pendant peels in 2 rounds; rounds=10 converges early
+    kc = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)],
+        "src long, dst long",
+    )
+    info = {}
+    core = {r.node: r.deg for r in G.kcore_prune(kc, k=3, rounds=10, info=info).collect()}
+    assert info["converged"] and info["rounds_run"] <= 2
+    assert core == {1: 3, 2: 3, 3: 3, 4: 3}
