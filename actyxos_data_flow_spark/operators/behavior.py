@@ -33,6 +33,7 @@ def funnel_user_steps(
     user_col: str = "user_id",
     ts_col: str = "ts_micros",
     type_col: str = "event_type",
+    strict: bool = False,
 ) -> list[DataFrame]:
     """Ordered-funnel step times per user.
 
@@ -43,6 +44,18 @@ def funnel_user_steps(
     of the first step ("conversion window anchored at entry" — the
     standard product-analytics semantics). Frame k carries columns
     ``(user_col, t1, ..., tk)``.
+
+    Tie semantics — a DELIBERATE choice, stated here because it
+    deviates from strictly-increasing funnels: with the default
+    ``strict=False``, step i may match at the IDENTICAL timestamp as
+    step i−1 (``>=``). Events logged in the same microsecond have no
+    defined order in the log, so treating "same instant" as "in order"
+    keeps the matcher deterministic and order-free where a strict
+    matcher would silently depend on ingestion tie-breaks; it also
+    mirrors SQL ``MATCH_RECOGNIZE``-over-equal-timestamps behavior.
+    Pass ``strict=True`` for the strictly-increasing variant
+    (``ts > t_{i-1}`` for every step i>1); the greedy-earliest argument
+    below holds unchanged under either comparator.
 
     Greedy-earliest is the correct matcher here: taking the minimal
     qualifying time at every step dominates any other choice (an
@@ -65,13 +78,15 @@ def funnel_user_steps(
     frames.append(cur)
     for i, step in enumerate(steps[1:], start=2):
         prev_ts = [f"t{j}" for j in range(1, i)]
+        after_prev = (
+            F.col(ts_col) > F.col(f"t{i-1}")
+            if strict
+            else F.col(ts_col) >= F.col(f"t{i-1}")
+        )
         cur = (
             events.filter(F.col(type_col) == step)
             .join(cur, user_col)
-            .filter(
-                (F.col(ts_col) >= F.col(f"t{i-1}"))
-                & (F.col(ts_col) <= F.col("t1") + F.lit(window_us))
-            )
+            .filter(after_prev & (F.col(ts_col) <= F.col("t1") + F.lit(window_us)))
             .groupBy(user_col, *prev_ts)
             .agg(F.min(ts_col).alias(f"t{i}"))
         )

@@ -107,9 +107,14 @@ def logreg_fit(
 
 
 def logreg_metrics(feats: DataFrame, w: list[float]) -> DataFrame:
-    """Training metrics for one weight vector: accuracy at p ≥ 0.5 and
-    6dp mean predicted probability per true class — one model-sized
-    aggregate. Output: (n_docs, accuracy, mean_p_pos, mean_p_neg)."""
+    """Training metrics for one weight vector, in EXACT form: correct
+    count at p ≥ 0.5 and per-true-class (count, 7dp-decimal sum of
+    predicted probability) — one model-sized aggregate. Ratios
+    (accuracy, mean p per class) are left to the reader as quotients of
+    the exact columns: rounding a decimal-sum/count quotient to fixed
+    dp is the half-ulp cross-engine hazard this repo bans, so the
+    operator never emits one. Output: (n_docs, n_correct, n_pos,
+    sum_p_pos, n_neg, sum_p_neg)."""
     p = _sigmoid7(_dot_w(w))
     scored = feats.select("y", p.alias("p"))
     correct = F.when(
@@ -120,41 +125,35 @@ def logreg_metrics(feats: DataFrame, w: list[float]) -> DataFrame:
     dec = lambda c: F.sum(F.expr(f"CAST(round({c}, 7) AS DECIMAL(20,7))"))  # noqa: E731
     return scored.agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.round(F.sum(correct).cast("double") / F.count(F.lit(1)), 6).alias("accuracy"),
-        F.round(
-            dec("CASE WHEN y = 1.0 THEN p END").cast("double")
-            / F.sum(F.when(F.col("y") == 1.0, 1)),
-            6,
-        ).alias("mean_p_pos"),
-        F.round(
-            dec("CASE WHEN y = 0.0 THEN p END").cast("double")
-            / F.sum(F.when(F.col("y") == 0.0, 1)),
-            6,
-        ).alias("mean_p_neg"),
+        F.sum(correct).cast("long").alias("n_correct"),
+        F.coalesce(F.sum(F.when(F.col("y") == 1.0, 1)), F.lit(0)).cast("long").alias("n_pos"),
+        dec("CASE WHEN y = 1.0 THEN p END").alias("sum_p_pos"),
+        F.coalesce(F.sum(F.when(F.col("y") == 0.0, 1)), F.lit(0)).cast("long").alias("n_neg"),
+        dec("CASE WHEN y = 0.0 THEN p END").alias("sum_p_neg"),
     )
 
 
 def logreg_calibration(feats: DataFrame, w: list[float], bins: int = 10) -> DataFrame:
-    """Reliability diagram for one weight vector: predictions bucketed
-    into ``bins`` equal-width probability bins; per bin the count, the
-    6dp decimal-exact mean predicted probability, the positive fraction,
-    and their absolute gap (the per-bin calibration error — the ECE
-    numerator). One scan + one |bins|-row aggregate, same shape as
-    logreg_metrics. floor(p·bins) with a top clamp is the cross-engine
-    binning convention (p is already rounded to 7dp, so both engines
-    bin identical doubles)."""
+    """Reliability diagram for one weight vector, in EXACT form:
+    predictions bucketed into ``bins`` equal-width probability bins;
+    per bin the count, the positive count, the 7dp-decimal sum of
+    predicted probability, and the exact-decimal calibration-gap
+    numerator |sum_p − n_pos| (per-bin ECE numerator ×n; divide by n
+    for the gap). Means/fractions are quotients of the exact columns —
+    never emitted pre-rounded (the half-ulp hazard). One scan + one
+    |bins|-row aggregate, same shape as logreg_metrics. floor(p·bins)
+    with a top clamp is the cross-engine binning convention (p is
+    already rounded to 7dp, so both engines bin identical doubles)."""
     p = _sigmoid7(_dot_w(w))
     scored = feats.select("y", p.alias("p"))
     bin_id = F.least(F.floor(F.col("p") * bins).cast("int"), F.lit(bins - 1))
     dec = F.sum(F.expr("CAST(round(p, 7) AS DECIMAL(20,7))"))
     per = scored.groupBy(bin_id.alias("bin")).agg(
         F.count(F.lit(1)).alias("n"),
-        F.round(dec.cast("double") / F.count(F.lit(1)), 6).alias("mean_p"),
-        F.round(
-            F.sum(F.col("y").cast("int")).cast("double") / F.count(F.lit(1)), 6
-        ).alias("frac_pos"),
+        F.sum(F.col("y").cast("int")).cast("long").alias("n_pos"),
+        dec.alias("sum_p"),
     )
     return per.select(
-        "bin", "n", "mean_p", "frac_pos",
-        F.round(F.abs(F.col("mean_p") - F.col("frac_pos")), 6).alias("abs_gap"),
+        "bin", "n", "n_pos", "sum_p",
+        F.abs(F.col("sum_p") - F.col("n_pos").cast("decimal(20,7)")).alias("gap_numer"),
     )

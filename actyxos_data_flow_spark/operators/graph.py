@@ -231,7 +231,11 @@ def bfs_distances(
     job; an empty frontier means every later round is a no-op and the
     loop stops — the bounded result IS the exact fixpoint whenever the
     graph is exhausted before ``depth``. Pass ``info={}`` to receive
-    ``{"rounds_run": r, "converged": bool}``."""
+    ``{"rounds_run": r, "converged": bool}``; ``rounds_run`` counts
+    only the rounds that CHANGED state — the final round whose compute
+    merely detected convergence (empty frontier) is excluded, so a
+    graph exhausted on round 3 of ``depth=3`` reports
+    ``rounds_run=2, converged=True``."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -294,7 +298,10 @@ def label_propagation(
     tables; zero changes means sync-LPA — a deterministic function of
     the label table — has reached a fixpoint and every later round
     would reproduce it, so the loop stops with the trajectory intact.
-    Pass ``info={}`` to receive ``{"rounds_run", "converged"}``."""
+    Pass ``info={}`` to receive ``{"rounds_run", "converged"}``;
+    ``rounds_run`` counts only state-changing rounds — the round whose
+    compute detected the fixpoint is excluded (converging on round 3
+    of ``iters=3`` reports ``rounds_run=2, converged=True``)."""
     und = (
         edges.select(F.col(src).alias("s"), F.col(dst).alias("p"))
         .unionByName(
@@ -370,7 +377,9 @@ def bounded_min_plus(
 
     Convergence early-exit: an empty frontier (no cost improved) is a
     fixpoint — the loop stops and the bounded result is exact. Pass
-    ``info={}`` to receive ``{"rounds_run", "converged"}``."""
+    ``info={}`` to receive ``{"rounds_run", "converged"}``;
+    ``rounds_run`` counts only rounds that improved some cost — the
+    convergence-detecting round itself is excluded."""
     e = (
         edges.select(
             F.col(src).alias("src"), F.col(dst).alias("dst"), F.col(cost).alias("w")
@@ -442,7 +451,9 @@ def kcore_prune(
     model-sized aggregate over the just-materialized edge table; an
     unchanged count means no node fell below k, so peeling has reached
     its fixpoint — the bounded result IS the exact k-core. Pass
-    ``info={}`` to receive ``{"rounds_run", "converged"}``."""
+    ``info={}`` to receive ``{"rounds_run", "converged"}``;
+    ``rounds_run`` counts only rounds that peeled at least one edge —
+    the convergence-detecting round itself is excluded."""
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("a"),

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .. import cache
+
 # Per-language stopword lists for the n-gram/stopword-hit language-ID
 # heuristic. Tiny on purpose: the heuristic is argmax of hit *ratios*;
 # real deployments swap in fuller lists (the plan shape is unchanged —
@@ -388,12 +390,12 @@ def pack_sequences(
     # construction even if exchange reuse is off. The cache is
     # MEMORY_AND_DISK and LRU-evictable (an evicted block recomputes
     # from the SAME InMemoryRelation instance, so the boundaries stay
-    # consistent); it is deliberately not unpersisted here because the
-    # returned plan still reads it lazily.
-    ranged = (
+    # consistent). It cannot be unpersisted here — the returned plan
+    # still reads it lazily — so cache.pin defers the release to the
+    # moment the enclosing query's result is dropped.
+    ranged = cache.pin(
         df.repartitionByRange(n_parts, *range_keys)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
 
     w_local = (
@@ -804,13 +806,12 @@ def epoch_schedule(
     # hold contiguous slices of each domain's permutation, sized by
     # config rather than domain skew; persist pins one partitioning so
     # _pid agrees between the local-sum and totals branches
-    ranged = (
+    ranged = cache.pin(
         df.select(group_col, id_col, F.col(size_col).alias("_sz"), h.alias("_hkey"))
         .repartitionByRange(
             n_parts, F.col(group_col).asc(), F.col("_hkey").asc(), F.col(id_col).asc()
         )
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
     )
     w_local = (
         Window.partitionBy(group_col, "_pid")

@@ -8,6 +8,7 @@ this registry.
 
 from __future__ import annotations
 
+import functools
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -25,8 +26,31 @@ REGISTRY: dict[str, QuerySpec] = {}
 
 
 def register(name: str, oracle: str | None = None, bench: bool = False):
+    """Register a named query. The registered callable is wrapped so
+    that every :func:`..cache.pin`-ned intermediate (plan-internal
+    persists, per-call scratch dirs) is released as soon as the caller
+    drops the returned DataFrame — the long-lived grading session never
+    accumulates CacheManager entries across queries. The decorator
+    returns the RAW fn, so query-composing direct calls (e.g. a cluster
+    query building on ``dedup_minhash_pairs``) leave their pins pending
+    for the OUTER registered query to adopt."""
+
     def deco(fn):
-        REGISTRY[name] = QuerySpec(fn=fn, oracle=oracle, bench=bench)
+        @functools.wraps(fn)
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            from .. import cache
+
+            # Orphans from direct operator calls outside any registered
+            # query (tests) — release rather than let them leak.
+            cache.release(*cache.drain())
+            try:
+                result = fn(spark, sf_dir)
+            except BaseException:
+                cache.release(*cache.drain())
+                raise
+            return cache.attach(result, *cache.drain())
+
+        REGISTRY[name] = QuerySpec(fn=wrapped, oracle=oracle, bench=bench)
         return fn
 
     return deco
@@ -51,8 +75,11 @@ _PRIORITY: tuple[str, ...] = (
     "kanonymity_report", "source_partitioned_prune", "sql_frontdoor_pricing",
     # --- new this round (first possible official rows; names appended
     # here in the same commit that registers each) ---
+    "graph_pagerank_bucketed", "ann_ivfpq_topk",
     # --- already-green cross-family regression sentinels (fill the
-    # graded window to ~50 rows; one per family, all green in r5) ---
+    # graded window to ~50 rows; several families contribute more than
+    # one row, and each is green in its MOST RECENT official round —
+    # not necessarily the immediately previous one) ---
     "q1_pricing_summary", "q9_product_profit", "q18_large_customers",
     "e1_dashboard", "e2_usage_intervals", "m1_monotonic_max_by",
     "g3_join", "ivm_snapshot_diff",

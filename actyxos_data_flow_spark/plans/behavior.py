@@ -62,6 +62,13 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/behavior.funnel_user_steps); the oracle states the same
     cascade as correlated CTEs. No sequence sort, no window over the
     event stream, no pair explosion anywhere.
+
+    Tie semantics: both engines use ``>=`` between consecutive steps —
+    two steps may be satisfied at the identical microsecond (the
+    documented default of funnel_user_steps; strict=True gives the
+    strictly-increasing variant). The oracle's ``tsu >= s1.t1`` /
+    ``tsu >= s2.t2`` mirrors the same choice, so the hash gate also
+    pins it.
     """
     events = load_table(spark, sf_dir, "events").select(
         "user_id", ns_micros("ts").alias("ts_micros"), "event_type"

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .. import cache
 from ..operators import bpe as B
 from ..sources import load_table
 from . import register
@@ -286,7 +287,7 @@ def pipeline_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans/pipeline.clean_doc_ids (this plan audited at 919 static
     # Exchange nodes before the cut)
     clean = clean_doc_ids(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id").persist()
+    docs = cache.pin(load_table(spark, sf_dir, "documents").join(clean, "doc_id"))
     merges = B.bpe_train_topr(docs, n_merges=N_MERGES)
     occ = (
         docs.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word"))

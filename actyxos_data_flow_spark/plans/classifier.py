@@ -9,6 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators import classifier as C
 from ..operators.text import LANG_STOPWORDS
 from ..sources import load_table
@@ -94,7 +95,7 @@ def quality_classifier_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     crosses the driver (kmeans_fit topology). The oracle unrolls the
     same passes as CTEs."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = C.feature_vector(docs).persist()
+    feats = cache.pin(C.feature_vector(docs))
     traj = C.logreg_fit(feats)
     rows = [
         (p + 1, C.FEATURES[j], round(w[j], 6))
@@ -115,12 +116,12 @@ lrp AS (
   GROUP BY x.doc_id, x.y
 )
 SELECT count(*) AS n_docs,
-       round(sum(CASE WHEN (p >= 0.5 AND y = 1.0) OR (p < 0.5 AND y = 0.0)
-                      THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS accuracy,
-       round(CAST(sum(CASE WHEN y = 1.0 THEN CAST(round(p, 7) AS DECIMAL(20,7)) END) AS DOUBLE)
-             / sum(CASE WHEN y = 1.0 THEN 1 END), 6) AS mean_p_pos,
-       round(CAST(sum(CASE WHEN y = 0.0 THEN CAST(round(p, 7) AS DECIMAL(20,7)) END) AS DOUBLE)
-             / sum(CASE WHEN y = 0.0 THEN 1 END), 6) AS mean_p_neg
+       CAST(sum(CASE WHEN (p >= 0.5 AND y = 1.0) OR (p < 0.5 AND y = 0.0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(coalesce(sum(CASE WHEN y = 1.0 THEN 1 END), 0) AS BIGINT) AS n_pos,
+       sum(CASE WHEN y = 1.0 THEN CAST(round(p, 7) AS DECIMAL(20,7)) END) AS sum_p_pos,
+       CAST(coalesce(sum(CASE WHEN y = 0.0 THEN 1 END), 0) AS BIGINT) AS n_neg,
+       sum(CASE WHEN y = 0.0 THEN CAST(round(p, 7) AS DECIMAL(20,7)) END) AS sum_p_neg
 FROM lrp
 """
 )
@@ -130,14 +131,15 @@ FROM lrp
 def quality_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training metrics of the fitted classifier: accuracy at p ≥ 0.5
     and per-class mean predicted probability. On THIS corpus the
-    numbers honestly show ~chance separation (mean_p_pos ≈ mean_p_neg):
+    numbers honestly show ~chance separation (sum_p_pos/n_pos ≈
+    sum_p_neg/n_neg):
     the synthetic documents' text is identically distributed across
     lang labels, so there is no signal to learn — the queries prove the
     distributed fit and its oracle replay; tests/test_operators.py
     (test_logreg_learns_separable_labels) proves the same trainer
     reaches high accuracy when the label IS learnable."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = C.feature_vector(docs).persist()
+    feats = cache.pin(C.feature_vector(docs))
     w = C.logreg_fit(feats)[-1]
     return C.logreg_metrics(feats, w)
 
@@ -160,13 +162,12 @@ cbin AS (
 ),
 cagg AS (
   SELECT bin, count(*) AS n,
-         round(CAST(sum(CAST(round(p, 7) AS DECIMAL(20,7))) AS DOUBLE) / count(*), 6)
-           AS mean_p,
-         round(sum(CAST(y AS INTEGER))::DOUBLE / count(*), 6) AS frac_pos
+         CAST(sum(CAST(y AS INTEGER)) AS BIGINT) AS n_pos,
+         sum(CAST(round(p, 7) AS DECIMAL(20,7))) AS sum_p
   FROM cbin GROUP BY bin
 )
-SELECT bin, CAST(n AS BIGINT) AS n, mean_p, frac_pos,
-       round(abs(mean_p - frac_pos), 6) AS abs_gap
+SELECT bin, CAST(n AS BIGINT) AS n, n_pos, sum_p,
+       abs(sum_p - CAST(n_pos AS DECIMAL(20,7))) AS gap_numer
 FROM cagg
 """
 )
@@ -182,6 +183,6 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
     metrics row; the oracle replays binning and the decimal means over
     the unrolled-GD predictions."""
     docs = load_table(spark, sf_dir, "documents")
-    feats = C.feature_vector(docs).persist()
+    feats = cache.pin(C.feature_vector(docs))
     w = C.logreg_fit(feats)[-1]
     return C.logreg_calibration(feats, w, bins=QC_CAL_BINS)

@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators import dedup as D
 from ..sources import load_table
 from . import register
@@ -130,16 +131,19 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # so the query adapts on the corpus row count — the "materialize
     # between stages" decision every large pipeline makes explicitly.
     if docs.count() > SHINGLE_PERSIST_MIN_DOCS:
-        sh = sh.persist()
-    # persist the signature table — (id, k longs), O(docs): the banded
+        sh = cache.pin(sh)
+    # pin the signature table — (id, k longs), O(docs): the banded
     # self-join references it on both sides, and if AQE broadcasts one
-    # side the md5/min-agg pipeline would otherwise run twice
-    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES).persist()
+    # side the md5/min-agg pipeline would otherwise run twice.
+    # cache.pin = persist + release when the query result is dropped
+    sig = cache.pin(D.minhash_signatures(sh, num_hashes=NUM_HASHES))
     # skew guard armed (no-op at test SF, where no bucket nears the cap;
     # the oracle is the uncapped pipeline, so the gate also proves it)
-    cand = D.lsh_candidate_pairs(
-        sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
-    ).persist()
+    cand = cache.pin(
+        D.lsh_candidate_pairs(
+            sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
+        )
+    )
     # array-set verification: candidates broadcast onto the per-doc
     # shingle-set table twice, so the corpus never shuffles in verify
     return D.jaccard_on_pairs_arrays(cand, D.shingle_sets(sh)).filter(
@@ -335,9 +339,9 @@ WHERE ({_hamming.replace('a.simhash', 'sh_a').replace('b.simhash', 'sh_b')}) <= 
 
 @register("dedup_simhash_pairs", oracle=SIMHASH_PAIRS_ORACLE)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # persist: the banded self-join reads sig on both sides (same
+    # pin: the banded self-join reads sig on both sides (same
     # double-execution reasoning as dedup_minhash_pairs)
-    sig = D.simhash(load_table(spark, sf_dir, "documents")).persist()
+    sig = cache.pin(D.simhash(load_table(spark, sf_dir, "documents")))
     return D.simhash_near_pairs(sig, max_hamming=6)
 
 
@@ -988,8 +992,7 @@ sm AS (
   JOIN documents db ON db.doc_id = vp.id_b
 )
 SELECT source_a, source_b, count(*) AS n_pairs,
-       round(CAST(sum(CAST(round(jaccard, 7) AS DECIMAL(20,7))) AS DOUBLE)
-             / count(*), 6) AS mean_jaccard
+       sum(CAST(round(jaccard, 7) AS DECIMAL(20,7))) AS sum_jaccard
 FROM sm GROUP BY source_a, source_b
 """
 
@@ -997,10 +1000,12 @@ FROM sm GROUP BY source_a, source_b
 @register("dedup_source_matrix", oracle=SOURCE_MATRIX_ORACLE)
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance view of the verified near-dup graph: which SOURCES
-    duplicate which (pair count + decimal-exact mean Jaccard per
-    unordered source pair) — the leakage matrix a corpus owner reads
-    before deciding which feed to trust or drop. Two broadcast-size
-    joins from the (already candidate-bounded) verified pairs onto the
+    duplicate which (pair count + EXACT 7dp-decimal Jaccard sum per
+    unordered source pair; the mean is the reader's quotient — a
+    pre-rounded sum/count quotient is the half-ulp cross-engine hazard
+    this repo bans) — the leakage matrix a corpus owner reads before
+    deciding which feed to trust or drop. Two broadcast-size joins
+    from the (already candidate-bounded) verified pairs onto the
     doc→source map, one |sources|²-bounded aggregate. The unordered key
     uses least/greatest so the matrix is symmetric by construction."""
     docs = load_table(spark, sf_dir, "documents")
@@ -1021,9 +1026,7 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.round(F.sum("_j7").cast("double") / F.count(F.lit(1)), 6).alias(
-                "mean_jaccard"
-            ),
+            F.sum("_j7").alias("sum_jaccard"),
         )
     )
 

@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from .. import cache
 from ..operators import graph as G
 from ..sources import load_table
 from . import register
@@ -283,7 +284,64 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_custkey") * 2).alias("src"),
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
-    ).persist()  # each PR pass rescans the edge list
+    )
+    edges = cache.pin(edges)  # each PR pass rescans the edge list
+    ranks = G.pagerank(edges)
+    lim = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(PR_TOP)
+    w = W.orderBy(F.col("pr").desc(), F.col("node").asc())
+    kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    return lim.withColumn("rank", F.row_number().over(w)).select(
+        "node", kind.alias("kind"), "pr", "rank"
+    )
+
+
+def _trade_edges_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DISTINCT trade edge list through a src-bucketed mirror
+    (sources/bucketed.ensure_bucketed_frame): the orders⋈lineitem
+    derivation, the (src,dst) dedupe shuffle, and the src clustering
+    are all paid ONCE at write time. Every later scan reports
+    HashPartitioning(src), so an iterative consumer's per-round
+    edges⋈ranks join and out-degree aggregate plan with ZERO Exchange
+    on the edge side — the storage-layout answer to 'the edge list
+    reshuffles every PageRank round' at 100 TB (plan-asserted in
+    tests/test_plans.py::test_pagerank_bucketed_no_edge_exchange)."""
+    from ..sources.bucketed import ensure_bucketed_frame
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        return (
+            orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+
+    return ensure_bucketed_frame(
+        spark,
+        sf_dir,
+        "trade_edges_src",
+        build,
+        keys=("src",),
+        source_tables=("orders", "lineitem"),
+    )
+
+
+@register("graph_pagerank_bucketed", oracle=PAGERANK_ORACLE)
+def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_pagerank_trade through the src-bucketed edge mirror —
+    IDENTICAL values (same oracle, hash-gated), different physics:
+    the non-bucketed query pays three edge-sized Exchanges building
+    its working set (the (src,dst) distinct, the out-degree aggregate,
+    the degree pre-join) before iterating; here the mirror's bucket
+    spec satisfies every one of those HashPartitioning requirements,
+    so setup AND each damped pass plan exchange-free on the edge side
+    (only the node-sized rank table moves). The mirror write is a
+    one-time cost amortized across every graph query on the same
+    edge list — PageRank, BFS, shortest paths all share it."""
+    edges = _trade_edges_bucketed(spark, sf_dir)
     ranks = G.pagerank(edges)
     lim = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(PR_TOP)
     w = W.orderBy(F.col("pr").desc(), F.col("node").asc())

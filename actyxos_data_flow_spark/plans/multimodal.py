@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators import multimodal as M
 from ..sources import load_table
 from . import register
@@ -133,7 +134,8 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sampler runs twice (same reasoning as mm_phash_pairs)
     digests = frames.select(
         "media_id", F.md5(F.col("frame")).alias("digest")
-    ).distinct().persist()
+    ).distinct()
+    digests = cache.pin(digests)
     a, b = digests.alias("a"), digests.alias("b")
     return (
         a.join(b, (F.col("a.digest") == F.col("b.digest")) & (F.col("a.media_id") < F.col("b.media_id")))
@@ -348,6 +350,6 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Python encode+decode chain runs twice (measured 2.7s → 0.4s at
     # sf0.1). The hash table is two narrow columns per image: at any
     # corpus size this is the cheap thing to materialize.
-    sig = ph.select("media_id", F.col("phash").alias("simhash")).persist()
+    sig = cache.pin(ph.select("media_id", F.col("phash").alias("simhash")))
     pairs = D.simhash_near_pairs(sig, id_col="media_id", max_hamming=PH_MAX_HAMMING)
     return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))

@@ -46,6 +46,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..sources import load_table
 from . import register
 from .text import _EN
@@ -219,7 +220,7 @@ def mutable_corpus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.mutable import MutableCorpusIngestor
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="mutable_replay_")
+    base = cache.pin_dir(tempfile.mkdtemp(prefix="mutable_replay_"))
     ing = MutableCorpusIngestor(spark, base, quality_min=QUALITY_MIN, near_dup=True)
     ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 0))
     ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 1))
@@ -257,7 +258,7 @@ def mutable_corpus_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame
     from ..streaming.mutable import MutableCorpusIngestor
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    base = tempfile.mkdtemp(prefix="mutable_compact_")
+    base = cache.pin_dir(tempfile.mkdtemp(prefix="mutable_compact_"))
     ing = MutableCorpusIngestor(spark, base, quality_min=QUALITY_MIN, near_dup=True)
     ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 0))
     ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 1))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators import dedup as D
 from ..operators import text as X
 from ..sources import load_table
@@ -124,26 +125,28 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
         .select("_rec.*", "n_copies")
-        .persist()
     )
+    reps = cache.pin(reps)
     # the shingle set feeds signatures AND both sides of the Jaccard
-    # verification — persist it so the quality→dedup prefix runs once,
-    # not three times (Spark's CacheManager matches the logical plan, so
-    # pipeline_training_batches reuses this cache too; at 100 TB this
-    # intermediate becomes a materialized table between stages)
-    sh = D.shingles(reps).persist()
+    # verification — pin it so the quality→dedup prefix runs once, not
+    # three times (at 100 TB this intermediate becomes a materialized
+    # table between stages; released with the query result — cross-query
+    # composition instead flows through the clean_doc_ids memo)
+    sh = cache.pin(D.shingles(reps))
     # the signature table feeds BOTH sides of the band self-join; when
     # AQE broadcasts one side the exchanges differ and the signature
     # aggregate would run twice (once per side) even over cached
     # shingles — (id, k longs) is cheap to pin
-    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES).persist()
-    cand = D.lsh_candidate_pairs(
-        sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
-    ).persist()
+    sig = cache.pin(D.minhash_signatures(sh, num_hashes=NUM_HASHES))
+    cand = cache.pin(
+        D.lsh_candidate_pairs(
+            sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
+        )
+    )
     # verify on per-doc shingle ARRAYS: the candidate list (bucket-capped,
     # persisted so its guard count is free) broadcasts onto the set table
     # twice — zero corpus-wide exchanges in the verify stage
-    sets = D.shingle_sets(sh).persist()
+    sets = cache.pin(D.shingle_sets(sh))
     near = D.jaccard_on_pairs_arrays(cand, sets).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )

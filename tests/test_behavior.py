@@ -51,6 +51,19 @@ def test_funnel_greedy_earliest_is_order_sensitive(spark):
     assert [(r[0], r[2]) for r in got] == [(1, 1), (2, 1), (3, 0)]
 
 
+def test_funnel_tie_semantics_default_vs_strict(spark):
+    # click logged at the SAME microsecond as the view: the documented
+    # default (>=) admits it; strict=True requires ts strictly after
+    ev = spark.createDataFrame(
+        [(9, 10, "view"), (9, 10, "click")],
+        "user_id long, ts_micros long, event_type string",
+    )
+    lax = B.funnel_user_steps(ev, ("view", "click"), 100)
+    assert rows(lax[1], "user_id", "t1", "t2") == [(9, 10, 10)]
+    strict = B.funnel_user_steps(ev, ("view", "click"), 100, strict=True)
+    assert rows(strict[1], "user_id", "t1", "t2") == []
+
+
 def test_funnel_empty_step_yields_zero_rows_not_missing(spark):
     ev = spark.createDataFrame(
         [(1, 10, "view")], "user_id long, ts_micros long, event_type string"
