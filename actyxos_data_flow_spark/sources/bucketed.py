@@ -78,6 +78,54 @@ def ensure_bucketed(
     return spark.table(name)
 
 
+def ensure_bucketed_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build,
+    keys: tuple[str, ...],
+    n_buckets: int = 8,
+    source_tables: tuple[str, ...] = (),
+) -> DataFrame:
+    """Bucketed mirror of a DERIVED frame (not a raw testdata table):
+    ``build(spark, sf_dir) -> DataFrame`` is materialized once,
+    hash-clustered and sorted on ``keys``, and every later call returns
+    the registered table. This is how an ITERATIVE workload's working
+    set (a graph's edge list, a join's pre-aggregated fact side) gets
+    its shuffle paid once at write time: each of the N rounds then
+    scans data that already satisfies the round's HashPartitioning
+    requirement — zero per-round Exchange on the big side.
+
+    Identity = (sf_dir, tag, keys, n_buckets) + the (mtime, size) stamp
+    of every named source table, so a driver-side testdata regeneration
+    rewrites the mirror instead of silently serving stale rows.
+    """
+    stamps = []
+    for t in source_tables:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(src)
+            stamps.append(f"{t}={st.st_mtime_ns}:{st.st_size}")
+        except FileNotFoundError:
+            stamps.append(f"{t}=nosrc")
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{tag}:{','.join(keys)}:{n_buckets}:{';'.join(stamps)}".encode()
+    ).hexdigest()[:10]
+    name = f"b_{tag}_{h}"
+    if not spark.catalog.tableExists(name):
+        path = os.path.join(_WAREHOUSE, name)
+        (
+            build(spark, sf_dir)
+            .write.bucketBy(n_buckets, *keys)
+            .sortBy(*keys)
+            .mode("overwrite")
+            .option("path", path)
+            .format("parquet")
+            .saveAsTable(name)
+        )
+    return spark.table(name)
+
+
 # -- IVF layout: cell-partitioned embedding mirror --------------------------
 #
 # The lakehouse form of an IVF index: vectors written partitionBy(cell)

@@ -386,6 +386,59 @@ def test_bucketed_join_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_pagerank_bucketed_no_edge_exchange(spark):
+    """The src-bucketed trade-edge mirror makes BOTH the pagerank
+    working-set build (dedupe → out-degree → degree pre-join) and a
+    damped pass's contrib join plan exchange-free on the edge side.
+
+    Setup assertion: the whole dedupe+outdeg+prejoin tree carries NO
+    Exchange at all (every clustering requirement is satisfied by the
+    bucket spec — HashPartitioning(src) satisfies ClusteredDistribution
+    for (src,dst) dedupe, (src) aggregate, and (src) self-join alike).
+
+    Per-pass assertion: joining a NON-co-partitioned rank table onto
+    the pre-joined edge set and aggregating by dst plans exactly TWO
+    Exchanges — the rank side into the join and the partial-aggregated
+    contribs into the dst aggregate. An edge-side shuffle would make it
+    three. Broadcast disabled to force the worst case."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.plans.graph import _trade_edges_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = _trade_edges_bucketed(spark, SF).select("src", "dst").distinct()
+        outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        e2 = e.join(outdeg, "src")
+        setup_plan = _plan(e2)
+        assert "Exchange" not in setup_plan
+        assert "Bucketed: true" in setup_plan
+
+        ranks = spark.range(100).select(
+            F.col("id").alias("src"), F.lit(0.125).alias("pr")
+        )
+        contrib = (
+            e2.join(ranks, "src")
+            .select(F.col("dst").alias("node"), (F.col("pr") / F.col("deg")).alias("_c"))
+            .groupBy("node")
+            .agg(F.sum("_c").alias("_in"))
+        )
+        pass_plan = _plan(contrib)
+        assert pass_plan.count("Exchange") == 2, pass_plan
+        assert "Bucketed: true" in pass_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_pagerank_bucketed_matches_plain(spark, registry):
+    """Layout must not change values: the bucketed variant returns the
+    identical top-k rank table as graph_pagerank_trade."""
+    a = registry["graph_pagerank_trade"].fn(spark, SF)
+    b = registry["graph_pagerank_bucketed"].fn(spark, SF)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
 def test_bucketed_mirror_is_idempotent(spark):
     """Second ensure_bucketed call reuses the registered table (no
     rewrite) and the mirror holds exactly the source rows."""
