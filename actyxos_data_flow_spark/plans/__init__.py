@@ -76,6 +76,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new this round (first possible official rows; names appended
     # here in the same commit that registers each) ---
     "graph_pagerank_bucketed", "ann_ivfpq_topk", "dedup_prefix_delta_pairs",
+    "join_selinger_applied",
     # --- already-green cross-family regression sentinels (fill the
     # graded window to ~50 rows; several families contribute more than
     # one row, and each is green in its MOST RECENT official round —

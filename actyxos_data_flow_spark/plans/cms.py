@@ -385,3 +385,209 @@ def join_rewrite_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(est_first).cast("long").alias("est_first"),
         )
     )
+
+
+# -- Selinger chain: sketch-driven ordering of a 3-join star -----------------
+#
+# join_rewrite_applied prices ONE binary choice; this query runs the
+# full (small) Selinger enumeration over a q9-shaped star — lineitem
+# fact, three filtered dimensions (part / supplier / orders) — with a
+# CMS-estimated, independence-model cost. All six left-deep orders are
+# enumerated; cost(d1,d2,d3) = |J1| + |J2| under the independence
+# assumption |J2| ≈ |J1|·est(d2)/N, held in EXACT integer arithmetic by
+# multiplying through by N: cost' = est1·N + est1·est2 (the final join
+# size est1·est2·est3/N² is permutation-invariant, so it never
+# discriminates and is omitted; BIGINT holds cost' through ~sf100 —
+# beyond that both engines switch the comparison to HUGEINT/DECIMAL).
+# Ties break on the lexicographic order string in BOTH engines. The
+# decision sequence rides in the hashed output; the executed left-deep
+# nesting is plan-asserted in tests/test_plans.py.
+
+_SEL_DIMS = ("orders", "part", "supplier")
+
+_SEL_FILTERS = """
+selp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+sels AS (SELECT s_suppkey, s_nationkey FROM supplier WHERE s_nationkey < 10),
+selo AS (SELECT o_orderkey, o_orderdate FROM orders
+         WHERE o_orderdate >= TIMESTAMP '2000-01-01')"""
+
+_SEL_PERM_ROWS = ",\n    ".join(
+    f"('{a}', '{b}', '{c}')"
+    for a in _SEL_DIMS for b in _SEL_DIMS for c in _SEL_DIMS
+    if len({a, b, c}) == 3
+)
+
+_SEL_EST_CASE = (
+    "CASE {d} WHEN 'part' THEN est_part WHEN 'supplier' THEN est_supplier "
+    "ELSE est_orders END"
+)
+
+SELINGER_ORACLE = (
+    f"WITH rows_ AS (SELECT unnest(generate_series(0, {_D - 1})) AS row),"
+    + _SEL_FILTERS
+    + ","
+    + _sketch_cte("xlp", "lineitem", "l_partkey")
+    + ","
+    + _sketch_cte("xls", "lineitem", "l_suppkey")
+    + ","
+    + _sketch_cte("xlo", "lineitem", "l_orderkey")
+    + ","
+    + _sketch_cte("xp", "selp", "p_partkey")
+    + ","
+    + _sketch_cte("xs", "sels", "s_suppkey")
+    + ","
+    + _sketch_cte("xo", "selo", "o_orderkey")
+    + ","
+    + _ip_cte("sp", "xlp", "xp")
+    + ","
+    + _ip_cte("ss", "xls", "xs")
+    + ","
+    + _ip_cte("so", "xlo", "xo")
+    + f""",
+selests AS (
+  SELECT (SELECT est_pairs FROM esp) AS est_part,
+         (SELECT est_pairs FROM ess) AS est_supplier,
+         (SELECT est_pairs FROM eso) AS est_orders,
+         (SELECT CAST(count(*) AS BIGINT) FROM lineitem) AS n_fact
+),
+selperms AS (SELECT * FROM (VALUES {_SEL_PERM_ROWS}) AS t(d1, d2, d3)),
+selcosts AS (
+  SELECT p.d1 || ',' || p.d2 || ',' || p.d3 AS join_order,
+         {_SEL_EST_CASE.format(d='p.d1')} * e.n_fact
+           + {_SEL_EST_CASE.format(d='p.d1')} * {_SEL_EST_CASE.format(d='p.d2')} AS cost
+  FROM selperms p CROSS JOIN selests e
+),
+selchoice AS (
+  SELECT join_order FROM (
+    SELECT join_order, row_number() OVER (ORDER BY cost, join_order) AS rn
+    FROM selcosts
+  ) WHERE rn = 1
+),
+selans AS (
+  SELECT s.s_nationkey AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+  FROM lineitem l
+  JOIN selp p ON p.p_partkey = l.l_partkey
+  JOIN sels s ON s.s_suppkey = l.l_suppkey
+  JOIN selo o ON o.o_orderkey = l.l_orderkey
+  GROUP BY 1, 2
+)
+SELECT a.nation, a.o_year, a.revenue, a.n_items,
+       c.join_order, e.est_part, e.est_supplier, e.est_orders, e.n_fact
+FROM selans a CROSS JOIN selchoice c CROSS JOIN selests e
+"""
+)
+
+
+def _selinger_inputs(spark: SparkSession, sf_dir: str):
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("red%"))
+        .select("p_partkey")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") < 10)
+        .select("s_suppkey", "s_nationkey")
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= "2000-01-01")
+        .select("o_orderkey", "o_orderdate")
+    )
+    return li, part, supp, orders
+
+
+def selinger_decision(spark: SparkSession, sf_dir: str):
+    """Price all three fact⋈dim joins from 2 KB sketches, then run the
+    (3! = 6 plan) Selinger enumeration with the integer independence
+    cost — only the three d×w sketch aggregates and one fact count
+    cross the driver. Returns (order tuple, {dim: est}, n_fact). At a
+    bigger join graph this same loop becomes the bitmask DP over
+    connected subsets; the cost model and tie rule stay as they are."""
+    import itertools
+
+    li, part, supp, orders = _selinger_inputs(spark, sf_dir)
+
+    def sk(df, col):
+        return C.cms_build(df.select(F.col(col).cast("string").alias("term")))
+
+    ests = {
+        "part": int(
+            C.cms_join_estimate(sk(li, "l_partkey"), sk(part, "p_partkey")).first()[
+                "est_pairs"
+            ]
+        ),
+        "supplier": int(
+            C.cms_join_estimate(sk(li, "l_suppkey"), sk(supp, "s_suppkey")).first()[
+                "est_pairs"
+            ]
+        ),
+        "orders": int(
+            C.cms_join_estimate(sk(li, "l_orderkey"), sk(orders, "o_orderkey")).first()[
+                "est_pairs"
+            ]
+        ),
+    }
+    n_fact = li.count()
+    best = None
+    for perm in itertools.permutations(_SEL_DIMS):
+        e1, e2 = ests[perm[0]], ests[perm[1]]
+        key = (e1 * n_fact + e1 * e2, ",".join(perm))
+        if best is None or key < best[0]:
+            best = (key, perm)
+    return best[1], ests, n_fact
+
+
+@register("join_selinger_applied", oracle=SELINGER_ORACLE)
+def join_selinger_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-driven Selinger ordering of the q9-shaped star, APPLIED:
+    the chosen left-deep order is the order the Spark join tree is
+    BUILT in (dimensions broadcast; Catalyst does not reorder joins
+    without CBO stats, so the constructed nesting is the executed
+    nesting — plan-asserted in tests/test_plans.py), and the full
+    decision sequence (join_order, the three sketch estimates, the
+    fact count) rides in the hashed output, so the oracle re-derives
+    the same enumeration, the same winner and the same answer."""
+    order, ests, n_fact = selinger_decision(spark, sf_dir)
+    li, part, supp, orders = _selinger_inputs(spark, sf_dir)
+    dims = {
+        "part": (part, F.col("p_partkey") == F.col("l_partkey")),
+        "supplier": (supp, F.col("s_suppkey") == F.col("l_suppkey")),
+        "orders": (orders, F.col("o_orderkey") == F.col("l_orderkey")),
+    }
+    joined = li
+    for d in order:
+        dim_df, cond = dims[d]
+        joined = joined.join(F.broadcast(dim_df), cond)
+    return (
+        joined.groupBy(
+            F.col("s_nationkey").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "nation",
+            "o_year",
+            "revenue",
+            "n_items",
+            F.lit(",".join(order)).alias("join_order"),
+            F.lit(ests["part"]).cast("long").alias("est_part"),
+            F.lit(ests["supplier"]).cast("long").alias("est_supplier"),
+            F.lit(ests["orders"]).cast("long").alias("est_orders"),
+            F.lit(n_fact).cast("long").alias("n_fact"),
+        )
+    )

@@ -550,6 +550,36 @@ def test_join_rewrite_choice_fires(spark, registry):
     assert row["first_join"] == first and row["est_first"] == est
 
 
+def test_join_selinger_order_fires(spark, registry):
+    """The full sketch-driven Selinger enumeration must be APPLIED:
+    the executed left-deep plan's dimension-scan nesting matches the
+    order selinger_decision derives, all three dimensions broadcast,
+    and the reported decision columns agree with the plan that ran.
+    (Left-deep broadcast tree prints preorder: fact scan first, then
+    the dimensions innermost-join first.)"""
+    import re
+
+    from actyxos_data_flow_spark.plans.cms import selinger_decision
+
+    order, ests, n_fact = selinger_decision(spark, SF)
+    df = registry["join_selinger_applied"].fn(spark, SF)
+    plan = _plan(df)
+    scans = re.findall(r"(part|supplier|orders|lineitem)\.parquet", plan)
+    seen = list(dict.fromkeys(scans))
+    assert seen[0] == "lineitem", seen
+    assert seen[1:] == list(order), (seen, order)
+    assert plan.count("BroadcastHashJoin") >= 3
+    row = df.select("join_order", "est_part", "est_supplier", "est_orders", "n_fact").first()
+    assert row["join_order"] == ",".join(order)
+    assert (row["est_part"], row["est_supplier"], row["est_orders"]) == (
+        ests["part"], ests["supplier"], ests["orders"]
+    )
+    assert row["n_fact"] == n_fact
+    # the cost model actually discriminated: the winner's first dim has
+    # the smallest estimate (optimal under the independence model)
+    assert ests[order[0]] == min(ests.values())
+
+
 def test_source_partitioned_prune_lists_one_day(spark, registry):
     """The registered day-slice query's scan prunes on the day_idx
     partition column at planning time — the mirror's whole point."""
