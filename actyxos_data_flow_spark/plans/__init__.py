@@ -56,48 +56,51 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
     return deco
 
 # Registry order IS the driver's grading order, and the driver grades
-# only a ~50-row prefix. After round 5's green run, cumulative official
-# coverage is 174/188: the only rows without an official driver row are
-# the 14 registered after round 5's grading run. Round 6 (round-5 judge
-# directive "Next round #1") puts those 14 first, then round 6's NEW
-# queries (no official row by construction), then already-green
-# cross-family regression sentinels to fill the ~50-row graded window.
-# A green round-6 run makes cumulative official coverage
-# registry-complete. Everything else follows in module order and stays
-# covered by the local full-registry replica (tools/check.py).
+# only a ~50-row prefix. Cumulative official coverage has been
+# registry-complete since round 6, so the window's job is now
+# (a) first official rows for queries REGISTERED this round,
+# (b) official re-grades for rows whose OUTPUT SCHEMA or code path
+#     changed this round (the exact-quotient de-rounding, the
+#     cache.pin conversion, the 7th recall method), and
+# (c) cross-family regression sentinels — each green in its MOST
+#     RECENT official round (not necessarily the previous one).
+# The 14 rows first-graded in round 6 rotate out (unchanged since).
+# Everything else follows in module order and stays covered by the
+# local full-registry replica (tools/check.py).
 _PRIORITY: tuple[str, ...] = (
-    # --- the 14 rows that have never appeared in any CORRECTNESS_r* ---
-    "graph_bfs_reach", "graph_kcore", "graph_label_propagation",
-    "graph_link_prediction", "graph_neighbor_features",
-    "graph_shortest_paths",
-    "hybrid_rrf_search", "retrieval_eval_ndcg",
-    "assoc_part_rules", "events_decay_score", "events_markov_transitions",
-    "kanonymity_report", "source_partitioned_prune", "sql_frontdoor_pricing",
-    # --- new this round (first possible official rows; names appended
-    # here in the same commit that registers each) ---
+    # --- new this round (no official row by construction) ---
     "graph_pagerank_bucketed", "ann_ivfpq_topk", "dedup_prefix_delta_pairs",
     "join_selinger_applied",
-    # --- already-green cross-family regression sentinels (fill the
-    # graded window to ~50 rows; several families contribute more than
-    # one row, and each is green in its MOST RECENT official round —
-    # not necessarily the immediately previous one) ---
+    # --- output schema changed this round (exact sums + counts replace
+    # rounded quotients; recall report gained the ivfpq row) — the
+    # official record must reflect the new shape ---
+    "quality_classifier_metrics", "quality_classifier_calibration",
+    "dedup_source_matrix", "ann_recall_report",
+    # --- code path touched this round (cache.pin conversion, pin_dir
+    # scratch cleanup, funnel tie-semantics documentation): values
+    # unchanged, but these rows prove it officially ---
+    "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_clusters_delta",
+    "dedup_semantic",
+    "pipeline_clean_corpus", "pipeline_training_batches",
+    "pipeline_mix_batches", "pipeline_bpe_batches",
+    "pack_training_bins", "mix_epoch_schedule",
+    "kmeans_cells", "ann_ivf_kmeans_topk", "ann_pq_topk",
+    "mm_phash", "mm_phash_pairs", "mm_frame_dedup",
+    "quality_classifier_fit",
+    "mutable_corpus_replay", "mutable_corpus_compact_replay",
+    "funnel_conversion", "cohort_retention",
+    # --- cross-family regression sentinels (fill the ~50-row window) ---
     "q1_pricing_summary", "q9_product_profit", "q18_large_customers",
     "e1_dashboard", "e2_usage_intervals", "m1_monotonic_max_by",
     "g3_join", "ivm_snapshot_diff",
-    "dedup_exact", "dedup_minhash_pairs", "dedup_clusters_star",
-    "decontaminate_bloom", "dedup_semantic", "dedup_prefix_filter_pairs",
-    "ann_cosine_topk", "ann_pq_topk", "ann_recall_report", "kmeans_cells",
-    "text_quality_score", "text_zipf_fit",
-    "pipeline_training_batches", "pipeline_mix_batches",
-    "pack_training_bins", "mix_epoch_schedule",
-    "mm_phash", "mm_decode_meta",
+    "dedup_exact", "dedup_prefix_filter_pairs", "decontaminate_bloom",
+    "ann_cosine_topk", "text_quality_score",
     "bm25_search_topk",
     "graph_pagerank_trade", "graph_triangles_supplier",
-    "mutable_corpus_replay", "stream_attribution_replay",
-    "sketch_hll_cardinality", "asof_latest_click", "session_windows",
+    "stream_attribution_replay", "sketch_hll_cardinality",
+    "asof_latest_click", "session_windows",
     "layout_zorder_prune", "skew_salted_join",
-    "quality_constraints_report", "funnel_conversion",
-    "join_rewrite_applied", "cohort_retention",
+    "join_rewrite_applied",
 )
 
 
