@@ -846,10 +846,15 @@ def test_ann_recall_bounds(spark):
     from actyxos_data_flow_spark.plans.similarity import ann_recall_report
 
     got = {r["method"]: r["recall_at_k"] for r in ann_recall_report(spark, "/root/testdata/sf0.001").collect()}
-    assert set(got) == {"ivf_nprobe1", "ivf_nprobe3", "ivf_kmeans", "sq8_rerank", "hyperplane", "pq_adc"}
+    assert set(got) == {
+        "ivf_nprobe1", "ivf_nprobe3", "ivf_kmeans", "sq8_rerank",
+        "hyperplane", "pq_adc", "ivfpq",
+    }
     assert got["ivf_kmeans"] >= 0.2  # trained quantizer, nprobe=2 floor
     assert got["sq8_rerank"] >= 0.9  # quantize+rerank ≈ exact (1.0 here)
     assert got["pq_adc"] >= 0.5  # m-byte codes + 3x rerank pool floor
+    assert got["ivfpq"] >= 0.4  # routed ADC floor (0.61 here: the cell
+    # restriction prunes ADC distractors, so it tracks pq_adc closely)
     assert got["ivf_nprobe3"] >= got["ivf_nprobe1"]  # more probes, more recall
     assert got["ivf_nprobe3"] >= 0.25  # loose floor: sf0.001 cells are coarse
     assert got["hyperplane"] >= 0.3  # 16-plane LSH floor
