@@ -406,6 +406,55 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select("node", kind.alias("kind"), "dist")
 
 
+def _trade_edges_und_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNDIRECTED trade edge list (both directions materialized) through
+    a src-bucketed mirror — the frontier-expansion sibling of
+    :func:`_trade_edges_bucketed`: BFS probes `frontier ⋈ edges` on
+    ``src`` every round, so a src-clustered layout makes every round's
+    edge side exchange-free and only the node-sized frontier moves."""
+    from ..sources.bucketed import ensure_bucketed_frame
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+        li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+        fwd = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        return fwd.unionByName(
+            fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        ).distinct()
+
+    return ensure_bucketed_frame(
+        spark,
+        sf_dir,
+        "trade_edges_und_src",
+        build,
+        keys=("src",),
+        source_tables=("orders", "lineitem"),
+    )
+
+
+@register("graph_bfs_bucketed", oracle=BFS_ORACLE)
+def graph_bfs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_bfs_reach through the src-bucketed undirected edge mirror —
+    IDENTICAL values (same recursive-CTE oracle), different physics:
+    the per-round ``frontier ⋈ edges`` equi-join and the up-front
+    (src,dst) dedupe read data already clustered on src, so every BFS
+    round plans exchange-free on the edge side; only the frontier and
+    the visited anti-join move node-sized rows. The one-time mirror
+    write amortizes across the graph family exactly like the PageRank
+    mirror (both directions stored: 2|E| rows — the classic
+    space-for-shuffle trade every distributed BFS makes)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    seeds = cust.filter(F.col("c_nationkey") == BFS_NATION).select(
+        (F.col("c_custkey") * 2).alias("node")
+    )
+    dist = G.bfs_distances(_trade_edges_und_bucketed(spark, sf_dir), seeds, BFS_DEPTH)
+    kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
+    return dist.select("node", kind.alias("kind"), "dist")
+
+
 # -- link prediction: common neighbors + Adamic-Adar -----------------------
 
 LINKPRED_TOP = 25

@@ -81,11 +81,12 @@ SF1_QUERIES = (
     # frontier/anti-join skeleton (+ their convergence early-exits)
     "graph_shortest_paths",
     "graph_bfs_reach",
-    # the src-bucketed edge-mirror variant: same values as
-    # graph_pagerank_trade, zero edge-side Exchange — the probe prices
-    # the layout's payoff at 10x edges (mirror write lands in pass 1;
-    # min-of-2 reads the amortized number, like every bucketed row)
+    # the src-bucketed edge-mirror variants: same values as their plain
+    # rows, zero edge-side Exchange — the probes price the layout's
+    # payoff at 10x edges (mirror write lands in pass 1; min-of-2 reads
+    # the amortized number, like every bucketed row)
     "graph_pagerank_bucketed",
+    "graph_bfs_bucketed",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule")
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the

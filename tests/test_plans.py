@@ -431,6 +431,30 @@ def test_pagerank_bucketed_no_edge_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bfs_bucketed_round_no_edge_exchange(spark):
+    """A BFS round over the src-bucketed undirected mirror: the
+    (src,dst) dedupe plans exchange-free, and a frontier⋈edges round
+    plans exactly two Exchanges — the node-sized frontier into the
+    join and the distinct on the discovered nodes. An edge-side
+    shuffle would make it three."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.plans.graph import _trade_edges_und_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = _trade_edges_und_bucketed(spark, SF).select("src", "dst").distinct()
+        assert "Exchange" not in _plan(e)
+        frontier = spark.range(50).select(F.col("id").alias("src"))
+        nxt = frontier.join(e, "src").select(F.col("dst").alias("node")).distinct()
+        plan = _plan(nxt)
+        assert plan.count("Exchange") == 2, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_pagerank_bucketed_matches_plain(spark, registry):
     """Layout must not change values: the bucketed variant returns the
     identical top-k rank table as graph_pagerank_trade."""
