@@ -13,9 +13,12 @@ Determinism contract (the whole fit replays as unrolled SQL CTEs):
 - features are 6dp-rounded ratios (deterministic single-op arithmetic);
 - sigmoid rounds to 7dp (``exp`` ulp across engines — same convention
   as the ln-based scores elsewhere);
-- per-doc gradient contributions round to 7dp and sum as
-  DECIMAL(20,7) — exact, association-free — then one double division
-  by N;
+- per-doc gradient contributions quantize HALF_UP to 7dp fixed-point
+  (floor(r·xj·1e7 + 0.5) — exact BIGINT from identical doubles on any
+  engine; round(·,7) is NOT safe here: the items are exact ≤13dp
+  decimals sitting on 7dp half-boundaries, where engines' round()
+  implementations split) and sum as integers — order-free — then
+  /1e7/N in doubles;
 - weights update in plain IEEE doubles (w + lr·g, identical on both
   engines); no RNG anywhere (zero init).
 """
@@ -58,22 +61,35 @@ def feature_vector(
 
 
 def _sigmoid7(z: Column) -> Column:
-    """σ(round(z, 9)) rounded to 7dp: the 9dp pre-round absorbs dot-
-    product association ulps, the 7dp post-round absorbs exp() ulps —
-    both engines then rank/aggregate identical probabilities."""
-    z9 = F.round(z, 9)
-    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z9)), 7)
+    """σ(z) rounded to 7dp (absorbs exp() ulps — repo convention for
+    ln/exp-derived scores). z arrives from :func:`_dot_w` already
+    fixed-point-quantized, bit-identical across engines, so there is
+    deliberately NO inner re-round: z is an integer multiple of 1e-9
+    expressed as a double, and round(n/1e9, 9) sits ON a decimal
+    boundary by construction — re-rounding it is the half-ulp hazard,
+    not protection (bit at sf0.1: one doc's 5-term fold landed on
+    ...205 exactly and the two engines' round() split it)."""
+    return F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 7)
 
 
 def _dot_w(w: list[float]) -> Column:
-    """w·x as a folded-literal zip product (same shape as the ANN
-    kernels: plan size O(dot), model enters as one literal)."""
+    """w·x, EXACT across engines: each term quantizes HALF_UP to 9dp
+    fixed-point — floor(xi·wi·1e9 + 0.5), identical doubles in,
+    identical BIGINT out — the integer terms sum order-free, and one
+    final /1e9 produces the same double on any engine. A plain double
+    fold is association-sensitive: the engines' 5-term accumulation
+    orders differ by an ulp, and a downstream round(z, 9) turns that
+    ulp into a 1e-9 value split (observed at sf0.1). Same shape as the
+    ANN kernels otherwise: plan size O(dot), model enters as one
+    literal; |term|·1e9 ≲ 1e10 ≪ 2^53, so the floor is exact."""
     wl = F.from_json(F.lit(str(list(w))), "array<double>")
-    return F.aggregate(
-        F.zip_with(F.col("x"), wl, lambda xi, wi: xi * wi),
-        F.lit(0.0),
-        lambda s, v: s + v,
+    terms = F.zip_with(
+        F.col("x"),
+        wl,
+        lambda xi, wi: F.floor(xi * wi * F.lit(1e9) + F.lit(0.5)).cast("long"),
     )
+    z9i = F.aggregate(terms, F.lit(0).cast("long"), lambda s, v: s + v)
+    return z9i.cast("double") / F.lit(1e9)
 
 
 def logreg_fit(
@@ -92,11 +108,21 @@ def logreg_fit(
         resid = feats.select(
             (F.col("y") - _sigmoid7(_dot_w(w))).alias("_r"), "x"
         )
+        # per-item HALF_UP fixed-point at 7dp — floor((y−p)·xj·1e7+0.5)
+        # — NOT round(·, 7): the items are products of 6dp features and
+        # 7dp probabilities, i.e. exact ≤13dp decimals that land ON
+        # 7dp half-boundaries systematically, where the engines' round()
+        # implementations (exact-expansion HALF_UP vs multiply-and-
+        # nearbyint) split for identical input doubles (observed at
+        # sf0.1: two weight components off by 4e-11 after 3 passes).
+        # floor of an identical double is exact on any engine; the
+        # integer sum is order-free; /1e7/n replays identically.
         g = resid.select(F.posexplode("x").alias("j", "xj"), "_r").groupBy("j").agg(
             (
                 F.sum(
-                    F.expr("CAST(round(_r * xj, 7) AS DECIMAL(20,7))")
+                    F.floor(F.col("_r") * F.col("xj") * F.lit(1e7) + F.lit(0.5)).cast("long")
                 ).cast("double")
+                / F.lit(1e7)
                 / F.count(F.lit(1))
             ).alias("g")
         )

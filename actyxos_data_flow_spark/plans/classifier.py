@@ -21,8 +21,11 @@ _NF = len(C.FEATURES)
 
 def _logreg_ctes(iters: int, lr: float) -> tuple[str, str]:
     """Unrolled GD as CTEs; returns (sql, final_weights_cte). Mirrors
-    operators/classifier.py: 6dp features, σ(round(z,9)) rounded 7dp,
-    7dp gradient contributions summed as DECIMAL(20,7), w += lr·g in
+    operators/classifier.py: 6dp features, z = Σ floor(xj·wj·1e9+0.5)
+    / 1e9 (exact fixed-point dot — order-free integer sum),
+    σ(z) rounded 7dp,
+    gradient items floor((y−p)·xj·1e7+0.5) summed as BIGINT, /1e7/N,
+    w += lr·g in
     plain doubles from zero init."""
     sql = f"""
 lrt AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks
@@ -48,14 +51,14 @@ lrw0 AS (SELECT unnest(generate_series(0, {_NF - 1})) AS j, 0.0 AS w)"""
         sql += f""",
 lrz{i} AS (
   SELECT x.doc_id, x.y,
-         round(1.0 / (1.0 + exp(-round(sum(x.xj * w.w), 9))), 7) AS p
+         round(1.0 / (1.0 + exp(-(CAST(sum(CAST(floor(x.xj * w.w * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9))), 7) AS p
   FROM lrx x JOIN {prev} w ON x.j = w.j
   GROUP BY x.doc_id, x.y
 ),
 lrg{i} AS (
   SELECT x.j,
-         CAST(sum(CAST(round((z.y - z.p) * x.xj, 7) AS DECIMAL(20,7))) AS DOUBLE)
-           / count(*) AS g
+         CAST(sum(CAST(floor((z.y - z.p) * x.xj * 1e7 + 0.5) AS BIGINT)) AS DOUBLE)
+           / 1e7 / count(*) AS g
   FROM lrx x JOIN lrz{i} z ON x.doc_id = z.doc_id
   GROUP BY x.j
 ),
@@ -111,7 +114,7 @@ QC_METRICS_ORACLE = (
     + f""",
 lrp AS (
   SELECT x.doc_id, x.y,
-         round(1.0 / (1.0 + exp(-round(sum(x.xj * w.w), 9))), 7) AS p
+         round(1.0 / (1.0 + exp(-(CAST(sum(CAST(floor(x.xj * w.w * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9))), 7) AS p
   FROM lrx x JOIN {_LR_WFINAL} w ON x.j = w.j
   GROUP BY x.doc_id, x.y
 )
@@ -152,7 +155,7 @@ QC_CALIBRATION_ORACLE = (
     + f""",
 lrp AS (
   SELECT x.doc_id, x.y,
-         round(1.0 / (1.0 + exp(-round(sum(x.xj * w.w), 9))), 7) AS p
+         round(1.0 / (1.0 + exp(-(CAST(sum(CAST(floor(x.xj * w.w * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9))), 7) AS p
   FROM lrx x JOIN {_LR_WFINAL} w ON x.j = w.j
   GROUP BY x.doc_id, x.y
 ),
