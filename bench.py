@@ -345,9 +345,13 @@ def main() -> None:
     # ±2s (sometimes 2×) on the heavy queries from GC / page-cache
     # timing (measured: the same pipeline query 4.8s vs 13.9s across
     # runs); the min reflects the plan's cost, which is what
-    # round-over-round comparison needs. Cached intermediates persist
-    # across passes (CacheManager matches logical plans), so passes 2+
-    # are cheap.
+    # round-over-round comparison needs. Passes run CONSECUTIVELY per
+    # query (not query-sweeps): plan-internal pins now release through
+    # cache.py's small retirement window, so a repeated run only hits
+    # the still-warm CacheManager entry if it happens within a couple
+    # of queries — grouping passes per query measures "the plan, warm"
+    # instead of the sweep-order eviction accident (and keeps warm
+    # numbers comparable with rounds where caches never released).
     # A failing query must cost ONE row, not the round's whole perf
     # signal (round-2 lesson: the first query erroring aborted the run
     # and BENCH_r02.json recorded nothing).
@@ -366,16 +370,17 @@ def main() -> None:
         _clear_spark_caches(spark)
         _timed(registry, spark, name, sf_dir, cold, errors)
     _clear_spark_caches(spark)
-    for _pass in range(max(args.passes, 1)):
-        for name in headline:
-            if name in errors:
-                continue
+    for name in headline:
+        if name in errors:
+            continue
+        for _pass in range(max(args.passes, 1)):
             t1: dict[str, float] = {}
             _timed(registry, spark, name, sf_dir, t1, errors)
             if name in t1:
                 times[name] = min(times.get(name, t1[name]), t1[name])
             else:
                 times.pop(name, None)
+                break
 
     out = {
         "metric": (
