@@ -56,6 +56,39 @@ def bucketed_name(sf_dir: str, table: str, keys: tuple[str, ...], n_buckets: int
     return f"b_{table}_{tag.hexdigest()[:10]}"
 
 
+def _adopt_bucketed_files(
+    spark: SparkSession,
+    name: str,
+    path: str,
+    keys: tuple[str, ...],
+    n_buckets: int,
+    sort: bool,
+) -> bool:
+    """Register an already-written bucketed mirror in THIS session's
+    catalog without rewriting it — the metastore role, emulated: a
+    fresh session (the driver's vanilla SparkSession, the bench's
+    --scale-only subprocess) loses the in-memory catalog but not the
+    files, and re-shuffling a mirror whose whole point is 'pay the
+    shuffle once' would forfeit the point session after session.
+    Bucket identity is safe to adopt: ``saveAsTable(bucketBy)`` names
+    every file with its bucket id suffix, and the DDL below re-declares
+    the identical CLUSTERED/SORTED spec, so Spark trusts (and test
+    plans verify) the same ``Bucketed: true`` scans. Returns False when
+    no completed write exists at ``path``."""
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    schema = spark.read.parquet(path).schema
+    cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    key_ddl = ", ".join(f"`{k}`" for k in keys)
+    sorted_ddl = f" SORTED BY ({key_ddl})" if sort else ""
+    spark.sql(
+        f"CREATE TABLE {name} ({cols_ddl}) USING parquet "
+        f"CLUSTERED BY ({key_ddl}){sorted_ddl} INTO {n_buckets} BUCKETS "
+        f"LOCATION '{path}'"
+    )
+    return True
+
+
 def ensure_bucketed(
     spark: SparkSession,
     sf_dir: str,
@@ -67,14 +100,16 @@ def ensure_bucketed(
     """Return the bucketed mirror of ``table``, creating it on first
     use. Idempotent per (sf_dir, keys, n_buckets); the name encodes the
     spec so changing either writes a fresh mirror instead of silently
-    reading a stale layout."""
+    reading a stale layout. A fresh session ADOPTS existing files via
+    bucketed DDL instead of rewriting (see _adopt_bucketed_files)."""
     name = bucketed_name(sf_dir, table, tuple(keys), n_buckets)
     if not spark.catalog.tableExists(name):
         path = os.path.join(_WAREHOUSE, name)
-        w = load_table(spark, sf_dir, table).write.bucketBy(n_buckets, *keys)
-        if sort:
-            w = w.sortBy(*keys)
-        w.mode("overwrite").option("path", path).format("parquet").saveAsTable(name)
+        if not _adopt_bucketed_files(spark, name, path, tuple(keys), n_buckets, sort):
+            w = load_table(spark, sf_dir, table).write.bucketBy(n_buckets, *keys)
+            if sort:
+                w = w.sortBy(*keys)
+            w.mode("overwrite").option("path", path).format("parquet").saveAsTable(name)
     return spark.table(name)
 
 
@@ -114,15 +149,16 @@ def ensure_bucketed_frame(
     name = f"b_{tag}_{h}"
     if not spark.catalog.tableExists(name):
         path = os.path.join(_WAREHOUSE, name)
-        (
-            build(spark, sf_dir)
-            .write.bucketBy(n_buckets, *keys)
-            .sortBy(*keys)
-            .mode("overwrite")
-            .option("path", path)
-            .format("parquet")
-            .saveAsTable(name)
-        )
+        if not _adopt_bucketed_files(spark, name, path, tuple(keys), n_buckets, True):
+            (
+                build(spark, sf_dir)
+                .write.bucketBy(n_buckets, *keys)
+                .sortBy(*keys)
+                .mode("overwrite")
+                .option("path", path)
+                .format("parquet")
+                .saveAsTable(name)
+            )
     return spark.table(name)
 
 

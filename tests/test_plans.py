@@ -463,6 +463,47 @@ def test_pagerank_bucketed_matches_plain(spark, registry):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
 
 
+def test_bucketed_mirror_adopted_without_rewrite(spark):
+    """A session that lost its catalog (vanilla driver session, bench
+    subprocess) must ADOPT the existing mirror files via bucketed DDL,
+    not re-shuffle them: after DROP TABLE (external — files stay), the
+    next ensure_bucketed registers the same files (no rewrite: file
+    mtimes unchanged), and the adopted table still plans Bucketed
+    scans with identical rows."""
+    import glob
+    import os
+
+    from actyxos_data_flow_spark.sources.bucketed import (
+        _WAREHOUSE,
+        bucketed_name,
+        ensure_bucketed,
+    )
+
+    a = ensure_bucketed(spark, SF, "customer", ("c_custkey",))
+    rows_before = sorted(map(tuple, a.collect()))
+    name = bucketed_name(SF, "customer", ("c_custkey",), 8)
+    path = os.path.join(_WAREHOUSE, name)
+    mtimes = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*.parquet"))}
+    assert mtimes
+    spark.sql(f"DROP TABLE {name}")  # external: files survive
+    assert not spark.catalog.tableExists(name)
+    b = ensure_bucketed(spark, SF, "customer", ("c_custkey",))
+    assert spark.catalog.tableExists(name)
+    after = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*.parquet"))}
+    assert after == mtimes, "adoption must not rewrite the mirror"
+    assert sorted(map(tuple, b.collect())) == rows_before
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        c = ensure_bucketed(spark, SF, "orders", ("o_custkey",))
+        j = b.join(c, b["c_custkey"] == c["o_custkey"]).select("o_orderkey", "c_name")
+        plan = _plan(j)
+        assert "Exchange" not in plan
+        assert plan.count("Bucketed: true") == 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_bucketed_mirror_is_idempotent(spark):
     """Second ensure_bucketed call reuses the registered table (no
     rewrite) and the mirror holds exactly the source rows."""
