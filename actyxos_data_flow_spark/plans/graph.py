@@ -663,6 +663,55 @@ def graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.bounded_min_plus(und, seeds, rounds=SP_ROUNDS)
 
 
+def _strong_tie_und_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The UNDIRECTED weighted strong-tie edge list through a
+    src-bucketed mirror. The strong-tie derivation is the single most
+    expensive graph working-set build in the repo — a lineitem
+    co-occurrence SELF-JOIN, a distinct-count aggregate and a top-k
+    window — and five queries consume its output; the mirror pays all
+    of that plus the (src) clustering once, so every later
+    frontier-style consumer plans its per-round src equi-join with a
+    Bucketed scan and zero edge-side Exchange."""
+    from ..sources.bucketed import ensure_bucketed_frame
+
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        te_w = _strong_tie_weighted_edges(spark, sf_dir)
+        return (
+            te_w.select("src", "dst", "cost")
+            .unionByName(
+                te_w.select(
+                    F.col("dst").alias("src"), F.col("src").alias("dst"), "cost"
+                )
+            )
+            .distinct()
+        )
+
+    return ensure_bucketed_frame(
+        spark,
+        sf_dir,
+        "strong_tie_und_src",
+        build,
+        keys=("src",),
+        source_tables=("lineitem",),
+    )
+
+
+@register("graph_shortest_paths_bucketed", oracle=SHORTEST_PATH_ORACLE)
+def graph_shortest_paths_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """graph_shortest_paths through the src-bucketed strong-tie mirror
+    — same bounded Bellman-Ford, same values (hash-gated against the
+    SAME unrolled oracle), different physics: the co-occurrence
+    self-join +
+    top-k-partners build is paid once at mirror-write time, and each
+    relaxation round's ``frontier ⋈ edges`` reads src-clustered data —
+    zero edge-side Exchange per round (the pagerank/BFS mirror
+    contract, extended to the weighted family)."""
+    und = _strong_tie_und_bucketed(spark, sf_dir)
+    seed_row = und.agg(F.min(F.least("src", "dst")).alias("_m")).first()
+    seeds = spark.createDataFrame([(int(seed_row["_m"]),)], "node long")
+    return G.bounded_min_plus(und, seeds, rounds=SP_ROUNDS)
+
+
 def _strong_tie_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The strong-tie edge set WITH integer costs: canonical (src<dst)
     pairs kept by either endpoint's top-{k} list, cost = {c} DIV

@@ -87,6 +87,7 @@ SF1_QUERIES = (
     # the amortized number, like every bucketed row)
     "graph_pagerank_bucketed",
     "graph_bfs_bucketed",
+    "graph_shortest_paths_bucketed",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule")
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the

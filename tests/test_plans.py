@@ -455,6 +455,38 @@ def test_bfs_bucketed_round_no_edge_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_shortest_paths_bucketed_round_no_edge_exchange(spark):
+    """A Bellman-Ford relaxation round over the src-bucketed strong-tie
+    mirror: frontier⋈edges + the min-cost aggregate plan exactly two
+    Exchanges (frontier into the join, relaxed rows into the
+    aggregate) — the weighted edge side reads Bucketed and never
+    shuffles."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.plans.graph import _strong_tie_und_bucketed
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        e = _strong_tie_und_bucketed(spark, SF).select(
+            "src", "dst", F.col("cost").alias("w")
+        )
+        frontier = spark.range(20).select(
+            F.col("id").alias("src"), F.lit(0).cast("long").alias("cost")
+        )
+        relaxed = (
+            frontier.join(e, "src")
+            .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
+            .groupBy("node")
+            .agg(F.min("cost").alias("cost"))
+        )
+        plan = _plan(relaxed)
+        assert plan.count("Exchange") == 2, plan
+        assert "Bucketed: true" in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_pagerank_bucketed_matches_plain(spark, registry):
     """Layout must not change values: the bucketed variant returns the
     identical top-k rank table as graph_pagerank_trade."""
