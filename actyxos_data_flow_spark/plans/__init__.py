@@ -71,7 +71,7 @@ _PRIORITY: tuple[str, ...] = (
     # --- new this round (no official row by construction) ---
     "graph_pagerank_bucketed", "ann_ivfpq_topk", "dedup_prefix_delta_pairs",
     "join_selinger_applied", "graph_bfs_bucketed",
-    "graph_shortest_paths_bucketed",
+    "graph_shortest_paths_bucketed", "bm25_index_delta_topk",
     # --- output schema changed this round (exact sums + counts replace
     # rounded quotients; recall report gained the ivfpq row) — the
     # official record must reflect the new shape ---

@@ -7,6 +7,7 @@ contract (see operators/retrieval.py docstring).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators import retrieval as R
 from ..sources import load_table
@@ -110,6 +111,35 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, sf_dir, "documents")
     return R.bm25_topk(docs, list(BM25_TERMS), k=BM25_K)
+
+
+IDX_DELTA_MOD = 5  # "new" docs: doc_id % 5 == 0 (the repo's ingest-batch slice)
+
+
+@register("bm25_index_delta_topk", oracle=BM25_ORACLE)
+def bm25_index_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 over an INCREMENTALLY-maintained index — the
+    segment-merge IVM shape every production search engine runs: the
+    standing corpus's postings/doclen tables are the stored segment
+    (localCheckpointed here to pin them, a parquet segment at scale);
+    the 20% ingest batch is tokenized ALONE and its postings simply
+    union in (doc sets are disjoint, so the merge is concatenation —
+    no re-aggregation, the Lucene segment model). Scoring reads the
+    merged index: tf is doc-local, and df / N / Σdl are exact
+    query-time monoid aggregates over the merged tables, so the scores
+    are BIT-IDENTICAL to a from-scratch rebuild — proven by holding
+    this row to the SAME from-scratch oracle as bm25_search_topk.
+    Per-batch index cost: O(|batch| tokens); the base corpus is never
+    re-tokenized."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % IDX_DELTA_MOD == 0
+    post_base, dl_base = R.build_postings(docs.filter(~is_new))
+    # the stored segment: materialized once, never rebuilt per batch
+    post_base, dl_base = post_base.localCheckpoint(), dl_base.localCheckpoint()
+    post_new, dl_new = R.build_postings(docs.filter(is_new))
+    postings = post_base.unionByName(post_new)
+    doclen = dl_base.unionByName(dl_new)
+    return R.bm25_from_index(postings, doclen, list(BM25_TERMS), k=BM25_K)
 
 
 # reuse the token-stats oracle: the ORC hop must be value-lossless, so
