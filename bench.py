@@ -88,6 +88,15 @@ SF1_QUERIES = (
     "graph_pagerank_bucketed",
     "graph_bfs_bucketed",
     "graph_shortest_paths_bucketed",
+    # round-7 incremental/composed rows: the delta probes must stay
+    # BATCH-shaped at 10x (an ingest batch's cost scales with the
+    # batch + index lookups, not the corpus), the composed IVF-PQ scan
+    # must track its nprobe/nlist x m/(4 dim) byte fraction, and the
+    # Selinger row prices three 2KB sketch builds over 10x keys
+    "dedup_prefix_delta_pairs",
+    "bm25_index_delta_topk",
+    "ann_ivfpq_topk",
+    "join_selinger_applied",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule")
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the

@@ -1079,6 +1079,32 @@ def test_logreg_learns_separable_labels(spark):
     feats.unpersist()
 
 
+def test_dot_w_fixed_point_contract(spark):
+    """The classifier dot product is EXACT fixed-point: z equals the
+    Python-computed sum of floor(xi*wi*1e9 + 0.5) integers divided by
+    1e9 — bit-for-bit, independent of fold order or engine. This is
+    the contract that killed the sf0.1 half-ulp split (a plain double
+    fold differs across engines by an ulp; round(z, 9) then lands on
+    adjacent 9dp values)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators.classifier import _dot_w
+
+    w = [-0.16603467646000003, -0.08592656042, -0.0106481736, -0.08621764664, -0.0746956609]
+    xs = [
+        [1.0, 0.92, 0.065217, 0.293478, 0.466304],
+        [1.0, 0.4, 0.025, 0.55, 0.435],
+        [1.0, 1.0, 0.0, 1.0, 0.1],
+    ]
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x array<double>")
+    got = {r["i"]: r["z"] for r in df.select("i", _dot_w(w).alias("z")).collect()}
+    for i, x in enumerate(xs):
+        expect = sum(math.floor(xi * wi * 1e9 + 0.5) for xi, wi in zip(x, w)) / 1e9
+        assert got[i] == expect, (i, got[i], expect)
+
+
 def test_logreg_deterministic_under_repartition(spark):
     """Weight trajectories are bit-identical regardless of physical
     layout (decimal-exact gradient sums; rounded sigmoid)."""
