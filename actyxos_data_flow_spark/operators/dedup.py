@@ -919,6 +919,78 @@ def lsh_edit_delta_pairs(
     )
 
 
+def _prefix_table(
+    sh: DataFrame,
+    dfreq: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cut each document's prefix under the rarity order given by
+    ``dfreq(shingle, _df)``: sort by (df asc, shingle), keep the first
+    ``n - ceil(t·n) + 1`` tokens. Shingles absent from ``dfreq`` rank
+    rarest (df 0) — that is what lets a STORED df table order a new
+    batch's shingles: the order stays total over the union vocabulary,
+    and a base document's own prefix is stable under vocabulary
+    extension (inserting unseen shingles never reorders the shingles a
+    base doc actually has). Returns (id, _n, shingle) prefix rows."""
+    a, b = threshold_num, threshold_den
+    ranked = sh.join(dfreq, "shingle", "left").select(
+        id_col,
+        F.struct(
+            F.coalesce(F.col("_df"), F.lit(0).cast("long")).alias("_df"),
+            F.col("shingle"),
+        ).alias("_t"),
+    )
+    lists = ranked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_t")).alias("_arr"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    p = F.col("_n") - F.expr(f"({a} * _n + {b} - 1) DIV {b}") + 1
+    return (
+        lists.withColumn("_p", p.cast("int"))
+        .select(id_col, "_n", F.explode(F.slice("_arr", F.lit(1), F.col("_p"))).alias("_t"))
+        .select(id_col, "_n", F.col("_t.shingle").alias("shingle"))
+    )
+
+
+def prefix_filter_delta_probe(
+    prefix_base: DataFrame,
+    df_base: DataFrame,
+    sh_new: DataFrame,
+    threshold_num: int,
+    threshold_den: int,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental prefix filtering against a STORED index — the
+    steady-state form of :func:`prefix_filter_delta_candidates`: the
+    base corpus's prefix table and df counters are read from storage
+    (never re-derived), the batch's shingles are cut under the SAME
+    stored rarity order (unseen shingles rank rarest; see
+    :func:`_prefix_table` for why the stored base prefixes stay valid
+    under vocabulary extension — the prefix-filter lemma needs only a
+    total order both sides share), and the probe joins batch prefixes
+    against (stored ∪ batch) prefixes. Per-batch cost: tokenize the
+    batch + one df lookup join + the probe — the base corpus is
+    touched only as stored files. Exact recall of the delta slice is
+    inherited from the lemma and proven by the registered row's
+    order-independent ground-truth oracle."""
+    a, b = threshold_num, threshold_den
+    pnew = _prefix_table(sh_new, df_base, a, b, id_col)
+    index = prefix_base.select(id_col, "_n", "shingle").unionByName(pnew)
+    pa = pnew.select(F.col(id_col).alias("_pid"), F.col("_n").alias("_pn"), "shingle")
+    pb = index.select(F.col(id_col).alias("_iid"), F.col("_n").alias("_in"), "shingle")
+    lo = F.least(F.col("_pid"), F.col("_iid"))
+    hi = F.greatest(F.col("_pid"), F.col("_iid"))
+    return (
+        pa.join(pb, "shingle")
+        .filter(F.col("_pid") != F.col("_iid"))
+        .filter(a * F.greatest("_pn", "_in") <= b * F.least("_pn", "_in"))
+        .select(lo.alias("id_a"), hi.alias("id_b"))
+        .distinct()
+    )
+
+
 def prefix_filter_delta_candidates(
     sh: DataFrame,
     new_ids: DataFrame,

@@ -118,24 +118,42 @@ IDX_DELTA_MOD = 5  # "new" docs: doc_id % 5 == 0 (the repo's ingest-batch slice)
 
 @register("bm25_index_delta_topk", oracle=BM25_ORACLE)
 def bm25_index_delta_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 over an INCREMENTALLY-maintained index — the
-    segment-merge IVM shape every production search engine runs: the
-    standing corpus's postings/doclen tables are the stored segment
-    (localCheckpointed here to pin them, a parquet segment at scale);
-    the 20% ingest batch is tokenized ALONE and its postings simply
-    union in (doc sets are disjoint, so the merge is concatenation —
-    no re-aggregation, the Lucene segment model). Scoring reads the
+    """BM25 over an INCREMENTALLY-maintained index — the segment-merge
+    IVM shape every production search engine runs: the standing
+    corpus's postings/doclen tables are REAL parquet segments
+    (sources/bucketed.ensure_segment — written once, read by every
+    later session); the 20% ingest batch is tokenized ALONE and its
+    postings simply union in (doc sets are disjoint, so the merge is
+    concatenation — the Lucene segment model). Scoring reads the
     merged index: tf is doc-local, and df / N / Σdl are exact
     query-time monoid aggregates over the merged tables, so the scores
     are BIT-IDENTICAL to a from-scratch rebuild — proven by holding
     this row to the SAME from-scratch oracle as bm25_search_topk.
-    Per-batch index cost: O(|batch| tokens); the base corpus is never
-    re-tokenized."""
+    Per-batch steady-state cost: O(|batch| tokens) + the term-filtered
+    segment scan; the base corpus is never re-tokenized."""
+    from ..sources.bucketed import ensure_segment
+
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % IDX_DELTA_MOD == 0
-    post_base, dl_base = R.build_postings(docs.filter(~is_new))
-    # the stored segment: materialized once, never rebuilt per batch
-    post_base, dl_base = post_base.localCheckpoint(), dl_base.localCheckpoint()
+
+    def build_post(s: SparkSession, d: str) -> DataFrame:
+        base = load_table(s, d, "documents").filter(
+            F.col("doc_id") % IDX_DELTA_MOD != 0
+        )
+        return R.build_postings(base)[0]
+
+    def build_dl(s: SparkSession, d: str) -> DataFrame:
+        base = load_table(s, d, "documents").filter(
+            F.col("doc_id") % IDX_DELTA_MOD != 0
+        )
+        return R.build_postings(base)[1]
+
+    post_base = ensure_segment(
+        spark, sf_dir, f"bm25_post_m{IDX_DELTA_MOD}", build_post, ("documents",)
+    )
+    dl_base = ensure_segment(
+        spark, sf_dir, f"bm25_dl_m{IDX_DELTA_MOD}", build_dl, ("documents",)
+    )
     post_new, dl_new = R.build_postings(docs.filter(is_new))
     postings = post_base.unionByName(post_new)
     doclen = dl_base.unionByName(dl_new)

@@ -162,6 +162,39 @@ def ensure_bucketed_frame(
     return spark.table(name)
 
 
+def ensure_segment(
+    spark: SparkSession,
+    sf_dir: str,
+    tag: str,
+    build,
+    source_tables: tuple[str, ...] = (),
+) -> DataFrame:
+    """Plain-parquet SEGMENT of a derived frame — the storage half of
+    every incremental-index query: ``build(spark, sf_dir)`` runs once,
+    the files persist, and every later call (any session) just reads
+    them. This is what makes a delta query's steady-state cost honest:
+    the standing corpus's index (postings, prefix table, shingle sets)
+    is paid at segment-write time, and a per-batch probe touches the
+    batch plus stored files — never re-deriving the base. Identity =
+    (sf_dir, tag) + source-table (mtime, size) stamps, so a testdata
+    regeneration rewrites the segment instead of serving stale rows."""
+    stamps = []
+    for t in source_tables:
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        try:
+            st = os.stat(src)
+            stamps.append(f"{t}={st.st_mtime_ns}:{st.st_size}")
+        except FileNotFoundError:
+            stamps.append(f"{t}=nosrc")
+    h = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{tag}:{';'.join(stamps)}".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(_WAREHOUSE, f"seg_{tag}_{h}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build(spark, sf_dir).write.mode("overwrite").parquet(path)
+    return spark.read.parquet(path)
+
+
 # -- IVF layout: cell-partitioned embedding mirror --------------------------
 #
 # The lakehouse form of an IVF index: vectors written partitionBy(cell)

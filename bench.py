@@ -158,7 +158,7 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     at 1× and 10×."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SCRATCH, "_DONE_v7")  # bump to regenerate (v7: events + customer in main for the funnel/cohort/BFS probes)
+    marker = os.path.join(SCRATCH, "_DONE_v8")  # bump to regenerate (v8: part + shifted supplier in main for the Selinger probe)
     if os.path.exists(marker):
         return
     main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
@@ -234,6 +234,17 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
         (F.col("c_custkey") + F.col("_rep") * 10_000_000).alias("c_custkey"),
         *[c for c in cust.columns if c != "c_custkey"],
     ).coalesce(4).write.mode("overwrite").parquet(os.path.join(main, "customer.parquet"))
+    # part verbatim (lineitem replicas keep their partkeys, so a TRUE
+    # 10x fact has 10x rows per part); supplier shifted in lockstep
+    # with lineitem's suppkeys (10x supplier nodes at constant density)
+    spark.read.parquet(os.path.join(base_dir, "part.parquet")).coalesce(2).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(main, "part.parquet"))
+    supp = spark.read.parquet(os.path.join(base_dir, "supplier.parquet"))
+    supp.crossJoin(reps).select(
+        (F.col("s_suppkey") + F.col("_rep") * 10_000_000).alias("s_suppkey"),
+        *[c for c in supp.columns if c != "s_suppkey"],
+    ).coalesce(2).write.mode("overwrite").parquet(os.path.join(main, "supplier.parquet"))
     # events at 10x USERS (shifted user_id/event_id, per-user histories
     # verbatim): the funnel/cohort cascades key on user_id, so the
     # honest linear scale-up multiplies users, not history depth.

@@ -1792,6 +1792,53 @@ def test_prefix_delta_invariant(spark):
     assert truth_all <= (base_cand | delta)
 
 
+def test_prefix_delta_probe_stored_order(spark):
+    """The STORED-index probe (prefix_filter_delta_probe) keeps exact
+    recall when the batch's prefixes are cut under the BASE corpus's
+    rarity order — the any-shared-total-order property of the prefix
+    lemma, including unseen batch shingles ranking rarest (df 0)."""
+    import random
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators import dedup as D
+
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(60)]
+    rows = []
+    base_doc = [rng.choice(vocab) for _ in range(30)]
+    for i in range(40):
+        if i % 4 == 0:
+            toks = list(base_doc)
+            for _ in range(rng.randrange(0, 4)):
+                toks[rng.randrange(len(toks))] = rng.choice(vocab)
+        else:
+            toks = [rng.choice(vocab) for _ in range(rng.randrange(8, 40))]
+        rows.append((i, " ".join(toks)))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sh_base = D.shingles(docs.filter("doc_id % 5 != 0"))
+    sh_new = D.shingles(docs.filter("doc_id % 5 = 0"))
+    df_base = sh_base.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    prefix_base = D._prefix_table(sh_base, df_base, 7, 10)
+    delta = set(
+        tuple(r)
+        for r in D.prefix_filter_delta_probe(prefix_base, df_base, sh_new, 7, 10).collect()
+    )
+    assert all(i % 5 == 0 or j % 5 == 0 for i, j in delta)
+    sets = {}
+    for r in D.shingles(docs).collect():
+        sets.setdefault(r["doc_id"], set()).add(r["shingle"])
+    truth_delta = {
+        (i, j)
+        for i, j in combinations(sorted(sets), 2)
+        if (i % 5 == 0 or j % 5 == 0)
+        and 10 * len(sets[i] & sets[j]) >= 7 * len(sets[i] | sets[j])
+    }
+    assert truth_delta, "seed produced no true delta pairs — vacuous"
+    assert truth_delta <= delta, f"stored-order probe lost pairs: {truth_delta - delta}"
+
+
 # -- label propagation (operators/graph.py) --------------------------------
 
 
