@@ -1007,6 +1007,7 @@ def ivfpq_adc_topk(
     ksub: int = PQ_KSUB,
     iters: int = PQ_ITERS,
     probe_round: int = 9,
+    books: list | None = None,
 ) -> DataFrame:
     """Composed IVF-PQ ANN top-k — the standard billion-scale index
     pairing: the trained coarse quantizer (``centroids``/``assign``
@@ -1034,7 +1035,8 @@ def ivfpq_adc_topk(
     state per (qid, partition); the rerank join touches |Q|×k×rerank
     full-precision rows."""
     r_pool = k * rerank
-    books = pq_fit(corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters)
+    if books is None:  # else: the stored index artifact (same deterministic fit, cached)
+        books = pq_fit(corpus, id_col=id_col, vec_col=vec_col, m=m, ksub=ksub, iters=iters)
     codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col)
     recon = codes.select(
         id_col, _pq_reconstruct_expr(books, "pq_codes").alias("_rec")

@@ -177,7 +177,17 @@ def join_order_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
 
     def sk(df, col):
-        return C.cms_build(df.select(F.col(col).cast("string").alias("term")))
+        # pre-aggregate per key BEFORE the d-row explode — exactly the
+        # oracle's h{tag} GROUP BY — so the sketch job hashes each
+        # DISTINCT key once (md5 is the cost; a 6M-row fact with 1.5M
+        # distinct orderkeys explodes 6M rows instead of 24M, and a
+        # 2k-part dimension column collapses ~3000x)
+        terms = (
+            df.select(F.col(col).cast("string").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        return C.cms_build(terms, weight_col="_cnt")
 
     est_co = C.cms_join_estimate(sk(cust, "c_custkey"), sk(orders, "o_custkey"))
     est_ol = C.cms_join_estimate(sk(orders, "o_orderkey"), sk(li, "l_orderkey"))
@@ -337,7 +347,17 @@ def rewrite_decision(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     cust, orders, li = _rewrite_inputs(spark, sf_dir)
 
     def sk(df, col):
-        return C.cms_build(df.select(F.col(col).cast("string").alias("term")))
+        # pre-aggregate per key BEFORE the d-row explode — exactly the
+        # oracle's h{tag} GROUP BY — so the sketch job hashes each
+        # DISTINCT key once (md5 is the cost; a 6M-row fact with 1.5M
+        # distinct orderkeys explodes 6M rows instead of 24M, and a
+        # 2k-part dimension column collapses ~3000x)
+        terms = (
+            df.select(F.col(col).cast("string").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        return C.cms_build(terms, weight_col="_cnt")
 
     est_co = C.cms_join_estimate(sk(cust, "c_custkey"), sk(orders, "o_custkey")).first()[
         "est_pairs"
@@ -515,7 +535,17 @@ def selinger_decision(spark: SparkSession, sf_dir: str):
     li, part, supp, orders = _selinger_inputs(spark, sf_dir)
 
     def sk(df, col):
-        return C.cms_build(df.select(F.col(col).cast("string").alias("term")))
+        # pre-aggregate per key BEFORE the d-row explode — exactly the
+        # oracle's h{tag} GROUP BY — so the sketch job hashes each
+        # DISTINCT key once (md5 is the cost; a 6M-row fact with 1.5M
+        # distinct orderkeys explodes 6M rows instead of 24M, and a
+        # 2k-part dimension column collapses ~3000x)
+        terms = (
+            df.select(F.col(col).cast("string").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        return C.cms_build(terms, weight_col="_cnt")
 
     ests = {
         "part": int(

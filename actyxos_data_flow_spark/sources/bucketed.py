@@ -249,6 +249,36 @@ def ensure_ivf_layout(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return vecs, cents
 
 
+def ensure_pq_books(spark: SparkSession, sf_dir: str) -> list:
+    """The trained PQ codebooks as a STORED index artifact (JSON next
+    to the IVF layout, keyed by the embeddings stamp): the per-subspace
+    Lloyd fit is deterministic, so training once and loading thereafter
+    returns bit-identical codebooks (json round-trips shortest-repr
+    doubles exactly) — the m×ksub×dsub model is what a vector index
+    ships alongside its cell layout, and re-deriving it per query at
+    100 TB would re-scan the corpus for a model that never changed."""
+    import json
+
+    from ..operators.similarity import pq_fit
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:10]
+    path = os.path.join(_IVF_DIR, tag, "pq_books.json")
+    if not os.path.exists(path):
+        emb = load_table(spark, sf_dir, "embeddings")
+        books = pq_fit(emb)
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(books, f)
+        os.replace(tmp, path)
+    with open(path) as f:
+        return json.load(f)
+
+
 # -- ORC mirror: format-portability surface ---------------------------------
 
 _ORC_DIR = os.path.join(
