@@ -171,6 +171,7 @@ def jaccard_on_pairs_arrays(
     sets: DataFrame,
     id_col: str = "doc_id",
     max_broadcast_pairs: int = 500_000,
+    with_counts: bool = False,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via per-doc shingle ARRAYS:
     broadcast the (bucket-capped) candidate list onto the set table
@@ -189,30 +190,30 @@ def jaccard_on_pairs_arrays(
     n = pairs.count()
     if n > max_broadcast_pairs:
         exploded = sets.select(id_col, F.explode("_sh").alias("shingle"))
-        return jaccard_on_pairs(pairs, exploded, id_col)
+        return jaccard_on_pairs(pairs, exploded, id_col, with_counts=with_counts)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
     x = a.join(F.broadcast(pairs), "id_a")
     y = F.broadcast(x).join(b, "id_b")
     inter = F.size(F.array_intersect("_sha", "_shb"))
+    union = F.size("_sha") + F.size("_shb") - inter
     # zero-intersection pairs produce NO row in the exploded-join form
     # (the inverted-index join finds nothing) — keep that contract here
-    return (
-        y.select(
-            "id_a",
-            "id_b",
-            inter.alias("_i"),
-            (
-                inter.cast("double")
-                / (F.size("_sha") + F.size("_shb") - inter).cast("double")
-            ).alias("jaccard"),
-        )
-        .filter(F.col("_i") > 0)
-        .drop("_i")
-    )
+    cols = [
+        F.col("id_a"),
+        F.col("id_b"),
+        inter.alias("_i"),
+        (inter.cast("double") / union.cast("double")).alias("jaccard"),
+    ]
+    if with_counts:
+        # exact integer intersection/union for fixed-point consumers
+        cols += [inter.cast("long").alias("i"), union.cast("long").alias("u")]
+    return y.select(*cols).filter(F.col("_i") > 0).drop("_i")
 
 
-def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def jaccard_on_pairs(
+    pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id", with_counts: bool = False
+) -> DataFrame:
     """Exact Jaccard for given (id_a, id_b) pairs via inverted-index
     intersection: join pair→shingles of a→shingles of b on equal shingle,
     count, divide by |A|+|B|−∩. Candidates are few relative to the
@@ -232,17 +233,15 @@ def jaccard_on_pairs(pairs: DataFrame, sh: DataFrame, id_col: str = "doc_id") ->
     # broadcast the CANDIDATE-sized side: `sizes` is one row per corpus
     # document (unbroadcastable at scale), while `inter` is bounded by
     # the LSH candidate count — the small side by construction
-    return (
-        F.broadcast(inter).join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            (F.col("inter").cast("double") / (F.col("na") + F.col("nb") - F.col("inter")).cast("double")).alias(
-                "jaccard"
-            ),
-        )
-    )
+    union = F.col("na") + F.col("nb") - F.col("inter")
+    cols = [
+        F.col("id_a"),
+        F.col("id_b"),
+        (F.col("inter").cast("double") / union.cast("double")).alias("jaccard"),
+    ]
+    if with_counts:
+        cols += [F.col("inter").cast("long").alias("i"), union.cast("long").alias("u")]
+    return F.broadcast(inter).join(na, "id_a").join(nb, "id_b").select(*cols)
 
 
 SIMHASH_BITS = 32

@@ -121,6 +121,14 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage touches only candidates. At 100 TB this is the standard
     near-dup shape (the verify join broadcasts candidates onto the
     shingle inverted index)."""
+    return _minhash_verified(spark, sf_dir).select("id_a", "id_b", "jaccard")
+
+
+def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The verified near-dup pair pipeline with exact integer
+    intersection/union counts kept alongside the double jaccard —
+    shared by :func:`dedup_minhash_pairs` (drops the counts) and
+    :func:`dedup_source_matrix` (uses them for fixed-point sums)."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs)
     # The shingle table feeds FOUR consumers (signature build, both
@@ -146,7 +154,7 @@ def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # array-set verification: candidates broadcast onto the per-doc
     # shingle-set table twice, so the corpus never shuffles in verify
-    return D.jaccard_on_pairs_arrays(cand, D.shingle_sets(sh)).filter(
+    return D.jaccard_on_pairs_arrays(cand, D.shingle_sets(sh), with_counts=True).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
@@ -981,18 +989,51 @@ def dedup_minhash_edit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- cross-source duplication matrix ---------------------------------------
 
+# The verified-pair pipeline with exact integer intersection/union —
+# the round-8 fixed-point contract: jacc_fp7 = (i·10^7) // u is a pure
+# integer division of exact integers (DuckDB // and Spark DIV both
+# truncate toward zero), so the per-source-pair BIGINT sums are
+# bit-identical on ANY engine build. round(jaccard, 7) of the exact
+# rational i/u was the round-7 driver-red hazard: when u divides 2·10^7
+# the value sits EXACTLY on a 7dp half-boundary and engines' double
+# rounds legitimately disagree.
 SOURCE_MATRIX_ORACLE = f"""
-WITH vp AS ({MINHASH_PAIRS_ORACLE}),
+WITH {_SHINGLES_CTE},
+{_PIECES_CTE},
+sig AS (
+  SELECT doc_id, {_mh_cols}
+  FROM pieces GROUP BY doc_id
+),
+bands AS (
+  SELECT doc_id, b.band, b.s1, b.s2
+  FROM sig, LATERAL (VALUES {_band_rows}) AS b(band, s1, s2)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.s1 = b.s1 AND a.s2 = b.s2
+  WHERE a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+inter AS (
+  SELECT c.id_a, c.id_b, count(*) AS i
+  FROM cand c JOIN sh a ON a.doc_id = c.id_a JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+  GROUP BY 1, 2
+),
+vp AS (
+  SELECT i.id_a, i.id_b, i.i::BIGINT AS i, (sa.n + sb.n - i.i)::BIGINT AS u
+  FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
+  WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}
+),
 sm AS (
   SELECT least(da.source, db.source) AS source_a,
          greatest(da.source, db.source) AS source_b,
-         vp.jaccard
+         (vp.i * 10000000) // vp.u AS jacc_fp7
   FROM vp
   JOIN documents da ON da.doc_id = vp.id_a
   JOIN documents db ON db.doc_id = vp.id_b
 )
 SELECT source_a, source_b, count(*) AS n_pairs,
-       sum(CAST(round(jaccard, 7) AS DECIMAL(20,7))) AS sum_jaccard
+       CAST(sum(jacc_fp7) AS BIGINT) AS sum_jaccard_fp7
 FROM sm GROUP BY source_a, source_b
 """
 
@@ -1000,20 +1041,22 @@ FROM sm GROUP BY source_a, source_b
 @register("dedup_source_matrix", oracle=SOURCE_MATRIX_ORACLE)
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance view of the verified near-dup graph: which SOURCES
-    duplicate which (pair count + EXACT 7dp-decimal Jaccard sum per
-    unordered source pair; the mean is the reader's quotient — a
-    pre-rounded sum/count quotient is the half-ulp cross-engine hazard
-    this repo bans) — the leakage matrix a corpus owner reads before
-    deciding which feed to trust or drop. Two broadcast-size joins
-    from the (already candidate-bounded) verified pairs onto the
-    doc→source map, one |sources|²-bounded aggregate. The unordered key
-    uses least/greatest so the matrix is symmetric by construction."""
+    duplicate which (pair count + fixed-point Jaccard sum per unordered
+    source pair; the mean is the reader's quotient) — the leakage
+    matrix a corpus owner reads before deciding which feed to trust or
+    drop. jacc_fp7 = (i·10^7) DIV u is exact integer arithmetic, so the
+    hashed BIGINT sums cannot split across engine builds (round-7
+    lesson: round(i/u, 7) lands ON 7dp half-boundaries whenever u
+    divides 2·10^7, where double-round implementations disagree). Two
+    broadcast-size joins from the (already candidate-bounded) verified
+    pairs onto the doc→source map, one |sources|²-bounded aggregate.
+    The unordered key uses least/greatest so the matrix is symmetric
+    by construction."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup_minhash_pairs(spark, sf_dir)
+    pairs = _minhash_verified(spark, sf_dir).select("id_a", "id_b", "i", "u")
     src = docs.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("_sa"))
     sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("_sb"))
-    j7 = F.expr("CAST(round(jaccard, 7) AS DECIMAL(20,7))")
     return (
         F.broadcast(pairs)
         .join(sa, "id_a")
@@ -1021,12 +1064,12 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.least("_sa", "_sb").alias("source_a"),
             F.greatest("_sa", "_sb").alias("source_b"),
-            j7.alias("_j7"),
+            F.expr("(i * 10000000) DIV u").alias("_j7"),
         )
         .groupBy("source_a", "source_b")
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
-            F.sum("_j7").alias("sum_jaccard"),
+            F.sum("_j7").cast("long").alias("sum_jaccard_fp7"),
         )
     )
 

@@ -1072,37 +1072,79 @@ def test_logreg_learns_separable_labels(spark):
     m = logreg_metrics(feats, traj[-1]).collect()[0]
     assert m["n_docs"] == 40
     assert m["n_correct"] / m["n_docs"] >= 0.95
-    # metrics are exact (count, decimal sum) — means are reader quotients
-    mean_p_pos = float(m["sum_p_pos"]) / m["n_pos"]
-    mean_p_neg = float(m["sum_p_neg"]) / m["n_neg"]
+    # metrics are exact BIGINTs (count, fp7 sum) — means are reader quotients
+    mean_p_pos = m["sum_p_pos_fp7"] / 1e7 / m["n_pos"]
+    mean_p_neg = m["sum_p_neg_fp7"] / 1e7 / m["n_neg"]
     assert mean_p_pos > mean_p_neg + 0.05  # 3 passes, lr=1: clear but early separation
     feats.unpersist()
 
 
-def test_dot_w_fixed_point_contract(spark):
-    """The classifier dot product is EXACT fixed-point: z equals the
-    Python-computed sum of floor(xi*wi*1e9 + 0.5) integers divided by
-    1e9 — bit-for-bit, independent of fold order or engine. This is
-    the contract that killed the sf0.1 half-ulp split (a plain double
-    fold differs across engines by an ulp; round(z, 9) then lands on
-    adjacent 9dp values)."""
+def test_classifier_fixed_point_contract(spark):
+    """The classifier scoring chain is EXACT integer arithmetic:
+    p_fp7 equals the Python replay — z15 = Σ x_fp6·w_fp9 (BIGINT),
+    z_mils = tdiv(z15, 1e12), p = floor(1e7/(1+exp(-z_mils/1000))+0.5)
+    — bit-for-bit, independent of fold order or engine. This replaced
+    the round-7 round(exp-derived, 7) that split in the driver's
+    environment while matching locally at every scale factor."""
+    from actyxos_data_flow_spark.operators.classifier import (
+        _p_fp7,
+        _tdiv,
+        sigmoid_fp7,
+    )
+
+    w = [-166034676, -85926560, -10648173, -86217646, -74695660]
+    xs = [
+        [1000000, 920000, 65217, 293478, 466304],
+        [1000000, 400000, 25000, 550000, 435000],
+        [1000000, 1000000, 0, 1000000, 100000],
+    ]
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x array<long>")
+    got = {r["i"]: r["p"] for r in df.select("i", _p_fp7(w).alias("p")).collect()}
+    for i, x in enumerate(xs):
+        z15 = sum(xi * wi for xi, wi in zip(x, w))
+        expect = sigmoid_fp7(_tdiv(z15, 10**12))
+        assert got[i] == expect, (i, got[i], expect)
+
+
+def test_sigmoid_grid_half_boundary_margin():
+    """EXHAUSTIVE scan of the sigmoid's finite input grid: for every
+    z_mils in [-SIG_SCAN_MILS, SIG_SCAN_MILS], the floor argument
+    1e7/(1+exp(-z/1000)) + 0.5 must sit ≥ 1e-7 from any integer —
+    ~1000× the worst cross-libm exp() drift (a few ulps ≈ 3e-9 in
+    these units), so floor() is engine-independent. Outside the
+    scanned range σ saturates: 1e7·min(σ, 1−σ) < 1e7·e^(−19) ≈ 0.056,
+    so the argument is ≥ 0.444 from the nearest integer analytically.
+    This is the ONLY transcendental any hashed classifier column can
+    see; the margin here is what makes it portable."""
     import math
 
-    from pyspark.sql import functions as F
+    from actyxos_data_flow_spark.operators.classifier import SIG_SCAN_MILS
 
-    from actyxos_data_flow_spark.operators.classifier import _dot_w
+    worst = 1.0
+    for m in range(-SIG_SCAN_MILS, SIG_SCAN_MILS + 1):
+        v = 1e7 / (1.0 + math.exp(-(m / 1000.0))) + 0.5
+        d = abs(v - round(v))
+        if d < worst:
+            worst = d
+    assert worst > 1e-7, worst  # observed: 3.04e-6 at z_mils = -9848
 
-    w = [-0.16603467646000003, -0.08592656042, -0.0106481736, -0.08621764664, -0.0746956609]
-    xs = [
-        [1.0, 0.92, 0.065217, 0.293478, 0.466304],
-        [1.0, 0.4, 0.025, 0.55, 0.435],
-        [1.0, 1.0, 0.0, 1.0, 0.1],
-    ]
-    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)], "i long, x array<double>")
-    got = {r["i"]: r["z"] for r in df.select("i", _dot_w(w).alias("z")).collect()}
-    for i, x in enumerate(xs):
-        expect = sum(math.floor(xi * wi * 1e9 + 0.5) for xi, wi in zip(x, w)) / 1e9
-        assert got[i] == expect, (i, got[i], expect)
+
+def test_tdiv_matches_engines(spark):
+    """Driver-side _tdiv must match Spark DIV (and DuckDB //):
+    truncation toward zero, including negatives."""
+    import duckdb
+
+    from actyxos_data_flow_spark.operators.classifier import _tdiv
+
+    cases = [(-7, 2), (7, 2), (-7, -2), (1, 3), (-1, 3), (-1000000000001, 10**12)]
+    got_spark = spark.sql(
+        "SELECT " + ", ".join(f"CAST({n} AS BIGINT) DIV {d} AS c{i}" for i, (n, d) in enumerate(cases))
+    ).collect()[0]
+    got_duck = duckdb.sql(
+        "SELECT " + ", ".join(f"{n}::BIGINT // {d} AS c{i}" for i, (n, d) in enumerate(cases))
+    ).fetchone()
+    for i, (n, d) in enumerate(cases):
+        assert _tdiv(n, d) == got_spark[f"c{i}"] == got_duck[i], (n, d)
 
 
 def test_logreg_deterministic_under_repartition(spark):
