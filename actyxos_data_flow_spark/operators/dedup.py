@@ -560,7 +560,7 @@ def decontaminate(
     >= ``min_overlap`` distinct word n-grams with the eval corpus — the
     standard "remove benchmark leakage before training" pass.
 
-    Output: (id, n_shingles, n_matched, overlap_ratio, contaminated).
+    Output: (id, n_shingles, n_matched, overlap_ratio_fp6, contaminated).
 
     Scale shape: the eval side collapses to its DISTINCT shingle set
     before the join — eval corpora are orders of magnitude smaller than
@@ -590,7 +590,7 @@ def decontaminate(
         id_col,
         "n_shingles",
         "n_matched",
-        F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias("overlap_ratio"),
+        F.expr("(n_matched * 1000000) DIV n_shingles").alias("overlap_ratio_fp6"),
         (F.col("n_matched") >= min_overlap).alias("contaminated"),
     )
 
@@ -638,7 +638,7 @@ def decontaminate_bloom(
         id_col,
         "n_shingles",
         "n_matched",
-        F.round(F.col("n_matched") / F.col("n_shingles"), 6).alias("overlap_ratio"),
+        F.expr("(n_matched * 1000000) DIV n_shingles").alias("overlap_ratio_fp6"),
         (F.col("n_matched") >= min_overlap).alias("contaminated"),
     )
 
@@ -652,9 +652,12 @@ def containment_on_pairs(
     below any threshold (∩/|A∪B| → 0 as |B| grows while ∩/|A| stays 1).
     The max of the two is the dedup signal.
 
-    All-integer arithmetic until the final division — the scores are
-    exact, engine-portable rationals. Same inverted-index shape (and
-    broadcast economics) as :func:`jaccard_on_pairs`."""
+    ALL-integer arithmetic INCLUDING the scores: containment_fp6 =
+    (inter·10^6) DIV n — round(inter/n, 6) of an exact rational can
+    land ON a 6dp half-boundary (whenever n | 2·10^6·inter) where the
+    engines' double rounds split (the round-7 driver lesson). Same
+    inverted-index shape (and broadcast economics) as
+    :func:`jaccard_on_pairs`."""
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col(id_col).alias("id_a"), "shingle")
     sb = sh.select(F.col(id_col).alias("id_b"), "shingle")
@@ -667,8 +670,8 @@ def containment_on_pairs(
     )
     na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
     nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
-    c_a = F.round(F.col("inter") / F.col("na"), 6)
-    c_b = F.round(F.col("inter") / F.col("nb"), 6)
+    c_a = F.expr("(inter * 1000000) DIV na")
+    c_b = F.expr("(inter * 1000000) DIV nb")
     # broadcast the candidate-sized inter, never the per-doc sizes
     return (
         F.broadcast(inter).join(na, "id_a")
@@ -677,9 +680,9 @@ def containment_on_pairs(
             "id_a",
             "id_b",
             F.col("inter"),
-            c_a.alias("containment_a"),
-            c_b.alias("containment_b"),
-            F.greatest(c_a, c_b).alias("containment"),
+            c_a.alias("containment_a_fp6"),
+            c_b.alias("containment_b_fp6"),
+            F.greatest(c_a, c_b).alias("containment_fp6"),
         )
     )
 

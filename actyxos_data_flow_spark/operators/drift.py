@@ -43,9 +43,12 @@ def term_dist(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def drift_contributions(base: DataFrame, delta: DataFrame) -> DataFrame:
     """Per-term JSD contributions between two corpora:
-    (term, p_base, p_delta, contrib) — contrib rounded to 7dp,
-    p columns to 6dp for reporting. Probabilities use each side's own
-    total; absent terms contribute their ½·q·ln 2 (or ½·p·ln 2) mass."""
+    (term, p_base_fp6, p_delta_fp6, contrib) — contrib rounded to 7dp
+    (libm ln, irrational — never ON a boundary), p columns as fp6
+    integers ((cnt·10^6) DIV total: exact rationals through round()
+    were the round-7 cross-engine hazard). Probabilities use each
+    side's own total; absent terms contribute their ½·q·ln 2 (or
+    ½·p·ln 2) mass."""
     b = base.select(F.col("term"), F.col("cnt").alias("_cb"))
     d = delta.select(F.col("term"), F.col("cnt").alias("_cd"))
     nb = b.agg(F.sum("_cb").alias("_nb"))
@@ -64,8 +67,8 @@ def drift_contributions(base: DataFrame, delta: DataFrame) -> DataFrame:
     contrib = F.round(F.lit(0.5) * term_p + F.lit(0.5) * term_q, 7)
     return joined.select(
         "term",
-        F.round(p, 6).alias("p_base"),
-        F.round(q, 6).alias("p_delta"),
+        F.expr("(_cb * 1000000) DIV _nb").alias("p_base_fp6"),
+        F.expr("(_cd * 1000000) DIV _nd").alias("p_delta_fp6"),
         contrib.alias("contrib"),
     )
 

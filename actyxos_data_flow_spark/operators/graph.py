@@ -50,7 +50,9 @@ def triangle_stats(
     Input may be directed/duplicated; it is canonicalized (a<b,
     distinct, self-loops dropped). Output: one row (nodes, edges,
     wedges, triangles, clustering) where wedges = Σ C(deg,2) — all
-    exact integers — and clustering = 3·triangles/wedges rounded 6dp
+    exact integers — and clustering_fp6 = (3·triangles·10^6) DIV wedges
+    (pure integer: round(3t/w, 6) of an exact rational can land ON a
+    6dp half-boundary where engines' double rounds split)
     (a quotient of exact ints: identical doubles on both engines)."""
     e = (
         edges.select(
@@ -104,9 +106,9 @@ def triangle_stats(
         F.lit(n_edges).alias("edges"),
         F.lit(n_wedges).alias("wedges"),
         F.col("triangles").cast("long").alias("triangles"),
-        F.round(
-            F.lit(3.0) * F.col("triangles") / F.lit(float(n_wedges or 1)), 6
-        ).alias("clustering"),
+        F.expr(f"(3 * triangles * 1000000) DIV {n_wedges or 1}").cast("long").alias(
+            "clustering_fp6"
+        ),
     )
 
 
@@ -118,8 +120,13 @@ def pagerank(
     dst: str = "dst",
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges count once —
-    deduped up front). Returns (node, pr) for every node appearing as
-    src or dst, ranks rounded to 9dp.
+    deduped up front). Returns (node, pr_fp9) for every node appearing
+    as src or dst — ranks as 1e-9 fixed-point BIGINTs: every step
+    (init 10^9 DIV N, per-edge contribution pr DIV deg, damping
+    (dn·x) DIV dd, teleport) is exact integer arithmetic, so the
+    ranking cannot split across engine builds (round(pr/deg, 9) of an
+    exact rational — the previous form — lands ON 9dp half-boundaries
+    whenever deg divides 2·pr, the round-7 driver hazard class).
 
     Scale notes: ``nodes``/``outdeg`` are node-sized; each pass is
     edges ⋈ ranks (equi-join on src) + one hash aggregate on dst —
@@ -166,37 +173,38 @@ def pagerank(
     # three fewer plan trees per iteration.
     n = nodes.count()
 
-    # pr_0 = 1/N for every node
-    ranks = nodes.select("node", F.round(F.lit(1.0 / n), 9).alias("pr"))
-    dec = "CAST(round(pr / deg, 9) AS DECIMAL(28,9))"
+    from fractions import Fraction
+
+    dfr = Fraction(str(damping))
+    dn, dd = dfr.numerator, dfr.denominator
+    # pr_0 = 10^9 DIV N for every node (exact integer)
+    ranks = nodes.select("node", F.lit(10**9 // n).cast("long").alias("pr_fp9"))
     for _ in range(iters):
         contrib = (
             e2.join(ranks.withColumnRenamed("node", "src"), "src")
-            .select(F.col("dst").alias("node"), F.expr(dec).alias("_c"))
+            .select(F.col("dst").alias("node"), F.expr("pr_fp9 DIV deg").alias("_c"))
             .groupBy("node")
-            .agg(F.sum("_c").cast("double").alias("_in"))
+            .agg(F.sum("_c").cast("long").alias("_in"))
         )
-        # dangling mass: rank held by nodes with no out-edges
+        # dangling mass: rank held by nodes with no out-edges (exact
+        # BIGINT sum — a model-sized scalar collected per pass)
         dm_row = (
             ranks.join(dangling, "node", "left_semi")
-            .agg(
-                F.sum(F.expr("CAST(round(pr, 9) AS DECIMAL(28,9))"))
-                .cast("double")
-                .alias("_dm")
-            )
+            .agg(F.sum("pr_fp9").cast("long").alias("_dm"))
             .first()
         )
-        dm = float(dm_row["_dm"]) if dm_row["_dm"] is not None else 0.0
-        base = ((1.0 - damping) + damping * dm) / n  # matches oracle op order
+        dm = int(dm_row["_dm"]) if dm_row["_dm"] is not None else 0
+        # teleport + damped dangling share, folded driver-side in exact
+        # integer arithmetic (matches the oracle's expression order)
+        base = (((dd - dn) * 10**9) // dd + (dn * dm) // dd) // n
         ranks = (
             nodes.join(contrib, "node", "left_outer")
             .select(
                 "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
-                    9,
-                ).alias("pr"),
+                F.expr(
+                    f"CAST({base} AS BIGINT)"
+                    f" + ({dn} * coalesce(_in, CAST(0 AS BIGINT))) DIV {dd}"
+                ).alias("pr_fp9"),
             )
             .localCheckpoint()  # cut the per-pass lineage (see docstring)
         )

@@ -123,7 +123,8 @@ def zorder_prune_report(
     min/max box intersects the rectangle (the file-skipping test);
     ``scanned_rows`` is what a planner would read, ``matched_rows``
     what the predicate keeps. One row: (total_bins, hit_bins,
-    total_rows, scanned_rows, matched_rows, scan_fraction)."""
+    total_rows, scanned_rows, matched_rows, scan_fraction_fp6 — the
+    fraction as an exact fp6 integer, (scanned·10^6) DIV total)."""
     stats = zorder_bin_stats(df, col_a, col_b, bits, bin_bits)
     hit = (
         (F.col("max_a") >= a_lo)
@@ -152,8 +153,8 @@ def zorder_prune_report(
         "total_rows",
         "scanned_rows",
         "matched_rows",
-        F.round(F.col("scanned_rows").cast("double") / F.col("total_rows"), 6).alias(
-            "scan_fraction"
+        F.expr("(scanned_rows * 1000000) DIV total_rows").cast("long").alias(
+            "scan_fraction_fp6"
         ),
     )
 

@@ -4,7 +4,7 @@ Transposes the reference's grouped co-occurrence idiom (group_by →
 join within group, ``src/flow.rs`` grouped joins) onto the classic
 market-basket shape: baskets are groups, the pair generator is a
 basket-key equi-join, and rule statistics (support / confidence /
-lift) are exact integer counts with the divisions done once, at the
+lift) are exact integer counts with fp6 integer quotients, at the
 end, in doubles.
 
 Scale notes: the pair join is an equi-join on the basket key, so its
@@ -34,7 +34,8 @@ def pair_rules(
 ) -> DataFrame:
     """Association rules over item PAIRS: for every unordered pair
     {a, b} co-occurring in >= ``min_support`` baskets, emit exact
-    support counts plus confidence(a→b), confidence(b→a) and lift,
+    support counts plus fp6-integer confidence(a→b), confidence(b→a)
+    and lift,
     computed from integer counts and rounded to 6dp.
 
     lift = sup_ab·N / (sup_a·sup_b) — both operands exact BIGINT
@@ -70,11 +71,10 @@ def pair_rules(
             "sup_ab",
             "sup_a",
             "sup_b",
-            F.round(F.col("sup_ab") / F.col("sup_a"), 6).alias("conf_a_b"),
-            F.round(F.col("sup_ab") / F.col("sup_b"), 6).alias("conf_b_a"),
-            F.round(
-                (F.col("sup_ab") * F.lit(n_baskets)) / (F.col("sup_a") * F.col("sup_b")),
-                6,
-            ).alias("lift"),
+            F.expr("(sup_ab * 1000000) DIV sup_a").alias("conf_a_b_fp6"),
+            F.expr("(sup_ab * 1000000) DIV sup_b").alias("conf_b_a_fp6"),
+            F.expr(f"(sup_ab * CAST({n_baskets} AS BIGINT) * 1000000) DIV (sup_a * sup_b)").alias(
+                "lift_fp6"
+            ),
         )
     )

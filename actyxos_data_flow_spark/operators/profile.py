@@ -21,7 +21,8 @@ NUMERIC_TYPES = ("int", "bigint", "double", "float", "smallint", "tinyint")
 
 def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = True) -> DataFrame:
     """One row per profiled column: (col_name, n_rows, n_nulls,
-    null_frac, n_distinct, min_num, max_num); min/max are NULL for
+    null_frac_fp6 — (nulls·10^6) DIV rows, an exact fp6 integer —
+    n_distinct, min_num, max_num); min/max are NULL for
     non-numeric columns (cross-engine string/date rendering is not
     hash-stable, numeric is)."""
     cols = columns or df.columns
@@ -42,7 +43,7 @@ def profile(df: DataFrame, columns: list[str] | None = None, exact: bool = True)
             F.lit(c).alias("col_name"),
             F.col("_n").alias("n_rows"),
             F.col(f"_nulls_{c}").alias("n_nulls"),
-            F.round(F.col(f"_nulls_{c}") / F.col("_n"), 6).alias("null_frac"),
+            F.expr(f"(_nulls_{c} * 1000000) DIV _n").alias("null_frac_fp6"),
             F.col(f"_dist_{c}").alias("n_distinct"),
             (F.col(f"_min_{c}") if dtypes[c] in NUMERIC_TYPES else F.lit(None).cast("double")).alias("min_num"),
             (F.col(f"_max_{c}") if dtypes[c] in NUMERIC_TYPES else F.lit(None).cast("double")).alias("max_num"),

@@ -3,8 +3,9 @@ quality scoring, token counting, document fingerprinting.
 
 Everything is built from JVM-side expressions (regexp, higher-order
 array functions) — no Python in the hot path — and from engine-portable
-primitives so DuckDB oracles replicate results exactly. Integer counts
-are cast to double before any ratio; scores round to 6 decimals.
+primitives so DuckDB oracles replicate results exactly. Every ratio or
+score is fp6 fixed-point — (numerator·10^6) DIV denominator over exact
+integers — never round(double, k), which splits across engine builds.
 """
 
 from __future__ import annotations
@@ -46,65 +47,84 @@ def token_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
-def quality_col(text_col: str = "text"):
-    """The combined quality score as ONE column expression over the raw
-    text (6dp-rounded, same formula as :func:`quality_score`) — for
-    callers that want to gate inline in a projection instead of joining
-    the score table back (one scan, zero shuffles)."""
-    tokens = F.split(F.col(text_col), " ")
-    n_tok = F.size(tokens).cast("double")
-    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    stop_hits = F.size(F.filter(tokens, lambda x: F.array_contains(en, x))).cast("double")
-    distinct_ratio = F.size(F.array_distinct(tokens)).cast("double") / n_tok
-    mean_wlen = (F.length(text_col).cast("double") - (n_tok - 1)) / n_tok
-    stop_ratio = stop_hits / n_tok
-    score = (
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.25
-        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
-        + distinct_ratio * 0.25
-        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0) * 0.25
+# fp6 fixed-point scale for quality/ratio columns: 1.0 == 1_000_000.
+# Round-8 contract: every hashed ratio is an INTEGER produced by
+# integer division of exact integer numerators — round(double, 6) of an
+# exact rational can land ON a 6dp half-boundary where the two engines'
+# double-round implementations legitimately split (the round-7 driver
+# incident). Spark DIV and DuckDB // share toward-zero truncation.
+QFP6 = 10**6
+
+_EN_ARR_SQL = "array(" + ",".join(repr(w) for w in LANG_STOPWORDS["en"]) + ")"
+
+
+def _q_terms_sql(tok: str, text_col: str) -> tuple[str, str, str, str, str, str]:
+    """Shared Spark-SQL fragments (n_tok, chars, and the four fp6 score
+    terms) over a tokens expression ``tok``."""
+    ntok = f"CAST(size({tok}) AS BIGINT)"
+    hits = f"CAST(size(filter({tok}, t -> array_contains({_EN_ARR_SQL}, t))) AS BIGINT)"
+    dist = f"CAST(size(array_distinct({tok})) AS BIGINT)"
+    chars = f"(CAST(length({text_col}) AS BIGINT) - {ntok} + 1)"
+    t1 = f"least({ntok} * 10000, CAST({QFP6} AS BIGINT))"
+    t2 = f"least(({hits} * {5 * QFP6}) DIV {ntok}, CAST({QFP6} AS BIGINT))"
+    t3 = f"({dist} * {QFP6}) DIV {ntok}"
+    t4 = (
+        f"(CASE WHEN {chars} >= 3 * {ntok} AND {chars} <= 10 * {ntok} "
+        f"THEN {QFP6} ELSE 0 END)"
     )
-    return F.round(score, 6)
+    return ntok, chars, t1, t2, t3, t4
+
+
+def quality_col(text_col: str = "text") -> Column:
+    """The combined quality score as ONE column expression over the raw
+    text — fp6 BIGINT in [0, 10^6] (same formula as
+    :func:`quality_score`) — for callers that want to gate inline in a
+    projection instead of joining the score table back (one scan, zero
+    shuffles). score_fp6 = (t1+t2+t3+t4) DIV 4 with
+    t1 = min(n_tok·10^4, 10^6)              (length saturation)
+    t2 = min((stop_hits·5·10^6) DIV n_tok, 10^6)  (stopword ratio ×5)
+    t3 = (n_distinct·10^6) DIV n_tok        (repetition)
+    t4 = [3 ≤ mean_wlen ≤ 10]·10^6 via 3·n_tok ≤ chars ≤ 10·n_tok
+    — all exact integer arithmetic, no doubles anywhere."""
+    tok = f"split({text_col}, ' ')"
+    _, _, t1, t2, t3, t4 = _q_terms_sql(tok, text_col)
+    return F.expr(f"(({t1} + {t2} + {t3} + {t4}) DIV 4)")
 
 
 def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Heuristic quality signals: length, mean word length, stopword
-    ratio, alpha ratio, repetition (distinct/total tokens) — combined
-    into one score. Pure column arithmetic, one pass, no shuffle."""
+    ratio, repetition (distinct/total tokens) — combined into one
+    score. All ratio columns are fp6 BIGINTs from integer division
+    (exact on any engine build); pure column arithmetic, one pass, no
+    shuffle."""
     t = with_tokens(df, text_col)
-    n_tok = F.size("tokens").cast("double")
-    en = F.array(*[F.lit(w) for w in LANG_STOPWORDS["en"]])
-    stop_hits = F.size(F.filter("tokens", lambda x: F.array_contains(en, x))).cast("double")
-    distinct_ratio = F.size(F.array_distinct("tokens")).cast("double") / n_tok
-    mean_wlen = (F.length(text_col).cast("double") - (n_tok - 1)) / n_tok
-    stop_ratio = stop_hits / n_tok
-    score = (
-        F.least(n_tok / F.lit(100.0), F.lit(1.0)) * 0.25
-        + F.least(stop_ratio * 5, F.lit(1.0)) * 0.25
-        + distinct_ratio * 0.25
-        + F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.0) * 0.25
-    )
+    ntok, chars, t1, t2, t3, t4 = _q_terms_sql("tokens", text_col)
     return t.select(
         id_col,
         F.size("tokens").alias("n_tokens"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(stop_ratio, 6).alias("stopword_ratio"),
-        F.round(distinct_ratio, 6).alias("distinct_ratio"),
-        F.round(score, 6).alias("quality"),
+        F.expr(f"({chars} * {QFP6}) DIV {ntok}").alias("mean_word_len_fp6"),
+        F.expr(f"(CAST(size(filter(tokens, t -> array_contains({_EN_ARR_SQL}, t))) AS BIGINT) * {QFP6}) DIV {ntok}").alias("stopword_ratio_fp6"),
+        F.expr(f"(CAST(size(array_distinct(tokens)) AS BIGINT) * {QFP6}) DIV {ntok}").alias("distinct_ratio_fp6"),
+        F.expr(f"(({t1} + {t2} + {t3} + {t4}) DIV 4)").alias("quality_fp6"),
     )
 
 
 def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-hit language ID: per language, the fraction of tokens in
     its stopword list; argmax wins, ties break alphabetically (fixed
-    CASE precedence). Array-filter per language — no explode, no join."""
+    CASE precedence). Array-filter per language — no explode, no join.
+    The argmax compares raw HIT COUNTS (the ratios share the n_tok
+    denominator, so hit-count order == ratio order — pure integer
+    compares); the reported scores are fp6 BIGINTs from integer
+    division."""
     t = with_tokens(df, text_col)
-    n_tok = F.size("tokens").cast("double")
-    def _hit_ratio(words: tuple[str, ...]):
-        arr = F.array(*[F.lit(w) for w in words])
-        return F.size(F.filter("tokens", lambda x: F.array_contains(arr, x))).cast("double") / n_tok
+    n_tok = F.size("tokens").cast("long")
 
-    scores = {lang: _hit_ratio(words) for lang, words in LANG_STOPWORDS.items()}
+    def _hits(words: tuple[str, ...]) -> Column:
+        arr = F.array(*[F.lit(w) for w in words])
+        return F.size(F.filter("tokens", lambda x: F.array_contains(arr, x))).cast("long")
+
+    hits = {lang: _hits(words) for lang, words in LANG_STOPWORDS.items()}
     langs = sorted(LANG_STOPWORDS)  # CASE order = alphabetical tie-break
     best = None
     for lang in langs:
@@ -112,10 +132,20 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         for other in langs:
             if other == lang:
                 continue
-            c = scores[lang] >= scores[other]
+            c = hits[lang] >= hits[other]
             cond = c if cond is None else (cond & c)
         best = F.when(cond, lang) if best is None else best.when(cond, lang)
-    out_cols = [F.round(scores[lang], 6).alias(f"score_{lang}") for lang in langs]
+    arrs = {
+        lang: "array(" + ",".join(repr(w) for w in words) + ")"
+        for lang, words in LANG_STOPWORDS.items()
+    }
+    out_cols = [
+        F.expr(
+            f"(CAST(size(filter(tokens, t -> array_contains({arrs[lang]}, t))) AS BIGINT)"
+            f" * {QFP6}) DIV CAST(size(tokens) AS BIGINT)"
+        ).alias(f"score_{lang}_fp6")
+        for lang in langs
+    ]
     return t.select(id_col, best.alias("lang_pred"), *out_cols)
 
 
@@ -208,8 +238,10 @@ def scrub_pii(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
 # Repetition thresholds (token-fraction analogues of the Gopher paper's
 # repetitive-text filters, adapted to single-line token streams).
-TOP_BIGRAM_MAX = 0.10
-DUP_TRIGRAM_MAX = 0.20
+# fp6 integer thresholds (0.10 / 0.20): the gates compare fp6 integer
+# fractions, so membership in `repetitive` is engine-build-proof
+TOP_BIGRAM_MAX_FP6 = 100_000
+DUP_TRIGRAM_MAX_FP6 = 200_000
 
 
 def _max_run_length(arr_sql: str) -> str:
@@ -228,8 +260,8 @@ def repetition_stats(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    top_bigram_max: float = TOP_BIGRAM_MAX,
-    dup_trigram_max: float = DUP_TRIGRAM_MAX,
+    top_bigram_max_fp6: int = TOP_BIGRAM_MAX_FP6,
+    dup_trigram_max_fp6: int = DUP_TRIGRAM_MAX_FP6,
 ) -> DataFrame:
     """Gopher-style repetition filters over token n-grams: fraction of
     tokens taken by the single most frequent unigram / bigram, and the
@@ -254,7 +286,6 @@ def repetition_stats(
         "transform(sequence(1, size(tokens) - 2),"
         " i -> concat_ws(' ', slice(tokens, i, 3)))"
     )
-    n = F.size("tokens").cast("double")
     t = t.select(
         id_col,
         F.size("tokens").alias("n_tokens"),
@@ -262,45 +293,54 @@ def repetition_stats(
         F.expr(_max_run_length(bigrams)).alias("_bc"),
         F.expr(f"size({trigrams})").alias("_tt"),
         F.expr(f"size(array_distinct({trigrams}))").alias("_td"),
-        n.alias("_n"),
+        F.size("tokens").cast("long").alias("_n"),
     )
+    # fp6 integer fractions ((x·10^6) DIV denom) — exact rational
+    # quotients through round() were the round-7 cross-engine hazard
     t = t.select(
         id_col,
         "n_tokens",
-        F.round(F.col("_uc") / F.col("_n"), 6).alias("top_unigram_frac"),
-        F.round(F.col("_bc") / (F.col("_n") - 1), 6).alias("top_bigram_frac"),
-        F.round((F.col("_tt") - F.col("_td")) / (F.col("_tt").cast("double")), 6).alias("dup_trigram_frac"),
+        F.expr("(_uc * 1000000) DIV _n").alias("top_unigram_frac_fp6"),
+        F.expr("(_bc * 1000000) DIV (_n - 1)").alias("top_bigram_frac_fp6"),
+        F.expr("((_tt - _td) * 1000000) DIV _tt").alias("dup_trigram_frac_fp6"),
         # the top bigram must actually REPEAT to count against the doc —
         # otherwise every short all-distinct doc trips the ratio gate
-        ((F.col("_bc") >= 2) & (F.round(F.col("_bc") / (F.col("_n") - 1), 6) >= top_bigram_max)).alias("_brep"),
+        ((F.col("_bc") >= 2) & (F.expr("(_bc * 1000000) DIV (_n - 1)") >= top_bigram_max_fp6)).alias("_brep"),
     )
     return t.withColumn(
-        "repetitive", F.col("_brep") | (F.col("dup_trigram_frac") >= dup_trigram_max)
+        "repetitive", F.col("_brep") | (F.col("dup_trigram_frac_fp6") >= dup_trigram_max_fp6)
     ).drop("_brep")
+
+
+# floor(2^60 / 10^6): per-fp6-unit hash-threshold step. Integer, so the
+# keep threshold p_fp6·WSAMPLE_STEP is exact BIGINT arithmetic on both
+# engines (the old double p·2^60 cast was correct but re-introduced a
+# double into sample MEMBERSHIP).
+WSAMPLE_STEP = (1 << 60) // 10**6
 
 
 def weighted_sample(
     df: DataFrame,
-    weight_col: str,
+    weight_fp6_col: str,
     id_col: str = "doc_id",
-    floor: float = 0.05,
+    floor_fp6: int = 50_000,
     salt: str = "wsample:1",
 ) -> DataFrame:
     """Quality-weighted deterministic subsampling: a row survives iff
     its 60-bit id-hash falls under its own per-row keep probability
-    ``clamp(weight, floor, 1)`` — higher-quality rows are kept at
-    proportionally higher rates, but nothing is excluded outright
-    (``floor``). Same hash scheme as :func:`stratified_sample`: pure
-    per-row filter, no shuffle, no RNG, identical output on every
-    run / topology / SQL oracle."""
+    ``clamp(weight_fp6, floor_fp6, 10^6)`` fp6 units — higher-quality
+    rows are kept at proportionally higher rates, but nothing is
+    excluded outright (``floor_fp6``). Same hash scheme as
+    :func:`stratified_sample`: pure per-row filter, no shuffle, no RNG,
+    identical output on every run / topology / SQL oracle; the
+    threshold p_fp6·⌊2^60/10^6⌋ is exact integer arithmetic."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")).cast("binary")), 1, 15),
         16,
         10,
     ).cast("long")
-    p = F.least(F.greatest(F.col(weight_col), F.lit(floor)), F.lit(1.0))
-    scale = float(1 << 60)
-    return df.filter(h < (p * scale).cast("long"))
+    p = F.least(F.greatest(F.col(weight_fp6_col), F.lit(floor_fp6)), F.lit(10**6))
+    return df.filter(h < p * F.lit(WSAMPLE_STEP))
 
 
 def chunk(
@@ -599,7 +639,7 @@ def vocab_coverage(
     token vocabulary (count desc, token asc tie-break) and score every
     document's out-of-vocabulary fraction against it — the signal for
     sizing a vocab / spotting domains a tokenizer will shred into
-    bytes. Output: (id, n_tokens, n_oov, oov_frac).
+    bytes. Output: (id, n_tokens, n_oov, oov_frac_fp6 — exact fp6 integer).
 
     Scale shape: the vocab pick runs over the TOKEN TYPE count table
     (map-side combined aggregate) via ``orderBy + limit`` — Spark plans
@@ -628,7 +668,7 @@ def vocab_coverage(
         id_col,
         "n_tokens",
         "n_oov",
-        F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 6).alias("oov_frac"),
+        F.expr("(n_oov * 1000000) DIV n_tokens").alias("oov_frac_fp6"),
     )
 
 
@@ -641,27 +681,32 @@ def mix_weights(
     rule): a group's sampling probability is share^α renormalized —
     α=1 keeps natural proportions, α→0 approaches uniform, between
     the two it up-weights small sources without drowning large ones.
-    Output: (group, n, mix_weight), Σ mix_weight = 1.
+    Output: (group, n, mix_weight_fp6), Σ mix_weight ≈ 10^6.
 
     Engine portability: pow() may differ in the last ulp between
-    libms, so share^α is ROUNDED to 6dp before use and the
-    normalizing sum runs in DECIMAL (order-free); the final ratio is
-    one double division, identical everywhere.
+    libms, so share^α is ROUNDED to 6dp before use and carried as an
+    fp6 INTEGER from there on; the normalizing sum and the final ratio
+    ((p6·10^6) DIV z6) are pure integer arithmetic (a rounded double
+    quotient of exact decimals was the round-7 reachable-half-boundary
+    class). Output mix_weight_fp6 in [0, 10^6].
 
     Scale shape: one map-side-combined count aggregate; the weight
     table is |groups| rows — broadcast it into whatever sampling join
     consumes it."""
     c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(F.sum("n").alias("_total"))
-    p6 = F.round(
-        F.pow(F.col("n").cast("double") / F.col("_total").cast("double"), F.lit(alpha)), 6
-    ).cast("decimal(12,6)")
+    p6 = (
+        F.round(
+            F.pow(F.col("n").cast("double") / F.col("_total").cast("double"), F.lit(alpha)), 6
+        )
+        * F.lit(10**6)
+    ).cast("long")
     p = c.crossJoin(F.broadcast(t)).select(group_col, "n", p6.alias("_p6"))
     z = p.agg(F.sum("_p6").alias("_z"))
     return p.crossJoin(F.broadcast(z)).select(
         group_col,
         "n",
-        F.round(F.col("_p6").cast("double") / F.col("_z").cast("double"), 6).alias("mix_weight"),
+        F.expr("(_p6 * 1000000) DIV _z").alias("mix_weight_fp6"),
     )
 
 
@@ -746,7 +791,8 @@ def epoch_schedule(
     Mechanics (all engine-portable, no RNG state):
     - global budget B = Σ size · budget_num // budget_den (pure
       integer, scale-invariant);
-    - per-domain budget: floor(B · mix_weight + 0.5) — mix_weight is
+    - per-domain budget: floor(B · mix_weight + 0.5) in pure integer
+      form (2·B·w_fp6 + 10^6) DIV (2·10^6) — mix_weight is
       the 6dp-rounded temperature weight, identical in any engine, and
       floor(x+0.5) is the cross-engine quantization convention;
     - domains smaller than their budget replicate: full_epochs =
@@ -778,12 +824,14 @@ def epoch_schedule(
         F.expr(f"CAST(_tot * {budget_num} div {budget_den} AS BIGINT)").alias("_budget")
     )
     dom = (
-        sizes.join(F.broadcast(weights.select(group_col, "mix_weight")), group_col)
+        sizes.join(F.broadcast(weights.select(group_col, "mix_weight_fp6")), group_col)
         .crossJoin(F.broadcast(bt))
         .select(
             group_col,
             "_dom_sz",
-            F.floor(F.col("_budget").cast("double") * F.col("mix_weight") + F.lit(0.5))
+            # floor(budget·w + 1/2) over fp6 integer weights:
+            # (2·budget·w_fp6 + 10^6) DIV (2·10^6) — exact integers
+            F.expr("(2 * _budget * mix_weight_fp6 + 1000000) DIV 2000000")
             .cast("long")
             .alias("_dom_budget"),
         )

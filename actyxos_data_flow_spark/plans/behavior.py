@@ -183,7 +183,7 @@ mcnt AS (
 ),
 mtot AS (SELECT from_type, sum(n) AS tot FROM mcnt GROUP BY 1)
 SELECT c.from_type, c.to_type, CAST(c.n AS BIGINT) AS n,
-       round(CAST(c.n AS DOUBLE) / t.tot, 6) AS prob
+       (c.n * 1000000) // CAST(t.tot AS BIGINT) AS prob_fp6
 FROM mcnt c JOIN mtot t USING (from_type)
 """
 
@@ -196,8 +196,9 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     The lag window partitions by user_id — per-user state never
     crosses executors and there is no global sort; the transition
     matrix itself is |event types|² rows, so everything after the one
-    windowed scan is model-sized. Probabilities are single integer
-    ratios (one double division, 6dp) — no float-sum ordering anywhere.
+    windowed scan is model-sized. Probabilities are fp6 integers
+    ((n·10^6) DIV total — exact rational quotients through round()
+    were the round-7 cross-engine hazard).
     The sequence-mining sibling of the funnel row: where the funnel
     asks "does the ordered chain complete", this measures the full
     empirical transition structure."""
@@ -219,5 +220,5 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "from_type",
         "to_type",
         "n",
-        F.round(F.col("n") / F.col("_tot"), 6).alias("prob"),
+        F.expr("(n * 1000000) DIV _tot").alias("prob_fp6"),
     )

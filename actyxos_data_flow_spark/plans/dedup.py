@@ -163,11 +163,10 @@ def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Correctness rows prove the estimator is DETERMINISTIC; this query
 # measures how well it tracks the exact statistic: per LSH-candidate
-# pair, |est − true Jaccard| (est = fraction of agreeing signature
-# components — exactly the score the streaming ingest gate thresholds
-# on), aggregated with the decimal-exact-sum convention so the mean is
-# bit-identical across engines (CAST(sum(decimal) AS DOUBLE)/n; inputs
-# rounded to 7dp, the quotient never re-rounded).
+# pair, |est − true Jaccard| as an EXACT fp7 integer
+# (|a·u − H·i|·10^7) DIV (H·u) — est = a/H is the score the streaming
+# ingest gate thresholds on; the BIGINT sum/max are bit-identical on
+# any engine build (the mean is the reader's quotient).
 
 _est_sql = " + ".join(f"(a.h{s} = b.h{s})::INT" for s in range(NUM_HASHES))
 
@@ -188,7 +187,7 @@ cand AS (
   WHERE a.doc_id < b.doc_id
 ),
 est AS (
-  SELECT c.id_a, c.id_b, ({_est_sql})::DOUBLE / {NUM_HASHES} AS est
+  SELECT c.id_a, c.id_b, ({_est_sql})::BIGINT AS agree
   FROM cand c JOIN sig a ON a.doc_id = c.id_a JOIN sig b ON b.doc_id = c.id_b
 ),
 sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
@@ -198,17 +197,16 @@ inter AS (
   GROUP BY 1, 2
 ),
 tj AS (
-  SELECT i.id_a, i.id_b,
-         CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) AS jaccard
+  SELECT i.id_a, i.id_b, i.i::BIGINT AS i, (sa.n + sb.n - i.i)::BIGINT AS u
   FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
 ),
 errs AS (
-  SELECT CAST(round(abs(e.est - t.jaccard), 7) AS DECIMAL(12,7)) AS d
+  SELECT (abs(e.agree * t.u - {NUM_HASHES} * t.i) * 10000000) // ({NUM_HASHES} * t.u) AS d
   FROM est e JOIN tj t ON t.id_a = e.id_a AND t.id_b = e.id_b
 )
 SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       CAST(sum(d) AS DOUBLE) / count(*) AS mean_abs_err,
-       CAST(max(d) AS DOUBLE) AS max_abs_err
+       CAST(sum(d) AS BIGINT) AS sum_abs_err_fp7,
+       CAST(max(d) AS BIGINT) AS max_abs_err_fp7
 FROM errs
 """
 
@@ -217,32 +215,35 @@ FROM errs
 def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Estimator-error report over the LSH candidate pairs: the MinHash
     agreement fraction vs the exact Jaccard it estimates, as (n_pairs,
-    mean_abs_err, max_abs_err). All work is candidate-sized; the hash
-    gate covers the error statistics themselves."""
+    sum_abs_err_fp7, max_abs_err_fp7) — exact integers. All work is
+    candidate-sized; the hash gate covers the error statistics
+    themselves."""
     docs = load_table(spark, sf_dir, "documents")
     sh = D.shingles(docs)
     sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
     cand = D.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
     sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(NUM_HASHES)])
     sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(NUM_HASHES)])
-    est_frac = sum(
+    agree = sum(
         (F.col(f"a{s}") == F.col(f"b{s}")).cast("int") for s in range(NUM_HASHES)
-    ).cast("double") / F.lit(float(NUM_HASHES))
+    ).cast("long")
     est = (
         F.broadcast(cand).join(sa, "id_a").join(sb, "id_b")
-        .select("id_a", "id_b", est_frac.alias("est"))
+        .select("id_a", "id_b", agree.alias("agree"))
     )
-    true_j = D.jaccard_on_pairs(cand, sh)
-    d = (
-        F.round(F.abs(F.col("est") - F.col("jaccard")), 7)
-        .cast("decimal(12,7)")
-        .alias("d")
-    )
+    true_j = D.jaccard_on_pairs(cand, sh, with_counts=True)
+    # |est − true| = |a/H − i/u| = |a·u − H·i| / (H·u): exact integers
+    # end-to-end ((·)·10^7 DIV (H·u) is the fp7 error — round(double
+    # difference of exact rationals, 7) was the reachable-half-boundary
+    # hazard class)
+    d = F.expr(
+        f"(abs(agree * u - {NUM_HASHES} * i) * 10000000) DIV ({NUM_HASHES} * u)"
+    ).alias("d")
     errs = est.join(true_j, ["id_a", "id_b"]).select(d)
     return errs.agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        (F.sum("d").cast("double") / F.count(F.lit(1))).alias("mean_abs_err"),
-        F.max("d").cast("double").alias("max_abs_err"),
+        F.sum("d").cast("long").alias("sum_abs_err_fp7"),
+        F.max("d").cast("long").alias("max_abs_err_fp7"),
     )
 
 
@@ -529,7 +530,7 @@ m AS (
 )
 SELECT tot.doc_id, tot.n_shingles,
        coalesce(m.n_matched, 0) AS n_matched,
-       round(coalesce(m.n_matched, 0) / tot.n_shingles::DOUBLE, 6) AS overlap_ratio,
+       (coalesce(m.n_matched, 0) * 1000000) // tot.n_shingles AS overlap_ratio_fp6,
        coalesce(m.n_matched, 0) >= {DECON_MIN_OVERLAP} AS contaminated
 FROM tot LEFT JOIN m ON tot.doc_id = m.doc_id
 """
@@ -702,9 +703,9 @@ cinter AS (
   GROUP BY 1, 2
 )
 SELECT i.id_a, i.id_b, i.inter,
-       round(i.inter / sa.n::DOUBLE, 6) AS containment_a,
-       round(i.inter / sb.n::DOUBLE, 6) AS containment_b,
-       greatest(round(i.inter / sa.n::DOUBLE, 6), round(i.inter / sb.n::DOUBLE, 6)) AS containment
+       (i.inter * 1000000) // sa.n AS containment_a_fp6,
+       (i.inter * 1000000) // sb.n AS containment_b_fp6,
+       greatest((i.inter * 1000000) // sa.n, (i.inter * 1000000) // sb.n) AS containment_fp6
 FROM cinter i
 JOIN csizes sa ON i.id_a = sa.doc_id
 JOIN csizes sb ON i.id_b = sb.doc_id

@@ -33,8 +33,8 @@ dj AS (
 ),
 dc AS (
   SELECT term,
-         round(cb::DOUBLE / dn.nb, 6) AS p_base,
-         round(cd::DOUBLE / dn.nd, 6) AS p_delta,
+         (cb * 1000000) // CAST(dn.nb AS BIGINT) AS p_base_fp6,
+         (cd * 1000000) // CAST(dn.nd AS BIGINT) AS p_delta_fp6,
          round(0.5 * (CASE WHEN cb > 0
                  THEN (cb::DOUBLE / dn.nb) * ln((cb::DOUBLE / dn.nb)
                       / (((cb::DOUBLE / dn.nb) + (cd::DOUBLE / dn.nd)) / 2.0))
@@ -77,11 +77,11 @@ DRIFT_TERMS_ORACLE = (
     + _DRIFT_CTE
     + f""",
 dr AS (
-  SELECT term, p_base, p_delta, contrib,
+  SELECT term, p_base_fp6, p_delta_fp6, contrib,
          row_number() OVER (ORDER BY contrib DESC, term ASC) AS rank
   FROM dc
 )
-SELECT term, p_base, p_delta, contrib, rank FROM dr WHERE rank <= {DRIFT_TOP}
+SELECT term, p_base_fp6, p_delta_fp6, contrib, rank FROM dr WHERE rank <= {DRIFT_TOP}
 """
 )
 
@@ -90,7 +90,7 @@ SELECT term, p_base, p_delta, contrib, rank FROM dr WHERE rank <= {DRIFT_TOP}
 def corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The actionable half of the drift alert: the top-10 terms driving
     the divergence (per-term JSD contributions, 7dp), with each side's
-    probability — 'which tokens does the new epoch over/under-use'.
+    fp6 integer probability — 'which tokens does the new epoch over/under-use'.
     TakeOrdered top-k; rank attached post-limit."""
     docs = load_table(spark, sf_dir, "documents")
     base = DR.term_dist(docs.filter(F.col("doc_id") % DRIFT_MOD != 0))

@@ -19,40 +19,42 @@ from ..sources import load_table
 from . import register
 
 PR_TOP = 20
-_D = G.DAMPING
-_T = 1.0 - G.DAMPING  # 0.15000000000000002 — repr'd into the SQL so
-# both engines fold the identical double
 
 
 def _pagerank_ctes(iters: int) -> tuple[str, str]:
     """Unrolled PageRank iterations as CTEs; mirror of
-    operators/graph.pagerank (9dp contributions, DECIMAL(28,9) sums,
-    dangling mass folded into the teleport term). Returns (sql,
-    final_ranks_cte)."""
+    operators/graph.pagerank — fp9 BIGINT ranks, pure integer
+    arithmetic (init 10^9 // N, contributions pr // deg, damping
+    (17·x) // 20, dangling mass folded into the teleport term).
+    Returns (sql, final_ranks_cte)."""
+    from fractions import Fraction
+
+    dfr = Fraction(str(G.DAMPING))
+    dn, dd = dfr.numerator, dfr.denominator
+    tp = ((dd - dn) * 10**9) // dd
     sql = """
 ge AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
 gn AS (SELECT src AS node FROM ge UNION SELECT dst FROM ge),
 gd AS (SELECT src, count(*) AS deg FROM ge GROUP BY 1),
 gc AS (SELECT count(*) AS n FROM gn),
-gr0 AS (SELECT node, round(1.0 / gc.n, 9) AS pr FROM gn, gc)"""
+gr0 AS (SELECT node, (1000000000 // gc.n)::BIGINT AS pr_fp9 FROM gn, gc)"""
     prev = "gr0"
     for i in range(1, iters + 1):
         sql += f""",
 gin{i} AS (
-  SELECT e.dst AS node,
-         CAST(sum(CAST(round(r.pr / d.deg, 9) AS DECIMAL(28,9))) AS DOUBLE) AS cin
+  SELECT e.dst AS node, CAST(sum(r.pr_fp9 // d.deg) AS BIGINT) AS cin
   FROM ge e JOIN {prev} r ON r.node = e.src JOIN gd d ON d.src = e.src
   GROUP BY e.dst
 ),
 gdm{i} AS (
-  SELECT coalesce(CAST(sum(CAST(round(r.pr, 9) AS DECIMAL(28,9))) AS DOUBLE), 0.0) AS dm
+  SELECT coalesce(CAST(sum(r.pr_fp9) AS BIGINT), 0) AS dm
   FROM {prev} r LEFT JOIN gd d ON d.src = r.node WHERE d.src IS NULL
 ),
 gr{i} AS (
   SELECT n.node,
-         round(({_T!r} + {_D!r} * dm.dm) / gc.n
-               + {_D!r} * coalesce(i.cin, 0.0), 9) AS pr
+         CAST(({tp} + ({dn} * dm.dm) // {dd}) // gc.n
+              + ({dn} * coalesce(i.cin, 0)) // {dd} AS BIGINT) AS pr_fp9
   FROM gn n CROSS JOIN gc CROSS JOIN gdm{i} dm
   LEFT JOIN gin{i} i ON i.node = n.node
 )"""
@@ -67,11 +69,11 @@ PAGERANK_ORACLE = (
     + _PR_SQL
     + f""",
 prr AS (
-  SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node ASC) AS rank
+  SELECT node, pr_fp9, row_number() OVER (ORDER BY pr_fp9 DESC, node ASC) AS rank
   FROM {_PR_FINAL}
 )
 SELECT node, CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS kind,
-       pr, rank
+       pr_fp9, rank
 FROM prr WHERE rank <= {PR_TOP}
 """
 )
@@ -136,7 +138,7 @@ tstats AS (
          (SELECT CAST(coalesce(sum((deg * (deg - 1)) // 2), 0) AS BIGINT) FROM td) AS wedges
 )
 SELECT s.nodes, s.edges, s.wedges, CAST(t.triangles AS BIGINT) AS triangles,
-       round(3.0 * t.triangles / CAST(CASE WHEN s.wedges = 0 THEN 1 ELSE s.wedges END AS DOUBLE), 6) AS clustering
+       (3 * t.triangles * 1000000) // (CASE WHEN s.wedges = 0 THEN 1 ELSE s.wedges END) AS clustering_fp6
 FROM tstats s CROSS JOIN tt t
 """
 
@@ -228,7 +230,7 @@ tstats AS (
          (SELECT CAST(coalesce(sum((deg * (deg - 1)) // 2), 0) AS BIGINT) FROM td) AS wedges
 )
 SELECT s.nodes, s.edges, s.wedges, CAST(t.triangles AS BIGINT) AS triangles,
-       round(3.0 * t.triangles / CAST(CASE WHEN s.wedges = 0 THEN 1 ELSE s.wedges END AS DOUBLE), 6) AS clustering
+       (3 * t.triangles * 1000000) // (CASE WHEN s.wedges = 0 THEN 1 ELSE s.wedges END) AS clustering_fp6
 FROM tstats s CROSS JOIN tt t
 """
 
@@ -287,11 +289,11 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = cache.pin(edges)  # each PR pass rescans the edge list
     ranks = G.pagerank(edges)
-    lim = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(PR_TOP)
-    w = W.orderBy(F.col("pr").desc(), F.col("node").asc())
+    lim = ranks.orderBy(F.col("pr_fp9").desc(), F.col("node").asc()).limit(PR_TOP)
+    w = W.orderBy(F.col("pr_fp9").desc(), F.col("node").asc())
     kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
     return lim.withColumn("rank", F.row_number().over(w)).select(
-        "node", kind.alias("kind"), "pr", "rank"
+        "node", kind.alias("kind"), "pr_fp9", "rank"
     )
 
 
@@ -343,11 +345,11 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge list — PageRank, BFS, shortest paths all share it."""
     edges = _trade_edges_bucketed(spark, sf_dir)
     ranks = G.pagerank(edges)
-    lim = ranks.orderBy(F.col("pr").desc(), F.col("node").asc()).limit(PR_TOP)
-    w = W.orderBy(F.col("pr").desc(), F.col("node").asc())
+    lim = ranks.orderBy(F.col("pr_fp9").desc(), F.col("node").asc()).limit(PR_TOP)
+    w = W.orderBy(F.col("pr_fp9").desc(), F.col("node").asc())
     kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
     return lim.withColumn("rank", F.row_number().over(w)).select(
-        "node", kind.alias("kind"), "pr", "rank"
+        "node", kind.alias("kind"), "pr_fp9", "rank"
     )
 
 

@@ -28,19 +28,19 @@ apairs AS (
 arules AS (
   SELECT item_a, item_b, CAST(sup_ab AS BIGINT) AS sup_ab,
          CAST(sa.s AS BIGINT) AS sup_a, CAST(sb.s AS BIGINT) AS sup_b,
-         round(CAST(sup_ab AS DOUBLE) / sa.s, 6) AS conf_a_b,
-         round(CAST(sup_ab AS DOUBLE) / sb.s, 6) AS conf_b_a,
-         round(CAST(sup_ab * anb.n AS DOUBLE) / CAST(sa.s * sb.s AS DOUBLE), 6) AS lift
+         (sup_ab * 1000000) // sa.s AS conf_a_b_fp6,
+         (sup_ab * 1000000) // sb.s AS conf_b_a_fp6,
+         (sup_ab * anb.n * 1000000) // (sa.s * sb.s) AS lift_fp6
   FROM apairs
   JOIN asup sa ON sa.i = apairs.item_a
   JOIN asup sb ON sb.i = apairs.item_b
   CROSS JOIN anb
 ),
 aranked AS (
-  SELECT *, row_number() OVER (ORDER BY lift DESC, item_a ASC, item_b ASC) AS rank
+  SELECT *, row_number() OVER (ORDER BY lift_fp6 DESC, item_a ASC, item_b ASC) AS rank
   FROM arules
 )
-SELECT item_a, item_b, sup_ab, sup_a, sup_b, conf_a_b, conf_b_a, lift, rank
+SELECT item_a, item_b, sup_ab, sup_a, sup_b, conf_a_b_fp6, conf_b_a_fp6, lift_fp6, rank
 FROM aranked WHERE rank <= {RULES_TOP}
 """
 
@@ -49,7 +49,8 @@ FROM aranked WHERE rank <= {RULES_TOP}
 def assoc_part_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket association rules over order baskets: top-{k}
     part pairs by LIFT among pairs co-purchased in >= {s} orders, with
-    exact support counts and 6dp confidence/lift. The pair generator
+    exact support counts and fp6 integer confidence/lift (rank order on
+    an integer key is engine-build-proof). The pair generator
     is a basket-key equi-join (cost Σ|basket|², bounded by the
     ``max_basket`` guard — the itemset analogue of the LSH paths'
     ``max_bucket`` cap), support counting is one map-side-combined
@@ -62,7 +63,7 @@ def assoc_part_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, basket="l_orderkey", item="l_partkey", min_support=MIN_SUPPORT
     )
     lim = rules.orderBy(
-        F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc()
+        F.col("lift_fp6").desc(), F.col("item_a").asc(), F.col("item_b").asc()
     ).limit(RULES_TOP)
-    w = Window.orderBy(F.col("lift").desc(), F.col("item_a").asc(), F.col("item_b").asc())
+    w = Window.orderBy(F.col("lift_fp6").desc(), F.col("item_a").asc(), F.col("item_b").asc())
     return lim.withColumn("rank", F.row_number().over(w))

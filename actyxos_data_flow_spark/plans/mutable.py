@@ -49,9 +49,9 @@ from pyspark.sql import functions as F
 from .. import cache
 from ..sources import load_table
 from . import register
-from .text import _EN
+from .text import QUALITY_FP6_SQL
 
-QUALITY_MIN = 0.5
+QUALITY_MIN_FP6 = 500_000  # fp6 integer gate (== 0.5)
 NUM_HASHES = 8
 MIN_AGREE = 4  # sim_threshold 0.5 over 8 hashes
 _BANDS = "(0, h0, h1), (1, h2, h3), (2, h4, h5), (3, h6, h7)"
@@ -82,21 +82,11 @@ def _gate_sql(tag: str, src: str, vidx: str | None, vsig: str | None) -> str:
         all_sigs = f"SELECT * FROM sig{tag}"
     return f"""
 q{tag} AS MATERIALIZED (
-  SELECT doc_id, text,
-         len(string_split(text, ' '))::DOUBLE AS n_tok,
-         (length(text)::DOUBLE - (len(string_split(text, ' '))::DOUBLE - 1))
-           / len(string_split(text, ' '))::DOUBLE AS mean_wlen,
-         len(list_filter(string_split(text, ' '), x -> list_contains([{_EN}], x)))::DOUBLE
-           / len(string_split(text, ' '))::DOUBLE AS stop_ratio,
-         len(list_distinct(string_split(text, ' ')))::DOUBLE
-           / len(string_split(text, ' '))::DOUBLE AS distinct_ratio
+  SELECT doc_id, text, string_split(text, ' ') AS tokens
   FROM {src}
 ), g{tag} AS MATERIALIZED (
   SELECT doc_id, text FROM q{tag}
-  WHERE round(least(n_tok / 100.0, 1.0) * 0.25 + least(stop_ratio * 5, 1.0) * 0.25
-              + distinct_ratio * 0.25
-              + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END) * 0.25,
-              6) >= {QUALITY_MIN}
+  WHERE {QUALITY_FP6_SQL} >= {QUALITY_MIN_FP6}
 ), d{tag} AS MATERIALIZED (
   SELECT doc_id, text, md5(text) AS digest FROM g{tag}
 ), b{tag} AS MATERIALIZED (
@@ -221,7 +211,7 @@ def mutable_corpus_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = cache.pin_dir(tempfile.mkdtemp(prefix="mutable_replay_"))
-    ing = MutableCorpusIngestor(spark, base, quality_min=QUALITY_MIN, near_dup=True)
+    ing = MutableCorpusIngestor(spark, base, quality_min_fp6=QUALITY_MIN_FP6, near_dup=True)
     ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 0))
     ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 1))
     ing.retract_batch(docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"))
@@ -259,7 +249,7 @@ def mutable_corpus_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     base = cache.pin_dir(tempfile.mkdtemp(prefix="mutable_compact_"))
-    ing = MutableCorpusIngestor(spark, base, quality_min=QUALITY_MIN, near_dup=True)
+    ing = MutableCorpusIngestor(spark, base, quality_min_fp6=QUALITY_MIN_FP6, near_dup=True)
     ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 0))
     ing.ingest_batch(docs.filter(F.col("doc_id") % 3 == 1))
     ing.retract_batch(docs.filter(F.col("doc_id") % 5 == 0).select("doc_id"))

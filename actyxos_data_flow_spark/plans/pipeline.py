@@ -26,35 +26,25 @@ from ..operators import text as X
 from ..sources import load_table
 from . import register
 from .dedup import BAND_SIZE, JACCARD_THRESHOLD, NUM_HASHES, _band_rows
-from .text import _EN
+from .text import QUALITY_FP6_SQL
 
-QUALITY_MIN = 0.5
+# fp6 integer quality gate (0.5 == 500_000): integer compare on both
+# engines, so clean-corpus MEMBERSHIP cannot drift across builds
+QUALITY_MIN_FP6 = 500_000
 
 PIPELINE_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents
-), m AS (
-  SELECT doc_id, text,
-         len(tokens)::DOUBLE AS n_tok,
-         (length(text)::DOUBLE - (len(tokens)::DOUBLE - 1)) / len(tokens)::DOUBLE AS mean_wlen,
-         len(list_filter(tokens, x -> list_contains([{_EN}], x)))::DOUBLE / len(tokens)::DOUBLE AS stop_ratio,
-         len(list_distinct(tokens))::DOUBLE / len(tokens)::DOUBLE AS distinct_ratio
-  FROM t
 ), scored AS (
-  SELECT doc_id, text,
-         round(least(n_tok / 100.0, 1.0) * 0.25
-               + least(stop_ratio * 5, 1.0) * 0.25
-               + distinct_ratio * 0.25
-               + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END) * 0.25, 6)
-           AS quality
-  FROM m
+  SELECT doc_id, text, {QUALITY_FP6_SQL} AS quality_fp6
+  FROM t
 ), kept AS (
-  SELECT doc_id, text, quality FROM scored WHERE quality >= {QUALITY_MIN}
+  SELECT doc_id, text, quality_fp6 FROM scored WHERE quality_fp6 >= {QUALITY_MIN_FP6}
 ), ex AS (
   SELECT md5(text) AS digest, min(doc_id) AS representative, count(*) AS n_copies
   FROM kept GROUP BY 1
 ), reps AS (
-  SELECT k.doc_id, k.text, k.quality, e.n_copies
+  SELECT k.doc_id, k.text, k.quality_fp6, e.n_copies
   FROM kept k JOIN ex e ON e.representative = k.doc_id
 ), tok2 AS (
   SELECT doc_id, string_split(text, ' ') AS tokens FROM reps
@@ -91,17 +81,18 @@ WITH t AS (
   FROM inter i JOIN sizes sa ON i.id_a = sa.doc_id JOIN sizes sb ON i.id_b = sb.doc_id
   WHERE CAST(i.i AS DOUBLE) / CAST(sa.n + sb.n - i.i AS DOUBLE) >= {JACCARD_THRESHOLD}
 )
-SELECT doc_id, n_copies, quality
+SELECT doc_id, n_copies, quality_fp6
 FROM reps WHERE doc_id NOT IN (SELECT id_b FROM dropped)
 """
 
 
 @register("pipeline_clean_corpus", oracle=PIPELINE_ORACLE, bench=True)
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """quality ≥ {QUALITY_MIN} → exact-dedup representatives (min id per
-    digest, carrying copy counts) → MinHash-LSH near-dup pairs verified
-    by exact Jaccard → drop each verified pair's larger id. Returns the
-    clean corpus (doc_id, n_copies, quality)."""
+    """quality_fp6 ≥ {QUALITY_MIN_FP6} → exact-dedup representatives
+    (min id per digest, carrying copy counts) → MinHash-LSH near-dup
+    pairs verified by exact Jaccard → drop each verified pair's larger
+    id. Returns the clean corpus (doc_id, n_copies, quality_fp6); the
+    gate is an integer compare (fp6 score), portable across builds."""
     docs = load_table(spark, sf_dir, "documents")
     # quality gates INLINE in the scan projection (no score-table
     # self-join), and exact dedup keeps the whole smallest-id row via
@@ -111,9 +102,9 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the earlier formulation, the same map-side-combined shape the
     # ingest gate uses (r5: cold prefix 2.3s -> ~1.3s at sf0.1)
     kept = docs.select(
-        "doc_id", "text", X.quality_col("text").alias("quality")
-    ).filter(F.col("quality") >= QUALITY_MIN)
-    rec = F.struct("doc_id", "text", "quality")
+        "doc_id", "text", X.quality_col("text").alias("quality_fp6")
+    ).filter(F.col("quality_fp6") >= QUALITY_MIN_FP6)
+    rec = F.struct("doc_id", "text", "quality_fp6")
     # reps is referenced twice (shingle pipeline AND the final output
     # row set) — persist it so quality+exact-dedup run once per epoch;
     # at 100 TB this is the materialized clean-representatives table
@@ -153,7 +144,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropped = near.select("id_b").distinct()
     return (
         reps.join(dropped, reps.doc_id == dropped.id_b, "left_anti")
-        .select("doc_id", "n_copies", "quality")
+        .select("doc_id", "n_copies", "quality_fp6")
     )
 
 

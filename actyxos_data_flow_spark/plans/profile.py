@@ -33,7 +33,7 @@ def _col_sql(c: str, numeric: bool) -> str:
 SELECT '{c}' AS col_name,
        count(*) AS n_rows,
        CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
-       round(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS null_frac,
+       (CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // count(*) AS null_frac_fp6,
        count(DISTINCT {c}) AS n_distinct,
        {minmax}
 FROM orders"""

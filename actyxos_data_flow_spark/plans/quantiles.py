@@ -44,7 +44,7 @@ qexact AS (
 SELECT h.g AS l_returnflag, h.q, h.n,
        round(x.exact_v / 100.0, 2) AS exact_price,
        round(h.est / 100.0, 2) AS est_price,
-       round(abs(x.exact_v - h.est) / CAST(x.exact_v AS DOUBLE), 6) AS rel_err,
+       (abs(x.exact_v - h.est) * 1000000) // x.exact_v AS rel_err_fp6,
        (x.exact_v - h.est) * {1 << Q.HDR_K} <= x.exact_v AS within_bound
 FROM hq h JOIN qexact x ON x.g = h.g AND x.q = h.q
 """
@@ -87,8 +87,6 @@ def sketch_hdr_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("exact_v") / 100.0, 2).alias("exact_price"),
         F.round(F.col("est") / 100.0, 2).alias("est_price"),
-        F.round(
-            F.abs(F.col("exact_v") - F.col("est")) / F.col("exact_v").cast("double"), 6
-        ).alias("rel_err"),
+        F.expr("(abs(exact_v - est) * 1000000) DIV exact_v").alias("rel_err_fp6"),
         bound.alias("within_bound"),
     )

@@ -296,16 +296,16 @@ hden AS (SELECT doc_id, rank FROM hd WHERE rank <= {FUSE_N}),
 hfuse AS (
   SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
          CAST(l.rank AS INT) AS rank_lex, CAST(d.rank AS INT) AS rank_dense,
-         round(coalesce(1.0::DOUBLE / ({RRF_C} + l.rank), 0.0)
-               + coalesce(1.0::DOUBLE / ({RRF_C} + d.rank), 0.0), 9) AS rrf
+         coalesce(1000000000 // ({RRF_C} + l.rank), 0)::BIGINT
+           + coalesce(1000000000 // ({RRF_C} + d.rank), 0)::BIGINT AS rrf_fp9
   FROM hlex l FULL OUTER JOIN hden d ON l.doc_id = d.doc_id
 ),
 htop AS (
-  SELECT doc_id, rank_lex, rank_dense, rrf,
-         row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS fused_rank
+  SELECT doc_id, rank_lex, rank_dense, rrf_fp9,
+         row_number() OVER (ORDER BY rrf_fp9 DESC, doc_id ASC) AS fused_rank
   FROM hfuse
 )
-SELECT doc_id, rank_lex, rank_dense, rrf, fused_rank
+SELECT doc_id, rank_lex, rank_dense, rrf_fp9, fused_rank
 FROM htop WHERE fused_rank <= {HYBRID_K}
 """
 )
@@ -322,9 +322,11 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bm25_topk / cosine_topk shapes — term-filtered postings join;
     broadcast query matmul that never shuffles the corpus), and the
     fusion itself is list-sized: a full-outer join of two {n}-row
-    frames. Ranks are ints, the RRF sum is double with a fixed
-    addition order, so the hash is bit-stable; the oracle replays
-    index build, both scorings, and the fusion.""".format(
+    frames. Ranks are ints and each reciprocal quantizes to fp9 BEFORE
+    the sum (rrf_fp9 = Σ 10^9 DIV (c + rank) — a rounded double sum of
+    exact unit fractions was the reachable-half-boundary class), so
+    the fused order is pure integer; the oracle replays index build,
+    both scorings, and the fusion.""".format(
         n=FUSE_N, c=RRF_C, k=HYBRID_K
     )
     from pyspark.sql import Window
@@ -347,12 +349,11 @@ def hybrid_rrf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "rank_lex",
         "rank_dense",
-        F.round(
-            F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_lex")), F.lit(0.0))
-            + F.coalesce(F.lit(1.0) / (F.lit(RRF_C) + F.col("rank_dense")), F.lit(0.0)),
-            9,
-        ).alias("rrf"),
+        (
+            F.coalesce(F.expr(f"1000000000 DIV ({RRF_C} + rank_lex)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000000 DIV ({RRF_C} + rank_dense)"), F.lit(0))
+        ).cast("long").alias("rrf_fp9"),
     )
-    lim = fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(HYBRID_K)
-    w = Window.orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+    lim = fused.orderBy(F.col("rrf_fp9").desc(), F.col("doc_id").asc()).limit(HYBRID_K)
+    w = Window.orderBy(F.col("rrf_fp9").desc(), F.col("doc_id").asc())
     return lim.withColumn("fused_rank", F.row_number().over(w))

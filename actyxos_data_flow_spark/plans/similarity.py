@@ -800,7 +800,7 @@ ANN_RECALL_ORACLE = (
     )
     + "\n),\nhits AS (SELECT method, count(*) AS hits FROM approx a "
     "JOIN truth t USING (qid, vec_id) GROUP BY method)\n"
-    "SELECT method, round(hits::DOUBLE / (SELECT count(*) FROM truth), 6) AS recall_at_k, "
+    "SELECT method, (hits * 1000000) // (SELECT count(*) FROM truth) AS recall_at_k_fp6, "
     "CAST(hits AS BIGINT) AS hits FROM hits"
 )
 
@@ -834,7 +834,7 @@ def ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = truth.agg(F.count(F.lit(1)).alias("_n"))
     return hits.crossJoin(F.broadcast(denom)).select(
         "method",
-        F.round(F.col("hits") / F.col("_n"), 6).alias("recall_at_k"),
+        F.expr("(hits * 1000000) DIV _n").alias("recall_at_k_fp6"),
         F.col("hits").cast("long").alias("hits"),
     )
 
@@ -1013,34 +1013,38 @@ EVAL_CUT = 100  # ranking cutoff: metrics are computed over the top-100
 EVAL_K = 10
 
 
-def _dcg_literals() -> tuple[list[str], list[str]]:
+def _dcg_literals() -> tuple[list[int], list[int]]:
     """Per-rank nDCG discounts 1/log2(i+1), i=1..EVAL_K, pre-rounded to
-    9dp HALF_UP as exact decimal strings, plus their cumulative sums
+    9dp HALF_UP and expressed as INTEGER nano-units (round-8 contract:
+    hashed metrics are integer fixed-point), plus their cumulative sums
     (the ideal DCG for 1..EVAL_K relevant docs). Computed ONCE here and
-    folded into BOTH engines as literals — neither engine evaluates a
-    logarithm, so there is no cross-engine libm divergence to round
-    away (same trick as the PageRank teleport constant)."""
+    folded into BOTH engines as BIGINT literals — neither engine
+    evaluates a logarithm, and DCG sums / nDCG quotients are exact
+    integer arithmetic (same trick as the PageRank teleport
+    constant)."""
     import math
     from decimal import ROUND_HALF_UP, Decimal
 
     q = Decimal("1e-9")
     disc = [
-        Decimal(repr(1.0 / math.log2(i + 1))).quantize(q, ROUND_HALF_UP)
+        int(
+            Decimal(repr(1.0 / math.log2(i + 1))).quantize(q, ROUND_HALF_UP)
+            * 10**9
+        )
         for i in range(1, EVAL_K + 1)
     ]
-    cum, run = [], Decimal(0)
+    cum, run = [], 0
     for d in disc:
         run += d
         cum.append(run)
-    return [str(d) for d in disc], [str(c) for c in cum]
+    return disc, cum
 
 
 _DISC, _IDCG = _dcg_literals()
-_DEC = "DECIMAL(28,9)"
-_DISC_ARR = "array(" + ", ".join(f"CAST({d} AS {_DEC})" for d in _DISC) + ")"
-_IDCG_ARR = "array(" + ", ".join(f"CAST({c} AS {_DEC})" for c in _IDCG) + ")"
-_DISC_LIST = "[" + ", ".join(f"CAST({d} AS {_DEC})" for d in _DISC) + "]"
-_IDCG_LIST = "[" + ", ".join(f"CAST({c} AS {_DEC})" for c in _IDCG) + "]"
+_DISC_ARR = "array(" + ", ".join(f"CAST({d} AS BIGINT)" for d in _DISC) + ")"
+_IDCG_ARR = "array(" + ", ".join(f"CAST({c} AS BIGINT)" for c in _IDCG) + ")"
+_DISC_LIST = "[" + ", ".join(f"{d}::BIGINT" for d in _DISC) + "]"
+_IDCG_LIST = "[" + ", ".join(f"{c}::BIGINT" for c in _IDCG) + "]"
 
 RETRIEVAL_EVAL_ORACLE = (
     "WITH "
@@ -1072,17 +1076,17 @@ vagg AS (
          min(rnk) FILTER (rel) AS first_rel,
          coalesce(sum(CASE WHEN rel AND rnk <= {EVAL_K}
                            THEN {_DISC_LIST}[rnk] END),
-                  CAST(0 AS {_DEC})) AS dcg
+                  0)::BIGINT AS dcg9
   FROM vrel GROUP BY qid
 )
 SELECT r.qid, CAST(r.n_relevant AS BIGINT) AS n_relevant,
-       round(coalesce(CAST(1.0 AS DOUBLE) / a.first_rel, 0.0), 6) AS mrr,
-       round(CAST(a.hits10 AS DOUBLE) / {EVAL_K}, 6) AS prec_at_10,
-       round(CAST(a.hits10 AS DOUBLE)
-             / greatest(least(r.n_relevant, {EVAL_K}), 1), 6) AS recall_at_10,
-       round(CAST(a.dcg AS DOUBLE)
-             / CAST({_IDCG_LIST}[CAST(greatest(least(r.n_relevant, {EVAL_K}), 1) AS INT)]
-                    AS DOUBLE), 6) AS ndcg_at_10
+       coalesce(1000000 // a.first_rel, 0)::BIGINT AS mrr_fp6,
+       (a.hits10::BIGINT * 1000000) // {EVAL_K} AS prec_at_10_fp6,
+       (a.hits10::BIGINT * 1000000)
+         // greatest(least(r.n_relevant, {EVAL_K}), 1)::BIGINT AS recall_at_10_fp6,
+       (a.dcg9 * 1000000)
+         // {_IDCG_LIST}[CAST(greatest(least(r.n_relevant, {EVAL_K}), 1) AS INT)]
+         AS ndcg_at_10_fp6
 FROM vr r JOIN vagg a USING (qid)
 ORDER BY qid
 """
@@ -1129,30 +1133,28 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = rel.groupBy("qid").agg(
         F.count(F.when(in10, 1)).alias("hits10"),
         F.min(F.when(F.col("rel"), F.col("rnk"))).alias("first_rel"),
-        F.coalesce(
-            F.sum(F.when(in10, disc)), F.expr(f"CAST(0 AS {_DEC})")
-        ).alias("dcg"),
+        F.coalesce(F.sum(F.when(in10, disc)), F.lit(0)).cast("long").alias("dcg9"),
     )
     # n_relevant per query = label-class size minus self
     cnt = lab.groupBy("label").agg(F.count(F.lit(1)).alias("_c"))
     nrel = qlab.join(F.broadcast(cnt), qlab["qlabel"] == cnt["label"]).select(
         "qid", (F.col("_c") - 1).cast("long").alias("n_relevant")
     )
-    ideal_n = F.greatest(F.least(F.col("n_relevant"), F.lit(EVAL_K)), F.lit(1))
-    idcg = F.expr(f"element_at({_IDCG_ARR}, CAST(greatest(least(n_relevant, {EVAL_K}), 1) AS INT))")
+    idcg = f"element_at({_IDCG_ARR}, CAST(greatest(least(n_relevant, {EVAL_K}), 1) AS INT))"
     return (
         agg.join(F.broadcast(nrel), "qid")
         .select(
             "qid",
             "n_relevant",
-            F.round(
-                F.coalesce(F.lit(1.0) / F.col("first_rel"), F.lit(0.0)), 6
-            ).alias("mrr"),
-            F.round(F.col("hits10") / F.lit(EVAL_K), 6).alias("prec_at_10"),
-            F.round(F.col("hits10") / ideal_n, 6).alias("recall_at_10"),
-            F.round(
-                F.col("dcg").cast("double") / idcg.cast("double"), 6
-            ).alias("ndcg_at_10"),
+            F.coalesce(F.expr("1000000 DIV first_rel"), F.lit(0))
+            .cast("long")
+            .alias("mrr_fp6"),
+            F.expr(f"(CAST(hits10 AS BIGINT) * 1000000) DIV {EVAL_K}").alias("prec_at_10_fp6"),
+            F.expr(
+                f"(CAST(hits10 AS BIGINT) * 1000000)"
+                f" DIV greatest(least(n_relevant, {EVAL_K}), CAST(1 AS BIGINT))"
+            ).alias("recall_at_10_fp6"),
+            F.expr(f"(dcg9 * 1000000) DIV ({idcg})").alias("ndcg_at_10_fp6"),
         )
         .orderBy("qid")
     )

@@ -31,27 +31,35 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- quality score ---------------------------------------------------------
 
 _EN = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS["en"])
+
+# DuckDB mirror of operators/text.py::_q_terms_sql — fp6 integer score
+# terms over a (tokens, text) pair. `//` == Spark `DIV` (toward-zero).
+_Q_NTOK = "len(tokens)::BIGINT"
+_Q_HITS = f"len(list_filter(tokens, x -> list_contains([{_EN}], x)))::BIGINT"
+_Q_DIST = "len(list_distinct(tokens))::BIGINT"
+_Q_CHARS = f"(length(text)::BIGINT - {_Q_NTOK} + 1)"
+QFP6 = X.QFP6
+_Q_T1 = f"least({_Q_NTOK} * 10000, {QFP6})"
+_Q_T2 = f"least(({_Q_HITS} * {5 * QFP6}) // {_Q_NTOK}, {QFP6})"
+_Q_T3 = f"({_Q_DIST} * {QFP6}) // {_Q_NTOK}"
+_Q_T4 = (
+    f"(CASE WHEN {_Q_CHARS} >= 3 * {_Q_NTOK} AND {_Q_CHARS} <= 10 * {_Q_NTOK} "
+    f"THEN {QFP6} ELSE 0 END)"
+)
+# the combined fp6 quality score — importable by every oracle that
+# gates or aggregates on quality (pipeline, mutable, curriculum, ...)
+QUALITY_FP6_SQL = f"(({_Q_T1} + {_Q_T2} + {_Q_T3} + {_Q_T4}) // 4)"
+
 QUALITY_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, text, string_split(text, ' ') AS tokens FROM documents
-), m AS (
-  SELECT doc_id,
-         len(tokens) AS n_tokens,
-         len(tokens)::DOUBLE AS n_tok,
-         (length(text)::DOUBLE - (len(tokens)::DOUBLE - 1)) / len(tokens)::DOUBLE AS mean_wlen,
-         len(list_filter(tokens, x -> list_contains([{_EN}], x)))::DOUBLE / len(tokens)::DOUBLE AS stop_ratio,
-         len(list_distinct(tokens))::DOUBLE / len(tokens)::DOUBLE AS distinct_ratio
-  FROM t
 )
-SELECT doc_id, n_tokens,
-       round(mean_wlen, 6) AS mean_word_len,
-       round(stop_ratio, 6) AS stopword_ratio,
-       round(distinct_ratio, 6) AS distinct_ratio,
-       round(least(n_tok / 100.0, 1.0) * 0.25
-             + least(stop_ratio * 5, 1.0) * 0.25
-             + distinct_ratio * 0.25
-             + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END) * 0.25, 6) AS quality
-FROM m
+SELECT doc_id, len(tokens) AS n_tokens,
+       ({_Q_CHARS} * {QFP6}) // {_Q_NTOK} AS mean_word_len_fp6,
+       ({_Q_HITS} * {QFP6}) // {_Q_NTOK} AS stopword_ratio_fp6,
+       ({_Q_DIST} * {QFP6}) // {_Q_NTOK} AS distinct_ratio_fp6,
+       {QUALITY_FP6_SQL} AS quality_fp6
+FROM t
 """
 
 
@@ -65,19 +73,25 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 _langs = sorted(X.LANG_STOPWORDS)
 
 
-def _score_sql(lang: str) -> str:
+def _hits_sql(lang: str) -> str:
     words = ", ".join(f"'{w}'" for w in X.LANG_STOPWORDS[lang])
-    return f"len(list_filter(tokens, x -> list_contains([{words}], x)))::DOUBLE / len(tokens)::DOUBLE"
+    return f"len(list_filter(tokens, x -> list_contains([{words}], x)))::BIGINT"
 
 
-_score_cols = ",\n         ".join(f"{_score_sql(lang)} AS s_{lang}" for lang in _langs)
+# argmax over hit COUNTS (shared n_tok denominator ⇒ same order as the
+# ratios, pure integer compares); reported scores are fp6 integers
+_score_cols = ",\n         ".join(
+    f"{_hits_sql(lang)} AS h_{lang}" for lang in _langs
+) + ",\n         len(tokens)::BIGINT AS n_tok"
 _case = " ".join(
     "WHEN "
-    + " AND ".join(f"s_{lang} >= s_{other}" for other in _langs if other != lang)
+    + " AND ".join(f"h_{lang} >= h_{other}" for other in _langs if other != lang)
     + f" THEN '{lang}'"
     for lang in _langs
 )
-_rounded = ", ".join(f"round(s_{lang}, 6) AS score_{lang}" for lang in _langs)
+_scored = ", ".join(
+    f"(h_{lang} * {X.QFP6}) // n_tok AS score_{lang}_fp6" for lang in _langs
+)
 LANG_ID_ORACLE = f"""
 WITH t AS (
   SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
@@ -86,7 +100,7 @@ WITH t AS (
          {_score_cols}
   FROM t
 )
-SELECT doc_id, CASE {_case} END AS lang_pred, {_rounded}
+SELECT doc_id, CASE {_case} END AS lang_pred, {_scored}
 FROM s
 """
 
@@ -255,11 +269,11 @@ rtri AS (
 rts AS (SELECT doc_id, len(tg) AS tot, len(list_distinct(tg)) AS dis FROM rtri)
 SELECT t.doc_id,
        len(t.tokens) AS n_tokens,
-       round(u.mc / len(t.tokens)::DOUBLE, 6) AS top_unigram_frac,
-       round(b.mc / (len(t.tokens) - 1)::DOUBLE, 6) AS top_bigram_frac,
-       round((s.tot - s.dis) / s.tot::DOUBLE, 6) AS dup_trigram_frac,
-       (b.mc >= 2 AND round(b.mc / (len(t.tokens) - 1)::DOUBLE, 6) >= {X.TOP_BIGRAM_MAX})
-         OR round((s.tot - s.dis) / s.tot::DOUBLE, 6) >= {X.DUP_TRIGRAM_MAX} AS repetitive
+       (u.mc * 1000000) // len(t.tokens)::BIGINT AS top_unigram_frac_fp6,
+       (b.mc * 1000000) // (len(t.tokens) - 1)::BIGINT AS top_bigram_frac_fp6,
+       ((s.tot - s.dis) * 1000000) // s.tot::BIGINT AS dup_trigram_frac_fp6,
+       (b.mc >= 2 AND (b.mc * 1000000) // (len(t.tokens) - 1)::BIGINT >= {X.TOP_BIGRAM_MAX_FP6})
+         OR ((s.tot - s.dis) * 1000000) // s.tot::BIGINT >= {X.DUP_TRIGRAM_MAX_FP6} AS repetitive
 FROM rtok t
 JOIN rutop u ON t.doc_id = u.doc_id
 JOIN rbtop b ON t.doc_id = b.doc_id
@@ -281,25 +295,25 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _WSALT = "wsample:1"
 
 WEIGHTED_SAMPLE_ORACLE = f"""
-WITH wq AS ({QUALITY_ORACLE.replace('SELECT doc_id,', 'SELECT doc_id,', 1)})
-SELECT doc_id, quality
+WITH wq AS ({QUALITY_ORACLE})
+SELECT doc_id, quality_fp6
 FROM wq
 WHERE ('0x' || substr(md5('{_WSALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
-      < CAST(least(greatest(quality, 0.05), 1.0) * {float(1 << 60)} AS BIGINT)
+      < least(greatest(quality_fp6, 50000), {X.QFP6}) * {X.WSAMPLE_STEP}
 """
 
 
 @register("sample_quality_weighted", oracle=WEIGHTED_SAMPLE_ORACLE)
 def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-proportional subsampling: keep probability is the doc's
-    own quality score (floored at 5%) — high-quality data oversampled,
-    junk mostly dropped but never fully excluded. Per-row salted-hash
-    decision (no RNG, no shuffle); p*2^60 >= 2^53 for every p >= the
-    floor, so the double product is integral and Spark's truncating
-    cast and DuckDB's rounding cast agree exactly."""
+    own fp6 quality score (floored at 5%) — high-quality data
+    oversampled, junk mostly dropped but never fully excluded. Per-row
+    salted-hash decision (no RNG, no shuffle); the keep threshold
+    p_fp6·⌊2^60/10^6⌋ is exact BIGINT arithmetic, so sample MEMBERSHIP
+    cannot drift across engine builds."""
     docs = load_table(spark, sf_dir, "documents")
-    q = X.quality_score(docs).select("doc_id", "quality")
-    return X.weighted_sample(q, "quality", salt=_WSALT)
+    q = X.quality_score(docs).select("doc_id", "quality_fp6")
+    return X.weighted_sample(q, "quality_fp6", salt=_WSALT)
 
 
 # -- context-window chunking -------------------------------------------------
@@ -399,18 +413,15 @@ def sample_exact_k_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 HEALTH_ORACLE = f"""
 WITH hq AS ({QUALITY_ORACLE}),
 hd AS (
-  SELECT d.source, d.doc_id, d.n_chars, md5(d.text) AS digest, q.quality
+  SELECT d.source, d.doc_id, d.n_chars, md5(d.text) AS digest, q.quality_fp6
   FROM documents d JOIN hq q ON q.doc_id = d.doc_id
-),
-hdup AS (
-  SELECT digest, count(*) AS copies FROM hd GROUP BY digest
 )
 SELECT h.source,
        count(*) AS n_docs,
        CAST(sum(h.n_chars) AS BIGINT) AS total_chars,
-       CAST(sum(CAST(h.quality AS DECIMAL(10,6))) AS DOUBLE) / count(*) AS mean_quality,
+       CAST(sum(h.quality_fp6) AS BIGINT) AS sum_quality_fp6,
        count(DISTINCT h.digest) AS n_unique,
-       round((count(*) - count(DISTINCT h.digest)) / count(*)::DOUBLE, 6) AS dup_rate
+       ((count(*) - count(DISTINCT h.digest)) * {X.QFP6}) // count(*) AS dup_rate_fp6
 FROM hd h
 GROUP BY h.source
 """
@@ -418,29 +429,29 @@ GROUP BY h.source
 
 @register("corpus_health_by_source", oracle=HEALTH_ORACLE)
 def corpus_health_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source corpus health: volume, decimal-exact mean quality,
-    and exact-dup rate — the monitoring rollup a continuous ingestion
-    pipeline alerts on. One scan feeds the quality projection and the
-    digest; a single hash aggregate per source (count-distinct expands
-    once; at 100 TB swap for approx_count_distinct as in the profiler)."""
+    """Per-source corpus health: volume, exact fp6 quality sum (the
+    mean is the reader's quotient), and fp6 exact-dup rate — the
+    monitoring rollup a continuous ingestion pipeline alerts on. Every
+    hashed column is BIGINT integer arithmetic. One scan feeds the
+    quality projection and the digest; a single hash aggregate per
+    source (count-distinct expands once; at 100 TB swap for
+    approx_count_distinct as in the profiler)."""
     docs = load_table(spark, sf_dir, "documents")
-    q = X.quality_score(docs).select("doc_id", "quality")
+    q = X.quality_score(docs).select("doc_id", "quality_fp6")
     hd = docs.join(q, "doc_id").select(
         "source",
         "n_chars",
         F.md5(F.col("text").cast("binary")).alias("digest"),
-        "quality",
+        "quality_fp6",
     )
     return hd.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
-        (
-            F.sum(F.col("quality").cast("decimal(10,6)")).cast("double") / F.count(F.lit(1))
-        ).alias("mean_quality"),
+        F.sum("quality_fp6").cast("bigint").alias("sum_quality_fp6"),
         F.countDistinct("digest").alias("n_unique"),
-        F.round(
-            (F.count(F.lit(1)) - F.countDistinct("digest")) / F.count(F.lit(1)).cast("double"), 6
-        ).alias("dup_rate"),
+        F.expr(
+            f"((count(1) - count(DISTINCT digest)) * {X.QFP6}) DIV count(1)"
+        ).alias("dup_rate_fp6"),
     )
 
 
@@ -555,7 +566,7 @@ per AS (
   GROUP BY t.doc_id
 )
 SELECT doc_id, n_tokens, n_oov,
-       round(n_oov / n_tokens::DOUBLE, 6) AS oov_frac
+       (n_oov * 1000000) // n_tokens AS oov_frac_fp6
 FROM per
 """
 
@@ -577,11 +588,11 @@ WITH mc AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 mt AS (SELECT sum(n) AS total FROM mc),
 mp AS (
   SELECT source, n,
-         CAST(round(pow(n / mt.total::DOUBLE, {MIX_ALPHA}), 6) AS DECIMAL(12,6)) AS p6
+         CAST(round(pow(n / mt.total::DOUBLE, {MIX_ALPHA}), 6) * 1000000 AS BIGINT) AS p6
   FROM mc, mt
 ),
 mz AS (SELECT sum(p6) AS z FROM mp)
-SELECT source, n, round(CAST(p6 AS DOUBLE) / CAST(mz.z AS DOUBLE), 6) AS mix_weight
+SELECT source, n, (p6 * 1000000) // mz.z AS mix_weight_fp6
 FROM mp, mz
 """
 
@@ -609,13 +620,13 @@ def epoch_schedule_ctes(rel: str, p: str = "x") -> tuple[str, str]:
 {p}c AS (SELECT source, count(*) AS n FROM {rel} GROUP BY source),
 {p}t AS (SELECT sum(n) AS total FROM {p}c),
 {p}p AS (SELECT source,
-              CAST(round(pow(n / {p}t.total::DOUBLE, {MIX_ALPHA}), 6) AS DECIMAL(12,6)) AS p6
+              CAST(round(pow(n / {p}t.total::DOUBLE, {MIX_ALPHA}), 6) * 1000000 AS BIGINT) AS p6
        FROM {p}c, {p}t),
-{p}z AS (SELECT sum(p6) AS z FROM {p}p),
-{p}w AS (SELECT source, round(CAST(p6 AS DOUBLE) / CAST({p}z.z AS DOUBLE), 6) AS mix_weight
+{p}z AS (SELECT CAST(sum(p6) AS BIGINT) AS z FROM {p}p),
+{p}w AS (SELECT source, (p6 * 1000000) // {p}z.z AS mix_weight_fp6
        FROM {p}p, {p}z),
 {p}d AS (SELECT s.source, s.dom_sz,
-              CAST(floor({p}b.budget::DOUBLE * w.mix_weight + 0.5) AS BIGINT) AS dom_budget
+              (2 * {p}b.budget * w.mix_weight_fp6 + 1000000) // 2000000 AS dom_budget
        FROM {p}s s JOIN {p}w w ON w.source = s.source, {p}b),
 {p}e AS (SELECT source, dom_budget // dom_sz AS full_epochs, dom_budget % dom_sz AS rem
        FROM {p}d),
@@ -673,27 +684,16 @@ def mix_epoch_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
 CURRICULUM_ORACLE = f"""
 WITH ct0 AS (
   SELECT doc_id, lang, string_split(text, ' ') AS tokens, text FROM documents
-), cm AS (
-  SELECT doc_id, lang, len(tokens) AS n_tokens,
-         len(tokens)::DOUBLE AS n_tok,
-         (length(text)::DOUBLE - (len(tokens)::DOUBLE - 1)) / len(tokens)::DOUBLE AS mean_wlen,
-         len(list_filter(tokens, x -> list_contains([{_EN}], x)))::DOUBLE / len(tokens)::DOUBLE AS stop_ratio,
-         len(list_distinct(tokens))::DOUBLE / len(tokens)::DOUBLE AS distinct_ratio
-  FROM ct0
 ), cq AS (
-  SELECT doc_id, lang, n_tokens,
-         round(least(n_tok / 100.0, 1.0) * 0.25
-               + least(stop_ratio * 5, 1.0) * 0.25
-               + distinct_ratio * 0.25
-               + (CASE WHEN mean_wlen >= 3 AND mean_wlen <= 10 THEN 1.0 ELSE 0.0 END) * 0.25, 6)
-           AS quality
-  FROM cm
+  SELECT doc_id, lang, len(tokens) AS n_tokens,
+         {QUALITY_FP6_SQL} AS quality_fp6
+  FROM ct0
 ), cw AS (
-  SELECT lang, doc_id, n_tokens, quality,
-         sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id) - n_tokens AS strt
+  SELECT lang, doc_id, n_tokens, quality_fp6,
+         sum(n_tokens) OVER (PARTITION BY lang ORDER BY quality_fp6 DESC, doc_id) - n_tokens AS strt
   FROM cq
 )
-SELECT lang, doc_id, n_tokens, quality,
+SELECT lang, doc_id, n_tokens, quality_fp6,
        CAST(strt // {PACK_BUDGET} AS BIGINT) AS bin_id,
        CAST(strt % {PACK_BUDGET} AS BIGINT) AS bin_offset
 FROM cw
@@ -706,19 +706,19 @@ def pack_curriculum_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 2048-token bins in DESCENDING quality order (ties by id), so
     early training bins hold the cleanest data — same single
     running-sum window as pack_training_bins, only the order key
-    changes (quality is the 6dp-rounded score, identical across
-    engines, so bin boundaries agree exactly)."""
+    changes (quality is the fp6 INTEGER score, identical across engine
+    builds, so bin boundaries agree exactly)."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = X.quality_score(docs).select("doc_id", "n_tokens", "quality")
+    scored = X.quality_score(docs).select("doc_id", "n_tokens", "quality_fp6")
     sized = docs.select("doc_id", "lang").join(scored, "doc_id").withColumn(
-        "_negq", -F.col("quality")
+        "_negq", -F.col("quality_fp6")
     )
     packed = X.pack_sequences(
         sized, id_col="doc_id", len_col="n_tokens", budget=PACK_BUDGET,
         order_cols=("_negq", "doc_id"),
     )
     return packed.select(
-        "lang", "doc_id", "n_tokens", (-F.col("_negq")).alias("quality"), "bin_id", "bin_offset"
+        "lang", "doc_id", "n_tokens", (-F.col("_negq")).alias("quality_fp6"), "bin_id", "bin_offset"
     )
 
 
@@ -777,27 +777,33 @@ zr AS (
   SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rnk FROM ztop
 ),
 zxy AS (
-  SELECT CAST(round(ln(rnk), 7) AS DECIMAL(20,7)) AS x,
-         CAST(round(ln(c), 7) AS DECIMAL(20,7)) AS y,
-         CAST(round(ln(rnk) * ln(rnk), 7) AS DECIMAL(20,7)) AS xx,
-         CAST(round(ln(rnk) * ln(c), 7) AS DECIMAL(20,7)) AS xy,
-         CAST(round(ln(c) * ln(c), 7) AS DECIMAL(20,7)) AS yy
+  SELECT CAST(round(ln(rnk), 7) * 10000000 AS HUGEINT) AS x,
+         CAST(round(ln(c), 7) * 10000000 AS HUGEINT) AS y,
+         CAST(round(ln(rnk) * ln(rnk), 7) * 10000000 AS HUGEINT) AS xx,
+         CAST(round(ln(rnk) * ln(c), 7) * 10000000 AS HUGEINT) AS xy,
+         CAST(round(ln(c) * ln(c), 7) * 10000000 AS HUGEINT) AS yy
   FROM zr
 ),
 zs AS (
-  SELECT count(*) AS n,
-         CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(y) AS DOUBLE) AS sy,
-         CAST(sum(xx) AS DOUBLE) AS sxx, CAST(sum(xy) AS DOUBLE) AS sxy,
-         CAST(sum(yy) AS DOUBLE) AS syy
+  SELECT count(*)::HUGEINT AS n,
+         sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+         sum(xx)::HUGEINT AS sxx, sum(xy)::HUGEINT AS sxy,
+         sum(yy)::HUGEINT AS syy
   FROM zxy
-)
+),
+zp AS (
+  SELECT n, sx, sy,
+         (n * sxy * 10000000 - sx * sy) AS num,
+         (n * sxx * 10000000 - sx * sx) AS den,
+         (n * syy * 10000000 - sy * sy) AS deny
+  FROM zs
+),
+zq AS (SELECT *, (num * 1000000) // den AS slope_fp6 FROM zp)
 SELECT CAST(n AS BIGINT) AS n_terms,
-       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
-       round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
-         AS intercept,
-       round(((n * sxy - sx * sy) * (n * sxy - sx * sy))
-             / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
-FROM zs
+       CAST(slope_fp6 AS BIGINT) AS slope_fp6,
+       CAST((sy * 1000000 - slope_fp6 * sx) // (n * 10000000) AS BIGINT) AS intercept_fp6,
+       CAST((slope_fp6 * ((num * 1000000) // deny)) // 1000000 AS BIGINT) AS r2_fp6
+FROM zq
 """
 
 
@@ -809,9 +815,11 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary collapse. Shape: one map-side-combined token count, a
     TakeOrdered top-1000 (never an unpartitioned window over the full
     vocabulary), rank via row_number over the LIMITED set, and the
-    regression as decimal-exact sums of 7dp ln terms — the slope is one
-    double expression over six order-free aggregates, so the fit is
-    bit-identical on any partitioning and both engines."""
+    regression over fp7-integer ln terms — slope/intercept/r² are
+    integer fixed-point quotients of exact (≤1e22) integer moments, so
+    the fit is bit-identical on any partitioning and any engine build
+    (intercept and r² are defined over the QUANTIZED slope to keep all
+    intermediates inside 38 digits)."""
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
@@ -824,36 +832,52 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     rnk = top.select(
         "c", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("w"))).alias("rnk")
     )
-    d7 = lambda col: F.expr(f"CAST(round({col}, 7) AS DECIMAL(20,7))")  # noqa: E731
+    # 7dp ln terms as fp7 INTEGERS (floor(·1e7+0.5) of a libm value —
+    # the only transcendental step); everything after is exact integer
+    # arithmetic in DECIMAL(38,0), so the OLS coefficients cannot split
+    # across engine builds (rounded quotients of exact decimal sums —
+    # the round-7 reachable-half-boundary class — are gone).
+    i7 = lambda col: F.expr(f"CAST(round({col}, 7) * 10000000 AS DECIMAL(38,0))")  # noqa: E731
     xy = rnk.select(
-        d7("ln(rnk)").alias("x"),
-        d7("ln(c)").alias("y"),
-        d7("ln(rnk) * ln(rnk)").alias("xx"),
-        d7("ln(rnk) * ln(c)").alias("xy"),
-        d7("ln(c) * ln(c)").alias("yy"),
+        i7("ln(rnk)").alias("x"),
+        i7("ln(c)").alias("y"),
+        i7("ln(rnk) * ln(rnk)").alias("xx"),
+        i7("ln(rnk) * ln(c)").alias("xy"),
+        i7("ln(c) * ln(c)").alias("yy"),
     )
     s = xy.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").cast("double").alias("sx"),
-        F.sum("y").cast("double").alias("sy"),
-        F.sum("xx").cast("double").alias("sxx"),
-        F.sum("xy").cast("double").alias("sxy"),
-        F.sum("yy").cast("double").alias("syy"),
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum("xx").cast("decimal(38,0)").alias("sxx"),
+        F.sum("xy").cast("decimal(38,0)").alias("sxy"),
+        F.sum("yy").cast("decimal(38,0)").alias("syy"),
     )
-    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # num/den/deny: exact integers (~1e22 max for the top-1000 curve)
+    pre = s.select(
+        "n", "sx", "sy",
+        (F.col("n") * F.col("sxy") * F.lit(10**7) - F.col("sx") * F.col("sy"))
+        .cast("decimal(38,0)").alias("num"),
+        (F.col("n") * F.col("sxx") * F.lit(10**7) - F.col("sx") * F.col("sx"))
+        .cast("decimal(38,0)").alias("den"),
+        (F.col("n") * F.col("syy") * F.lit(10**7) - F.col("sy") * F.col("sy"))
+        .cast("decimal(38,0)").alias("deny"),
     )
-    return s.select(
-        F.col("n").cast("long").alias("n_terms"),
-        F.round(slope, 6).alias("slope"),
-        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
-        F.round(
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            * (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
-            / (
-                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-            ),
-            6,
-        ).alias("r2"),
+    # slope_fp6 exact; intercept/r2 from the QUANTIZED slope (keeps all
+    # intermediates inside 38 digits — documented contract, replayed
+    # identically by the oracle)
+    q = pre.select(
+        "n", "sx", "sy", "num", "deny",
+        F.expr("CAST((num * 1000000) DIV den AS BIGINT)").alias("slope_fp6"),
+    )
+    return q.select(
+        F.expr("CAST(n AS BIGINT)").alias("n_terms"),
+        F.col("slope_fp6"),
+        F.expr(
+            "CAST((CAST(sy AS DECIMAL(38,0)) * 1000000 - slope_fp6 * CAST(sx AS DECIMAL(38,0)))"
+            " DIV (CAST(n AS DECIMAL(38,0)) * 10000000) AS BIGINT)"
+        ).alias("intercept_fp6"),
+        F.expr(
+            "CAST((slope_fp6 * ((num * 1000000) DIV deny)) DIV 1000000 AS BIGINT)"
+        ).alias("r2_fp6"),
     )

@@ -292,13 +292,18 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Q14-shape: promotion effect (conditional aggregate over a join) -------
 
+# revenue terms are exact 4dp decimals (2dp price x 2dp (1-disc)), so
+# numerator/denominator scale to exact integers (x10^4) and the ratio is
+# one integer division: promo_fp6 = (100*num4*10^6) // den4. round() of
+# the double quotient was the round-7 hazard class (the same double can
+# round differently across engine builds at a 6dp half-boundary).
 Q14_ORACLE = """
-SELECT round(
-         CAST(100 * sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                              THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                              ELSE 0 END) AS DOUBLE)
-         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE),
-         6) AS promo_revenue
+SELECT (100 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
+                             THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+                             ELSE 0 END) * 10000 AS HUGEINT)
+         * 1000000)
+       // CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS HUGEINT)
+       AS promo_revenue_fp6
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-10-01'
 """
@@ -307,24 +312,24 @@ WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-
 @register("q14_promo_revenue", oracle=Q14_ORACLE)
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective date window reaches the lineitem scan; part is a
-    broadcast dim; numerator/denominator sum in exact decimal, divide
-    once in double."""
+    broadcast dim; numerator/denominator sum in exact decimal and the
+    ratio is one integer DIV of their x10^4 integer forms (fp6)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
     rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    # the 100x stays in DECIMAL (exact) and the division is the single
-    # double op, rounded to 6 — an unrounded ratio drifted a last-ulp
-    # from the oracle at sf0.001 (different multiply/divide association)
+    # integer end-to-end: 4dp-exact decimal sums scale to DECIMAL(38,0)
+    # integers, one truncating DIV — no doubles anywhere in the hash
+    num = F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0)))
+    den = F.sum(rev)
     return joined.agg(
-        F.round(
-            (F.lit(100) * F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0))))
-            .cast("double")
-            / F.sum(rev).cast("double"),
-            6,
-        ).alias("promo_revenue")
+        (F.lit(100) * (num * F.lit(10000)).cast("decimal(38,0)") * F.lit(1000000))
+        .alias("_num"),
+        (den * F.lit(10000)).cast("decimal(38,0)").alias("_den"),
+    ).select(
+        F.expr("CAST(_num DIV _den AS BIGINT)").alias("promo_revenue_fp6")
     )
 
 

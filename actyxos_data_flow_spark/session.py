@@ -34,6 +34,9 @@ def get_spark(app_name: str = "actyxos_data_flow_spark", cpus: int | None = None
         # Arrow for Pandas UDF / applyInPandas / toPandas
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # keep stdout machine-readable: progress bars interleave with
+        # bench.py's single JSON line and break the driver's parser
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )
     spark = builder.getOrCreate()

@@ -68,7 +68,7 @@ class CorpusIngestor:
         self,
         spark: SparkSession,
         corpus_dir: str,
-        quality_min: float = 0.5,
+        quality_min_fp6: int = 500_000,
         id_col: str = "doc_id",
         text_col: str = "text",
         near_dup: bool = False,
@@ -94,7 +94,7 @@ class CorpusIngestor:
         self.positions_path = os.path.join(corpus_dir, "positions")
         self.epochs_flag = epochs
         self.epoch_file = os.path.join(corpus_dir, "_EPOCH")
-        self.quality_min = quality_min
+        self.quality_min_fp6 = quality_min_fp6
         self.id_col = id_col
         self.text_col = text_col
         self.near_dup = near_dup
@@ -235,10 +235,10 @@ class CorpusIngestor:
         counts {'arrived', 'gated', 'accepted'} for observability."""
         arrived = docs.count()
         scored = X.quality_score(docs, self.id_col, self.text_col).select(
-            self.id_col, "quality"
+            self.id_col, "quality_fp6"
         )
         gated = docs.join(
-            scored.filter(F.col("quality") >= self.quality_min), self.id_col
+            scored.filter(F.col("quality_fp6") >= self.quality_min_fp6), self.id_col
         )
         with_digest = gated.withColumn(
             "digest", F.md5(F.col(self.text_col).cast("binary"))
@@ -498,14 +498,14 @@ def run_ingest_stream(
     corpus_dir: str,
     checkpoint_dir: str,
     schema: str = "doc_id long, text string, lang string, source string",
-    quality_min: float = 0.5,
+    quality_min_fp6: int = 500_000,
     near_dup: bool = False,
 ) -> list[dict]:
     """Drive CorpusIngestor from a Structured Streaming file source
     (availableNow drain — the catch-up phase; swap the trigger for
     processingTime to run live). Each micro-batch commits through
     ingest_batch; per-batch stats are collected for assertion/metrics."""
-    ing = CorpusIngestor(spark, corpus_dir, quality_min=quality_min, near_dup=near_dup)
+    ing = CorpusIngestor(spark, corpus_dir, quality_min_fp6=quality_min_fp6, near_dup=near_dup)
     stats: list[dict] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
@@ -529,7 +529,7 @@ def run_ingest_live(
     corpus_dir: str,
     checkpoint_dir: str,
     schema: str = "doc_id long, text string, lang string, source string",
-    quality_min: float = 0.5,
+    quality_min_fp6: int = 500_000,
     tick: str = "1 second",
     on_batch=None,
     near_dup: bool = False,
@@ -541,7 +541,7 @@ def run_ingest_live(
     phase, src/runner.rs:322-355, for documents). Returns the running
     StreamingQuery — caller stops it. Restarting with the same
     checkpoint resumes; the digest index makes replays idempotent."""
-    ing = CorpusIngestor(spark, corpus_dir, quality_min=quality_min, near_dup=near_dup)
+    ing = CorpusIngestor(spark, corpus_dir, quality_min_fp6=quality_min_fp6, near_dup=near_dup)
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         stats = ing.ingest_batch(batch_df)

@@ -161,8 +161,8 @@ class MutableCorpusIngestor(_TombstoneStore, CorpusIngestor):
         self._batch_seq = self._advance_seq()
         seq = F.lit(self._batch_seq).cast("long")
         arrived = docs.count()
-        scored = X.quality_score(docs, self.id_col, self.text_col).select(self.id_col, "quality")
-        gated = docs.join(scored.filter(F.col("quality") >= self.quality_min), self.id_col)
+        scored = X.quality_score(docs, self.id_col, self.text_col).select(self.id_col, "quality_fp6")
+        gated = docs.join(scored.filter(F.col("quality_fp6") >= self.quality_min_fp6), self.id_col)
         with_digest = gated.withColumn("digest", F.md5(F.col(self.text_col).cast("binary")))
         rec = F.struct(*[F.col(c) for c in with_digest.columns])
         in_batch = (
@@ -469,7 +469,7 @@ def run_cdc_ingest_stream(
     corpus_dir: str,
     checkpoint_dir: str,
     schema: str = "doc_id long, text string, lang string, source string, op string",
-    quality_min: float = 0.5,
+    quality_min_fp6: int = 500_000,
     near_dup: bool = False,
     trigger_available_now: bool = True,
 ) -> list[dict]:
@@ -481,7 +481,7 @@ def run_cdc_ingest_stream(
     lands in the re-added state, and replays are idempotent (tombstone
     max() + digest gate). Per-batch stats are returned for assertions/
     metrics; swap the trigger for processingTime to run live."""
-    ing = MutableCorpusIngestor(spark, corpus_dir, quality_min=quality_min, near_dup=near_dup)
+    ing = MutableCorpusIngestor(spark, corpus_dir, quality_min_fp6=quality_min_fp6, near_dup=near_dup)
     stats: list[dict] = []
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:

@@ -455,7 +455,13 @@ def main() -> None:
     )
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # the JSON line is the bench CONTRACT: sole stdout line (Spark
+    # progress bars are disabled in get_spark), duplicated to a file so
+    # the artifact survives any stdout mangling driver-side
+    line = json.dumps(out)
+    with open(os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), "w") as fh:
+        fh.write(line + "\n")
+    print(line)
 
 
 if __name__ == "__main__":

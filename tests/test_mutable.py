@@ -24,7 +24,7 @@ def _docs(spark, rows):
 
 
 def _ing(spark, tmp_path, **kw):
-    kw.setdefault("quality_min", 0.0)
+    kw.setdefault("quality_min_fp6", 0)
     return MutableCorpusIngestor(spark, str(tmp_path / "corpus"), **kw)
 
 
@@ -247,7 +247,7 @@ def test_cdc_stream_applies_deletes_then_upserts(spark, tmp_path):
         )
     )
     stats = run_cdc_ingest_stream(
-        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ck1"), quality_min=0.0
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ck1"), quality_min_fp6=0
     )
     assert stats[-1]["accepted"] == 2
 
@@ -262,9 +262,9 @@ def test_cdc_stream_applies_deletes_then_upserts(spark, tmp_path):
         )
     )
     stats = run_cdc_ingest_stream(
-        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ck1"), quality_min=0.0
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ck1"), quality_min_fp6=0
     )
-    ing = MutableCorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.0)
+    ing = MutableCorpusIngestor(spark, str(tmp_path / "corpus"), quality_min_fp6=0)
     got = {r.doc_id: r.text for r in ing.corpus().collect()}
     assert got == {1: new_text}
 

@@ -78,7 +78,7 @@ def test_lang_id_picks_en(spark):
 
 def test_quality_score_bounds(spark):
     out = X.quality_score(_docs(spark)).collect()
-    assert all(0.0 <= r.quality <= 1.0 for r in out)
+    assert all(0 <= r.quality_fp6 <= 10**6 for r in out)
 
 
 def test_fingerprint_equal_for_exact_dups(spark):
@@ -300,9 +300,9 @@ def test_repetition_stats_flags_loops_not_prose(spark):
     )
     got = {r.doc_id: r for r in X.repetition_stats(df).collect()}
     assert set(got) == {1, 2}
-    assert got[1].repetitive and got[1].dup_trigram_frac > 0.5
-    assert not got[2].repetitive and got[2].dup_trigram_frac == 0.0
-    assert got[2].top_unigram_frac == round(2 / 9, 6)  # "the" twice
+    assert got[1].repetitive and got[1].dup_trigram_frac_fp6 > 500_000
+    assert not got[2].repetitive and got[2].dup_trigram_frac_fp6 == 0
+    assert got[2].top_unigram_frac_fp6 == 2 * 10**6 // 9  # "the" twice
 
 
 def test_centroid_outliers_flags_opposed_vector(spark):
@@ -337,7 +337,7 @@ def test_profile_exact_and_approx_same_shape(spark):
     assert exact["k"].n_distinct == 2 and exact["k"].n_nulls == 0
     assert exact["s"].n_nulls == 1 and exact["s"].min_num is None
     assert exact["v"].min_num == 1.5 and exact["v"].max_num == 2.5
-    assert exact["v"].null_frac == round(1 / 3, 6)
+    assert exact["v"].null_frac_fp6 == 333_333  # (1*1e6) DIV 3
     approx = P.profile(df, exact=False)
     assert approx.columns == P.profile(df).columns
     assert {r.col_name for r in approx.collect()} == {"k", "s", "v"}
@@ -346,8 +346,8 @@ def test_profile_exact_and_approx_same_shape(spark):
 def test_weighted_sample_monotone_and_deterministic(spark):
     """Same ids, higher weights => superset survival; two runs agree
     row-for-row (hash decision, no RNG)."""
-    lo = spark.createDataFrame([(i, 0.05) for i in range(200)], "doc_id long, w double")
-    hi = spark.createDataFrame([(i, 0.95) for i in range(200)], "doc_id long, w double")
+    lo = spark.createDataFrame([(i, 50_000) for i in range(200)], "doc_id long, w long")
+    hi = spark.createDataFrame([(i, 950_000) for i in range(200)], "doc_id long, w long")
     keep_lo = {r.doc_id for r in X.weighted_sample(lo, "w").collect()}
     keep_hi = {r.doc_id for r in X.weighted_sample(hi, "w").collect()}
     assert keep_lo <= keep_hi
@@ -426,7 +426,7 @@ def test_containment_catches_short_inside_long(spark):
     sh = D.shingles(df)
     pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     got = D.containment_on_pairs(pairs, sh).collect()[0]
-    assert got.containment_b == 1.0 and got.containment == 1.0
+    assert got.containment_b_fp6 == 1_000_000 and got.containment_fp6 == 1_000_000
     jac = D.jaccard_on_pairs(pairs, sh).collect()[0].jaccard
     assert jac < 0.5  # symmetric measure dilutes the duplication signal
 
@@ -654,7 +654,7 @@ def test_vocab_coverage_counts(spark):
     )
     # vocab_size=2 → vocab {a, b} (a:3, b:1, tie z/q broken asc → b wins by count)
     got = {r.doc_id: r for r in X.vocab_coverage(docs, vocab_size=2).collect()}
-    assert got[1].n_oov == 0 and got[1].oov_frac == 0.0
+    assert got[1].n_oov == 0 and got[1].oov_frac_fp6 == 0
     assert got[2].n_oov == 2 and got[2].n_tokens == 3
 
 
@@ -845,7 +845,7 @@ def test_ann_recall_bounds(spark):
     banding/quantization/probing fails the suite."""
     from actyxos_data_flow_spark.plans.similarity import ann_recall_report
 
-    got = {r["method"]: r["recall_at_k"] for r in ann_recall_report(spark, "/root/testdata/sf0.001").collect()}
+    got = {r["method"]: r["recall_at_k_fp6"] / 1e6 for r in ann_recall_report(spark, "/root/testdata/sf0.001").collect()}
     assert set(got) == {
         "ivf_nprobe1", "ivf_nprobe3", "ivf_kmeans", "sq8_rerank",
         "hyperplane", "pq_adc", "ivfpq",
@@ -1045,7 +1045,7 @@ def test_zorder_key_locality_and_determinism(spark):
     assert rep["matched_rows"] == 256
     assert rep["scanned_rows"] >= rep["matched_rows"]
     assert rep["hit_bins"] <= 16  # rectangle touches few z-regions
-    assert rep["scan_fraction"] <= 0.3
+    assert rep["scan_fraction_fp6"] <= 300_000
 
 
 def test_logreg_learns_separable_labels(spark):
@@ -1172,21 +1172,23 @@ def test_pagerank_properties(spark):
     edges = spark.createDataFrame(
         [(1, 4), (2, 4), (3, 4), (5, 1)], "src long, dst long"
     )
-    pr = {r["node"]: r["pr"] for r in pagerank(edges, iters=3).collect()}
+    pr = {r["node"]: r["pr_fp9"] for r in pagerank(edges, iters=3).collect()}
     assert set(pr) == {1, 2, 3, 4, 5}
-    assert abs(sum(pr.values()) - 1.0) < 1e-6  # mass conserved
+    # mass conserved up to integer-truncation loss (< ~1 fp9 unit per
+    # node per DIV, a handful of passes): within 100 nano-units of 1.0
+    assert abs(sum(pr.values()) - 10**9) < 100
     assert pr[4] == max(pr.values())  # the hub wins
     assert pr[5] == min(pr.values())  # nothing points at 5
 
     pr2 = {
-        r["node"]: r["pr"]
+        r["node"]: r["pr_fp9"]
         for r in pagerank(edges.repartition(7), iters=3).collect()
     }
     assert pr == pr2
 
     # duplicate edges must not double-count
     dup = edges.unionByName(spark.createDataFrame([(1, 4)], "src long, dst long"))
-    pr3 = {r["node"]: r["pr"] for r in pagerank(dup, iters=3).collect()}
+    pr3 = {r["node"]: r["pr_fp9"] for r in pagerank(dup, iters=3).collect()}
     assert pr3 == pr
 
 
@@ -1330,11 +1332,11 @@ def test_triangle_stats_known_graphs(spark):
     r = triangle_stats(df).collect()[0]
     assert (r["nodes"], r["edges"], r["triangles"]) == (4, 6, 4)
     assert r["wedges"] == 12  # 4 nodes of degree 3 -> 4*C(3,2)
-    assert r["clustering"] == 1.0
+    assert r["clustering_fp6"] == 1_000_000
 
     star = spark.createDataFrame([(0, i) for i in range(1, 50)], "src long, dst long")
     s = triangle_stats(star).collect()[0]
-    assert (s["triangles"], s["clustering"]) == (0, 0.0)
+    assert (s["triangles"], s["clustering_fp6"]) == (0, 0)
     assert s["wedges"] == 49 * 48 // 2
 
 
@@ -1536,7 +1538,7 @@ def test_epoch_schedule_budget_and_determinism(spark):
     # per-domain scheduled mass ~ budget: within one max-doc of the target
     total = docs.agg(F.sum("n_chars")).collect()[0][0]
     budget = total * 17 // 10
-    w = {r["source"]: r["mix_weight"] for r in mix_weights(docs, "source").collect()}
+    w = {r["source"]: r["mix_weight_fp6"] / 1e6 for r in mix_weights(docs, "source").collect()}
     sched = {
         r["source"]: r["mass"]
         for r in out.groupBy("source").agg(F.sum("n_chars").alias("mass")).collect()
@@ -1729,8 +1731,8 @@ def test_pair_rules_counts_and_basket_cap(spark):
     assert set(rules) == {("a", "b")}
     r = rules[("a", "b")]
     assert (r.sup_ab, r.sup_a, r.sup_b) == (2, 2, 2)
-    assert r.conf_a_b == 1.0 and r.conf_b_a == 1.0
-    assert r.lift == round(2 * 3 / (2 * 2), 6)
+    assert r.conf_a_b_fp6 == 1_000_000 and r.conf_b_a_fp6 == 1_000_000
+    assert r.lift_fp6 == 2 * 3 * 10**6 // (2 * 2)
 
     # without the cap, basket 1 pairs and min_support keeps {a,b},{a,c},{b,c}
     full = {

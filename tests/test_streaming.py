@@ -480,7 +480,7 @@ def test_corpus_ingestor_dedups_within_and_across_batches(spark, tmp_path):
     good_a = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
     good_b = "a completely different story about ships and the open sea with many fine words in it today"
     good_c = "third unique document with plenty of good and varied words to pass the quality gate here now"
-    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.4)
+    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min_fp6=400_000)
     b1 = spark.createDataFrame(
         [(1, good_a, "en", "s"), (2, good_a, "en", "s"), (3, good_b, "en", "s"), (4, "x y", "en", "s")],
         "doc_id long, text string, lang string, source string",
@@ -516,14 +516,14 @@ def test_run_ingest_stream_two_files_resume(spark, tmp_path):
                   for i, t in [(1, good_a), (2, good_b)])
     )
     stats1 = run_ingest_stream(
-        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"), quality_min=0.4
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"), quality_min_fp6=400_000
     )
     assert sum(s["accepted"] for s in stats1) == 2
     (src / "f2.jsonl").write_text(
         _json.dumps({"doc_id": 9, "text": good_a, "lang": "en", "source": "s"})
     )
     stats2 = run_ingest_stream(
-        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"), quality_min=0.4
+        spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"), quality_min_fp6=400_000
     )
     assert sum(s["arrived"] for s in stats2) == 1  # checkpoint resume: new file only
     assert sum(s["accepted"] for s in stats2) == 0  # duplicate blocked by index
@@ -537,7 +537,7 @@ def test_corpus_ingestor_survives_null_and_empty_text(spark, tmp_path):
     never crash the batch, and the counts stay truthful."""
     from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
 
-    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.4)
+    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min_fp6=400_000)
     good = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
     b = spark.createDataFrame(
         [(1, good, "en", "s"), (2, None, "en", "s"), (3, "", "en", "s")],
@@ -566,7 +566,7 @@ def test_run_ingest_live_picks_up_new_files_on_tick(spark, tmp_path):
     seen = []
     q = run_ingest_live(
         spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
-        quality_min=0.4, on_batch=seen.append,
+        quality_min_fp6=400_000, on_batch=seen.append,
     )
     try:
         deadline = time.time() + 30
@@ -601,7 +601,7 @@ def test_corpus_ingestor_near_dup_gate(spark, tmp_path):
     other = "a completely different story about ships and the open sea with many fine words in it today"
     other_near = other.replace("fine words", "good words")
     novel = "third unique document with plenty of good and varied words to pass the quality gate here now"
-    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.4, near_dup=True)
+    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min_fp6=400_000, near_dup=True)
     b1 = spark.createDataFrame(
         # 20/21 are intra-batch near-dups: 20 (smaller id) must win
         [(20, other, "en", "s"), (21, other_near, "en", "s"), (1, base, "en", "s")],
@@ -639,7 +639,7 @@ def test_run_ingest_live_near_dup_gate(spark, tmp_path):
     seen = []
     q = run_ingest_live(
         spark, str(src), str(tmp_path / "corpus"), str(tmp_path / "ckpt"),
-        quality_min=0.4, on_batch=seen.append, near_dup=True,
+        quality_min_fp6=400_000, on_batch=seen.append, near_dup=True,
     )
     try:
         deadline = time.time() + 45
@@ -673,7 +673,7 @@ def test_ingest_maintains_clusters_across_batches(spark, tmp_path):
     v2 = base.replace("tall tree", "tall oak")
     v3 = base.replace("lazy dog", "lazy cat")
     solo = "a completely different story about ships and the open sea with many fine words in it today"
-    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min=0.4, near_dup=True)
+    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min_fp6=400_000, near_dup=True)
 
     def batch(rows):
         return spark.createDataFrame(
@@ -782,7 +782,7 @@ def test_ingest_maintains_inverted_index(spark, tmp_path):
     from actyxos_data_flow_spark.operators.retrieval import bm25_topk, build_postings
     from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
 
-    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min_fp6=0, postings=True)
     b1 = spark.createDataFrame(
         [
             (1, "the cat sat on the mat and the cat slept"),
@@ -826,7 +826,7 @@ def test_ingest_maintains_cms_sketch(spark, tmp_path):
     from actyxos_data_flow_spark.operators.retrieval import _tokens
     from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
 
-    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min_fp6=0, postings=True)
     ing.ingest_batch(
         spark.createDataFrame(
             [(1, "alpha beta alpha"), (2, "beta gamma delta")],
@@ -856,7 +856,7 @@ def test_ingest_batch_drift_gate(spark, tmp_path):
 
     from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
 
-    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min_fp6=0, postings=True)
     ing.ingest_batch(
         spark.createDataFrame(
             [(1, "alpha beta gamma alpha"), (2, "beta gamma alpha beta")],
@@ -880,7 +880,7 @@ def test_ingest_epoch_time_travel(spark, tmp_path):
     cost snapshot-sized I/O)."""
     from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
 
-    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, epochs=True)
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min_fp6=0, epochs=True)
     for i, text in enumerate(
         ["first doc alpha beta", "second doc gamma delta", "third doc epsilon zeta"]
     ):
@@ -917,7 +917,7 @@ def test_ingest_maintains_hll_registers(spark, tmp_path):
     from actyxos_data_flow_spark.operators.retrieval import _tokens
     from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
 
-    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min_fp6=0, postings=True)
     ing.ingest_batch(
         spark.createDataFrame(
             [(1, "alpha beta alpha"), (2, "beta gamma delta")],
@@ -948,7 +948,7 @@ def test_ingest_maintains_hdr_doclen_sketch(spark, tmp_path):
     from actyxos_data_flow_spark.operators.retrieval import _tokens
     from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
 
-    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min=0.0, postings=True)
+    ing = CorpusIngestor(spark, str(tmp_path / "c"), quality_min_fp6=0, postings=True)
     ing.ingest_batch(
         spark.createDataFrame(
             [(1, "a b c"), (2, "a b c d e f g h")], "doc_id long, text string"
@@ -1041,7 +1041,7 @@ def test_ingest_maintains_positional_index(spark, tmp_path):
     from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
 
     ing = CorpusIngestor(
-        spark, str(tmp_path / "c"), quality_min=0.0, postings=True, positional=True
+        spark, str(tmp_path / "c"), quality_min_fp6=0, postings=True, positional=True
     )
     ing.ingest_batch(
         spark.createDataFrame(

@@ -104,10 +104,48 @@ def main():
             failed.append(name)
             results[name] = {"status": "ERROR", "error": str(e)[:500], "sec": round(time.time() - t0, 2)}
 
+    # Stamp the numeric environment the hashes were produced under —
+    # round 7 proved a hash can be engine-BUILD-sensitive (libm/round
+    # splits), so every committed artifact must self-describe the
+    # engines that produced it, making the next cross-env split
+    # diagnosable in minutes instead of a round.
+    results["_env"] = env_stamp()
     print(json.dumps(results, indent=2, default=str))
-    n_match = sum(1 for r in results.values() if r["status"] in ("MATCH", "rows_only"))
-    print(f"\n{n_match}/{len(results)} ok; failed: {failed}", file=sys.stderr)
+    n_q = len(results) - 1
+    n_match = sum(
+        1
+        for k, r in results.items()
+        if k != "_env" and r["status"] in ("MATCH", "rows_only")
+    )
+    print(f"\n{n_match}/{n_q} ok; failed: {failed}", file=sys.stderr)
     sys.exit(1 if failed else 0)
+
+
+def env_stamp() -> dict:
+    """Versions of every engine whose numeric behavior the value hashes
+    depend on (importable: ``from check import env_stamp``)."""
+    import platform
+
+    import pyspark
+
+    jdk = os.environ.get("JAVA_HOME", "")
+    try:
+        import subprocess
+
+        out = subprocess.run(
+            [os.path.join(jdk, "bin", "java") if jdk else "java", "-version"],
+            capture_output=True, text=True, timeout=10,
+        )
+        jver = (out.stderr or out.stdout).splitlines()[0].strip()
+    except Exception:  # noqa: BLE001
+        jver = "unknown"
+    return {
+        "duckdb": duckdb.__version__,
+        "pyspark": pyspark.__version__,
+        "python": platform.python_version(),
+        "jdk": jver,
+        "platform": platform.platform(),
+    }
 
 
 if __name__ == "__main__":
