@@ -32,9 +32,21 @@ logical-plan matching for REPEATED runs of the same query (bench.py's
 warm passes, a dashboard refreshing one view): the pool keeps the last
 couple of queries' caches alive, so re-running a query re-persists the
 identical plan and CacheManager serves the still-warm entry. An
-early-evicted entry only costs a deterministic recompute — never
-correctness (range-partitioner sampling is seeded, so even the
+early-evicted PERSIST entry only costs a deterministic recompute —
+never correctness (range-partitioner sampling is seeded, so even the
 ``spark_partition_id``-pinning caches rebuild identically).
+
+:func:`pin_dir` scratch DIRECTORIES are different: there is no
+recompute path for deleted files. The contract for callers is
+therefore stricter — keep the returned query result alive for as long
+as ANY DataFrame derived from it may still be evaluated. If a caller
+derives a child frame, drops the parent result, and lets
+``RETAIN_QUERIES`` newer queries retire behind it, the scratch parquet
+the child lazily reads is gone and evaluation fails (loudly — never a
+wrong answer, the files are whole-directory removed). The registered
+grading/bench/check loops all collect before dropping, which satisfies
+the contract; ad-hoc composition should either re-run the registered
+query or hold the original result.
 
 Single-threaded by design (the driver, ``bench.py`` and ``tools/check.py``
 all build one query at a time); the pending lists are module-level, not

@@ -63,6 +63,40 @@ def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x.cast("double") * x.cast("double")), F.lit(0.0), lambda s, x: s + x))
 
 
+def _dot9(a: Column, b: Column) -> Column:
+    """Dot product as an EXACT 1e-9 fixed-point BIGINT: per-term
+    floor(x·y·1e9 + 0.5), order-free integer sum — the same contract as
+    the classifier's scoring chain. A plain double fold is
+    association-sensitive (a sequential Spark fold vs DuckDB's
+    unordered GROUP BY sum can differ an ulp, and a downstream
+    round(·, 9) can split engines at a half-boundary)."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: F.floor(
+                x.cast("double") * y.cast("double") * F.lit(1e9) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sq9(a: Column) -> Column:
+    """Σ floor(x²·1e9 + 0.5) — the squared-norm companion of _dot9."""
+    return F.aggregate(
+        F.transform(
+            a,
+            lambda x: F.floor(
+                x.cast("double") * x.cast("double") * F.lit(1e9) + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_scores(queries: DataFrame, corpus: DataFrame, qid: str = "qid", cid: str = "vec_id") -> DataFrame:
     """All (query, corpus) cosine scores. ``queries``: (qid, qe array),
     ``corpus``: (vec_id, embedding array). Queries broadcast."""
@@ -1041,9 +1075,13 @@ def ivfpq_adc_topk(
     recon = codes.select(
         id_col, _pq_reconstruct_expr(books, "pq_codes").alias("_rec")
     ).join(assign, id_col)
-    ccos = F.round(
-        _dot(F.col("qe"), F.col("ce")) / (_norm(F.col("qe")) * _norm(F.col("ce"))),
-        probe_round,
+    # coarse-probe score: EXACT fp9 integer dot over the centroid,
+    # divided by the centroid norm derived from an exact integer too —
+    # identical doubles on any engine build, so the probe ranking needs
+    # no round() at all (the query norm is constant per qid and drops
+    # out of the per-qid ordering)
+    ccos = _dot9(F.col("qe"), F.col("ce")).cast("double") / F.sqrt(
+        _sq9(F.col("ce")).cast("double")
     )
     pw = W.partitionBy("qid").orderBy(F.col("_ccos").desc(), F.col("cell").asc())
     probe = (
@@ -1054,7 +1092,8 @@ def ivfpq_adc_topk(
         .select("qid", "qe", "cell")
     )
     pairs = recon.join(F.broadcast(probe), "cell")
-    adot = F.round(_dot(F.col("qe"), F.col("_rec")), 9)
+    # ADC score: pure fp9 BIGINT — the candidate ordering is integer
+    adot = _dot9(F.col("qe"), F.col("_rec"))
     scored = pairs.select(
         "qid", id_col, adot.alias("_adot"), F.spark_partition_id().alias("_pid")
     )

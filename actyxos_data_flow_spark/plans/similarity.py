@@ -686,7 +686,8 @@ iprecon AS (
 iqx AS (SELECT qid, unnest(generate_series(1, len(qe))) AS pos, unnest(qe)::DOUBLE AS a FROM q),
 ics AS (
   SELECT x.qid, c.cell,
-         round(sum(x.a * c.c) / (sqrt(sum(x.a * x.a)) * sqrt(sum(c.c * c.c))), 9) AS ccos
+         CAST(sum(CAST(floor(x.a * c.c * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+           / sqrt(CAST(sum(CAST(floor(c.c * c.c * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)) AS ccos
   FROM iqx x JOIN {_KM_CENT} c ON x.pos = c.pos
   GROUP BY x.qid, c.cell
 ),
@@ -701,7 +702,8 @@ iscan AS (
   FROM iprobe p JOIN {_KM_ASSIGN} a ON a.cell = p.cell
 ),
 ipad AS (
-  SELECT s.qid, s.vec_id, round(sum(x.a * r.c), 9) AS adot
+  SELECT s.qid, s.vec_id,
+         CAST(sum(CAST(floor(x.a * r.c * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS adot
   FROM iscan s
   JOIN iqx x ON x.qid = s.qid
   JOIN iprecon r ON r.vec_id = s.vec_id AND r.pos = x.pos

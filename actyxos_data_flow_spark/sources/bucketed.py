@@ -40,10 +40,15 @@ _WAREHOUSE = os.path.join(
 )
 
 
-def bucketed_name(sf_dir: str, table: str, keys: tuple[str, ...], n_buckets: int) -> str:
+def bucketed_name(
+    sf_dir: str, table: str, keys: tuple[str, ...], n_buckets: int, sort: bool = True
+) -> str:
     # the source file's (mtime, size) is part of the identity: a
     # driver-side testdata regeneration must invalidate the mirror, not
-    # silently serve stale rows
+    # silently serve stale rows. The SORT flag is part of it too — a
+    # mirror written unsorted must never be adopted under SORTED BY
+    # DDL (Catalyst would elide the Sort before a SortMergeJoin and
+    # join wrong).
     src = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(src)
@@ -51,9 +56,51 @@ def bucketed_name(sf_dir: str, table: str, keys: tuple[str, ...], n_buckets: int
     except FileNotFoundError:
         stamp = "nosrc"
     tag = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{','.join(keys)}:{n_buckets}:{stamp}".encode()
+        f"{os.path.abspath(sf_dir)}:{','.join(keys)}:{n_buckets}:{int(sort)}:{stamp}".encode()
     )
     return f"b_{table}_{tag.hexdigest()[:10]}"
+
+
+def _write_spec(path: str, keys: tuple[str, ...], n_buckets: int, sort: bool) -> None:
+    """Sidecar recording HOW the mirror files were actually written
+    (spec + per-file sizes). Adoption trusts this record, not the
+    caller's arguments: the DDL re-declaration must describe the files
+    as they are, and a mirror that lost/changed a bucket file after
+    _SUCCESS (manual cleanup, partial disk loss) must be rewritten, not
+    served with silently-missing buckets."""
+    import json as _json
+
+    files = {
+        f: os.path.getsize(os.path.join(path, f))
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+    }
+    with open(os.path.join(path, "_SPEC.json"), "w") as fh:
+        _json.dump(
+            {"keys": list(keys), "n_buckets": n_buckets, "sort": bool(sort), "files": files},
+            fh,
+        )
+
+
+def _spec_matches(path: str, keys: tuple[str, ...], n_buckets: int, sort: bool) -> bool:
+    import json as _json
+
+    try:
+        with open(os.path.join(path, "_SPEC.json")) as fh:
+            spec = _json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return False  # pre-sidecar mirror or corrupt record: rewrite
+    if (
+        spec.get("keys") != list(keys)
+        or spec.get("n_buckets") != n_buckets
+        or spec.get("sort") != bool(sort)
+    ):
+        return False
+    for f, size in spec.get("files", {}).items():
+        fp = os.path.join(path, f)
+        if not os.path.exists(fp) or os.path.getsize(fp) != size:
+            return False  # a bucket file was lost/changed after _SUCCESS
+    return True
 
 
 def _adopt_bucketed_files(
@@ -70,12 +117,19 @@ def _adopt_bucketed_files(
     --scale-only subprocess) loses the in-memory catalog but not the
     files, and re-shuffling a mirror whose whole point is 'pay the
     shuffle once' would forfeit the point session after session.
-    Bucket identity is safe to adopt: ``saveAsTable(bucketBy)`` names
-    every file with its bucket id suffix, and the DDL below re-declares
-    the identical CLUSTERED/SORTED spec, so Spark trusts (and test
-    plans verify) the same ``Bucketed: true`` scans. Returns False when
-    no completed write exists at ``path``."""
+    Bucket identity is safe to adopt because it is VERIFIED, not
+    assumed: ``saveAsTable(bucketBy)`` names every file with its bucket
+    id suffix, the ``_SPEC.json`` sidecar records the written spec and
+    per-file sizes, and adoption refuses (returns False → caller
+    rewrites) when the sidecar is absent, describes a different
+    (keys, n_buckets, sort), or any recorded file is missing/resized —
+    ``_SUCCESS`` guards completeness of the WRITE, the sidecar guards
+    against later file loss. The DDL below then re-declares the
+    recorded CLUSTERED/SORTED spec, so Spark trusts (and test plans
+    verify) the same ``Bucketed: true`` scans."""
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        return False
+    if not _spec_matches(path, keys, n_buckets, sort):
         return False
     schema = spark.read.parquet(path).schema
     cols_ddl = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
@@ -102,7 +156,7 @@ def ensure_bucketed(
     spec so changing either writes a fresh mirror instead of silently
     reading a stale layout. A fresh session ADOPTS existing files via
     bucketed DDL instead of rewriting (see _adopt_bucketed_files)."""
-    name = bucketed_name(sf_dir, table, tuple(keys), n_buckets)
+    name = bucketed_name(sf_dir, table, tuple(keys), n_buckets, sort)
     if not spark.catalog.tableExists(name):
         path = os.path.join(_WAREHOUSE, name)
         if not _adopt_bucketed_files(spark, name, path, tuple(keys), n_buckets, sort):
@@ -110,6 +164,7 @@ def ensure_bucketed(
             if sort:
                 w = w.sortBy(*keys)
             w.mode("overwrite").option("path", path).format("parquet").saveAsTable(name)
+            _write_spec(path, tuple(keys), n_buckets, sort)
     return spark.table(name)
 
 
@@ -144,7 +199,7 @@ def ensure_bucketed_frame(
         except FileNotFoundError:
             stamps.append(f"{t}=nosrc")
     h = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}:{tag}:{','.join(keys)}:{n_buckets}:{';'.join(stamps)}".encode()
+        f"{os.path.abspath(sf_dir)}:{tag}:{','.join(keys)}:{n_buckets}:1:{';'.join(stamps)}".encode()
     ).hexdigest()[:10]
     name = f"b_{tag}_{h}"
     if not spark.catalog.tableExists(name):
@@ -159,6 +214,7 @@ def ensure_bucketed_frame(
                 .format("parquet")
                 .saveAsTable(name)
             )
+            _write_spec(path, tuple(keys), n_buckets, True)
     return spark.table(name)
 
 

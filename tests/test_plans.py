@@ -536,6 +536,43 @@ def test_bucketed_mirror_adopted_without_rewrite(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_mirror_adoption_refuses_lost_bucket_file(spark):
+    """Crash-consistency hole closed: _SUCCESS guards completeness of
+    the WRITE, not of later file loss. If a bucket file disappears (or
+    changes size) after the mirror was written, a fresh session's
+    adoption path must REFUSE the shortcut and fall back to a full
+    rewrite — re-declaring bucket DDL over an incomplete file set would
+    serve wrong (silently missing) buckets. The _SPEC.json sidecar
+    records per-file sizes at write time; adoption verifies it."""
+    import glob
+    import os
+
+    from actyxos_data_flow_spark.sources.bucketed import (
+        _WAREHOUSE,
+        bucketed_name,
+        ensure_bucketed,
+    )
+
+    a = ensure_bucketed(spark, SF, "nation", ("n_nationkey",), n_buckets=4)
+    rows_before = sorted(map(tuple, a.collect()))
+    name = bucketed_name(SF, "nation", ("n_nationkey",), 4)
+    path = os.path.join(_WAREHOUSE, name)
+    victims = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    assert victims
+    spark.sql(f"DROP TABLE {name}")  # external: files survive
+    os.remove(victims[0])  # simulate post-write file loss
+    b = ensure_bucketed(spark, SF, "nation", ("n_nationkey",), n_buckets=4)
+    # the rewrite restored a complete mirror with the full row set
+    assert sorted(map(tuple, b.collect())) == rows_before
+    # and the sidecar now matches the rewritten files again
+    mtimes = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*.parquet"))}
+    spark.sql(f"DROP TABLE {name}")
+    c = ensure_bucketed(spark, SF, "nation", ("n_nationkey",), n_buckets=4)
+    after = {f: os.path.getmtime(f) for f in glob.glob(os.path.join(path, "*.parquet"))}
+    assert after == mtimes, "intact rewrite must be adoptable without another rewrite"
+    assert sorted(map(tuple, c.collect())) == rows_before
+
+
 def test_bucketed_mirror_is_idempotent(spark):
     """Second ensure_bucketed call reuses the registered table (no
     rewrite) and the mirror holds exactly the source rows."""
