@@ -74,49 +74,49 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # registry-complete since round 6, so the window's job is now
 # (a) first official rows for queries REGISTERED this round,
 # (b) official re-grades for rows whose OUTPUT SCHEMA or code path
-#     changed this round (the exact-quotient de-rounding, the
-#     cache.pin conversion, the 7th recall method), and
+#     changed this round (round 8: the integer fixed-point conversion
+#     of every hashed rational — the bulk of the window), and
 # (c) cross-family regression sentinels — each green in its MOST
 #     RECENT official round (not necessarily the previous one).
-# The 14 rows first-graded in round 6 rotate out (unchanged since).
 # Everything else follows in module order and stays covered by the
 # local full-registry replica (tools/check.py).
 _PRIORITY: tuple[str, ...] = (
     # --- new this round (no official row by construction) ---
-    "graph_pagerank_bucketed", "ann_ivfpq_topk", "dedup_prefix_delta_pairs",
-    "join_selinger_applied", "graph_bfs_bucketed",
-    "graph_shortest_paths_bucketed", "bm25_index_delta_topk",
-    # --- output schema changed this round (exact sums + counts replace
-    # rounded quotients; recall report gained the ivfpq row) — the
-    # official record must reflect the new shape ---
-    "quality_classifier_metrics", "quality_classifier_calibration",
-    "dedup_source_matrix", "ann_recall_report",
-    # --- code path touched this round (cache.pin conversion, pin_dir
-    # scratch cleanup, funnel tie-semantics documentation): values
-    # unchanged, but these rows prove it officially ---
-    "dedup_minhash_pairs", "dedup_simhash_pairs", "dedup_clusters_delta",
-    "dedup_semantic",
+    "join_selinger_dp",
+    # --- output schema or values changed this round: the integer
+    # fixed-point conversion (round-7 driver incident: round(double,k)
+    # in hashed columns splits across engine builds) — the official
+    # record must reflect the new BIGINT shapes ---
+    "quality_classifier_fit", "quality_classifier_metrics",
+    "quality_classifier_calibration", "dedup_source_matrix",
+    "text_quality_score", "text_lang_id", "sample_quality_weighted",
+    "corpus_health_by_source", "pack_curriculum_bins",
     "pipeline_clean_corpus", "pipeline_training_batches",
     "pipeline_mix_batches", "pipeline_bpe_batches",
-    "pack_training_bins", "mix_epoch_schedule",
-    "kmeans_cells", "ann_ivf_kmeans_topk", "ann_pq_topk",
-    "mm_phash", "mm_phash_pairs", "mm_frame_dedup",
-    "quality_classifier_fit",
-    "mutable_corpus_replay", "mutable_corpus_compact_replay",
-    "funnel_conversion", "cohort_retention",
+    "export_shard_manifest", "mutable_corpus_replay",
+    "mutable_corpus_compact_replay", "mix_epoch_schedule",
+    "source_mix_weights",
+    "dedup_containment", "dedup_minhash_quality",
+    "dedup_graph_transitivity", "graph_triangles_supplier",
+    "events_markov_transitions", "layout_zorder_prune",
+    "profile_orders", "text_repetition_stats", "text_vocab_coverage",
+    "decontaminate_vs_eval", "decontaminate_bloom",
+    "corpus_drift_jsd", "corpus_drift_terms", "assoc_part_rules",
+    "retrieval_eval_ndcg", "sketch_hdr_quantiles", "q14_promo_revenue",
+    "text_zipf_fit", "hybrid_rrf_search",
+    "graph_pagerank_trade", "graph_pagerank_bucketed",
+    "ann_ivfpq_topk", "ann_recall_report",
+    # --- code-path touched, values unchanged (minhash verify carries
+    # exact counts now; adoption/spec sidecar) — re-graded to prove it ---
+    "dedup_minhash_pairs", "graph_bfs_bucketed",
     # --- cross-family regression sentinels (fill the ~50-row window) ---
-    "q1_pricing_summary", "q9_product_profit", "q18_large_customers",
-    "e1_dashboard", "e2_usage_intervals", "m1_monotonic_max_by",
-    "g3_join", "ivm_snapshot_diff",
-    "dedup_exact", "dedup_prefix_filter_pairs", "decontaminate_bloom",
-    "ann_cosine_topk", "text_quality_score",
-    "bm25_search_topk",
-    "graph_pagerank_trade", "graph_triangles_supplier",
-    "stream_attribution_replay", "sketch_hll_cardinality",
-    # (trimmed to a 50-row window: asof/session/zorder/skew/rewrite
-    # sentinels rotate out this round — all green in their most recent
-    # official round, unchanged since, and still covered per-round by
-    # the committed full-registry artifacts at three scale factors)
+    "q1_pricing_summary", "e1_dashboard", "g3_join", "ivm_snapshot_diff",
+    "dedup_exact", "ann_cosine_topk", "bm25_search_topk",
+    "sketch_hll_cardinality",
+    # (the round-7 rows not re-listed — prefix-delta, selinger_applied,
+    # BFS/SP bucketed, funnel/cohort, kmeans/pq, mm_*, pack/sample
+    # rows — are unchanged since their green official round and stay
+    # covered per-round by the committed 3-SF full-registry artifacts)
 )
 
 

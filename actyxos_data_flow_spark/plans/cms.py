@@ -621,3 +621,286 @@ def join_selinger_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_fact).cast("long").alias("n_fact"),
         )
     )
+
+
+# -- Selinger bitmask DP: 4-relation join graph (nation chains via supplier) --
+#
+# join_selinger_applied enumerates the 3! left-deep orders of a pure
+# star; this is the REAL Selinger shape — dynamic programming over
+# CONNECTED subsets of a join graph that is not a star: part/supplier/
+# orders join the lineitem fact directly, nation joins THROUGH supplier
+# (s_nationkey = n_nationkey), so {nation} alone and {part, nation} are
+# not reachable states. Same integer cost model, multiplied through by
+# the shared denominator N³·|sels| so every DP cell is an EXACT integer
+# (HUGEINT/DECIMAL(38,0) — holds through ~sf10; beyond that both
+# engines move the cell type up): with sel_d = est_d/N for the fact
+# dims and sel_nation = est_nation/|sels|, the scaled size of a
+# k-subset S is N^(4-f)·|sels|^(1-i_n)·Π est_d (f = fact dims in S, i_n
+# = nation ∈ S), the cost of an order is the sum of its proper-prefix
+# sizes (the FULL 4-join size is permutation-invariant and omitted),
+# and ties break on the lexicographic order string in BOTH engines.
+# The oracle replays the WHOLE DP TABLE (one unrolled CTE per connected
+# subset, min over its predecessor transitions), and the table itself
+# rides in the hashed output alongside the executed answer.
+
+_DP_FACT_DIMS = frozenset({"part", "supplier", "orders"})
+_DP_DIMS = ("nation", "orders", "part", "supplier")
+
+
+def _dp_states() -> tuple[list[frozenset], dict]:
+    """Connected subsets of the join graph + their (pred, last-dim)
+    transitions: nation is reachable only once supplier is joined."""
+    import itertools
+
+    def connected(s: frozenset) -> bool:
+        return "nation" not in s or "supplier" in s
+
+    subsets = [
+        frozenset(c)
+        for k in range(1, len(_DP_DIMS) + 1)
+        for c in itertools.combinations(_DP_DIMS, k)
+    ]
+    subsets = [s for s in subsets if connected(s)]
+    trans: dict[frozenset, list[tuple[frozenset, str]]] = {}
+    for s in subsets:
+        preds = []
+        for d in sorted(s):
+            p = s - {d}
+            if not p:
+                preds.append((p, d))  # singletons are fact joins (connected)
+            elif connected(p) and (d != "nation" or "supplier" in p):
+                preds.append((p, d))
+        trans[s] = preds
+    return subsets, trans
+
+
+def _dp_term_factors(s: frozenset) -> tuple[int, int]:
+    """(#N factors, #|sels| factors) in the scaled size of subset s."""
+    if len(s) == len(_DP_DIMS):
+        return (0, 0)  # full-join size is permutation-invariant: omitted
+    f = len(s & _DP_FACT_DIMS)
+    i_n = 1 if "nation" in s else 0
+    return (4 - f, 1 - i_n)
+
+
+def _dp_key(s: frozenset) -> str:
+    return "+".join(sorted(s))
+
+
+def selinger_dp_decision(spark: SparkSession, sf_dir: str):
+    """Sketch-priced bitmask DP: CMS estimates for the four joins (the
+    three fact keys + supplier⋈nation), then exact-integer DP over the
+    14 connected subsets. Returns (winning order, DP-table rows,
+    {dim: est}, n_fact, s_cnt); only model-sized aggregates cross the
+    driver, and Python integers keep the scaled costs exact at any
+    magnitude."""
+    li, part, supp, orders = _selinger_inputs(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
+
+    def sk(df, col):
+        terms = (
+            df.select(F.col(col).cast("string").alias("term"))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("_cnt"))
+        )
+        return C.cms_build(terms, weight_col="_cnt")
+
+    ests = {
+        "part": int(
+            C.cms_join_estimate(sk(li, "l_partkey"), sk(part, "p_partkey")).first()["est_pairs"]
+        ),
+        "supplier": int(
+            C.cms_join_estimate(sk(li, "l_suppkey"), sk(supp, "s_suppkey")).first()["est_pairs"]
+        ),
+        "orders": int(
+            C.cms_join_estimate(sk(li, "l_orderkey"), sk(orders, "o_orderkey")).first()["est_pairs"]
+        ),
+        "nation": int(
+            C.cms_join_estimate(sk(supp, "s_nationkey"), sk(nation, "n_nationkey")).first()["est_pairs"]
+        ),
+    }
+    n_fact = li.count()
+    s_cnt = supp.count()
+    subsets, trans = _dp_states()
+
+    def term(s: frozenset) -> int:
+        nf, ns = _dp_term_factors(s)
+        v = (n_fact**nf) * (s_cnt**ns)
+        for d in s:
+            v *= ests[d]
+        return v
+
+    best: dict[frozenset, tuple[int, str]] = {}
+    for s in sorted(subsets, key=lambda x: (len(x), _dp_key(x))):
+        cands = []
+        for p, d in trans[s]:
+            pc, po = best[p] if p else (0, "")
+            cands.append((pc + term(s), (po + "," + d) if po else d))
+        best[s] = min(cands)
+    order = best[frozenset(_DP_DIMS)][1].split(",")
+    table = sorted(
+        (_dp_key(s), len(s), best[s][0], best[s][1]) for s in subsets
+    )
+    return order, table, ests, n_fact, s_cnt
+
+
+def _dp_term_sql(s: frozenset) -> str:
+    nf, ns = _dp_term_factors(s)
+    factors = ["CAST(1 AS HUGEINT)"]
+    factors += ["e.n_fact"] * nf
+    factors += ["e.s_cnt"] * ns
+    factors += [f"e.est_{d}" for d in sorted(s)]
+    return "(" + " * ".join(factors) + ")"
+
+
+def _dp_ctes() -> str:
+    """The DP table as unrolled SQL — one CTE per connected subset,
+    each taking the (cost, ord)-lexicographic minimum over its
+    predecessor transitions; plus dptab, the union of every cell."""
+    subsets, trans = _dp_states()
+    parts = []
+    for s in sorted(subsets, key=lambda x: (len(x), _dp_key(x))):
+        abbrev = "".join(sorted(d[0] for d in s))
+        cands = []
+        for p, d in trans[s]:
+            if not p:
+                cands.append(
+                    f"SELECT {_dp_term_sql(s)} AS cost, '{d}' AS ord FROM selests e"
+                )
+            else:
+                pab = "".join(sorted(x[0] for x in p))
+                cands.append(
+                    f"SELECT dp_{pab}.cost + {_dp_term_sql(s)} AS cost, "
+                    f"dp_{pab}.ord || ',{d}' AS ord FROM dp_{pab}, selests e"
+                )
+        union = "\n      UNION ALL\n      ".join(cands)
+        parts.append(
+            f"""dp_{abbrev} AS (
+  SELECT cost, ord FROM (
+    SELECT cost, ord, row_number() OVER (ORDER BY cost, ord) AS rn FROM (
+      {union}
+    )
+  ) WHERE rn = 1
+)"""
+        )
+    rows = "\n    UNION ALL\n    ".join(
+        f"SELECT '{_dp_key(s)}' AS subset, {len(s)} AS k, "
+        f"CAST(dp_{''.join(sorted(d[0] for d in s))}.cost AS DECIMAL(38,0)) AS best_cost_scaled, "
+        f"dp_{''.join(sorted(d[0] for d in s))}.ord AS best_order "
+        f"FROM dp_{''.join(sorted(d[0] for d in s))}"
+        for s in sorted(subsets, key=lambda x: (len(x), _dp_key(x)))
+    )
+    return ",\n".join(parts) + f""",
+dptab AS (
+    {rows}
+)"""
+
+
+SELINGER_DP_ORACLE = (
+    f"WITH rows_ AS (SELECT unnest(generate_series(0, {_D - 1})) AS row),"
+    + _SEL_FILTERS
+    + ", selnn AS (SELECT n_nationkey, n_name FROM nation),"
+    + _sketch_cte("xlp", "lineitem", "l_partkey")
+    + ","
+    + _sketch_cte("xls", "lineitem", "l_suppkey")
+    + ","
+    + _sketch_cte("xlo", "lineitem", "l_orderkey")
+    + ","
+    + _sketch_cte("xp", "selp", "p_partkey")
+    + ","
+    + _sketch_cte("xs", "sels", "s_suppkey")
+    + ","
+    + _sketch_cte("xo", "selo", "o_orderkey")
+    + ","
+    + _sketch_cte("xsn", "sels", "s_nationkey")
+    + ","
+    + _sketch_cte("xn", "selnn", "n_nationkey")
+    + ","
+    + _ip_cte("sp", "xlp", "xp")
+    + ","
+    + _ip_cte("ss", "xls", "xs")
+    + ","
+    + _ip_cte("so", "xlo", "xo")
+    + ","
+    + _ip_cte("sn", "xsn", "xn")
+    + f""",
+selests AS (
+  SELECT CAST((SELECT est_pairs FROM esp) AS HUGEINT) AS est_part,
+         CAST((SELECT est_pairs FROM ess) AS HUGEINT) AS est_supplier,
+         CAST((SELECT est_pairs FROM eso) AS HUGEINT) AS est_orders,
+         CAST((SELECT est_pairs FROM esn) AS HUGEINT) AS est_nation,
+         CAST((SELECT count(*) FROM lineitem) AS HUGEINT) AS n_fact,
+         CAST((SELECT count(*) FROM sels) AS HUGEINT) AS s_cnt
+),
+"""
+    + _dp_ctes()
+    + """,
+dpans AS (
+  SELECT nn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         count(*) AS n_items
+  FROM lineitem l
+  JOIN selp p ON p.p_partkey = l.l_partkey
+  JOIN sels s ON s.s_suppkey = l.l_suppkey
+  JOIN selo o ON o.o_orderkey = l.l_orderkey
+  JOIN selnn nn ON nn.n_nationkey = s.s_nationkey
+  GROUP BY 1, 2
+)
+SELECT a.nation, a.o_year, a.revenue, a.n_items,
+       t.subset, t.k, t.best_cost_scaled, t.best_order
+FROM dpans a CROSS JOIN dptab t
+"""
+)
+
+
+@register("join_selinger_dp", oracle=SELINGER_DP_ORACLE)
+def join_selinger_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selinger as the textbook BITMASK DP, applied: CMS-priced
+    dynamic programming over the 14 connected subsets of the
+    4-relation join graph (part/supplier/orders on the lineitem fact;
+    nation only through supplier), exact-integer scaled costs,
+    (cost, order)-lexicographic cell minima. The winning order BUILDS
+    the executed left-deep broadcast tree (nation joins after supplier
+    by construction — the DP never emits a disconnected prefix), and
+    the ENTIRE DP table (subset, k, best_cost_scaled, best_order)
+    rides in the hashed output cross-joined with the executed answer,
+    so the oracle must reproduce every cell, not just the winner."""
+    from decimal import Decimal
+
+    order, table, ests, n_fact, s_cnt = selinger_dp_decision(spark, sf_dir)
+    li, part, supp, orders = _selinger_inputs(spark, sf_dir)
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    dims = {
+        "part": (part, F.col("p_partkey") == F.col("l_partkey")),
+        "supplier": (supp, F.col("s_suppkey") == F.col("l_suppkey")),
+        "orders": (orders, F.col("o_orderkey") == F.col("l_orderkey")),
+        "nation": (nation, F.col("n_nationkey") == F.col("s_nationkey")),
+    }
+    joined = li
+    for d in order:
+        dim_df, cond = dims[d]
+        joined = joined.join(F.broadcast(dim_df), cond)
+    ans = (
+        joined.groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
+            )
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+    dp = spark.createDataFrame(
+        [(k, n, Decimal(c), o) for k, n, c, o in table],
+        "subset string, k int, best_cost_scaled decimal(38,0), best_order string",
+    )
+    return ans.crossJoin(F.broadcast(dp)).select(
+        "nation", "o_year", "revenue", "n_items",
+        "subset", "k", "best_cost_scaled", "best_order",
+    )

@@ -97,6 +97,13 @@ SF1_QUERIES = (
     "bm25_index_delta_topk",
     "ann_ivfpq_topk",
     "join_selinger_applied",
+    # round-8: first scale evidence for the streaming ingest family —
+    # the replay's per-batch cost must scale with batch volume (gate +
+    # digest + near-dup probe against the standing index), not with
+    # history; and the bitmask-DP Selinger row prices FOUR sketch
+    # builds + an 11-cell DP over 10x keys
+    "mutable_corpus_replay",
+    "join_selinger_dp",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule")
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the
@@ -158,7 +165,7 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     at 1× and 10×."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SCRATCH, "_DONE_v8")  # bump to regenerate (v8: part + shifted supplier in main for the Selinger probe)
+    marker = os.path.join(SCRATCH, "_DONE_v9")  # bump to regenerate (v9: nation in main for the Selinger-DP probe)
     if os.path.exists(marker):
         return
     main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
@@ -240,6 +247,12 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     spark.read.parquet(os.path.join(base_dir, "part.parquet")).coalesce(2).write.mode(
         "overwrite"
     ).parquet(os.path.join(main, "part.parquet"))
+    # nation verbatim (25 rows; the DP probe joins it through supplier
+    # — shifted suppkeys keep their original s_nationkey, so density
+    # per nation grows 10x exactly like the fact)
+    spark.read.parquet(os.path.join(base_dir, "nation.parquet")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(main, "nation.parquet"))
     supp = spark.read.parquet(os.path.join(base_dir, "supplier.parquet"))
     supp.crossJoin(reps).select(
         (F.col("s_suppkey") + F.col("_rep") * 10_000_000).alias("s_suppkey"),

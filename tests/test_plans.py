@@ -714,6 +714,49 @@ def test_join_selinger_order_fires(spark, registry):
     assert ests[order[0]] == min(ests.values())
 
 
+def test_join_selinger_dp_order_fires_and_table_is_consistent(spark, registry):
+    """The bitmask-DP winner must be APPLIED (executed left-deep
+    nesting == the DP's winning order; nation scans after supplier by
+    connectivity), and the emitted DP table must be internally
+    consistent: cell costs are monotone along the winning order's
+    prefixes, every best_order is a permutation of its subset, and the
+    full-set cell equals the reported winner."""
+    import re
+
+    from actyxos_data_flow_spark.plans.cms import selinger_dp_decision
+
+    order, table, ests, n_fact, s_cnt = selinger_dp_decision(spark, SF)
+    df = registry["join_selinger_dp"].fn(spark, SF)
+    plan = _plan(df)
+    scans = re.findall(r"(part|supplier|orders|nation|lineitem)\.parquet", plan)
+    seen = list(dict.fromkeys(scans))
+    assert seen[0] == "lineitem", seen
+    assert seen[1:5] == list(order), (seen, order)
+    assert plan.count("BroadcastHashJoin") >= 4
+    # nation can never be joined before supplier (graph connectivity)
+    assert order.index("supplier") < order.index("nation")
+    cells = {row[0]: (row[1], int(row[2]), row[3]) for row in table}
+    full = cells["nation+orders+part+supplier"]
+    assert full[2] == ",".join(order)
+    for key, (k, cost, ord_) in cells.items():
+        assert sorted(ord_.split(",")) == sorted(key.split("+"))
+        assert k == len(key.split("+"))
+    # prefix costs of the winner are non-decreasing DP cells
+    run = []
+    prev = 0
+    for i in range(1, 5):
+        sub = "+".join(sorted(order[:i]))
+        assert cells[sub][2] == ",".join(order[:i])
+        assert cells[sub][1] >= prev
+        prev = cells[sub][1]
+    # and the emitted table matches the driver-side decision exactly
+    got = {
+        (r["subset"], r["k"], int(r["best_cost_scaled"]), r["best_order"])
+        for r in df.select("subset", "k", "best_cost_scaled", "best_order").distinct().collect()
+    }
+    assert got == {(a, b, c, d) for a, b, c, d in table}
+
+
 def test_source_partitioned_prune_lists_one_day(spark, registry):
     """The registered day-slice query's scan prunes on the day_idx
     partition column at planning time — the mirror's whole point."""
