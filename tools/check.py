@@ -56,7 +56,16 @@ def main():
     spark = get_spark("check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # probe corpora (.scratch/sf1bench) carry only the tables their
+        # queries touch — register what exists; a query needing a
+        # missing view errors visibly in its own row
+        tp = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(tp):  # Spark-written probe tables are part-file dirs
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tp}/*.parquet')"
+            )
+        elif os.path.exists(tp):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tp}')")
 
     registry = load_all()
     results = {}
