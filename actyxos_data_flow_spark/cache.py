@@ -32,9 +32,11 @@ logical-plan matching for REPEATED runs of the same query (bench.py's
 warm passes, a dashboard refreshing one view): the pool keeps the last
 couple of queries' caches alive, so re-running a query re-persists the
 identical plan and CacheManager serves the still-warm entry. An
-early-evicted PERSIST entry only costs a deterministic recompute —
-never correctness (range-partitioner sampling is seeded, so even the
-``spark_partition_id``-pinning caches rebuild identically).
+early-evicted PERSIST entry that no live pin still references only
+costs a deterministic recompute; an entry a LIVE pin references must
+never be dropped early — CacheManager dedupes equal plans into one
+shared entry, so releases are refcounted per canonical plan (see
+_PIN_COUNTS below for the failure this prevents).
 
 :func:`pin_dir` scratch DIRECTORIES are different: there is no
 recompute path for deleted files. The contract for callers is
@@ -72,10 +74,35 @@ RETAIN_QUERIES = 2
 _RETIRED: deque[tuple[list[DataFrame], list[str]]] = deque()
 
 
+# Refcount of live pins per CANONICAL PLAN: Spark's CacheManager dedupes
+# persist() calls on semantically-equal plans into ONE cache entry (the
+# "Asked to cache already cached data" warning), so two queries that pin
+# the same plan share one entry — and an early release by the FIRST
+# query's retirement would yank the entry out from under the SECOND
+# query mid-evaluation. For value-deterministic plans that only costs a
+# recompute, but pack_sequences' `_pid` pin exists precisely because its
+# two branches must observe ONE materialization (losing it mid-plan
+# de-synchronizes the branch range-shuffles and silently drops rows —
+# observed as export_shard_manifest losing whole bins at sf0.1 in long
+# grading sessions). unpersist() therefore only fires when the LAST pin
+# of a plan releases.
+_PIN_COUNTS: dict[int, int] = {}
+
+
+def _plan_key(df: DataFrame) -> int:
+    try:
+        return int(df._jdf.queryExecution().analyzed().semanticHash())
+    except Exception:  # noqa: BLE001 — gateway dead / foreign frame
+        return id(df)
+
+
 def pin(df: DataFrame) -> DataFrame:
     """``persist()`` a plan-internal intermediate and track it for
-    release when the enclosing registered query's result is dropped."""
+    release when the enclosing registered query's result is dropped.
+    Pins are REFCOUNTED by canonical plan (see _PIN_COUNTS)."""
     df = df.persist()
+    key = _plan_key(df)
+    _PIN_COUNTS[key] = _PIN_COUNTS.get(key, 0) + 1
     _PENDING_FRAMES.append(df)
     return df
 
@@ -95,10 +122,19 @@ def drain() -> tuple[list[DataFrame], list[str]]:
 
 
 def release(frames: list[DataFrame], dirs: list[str]) -> None:
-    """Unpersist frames / remove dirs immediately (idempotent, safe at
-    interpreter shutdown when the JVM gateway may already be gone)."""
+    """Release pins / remove dirs (idempotent, safe at interpreter
+    shutdown when the JVM gateway may already be gone). A frame's
+    shared cache entry is only unpersisted when ITS plan's refcount
+    reaches zero — a newer query may have pinned the same plan and
+    still be reading the entry."""
     for df in frames:
         try:
+            key = _plan_key(df)
+            n = _PIN_COUNTS.get(key, 1) - 1
+            if n > 0:
+                _PIN_COUNTS[key] = n
+                continue
+            _PIN_COUNTS.pop(key, None)
             df.unpersist(blocking=False)
         except Exception:  # noqa: BLE001 — gateway dead / session stopped
             pass

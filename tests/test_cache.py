@@ -59,3 +59,28 @@ def test_drain_isolates_queries(spark):
     assert cache.drain() == ([], [])  # second drain is empty
     cache.release([a], [])
     assert not a.storageLevel.useMemory
+
+
+def test_release_is_refcounted_per_plan(spark):
+    """CacheManager dedupes persist() of semantically-equal plans into
+    ONE shared entry, so releasing an OLDER query's pin must not yank
+    the entry out from under a NEWER pin of the same plan (observed:
+    export_shard_manifest silently losing whole bins at sf0.1 when the
+    retirement pool released pipeline_training_batches' `_pid` pin
+    while export's rebuilt-and-re-pinned copy was mid-evaluation).
+    Only the LAST release of a plan unpersists."""
+    from actyxos_data_flow_spark import cache
+
+    df1 = cache.pin(spark.range(100).selectExpr("id", "id * 3 AS v"))
+    df1.count()
+    f1, d1 = cache.drain()
+    # a second query pins the SAME logical plan (fresh DataFrame object)
+    df2 = cache.pin(spark.range(100).selectExpr("id", "id * 3 AS v"))
+    f2, d2 = cache.drain()
+    assert df2.storageLevel.useMemory
+    # older query's release must keep the shared entry alive
+    cache.release(f1, d1)
+    assert df2.storageLevel.useMemory, "shared cache entry dropped early"
+    # the last pin's release actually unpersists
+    cache.release(f2, d2)
+    assert not df2.storageLevel.useMemory

@@ -768,3 +768,77 @@ def test_source_partitioned_prune_lists_one_day(spark, registry):
     # remains and day_idx never reaches the read schema
     assert "DataFilters: []" in plan
     assert "day_idx" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_selinger_dp_equals_bruteforce_enumeration():
+    """Property check, no Spark: for arbitrary estimate/count values,
+    the subset DP must pick exactly the (cost, order)-lexicographic
+    minimum over ALL valid left-deep permutations (nation after
+    supplier) under the scaled-integer cost model — i.e. the DP's
+    state collapse never loses the winner (prefixes over the same
+    subset have equal length, so prefix-lex order is suffix-stable)."""
+    import itertools
+
+    from actyxos_data_flow_spark.plans.cms import (
+        _DP_DIMS,
+        _DP_FACT_DIMS,
+        _dp_states,
+        _dp_term_factors,
+    )
+
+    def brute(ests, n_fact, s_cnt):
+        def term(s):
+            nf, ns = _dp_term_factors(frozenset(s))
+            v = n_fact**nf * s_cnt**ns
+            for d in s:
+                v *= ests[d]
+            return v
+
+        best = None
+        for perm in itertools.permutations(_DP_DIMS):
+            if perm.index("nation") < perm.index("supplier"):
+                continue
+            cost = sum(term(perm[: k + 1]) for k in range(len(perm)))
+            key = (cost, ",".join(perm))
+            if best is None or key < best:
+                best = key
+        return best
+
+    def dp(ests, n_fact, s_cnt):
+        subsets, trans = _dp_states()
+
+        def term(s):
+            nf, ns = _dp_term_factors(s)
+            v = n_fact**nf * s_cnt**ns
+            for d in s:
+                v *= ests[d]
+            return v
+
+        best = {}
+        for s in sorted(subsets, key=lambda x: (len(x), ",".join(sorted(x)))):
+            cands = []
+            for p, d in trans[s]:
+                pc, po = best[p] if p else (0, "")
+                cands.append((pc + term(s), (po + "," + d) if po else d))
+            best[s] = min(cands)
+        return best[frozenset(_DP_DIMS)]
+
+    # deterministic pseudo-random sweep incl. tie-forcing equal values
+    cases = []
+    seed = 1234567
+    for i in range(200):
+        vals = []
+        for j in range(6):
+            seed = (seed * 1103515245 + 12345) % (1 << 31)
+            vals.append(seed % 1000 + 1)
+        ests = {
+            "part": vals[0], "supplier": vals[1],
+            "orders": vals[2], "nation": vals[3],
+        }
+        if i % 5 == 0:  # force ties so the lex rule is exercised
+            ests["part"] = ests["orders"] = ests["supplier"]
+        cases.append((ests, vals[4] * 100 + 1, vals[5] + 1))
+    for ests, n_fact, s_cnt in cases:
+        assert dp(ests, n_fact, s_cnt) == brute(ests, n_fact, s_cnt), (
+            ests, n_fact, s_cnt
+        )
