@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .. import cache
 
@@ -333,14 +334,17 @@ def weighted_sample(
     excluded outright (``floor_fp6``). Same hash scheme as
     :func:`stratified_sample`: pure per-row filter, no shuffle, no RNG,
     identical output on every run / topology / SQL oracle; the
-    threshold p_fp6·⌊2^60/10^6⌋ is exact integer arithmetic."""
+    threshold p_fp6·⌊2^60/10^6⌋ is exact integer arithmetic. Rows at
+    the full weight p_fp6 = 10^6 are kept UNCONDITIONALLY (the integer
+    step truncates ⌊2^60/10^6⌋, so 10^6·STEP < 2^60 would drop a
+    ~7·10^-13 hash sliver of weight-1.0 rows otherwise)."""
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")).cast("binary")), 1, 15),
         16,
         10,
     ).cast("long")
     p = F.least(F.greatest(F.col(weight_fp6_col), F.lit(floor_fp6)), F.lit(10**6))
-    return df.filter(h < p * F.lit(WSAMPLE_STEP))
+    return df.filter((p == F.lit(10**6)) | (h < p * F.lit(WSAMPLE_STEP)))
 
 
 def chunk(
@@ -672,6 +676,40 @@ def vocab_coverage(
     )
 
 
+def _iroot5(m: int) -> int:
+    """Exact ⌊m^(1/5)⌋ on Python integers (double candidate, exact
+    integer adjustment — the libm value only SEEDS the search)."""
+    if m <= 0:
+        return 0
+    p = max(int(float(m) ** 0.2), 1)
+    while p > 0 and p**5 > m:
+        p -= 1
+    while (p + 1) ** 5 <= m:
+        p += 1
+    return p
+
+
+def alpha3_10_p6(n: int, total: int) -> int:
+    """EXACT integer ≈10^6·(n/total)^0.3 — the α=3/10 temperature
+    kernel, defined (not approximated) as the composition
+
+        u  = (n·10^9) DIV total          -- truncated 9dp share
+        y  = isqrt(u³·10³)               -- = ⌊10^15·(u/10^9)^1.5⌋
+        p6 = iroot5(y·10^15)             -- = ⌊(10^30·share^1.5)^(1/5)⌋
+
+    Every step is integer arithmetic bounded by 10^30, so the same
+    definition evaluates in DuckDB HUGEINT / Spark DECIMAL(38,0) /
+    Python int with BIT-IDENTICAL results — no libm value ever reaches
+    the output (round(pow(share, α), 6) was driver-red in round 8: an
+    irrational can still sit within one cross-build-libm ulp of a 6dp
+    half-boundary). p6(total, total) = iroot5(10^30) = 10^6 exactly."""
+    import math
+
+    u = (n * 10**9) // total
+    y = math.isqrt(u * u * u * 1000)
+    return _iroot5(y * 10**15)
+
+
 def mix_weights(
     df: DataFrame,
     group_col: str = "source",
@@ -683,31 +721,37 @@ def mix_weights(
     the two it up-weights small sources without drowning large ones.
     Output: (group, n, mix_weight_fp6), Σ mix_weight ≈ 10^6.
 
-    Engine portability: pow() may differ in the last ulp between
-    libms, so share^α is ROUNDED to 6dp before use and carried as an
-    fp6 INTEGER from there on; the normalizing sum and the final ratio
-    ((p6·10^6) DIV z6) are pure integer arithmetic (a rounded double
-    quotient of exact decimals was the round-7 reachable-half-boundary
-    class). Output mix_weight_fp6 in [0, 10^6].
+    Engine portability: share^0.3 is :func:`alpha3_10_p6` — an exact
+    integer isqrt/iroot5 composition with zero libm in its value (the
+    double sqrt/pow only seed candidates that exact integer compares
+    verify), so every engine computes the identical fp6 integer; the
+    normalizing sum and the final ratio ((p6·10^6) DIV z) are pure
+    integer arithmetic. Output mix_weight_fp6 in [0, 10^6]. Only
+    α = 3/10 has the exact kernel (10th root = sqrt∘5th-root within
+    38-digit bounds); other α would need their own root ladder.
 
-    Scale shape: one map-side-combined count aggregate; the weight
-    table is |groups| rows — broadcast it into whatever sampling join
-    consumes it."""
+    Scale shape: one map-side-combined count aggregate reduces the
+    corpus to the |groups|-row model table; the root ladder runs
+    driver-side on those few rows (the BPE-winning-pair/k-means-
+    centroid pattern) and the result is a broadcast-sized literal
+    frame — the corpus itself never leaves the executors."""
+    if alpha != 0.3:
+        raise ValueError("mix_weights: only alpha=0.3 has the exact integer kernel")
     c = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("n"))
-    t = c.agg(F.sum("n").alias("_total"))
-    p6 = (
-        F.round(
-            F.pow(F.col("n").cast("double") / F.col("_total").cast("double"), F.lit(alpha)), 6
-        )
-        * F.lit(10**6)
-    ).cast("long")
-    p = c.crossJoin(F.broadcast(t)).select(group_col, "n", p6.alias("_p6"))
-    z = p.agg(F.sum("_p6").alias("_z"))
-    return p.crossJoin(F.broadcast(z)).select(
-        group_col,
-        "n",
-        F.expr("(_p6 * 1000000) DIV _z").alias("mix_weight_fp6"),
+    rows = c.collect()  # model-sized: one row per source/domain
+    total = sum(int(r["n"]) for r in rows)
+    p6s = [(r[group_col], int(r["n"]), alpha3_10_p6(int(r["n"]), total)) for r in rows]
+    z = sum(p for _, _, p in p6s)
+    spark = df.sparkSession
+    out_schema = T.StructType(
+        [
+            df.schema[group_col],
+            T.StructField("n", T.LongType(), False),
+            T.StructField("mix_weight_fp6", T.LongType(), False),
+        ]
     )
+    data = [(g, n, (p * 10**6) // z) for g, n, p in p6s]
+    return spark.createDataFrame(data, out_schema)
 
 
 def lm_score_bigram(
@@ -792,9 +836,10 @@ def epoch_schedule(
     - global budget B = Σ size · budget_num // budget_den (pure
       integer, scale-invariant);
     - per-domain budget: floor(B · mix_weight + 0.5) in pure integer
-      form (2·B·w_fp6 + 10^6) DIV (2·10^6) — mix_weight is
-      the 6dp-rounded temperature weight, identical in any engine, and
-      floor(x+0.5) is the cross-engine quantization convention;
+      form (2·B·w_fp6 + 10^6) DIV (2·10^6) — mix_weight is the exact
+      fp6 temperature weight (:func:`alpha3_10_p6`, identical integer
+      in any engine), and floor(x+0.5) is the cross-engine
+      quantization convention;
     - domains smaller than their budget replicate: full_epochs =
       budget // domain_size, and the remainder epoch takes a PREFIX of
       the domain's deterministic permutation — docs ordered by a

@@ -81,42 +81,46 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # Everything else follows in module order and stays covered by the
 # local full-registry replica (tools/check.py).
 _PRIORITY: tuple[str, ...] = (
-    # --- new this round (no official row by construction) ---
-    "join_selinger_dp",
-    # --- output schema or values changed this round: the integer
-    # fixed-point conversion (round-7 driver incident: round(double,k)
-    # in hashed columns splits across engine builds) — the official
-    # record must reflect the new BIGINT shapes ---
-    "quality_classifier_fit", "quality_classifier_metrics",
-    "quality_classifier_calibration", "dedup_source_matrix",
-    "text_quality_score", "text_lang_id", "sample_quality_weighted",
-    "corpus_health_by_source", "pack_curriculum_bins",
-    "pipeline_clean_corpus", "pipeline_training_batches",
-    "pipeline_mix_batches", "pipeline_bpe_batches",
-    "export_shard_manifest", "mutable_corpus_replay",
-    "mutable_corpus_compact_replay", "mix_epoch_schedule",
-    "source_mix_weights",
-    "dedup_containment", "dedup_minhash_quality",
-    "dedup_graph_transitivity", "graph_triangles_supplier",
-    "events_markov_transitions", "layout_zorder_prune",
-    "profile_orders", "text_repetition_stats", "text_vocab_coverage",
-    "decontaminate_vs_eval", "decontaminate_bloom",
-    "corpus_drift_jsd", "corpus_drift_terms", "assoc_part_rules",
-    "retrieval_eval_ndcg", "sketch_hdr_quantiles", "q14_promo_revenue",
-    "text_zipf_fit", "hybrid_rrf_search",
-    "graph_pagerank_trade", "graph_pagerank_bucketed",
-    "ann_ivfpq_topk", "ann_recall_report",
-    # --- code-path touched, values unchanged (minhash verify carries
-    # exact counts now; adoption/spec sidecar) — re-graded to prove it ---
-    "dedup_minhash_pairs", "graph_bfs_bucketed",
-    # --- cross-family regression sentinels (fill the ~50-row window) ---
-    "q1_pricing_summary", "e1_dashboard", "g3_join", "ivm_snapshot_diff",
-    "dedup_exact", "ann_cosine_topk", "bm25_search_topk",
-    "sketch_hll_cardinality",
-    # (the round-7 rows not re-listed — prefix-delta, selinger_applied,
-    # BFS/SP bucketed, funnel/cohort, kmeans/pq, mm_*, pack/sample
-    # rows — are unchanged since their green official round and stay
-    # covered per-round by the committed 3-SF full-registry artifacts)
+    # --- diagnostic FIRST (rows-only, no oracle): both engines'
+    # versions + sentinel libm/round/cast values as DATA ROWS, so the
+    # driver's own run carries the engine fingerprint that two rounds
+    # of local-green/driver-red hash splits lacked ---
+    "env_probe",
+    # --- the 3 round-8 driver-red rows, env-proofed: exact integer
+    # isqrt/iroot5 kernel for share^0.3 (zero libm in any hashed
+    # value); fp4-BIGINT revenue + narrowed decimals for the DP row
+    # and q14 (no hashed DOUBLE, no precision-38 product) ---
+    "source_mix_weights", "join_selinger_dp", "q14_promo_revenue",
+    # --- new this round ---
+    "cdc_ingest_replay",
+    # --- never driver-graded (cumulative coverage must strictly grow) ---
+    "quality_constraints_report", "windowed_distinct_hll_replay",
+    "stream_attribution_replay", "stream_attribution_outer_replay",
+    "mm_decode_meta", "mm_frame_sample", "mm_features_topbucket",
+    "mm_frame_dedup", "mm_audio_rms", "mm_wav_meta", "mm_resize_grid",
+    "mm_phash", "mm_phash_pairs",
+    # --- shared-kernel rows whose values changed with the mix fix /
+    # weighted-sample full-weight special case ---
+    "mix_epoch_schedule", "pipeline_mix_batches", "sample_quality_weighted",
+    # --- schema changed this round: hashed-DOUBLE family converted to
+    # scaled-integer BIGINT (round-8 lesson: DOUBLE columns and
+    # precision-38 decimal products are build-sensitive) ---
+    "q1_pricing_summary", "q5_local_supplier", "q6_revenue_change",
+    "q7_volume_shipping", "q8_market_share", "q10_returned_items",
+    "q15_top_supplier", "q17_small_quantity", "q18_large_customers",
+    "q22_sales_opportunity", "q2_best_supplier", "q11_important_stock",
+    "q20_excess_suppliers",
+    "join_selinger_applied", "join_rewrite_applied",
+    "f1_filter_map", "e3_production_summary", "sql_frontdoor_pricing",
+    "bucketed_join_colocated", "source_partitioned_prune",
+    "ntile_customer_quartiles", "json_props_stats", "cbor_props_stats",
+    "skew_salted_join",
+    # --- cross-family regression sentinels ---
+    "e1_dashboard", "g3_join", "ivm_snapshot_diff", "dedup_exact",
+    "ann_cosine_topk",
+    # (q3/q9/q19/rollup/cube share the identical fp4-rename class as
+    # the graded tpch rows above and stay covered by the committed
+    # 3-SF full-registry artifacts, as do all other unchanged rows)
 )
 
 
@@ -147,6 +151,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import mutable  # noqa: F401
     from . import behavior  # noqa: F401
     from . import mining  # noqa: F401
+    from . import envprobe  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]
     assert not missing, f"_PRIORITY names not registered: {missing}"

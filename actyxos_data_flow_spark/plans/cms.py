@@ -316,14 +316,15 @@ choice AS (
 ),
 ans AS (
   SELECT o.o_orderpriority,
-         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l.l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)))
+              AS BIGINT) AS revenue_fp4,
          count(*) AS n_items
   FROM fc c JOIN fo o ON c.c_custkey = o.o_custkey
             JOIN fl l ON l.l_orderkey = o.o_orderkey
   GROUP BY 1
 )
-SELECT a.o_orderpriority, a.revenue, a.n_items, ch.first_join, ch.est_first
+SELECT a.o_orderpriority, a.revenue_fp4, a.n_items, ch.first_join, ch.est_first
 FROM ans a CROSS JOIN choice ch
 """
 )
@@ -377,8 +378,6 @@ def join_rewrite_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     Catalyst does not reorder joins without CBO statistics, so the
     constructed nesting IS the executed nesting (plan-asserted in
     tests); the decision columns ride along under the value hash."""
-    from .tpch import _dec
-
     first_join, est_first = rewrite_decision(spark, sf_dir)
     cust, orders, li = _rewrite_inputs(spark, sf_dir)
     if first_join == "customer*orders":
@@ -389,17 +388,18 @@ def join_rewrite_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined = orders.join(li, li.l_orderkey == orders.o_orderkey).join(
             F.broadcast(cust), orders.o_custkey == cust.c_custkey
         )
+    rev4 = (F.col("l_extendedprice").cast("decimal(12,2)") * F.lit(100)).cast("long") * (
+        F.lit(100) - (F.col("l_discount").cast("decimal(12,2)") * F.lit(100)).cast("long")
+    )
     return (
         joined.groupBy("o_orderpriority")
         .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("revenue"),
+            F.sum(rev4.cast("decimal(28,0)")).cast("long").alias("revenue_fp4"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
             "o_orderpriority",
-            "revenue",
+            "revenue_fp4",
             "n_items",
             F.lit(first_join).alias("first_join"),
             F.lit(est_first).cast("long").alias("est_first"),
@@ -485,8 +485,9 @@ selchoice AS (
 ),
 selans AS (
   SELECT s.s_nationkey AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l.l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)))
+              AS BIGINT) AS revenue_fp4,
          count(*) AS n_items
   FROM lineitem l
   JOIN selp p ON p.p_partkey = l.l_partkey
@@ -494,7 +495,7 @@ selans AS (
   JOIN selo o ON o.o_orderkey = l.l_orderkey
   GROUP BY 1, 2
 )
-SELECT a.nation, a.o_year, a.revenue, a.n_items,
+SELECT a.nation, a.o_year, a.revenue_fp4, a.n_items,
        c.join_order, e.est_part, e.est_supplier, e.est_orders, e.n_fact
 FROM selans a CROSS JOIN selchoice c CROSS JOIN selests e
 """
@@ -595,24 +596,22 @@ def join_selinger_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in order:
         dim_df, cond = dims[d]
         joined = joined.join(F.broadcast(dim_df), cond)
+    rev4 = (F.col("l_extendedprice").cast("decimal(12,2)") * F.lit(100)).cast("long") * (
+        F.lit(100) - (F.col("l_discount").cast("decimal(12,2)") * F.lit(100)).cast("long")
+    )
     return (
         joined.groupBy(
             F.col("s_nationkey").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("double")
-            .alias("revenue"),
+            F.sum(rev4.cast("decimal(28,0)")).cast("long").alias("revenue_fp4"),
             F.count(F.lit(1)).alias("n_items"),
         )
         .select(
             "nation",
             "o_year",
-            "revenue",
+            "revenue_fp4",
             "n_items",
             F.lit(",".join(order)).alias("join_order"),
             F.lit(ests["part"]).cast("long").alias("est_part"),
@@ -690,10 +689,13 @@ def _dp_key(s: frozenset) -> str:
 def selinger_dp_decision(spark: SparkSession, sf_dir: str):
     """Sketch-priced bitmask DP: CMS estimates for the four joins (the
     three fact keys + supplier⋈nation), then exact-integer DP over the
-    14 connected subsets. Returns (winning order, DP-table rows,
+    11 connected subsets (15 non-empty minus the 4 holding nation
+    without supplier). Returns (winning order, DP-table rows,
     {dim: est}, n_fact, s_cnt); only model-sized aggregates cross the
     driver, and Python integers keep the scaled costs exact at any
-    magnitude."""
+    magnitude. Every cell cost is asserted < 10^37 — headroom under
+    both DuckDB HUGEINT (~1.7e38) and DECIMAL(38,0), so the oracle's
+    integer replay cannot silently saturate at larger SFs."""
     li, part, supp, orders = _selinger_inputs(spark, sf_dir)
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
 
@@ -737,6 +739,11 @@ def selinger_dp_decision(spark: SparkSession, sf_dir: str):
             pc, po = best[p] if p else (0, "")
             cands.append((pc + term(s), (po + "," + d) if po else d))
         best[s] = min(cands)
+        if best[s][0] >= 10**37:  # overflow headroom: HUGEINT/DECIMAL(38,0) replay
+            raise OverflowError(
+                f"selinger DP cell {_dp_key(s)} cost {best[s][0]:.3e} is within 10x of "
+                "the 38-digit integer ceiling; rescale the cost model before this SF"
+            )
     order = best[frozenset(_DP_DIMS)][1].split(",")
     table = sorted(
         (_dp_key(s), len(s), best[s][0], best[s][1]) for s in subsets
@@ -774,8 +781,13 @@ def _dp_ctes() -> str:
                     f"dp_{pab}.ord || ',{d}' AS ord FROM dp_{pab}, selests e"
                 )
         union = "\n      UNION ALL\n      ".join(cands)
+        # MATERIALIZED: each dp cell is read by every superset's
+        # transition list, and selests by every cell — inlined, DuckDB
+        # re-evaluates the whole upstream sketch chain per reference
+        # (the k-core-oracle lesson: ~3^depth blow-up; this oracle took
+        # ~30 min at the 10x probe un-hinted, seconds materialized)
         parts.append(
-            f"""dp_{abbrev} AS (
+            f"""dp_{abbrev} AS MATERIALIZED (
   SELECT cost, ord FROM (
     SELECT cost, ord, row_number() OVER (ORDER BY cost, ord) AS rn FROM (
       {union}
@@ -824,7 +836,7 @@ SELINGER_DP_ORACLE = (
     + ","
     + _ip_cte("sn", "xsn", "xn")
     + f""",
-selests AS (
+selests AS MATERIALIZED (
   SELECT CAST((SELECT est_pairs FROM esp) AS HUGEINT) AS est_part,
          CAST((SELECT est_pairs FROM ess) AS HUGEINT) AS est_supplier,
          CAST((SELECT est_pairs FROM eso) AS HUGEINT) AS est_orders,
@@ -837,8 +849,9 @@ selests AS (
     + """,
 dpans AS (
   SELECT nn.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
-         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+         CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  * (100 - CAST(CAST(l.l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)))
+              AS BIGINT) AS revenue_fp4,
          count(*) AS n_items
   FROM lineitem l
   JOIN selp p ON p.p_partkey = l.l_partkey
@@ -847,7 +860,7 @@ dpans AS (
   JOIN selnn nn ON nn.n_nationkey = s.s_nationkey
   GROUP BY 1, 2
 )
-SELECT a.nation, a.o_year, a.revenue, a.n_items,
+SELECT a.nation, a.o_year, a.revenue_fp4, a.n_items,
        t.subset, t.k, t.best_cost_scaled, t.best_order
 FROM dpans a CROSS JOIN dptab t
 """
@@ -857,7 +870,7 @@ FROM dpans a CROSS JOIN dptab t
 @register("join_selinger_dp", oracle=SELINGER_DP_ORACLE)
 def join_selinger_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selinger as the textbook BITMASK DP, applied: CMS-priced
-    dynamic programming over the 14 connected subsets of the
+    dynamic programming over the 11 connected subsets of the
     4-relation join graph (part/supplier/orders on the lineitem fact;
     nation only through supplier), exact-integer scaled costs,
     (cost, order)-lexicographic cell minima. The winning order BUILDS
@@ -865,7 +878,10 @@ def join_selinger_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction — the DP never emits a disconnected prefix), and
     the ENTIRE DP table (subset, k, best_cost_scaled, best_order)
     rides in the hashed output cross-joined with the executed answer,
-    so the oracle must reproduce every cell, not just the winner."""
+    so the oracle must reproduce every cell, not just the winner.
+    The answer's revenue is an exact x10^4 BIGINT (integer cents x
+    integer discount-complement per row) — the round-8 driver run
+    split on the hashed-DOUBLE/precision-38-decimal form."""
     from decimal import Decimal
 
     order, table, ests, n_fact, s_cnt = selinger_dp_decision(spark, sf_dir)
@@ -881,18 +897,16 @@ def join_selinger_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     for d in order:
         dim_df, cond = dims[d]
         joined = joined.join(F.broadcast(dim_df), cond)
+    rev4 = (F.col("l_extendedprice").cast("decimal(12,2)") * F.lit(100)).cast("long") * (
+        F.lit(100) - (F.col("l_discount").cast("decimal(12,2)") * F.lit(100)).cast("long")
+    )
     ans = (
         joined.groupBy(
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)"))
-            )
-            .cast("double")
-            .alias("revenue"),
+            F.sum(rev4.cast("decimal(28,0)")).cast("long").alias("revenue_fp4"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -901,6 +915,6 @@ def join_selinger_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "subset string, k int, best_cost_scaled decimal(38,0), best_order string",
     )
     return ans.crossJoin(F.broadcast(dp)).select(
-        "nation", "o_year", "revenue", "n_items",
+        "nation", "o_year", "revenue_fp4", "n_items",
         "subset", "k", "best_cost_scaled", "best_order",
     )

@@ -273,3 +273,80 @@ def mutable_corpus_compact_replay(spark: SparkSession, sf_dir: str) -> DataFrame
         "doc_id", "digest", "seq", "component"
     )
     return out.localCheckpoint()
+
+
+def _corpus_view(spark: SparkSession, ing) -> DataFrame:
+    """(doc_id, digest, seq, component): the visible corpus view
+    full-outer-joined with the committed cluster labeling — the shared
+    hashed output of every lifecycle-replay row."""
+    raw = spark.read.parquet(ing.docs_path)
+    view = ing._visible(raw, "doc_id").select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("digest"),
+        F.col("_seq").alias("seq"),
+    )
+    labels = ing.clusters().select(F.col("node").alias("doc_id"), "component")
+    return view.join(labels, "doc_id", "full_outer").select(
+        "doc_id", "digest", "seq", "component"
+    ).localCheckpoint()
+
+
+@register("cdc_ingest_replay", oracle=MUTABLE_REPLAY_ORACLE)
+def cdc_ingest_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME B1..B4 lifecycle driven through the Structured
+    Streaming CDC front door (streaming/mutable.run_cdc_ingest_stream)
+    instead of direct ingestor calls: three JSON files dropped into a
+    watched directory — B1 upserts, B2 upserts, then ONE file carrying
+    the B3 deletes AND the B4 upserts together (each micro-batch
+    applies deletes first, then upserts, so the combined file IS the
+    B3→B4 sequence; upserting a fresh id tombstones nothing, so 'u' on
+    B1/B2 equals plain ingest). maxFilesPerTrigger=1 under availableNow
+    replays the files as ordered micro-batches (mtime order, pinned
+    explicitly). Held to the IDENTICAL oracle as mutable_corpus_replay:
+    the streaming path must land bit-for-bit the same corpus state and
+    cluster labels as the batch path — the exactly-once-replay contract
+    transposed from the reference's offset-resume sinks
+    (/root/reference/src/db/db.rs:60-96) onto the ingest plane."""
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.mutable import MutableCorpusIngestor, run_cdc_ingest_stream
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = cache.pin_dir(tempfile.mkdtemp(prefix="cdc_replay_"))
+    src = os.path.join(base, "src")
+    os.makedirs(src)
+    b1 = docs.filter(F.col("doc_id") % 3 == 0).withColumn("op", F.lit("u"))
+    b2 = docs.filter(F.col("doc_id") % 3 == 1).withColumn("op", F.lit("u"))
+    b34 = (
+        docs.filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id", F.lit(None).cast("string").alias("text"), F.lit("d").alias("op"))
+        .unionByName(docs.filter(F.col("doc_id") % 3 == 2).withColumn("op", F.lit("u")))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 6 == 0)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" (rev 2)")))
+            .withColumn("op", F.lit("u"))
+        )
+    )
+    for i, bdf in enumerate((b1, b2, b34)):
+        stage = os.path.join(base, f"stage{i}")
+        bdf.coalesce(1).write.json(stage)
+        part = next(p for p in os.listdir(stage) if p.endswith(".json"))
+        dst = os.path.join(src, f"batch{i}.json")
+        shutil.move(os.path.join(stage, part), dst)
+        os.utime(dst, (1_700_000_000 + i, 1_700_000_000 + i))  # pin mtime order
+    run_cdc_ingest_stream(
+        spark,
+        src,
+        os.path.join(base, "corpus"),
+        os.path.join(base, "ckpt"),
+        schema="doc_id long, text string, op string",
+        quality_min_fp6=QUALITY_MIN_FP6,
+        near_dup=True,
+        max_files_per_trigger=1,
+    )
+    ing = MutableCorpusIngestor(
+        spark, os.path.join(base, "corpus"), quality_min_fp6=QUALITY_MIN_FP6, near_dup=True
+    )
+    return _corpus_view(spark, ing)

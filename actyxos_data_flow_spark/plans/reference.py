@@ -165,7 +165,8 @@ E3_ORACLE = """
 SELECT l.l_partkey AS article_id,
        l.l_suppkey AS workstation,
        min(p.p_name) AS article_name,
-       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_pcs
+       CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_pcs_fp2
 FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY 1, 2
 """
@@ -181,7 +182,9 @@ def e3_production_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         Flow.source(lineitem)
         .group_by("l_partkey", "l_suppkey")
         .agg(
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("total_pcs"),
+            F.sum((F.col("l_quantity").cast("decimal(12,2)") * F.lit(100)).cast("long").cast("decimal(28,0)"))
+            .cast("long")
+            .alias("total_pcs_fp2"),
         )
     )
     out = (
@@ -190,7 +193,7 @@ def e3_production_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_partkey").alias("article_id"),
             F.col("l_suppkey").alias("workstation"),
             F.col("p_name").alias("article_name"),
-            "total_pcs",
+            "total_pcs_fp2",
         )
     )
     return out

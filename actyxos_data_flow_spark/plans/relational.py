@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..delta import snapshot_diff
 from ..flow import Flow
+from ..functions import scalar as X
 from ..sources import load_table
 from . import register
 
@@ -21,8 +22,8 @@ from . import register
 
 F1_ORACLE = """
 SELECT l_orderkey, l_partkey,
-       CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
-         AS net_price,
+       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+       * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS net_price_fp4,
        upper(l_returnflag) AS flag
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01' AND l_quantity < 10
@@ -39,9 +40,11 @@ def f1_filter_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .map(
             "l_orderkey",
             "l_partkey",
-            (F.col("l_extendedprice").cast("decimal(18,2)") * (F.lit(1) - F.col("l_discount").cast("decimal(18,2)")))
-            .cast("double")
-            .alias("net_price"),
+            # exact x10^4 integer net price (cents x discount-complement):
+            # the DECIMAL(18,2)x(1-DECIMAL(18,2)) product sits AT result
+            # precision 38, where engine builds split (round 8)
+            (X.cents("l_extendedprice") * (F.lit(100) - X.cents("l_discount")))
+            .alias("net_price_fp4"),
             F.upper("l_returnflag").alias("flag"),
         )
         .df
@@ -496,7 +499,7 @@ WITH t AS (
   FROM customer
 )
 SELECT c_nationkey, quartile, count(*) AS n,
-       CAST(sum(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+       CAST(sum(CAST(CAST(bal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_bal_fp2
 FROM t GROUP BY c_nationkey, quartile
 """
 
@@ -515,12 +518,12 @@ def ntile_customer_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").asc(), F.col("c_custkey").asc())
     tiled = cust.select(
         "c_nationkey",
-        F.col("c_acctbal").cast("decimal(18,2)").alias("_bal"),
+        X.cents("c_acctbal").alias("_bal_c"),
         F.ntile(4).over(w).alias("quartile"),
     )
     return tiled.groupBy("c_nationkey", "quartile").agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("_bal").cast("double").alias("sum_bal"),
+        F.sum(F.col("_bal_c").cast("decimal(28,0)")).cast("long").alias("sum_bal_fp2"),
     )
 
 
@@ -669,7 +672,7 @@ WITH jx AS (
 SELECT event_type,
        count(*) AS n,
        count(k) AS n_with_k,
-       CAST(sum(CAST(k AS DECIMAL(18,0))) AS DOUBLE) AS sum_k,
+       CAST(sum(k) AS BIGINT) AS sum_k,
        min(k) AS min_k,
        max(k) AS max_k
 FROM jx
@@ -693,7 +696,7 @@ def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count("k").alias("n_with_k"),
-            F.sum(F.col("k").cast("decimal(18,0)")).cast("double").alias("sum_k"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -729,7 +732,7 @@ def cbor_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.count("k").alias("n_with_k"),
-            F.sum(F.col("k").cast("decimal(18,0)")).cast("double").alias("sum_k"),
+            F.sum(F.col("k").cast("long")).alias("sum_k"),
             F.min("k").alias("min_k"),
             F.max("k").alias("max_k"),
         )
@@ -747,7 +750,8 @@ def cbor_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 BUCKETED_JOIN_ORACLE = """
 SELECT c.c_mktsegment,
        count(*) AS n_orders,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_price_fp2
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY 1
 """
@@ -761,7 +765,6 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     join's HashPartitioning requirement, so no shuffle of either side.
     Values identical to the plain join (the oracle IS the plain
     join)."""
-    from ..functions.scalar import dec_sum
     from ..sources.bucketed import ensure_bucketed
 
     o = ensure_bucketed(spark, sf_dir, "orders", ("o_custkey",))
@@ -769,7 +772,7 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = o.join(c, o["o_custkey"] == c["c_custkey"])
     return j.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        dec_sum("o_totalprice").alias("total_price"),
+        X.cents_sum("o_totalprice").alias("total_price_fp2"),
     )
 
 
@@ -781,9 +784,11 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
 # semantics all agree bit-for-bit under the value hash).
 SQL_FRONTDOOR_TEXT = """
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc,
+       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_fp2,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_base_fp2,
+       CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                * (100 - CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT))) AS BIGINT)
+         AS sum_disc_fp4,
        CAST(count(*) AS BIGINT) AS n_rows
 FROM lineitem
 WHERE l_discount >= 0.02 AND l_quantity < 45
@@ -796,9 +801,10 @@ def sql_frontdoor_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL front door: the oracle string itself runs verbatim
     through ``spark.sql`` over a registered ``lineitem`` view — the
     DataFrame path is bypassed entirely, and the identical ANSI text
-    is what DuckDB executes. Decimal-cast sums keep the aggregate
-    order-free; the double products inside CAST(... AS DECIMAL(18,4))
-    are single expressions, identical IEEE ops on both engines.
+    is what DuckDB executes. Scaled-integer sums (x100 cents, one
+    product x10^4) keep the aggregate order-free AND build-portable —
+    the one ANSI text must hash-match itself across engines, so it
+    carries no DOUBLE or precision-38 decimal arithmetic at all.
     Catalyst still gets its usual shots: the WHERE conjuncts reach the
     parquet scan as PushedFilters and only the 5 referenced columns
     are read — declaring the plan in SQL loses nothing."""

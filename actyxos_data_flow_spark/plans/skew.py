@@ -18,7 +18,8 @@ from . import register
 SALTED_JOIN_ORACLE = """
 SELECT c.c_mktsegment,
        count(*) AS n_orders,
-       CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_price_fp2
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 GROUP BY c.c_mktsegment
 """
@@ -38,7 +39,9 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total_price"),
+        F.sum((F.col("o_totalprice").cast("decimal(12,2)") * F.lit(100)).cast("long").cast("decimal(28,0)"))
+        .cast("long")
+        .alias("total_price_fp2"),
     )
 
 

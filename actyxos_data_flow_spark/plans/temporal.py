@@ -432,7 +432,7 @@ WITH pe AS (
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+       CAST(sum(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_value_fp2,
        min(event_id) AS first_event, max(event_id) AS last_event
 FROM pe WHERE tsm // 86400000000 = {PRUNE_DAY}
 GROUP BY 1
@@ -456,7 +456,9 @@ def source_partitioned_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(path).filter(F.col("day_idx") == PRUNE_DAY)
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_events"),
-        F.sum(F.expr("CAST(value AS DECIMAL(18,2))")).cast("double").alias("sum_value"),
+        F.sum(F.expr("CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS DECIMAL(28,0))"))
+        .cast("long")
+        .alias("sum_value_fp2"),
         F.min("event_id").alias("first_event"),
         F.max("event_id").alias("last_event"),
     )

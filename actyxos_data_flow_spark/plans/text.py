@@ -298,7 +298,8 @@ WEIGHTED_SAMPLE_ORACLE = f"""
 WITH wq AS ({QUALITY_ORACLE})
 SELECT doc_id, quality_fp6
 FROM wq
-WHERE ('0x' || substr(md5('{_WSALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+WHERE least(greatest(quality_fp6, 50000), {X.QFP6}) = {X.QFP6}
+   OR ('0x' || substr(md5('{_WSALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
       < least(greatest(quality_fp6, 50000), {X.QFP6}) * {X.WSAMPLE_STEP}
 """
 
@@ -583,14 +584,56 @@ def text_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 MIX_ALPHA = 0.3
 
+
+def p6_exact_ctes(p: str) -> str:
+    """The exact α=3/10 kernel (operators.text.alpha3_10_p6) as DuckDB
+    CTEs: given ``{p}c(source, n)`` and ``{p}t(total)``, emits the
+    chain ending in ``{p}p(source, n, p6)``.
+
+    Zero libm in any VALUE: p6 = iroot5(isqrt(u³·10³)·10^15) with
+    u = (n·10^9)//total — every compare/multiply is HUGEINT ≤ 10^30.
+    The double sqrt()/pow() only SEED candidates (IEEE sqrt is
+    correctly rounded ⇒ candidate within ±1; libm pow within a few
+    ulp at 10^6 magnitude ⇒ within ±1); the CASE ladder then picks the
+    exact floor-root by integer comparison, so any build's libm lands
+    on the identical integer."""
+    return f"""{p}u AS (
+  SELECT source, n, (CAST(n AS HUGEINT) * 1000000000) // {p}t.total AS u
+  FROM {p}c, {p}t),
+{p}m1 AS (
+  SELECT source, n, u*u*u*1000 AS m1,
+         CAST(floor(sqrt(CAST(u*u*u*1000 AS DOUBLE))) AS HUGEINT) AS yc
+  FROM {p}u),
+{p}y AS (
+  SELECT source, n,
+         CASE WHEN (yc+3)*(yc+3) <= m1 THEN yc+3
+              WHEN (yc+2)*(yc+2) <= m1 THEN yc+2
+              WHEN (yc+1)*(yc+1) <= m1 THEN yc+1
+              WHEN yc*yc <= m1 THEN yc
+              WHEN (yc-1)*(yc-1) <= m1 THEN yc-1
+              WHEN (yc-2)*(yc-2) <= m1 THEN yc-2
+              ELSE greatest(yc-3, 0) END AS y
+  FROM {p}m1),
+{p}r5 AS (
+  SELECT source, n, y * 1000000000000000 AS m2,
+         CAST(floor(pow(CAST(y AS DOUBLE) * 1e15, 0.2)) AS HUGEINT) AS pc
+  FROM {p}y),
+{p}p AS (
+  SELECT source, n,
+         CASE WHEN (pc+3)*(pc+3)*(pc+3)*(pc+3)*(pc+3) <= m2 THEN pc+3
+              WHEN (pc+2)*(pc+2)*(pc+2)*(pc+2)*(pc+2) <= m2 THEN pc+2
+              WHEN (pc+1)*(pc+1)*(pc+1)*(pc+1)*(pc+1) <= m2 THEN pc+1
+              WHEN pc*pc*pc*pc*pc <= m2 THEN pc
+              WHEN (pc-1)*(pc-1)*(pc-1)*(pc-1)*(pc-1) <= m2 THEN pc-1
+              WHEN (pc-2)*(pc-2)*(pc-2)*(pc-2)*(pc-2) <= m2 THEN pc-2
+              ELSE greatest(pc-3, 0) END AS p6
+  FROM {p}r5)"""
+
+
 MIX_ORACLE = f"""
 WITH mc AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 mt AS (SELECT sum(n) AS total FROM mc),
-mp AS (
-  SELECT source, n,
-         CAST(round(pow(n / mt.total::DOUBLE, {MIX_ALPHA}), 6) * 1000000 AS BIGINT) AS p6
-  FROM mc, mt
-),
+{p6_exact_ctes("m")},
 mz AS (SELECT sum(p6) AS z FROM mp)
 SELECT source, n, (p6 * 1000000) // mz.z AS mix_weight_fp6
 FROM mp, mz
@@ -600,8 +643,10 @@ FROM mp, mz
 @register("source_mix_weights", oracle=MIX_ORACLE)
 def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """α=0.3 temperature-sampling weights per source — the pretraining
-    mixture rebalance (share^α renormalized; decimal-exact sum so the
-    normalization is aggregation-order-free)."""
+    mixture rebalance (share^α renormalized). share^0.3 is the exact
+    integer isqrt/iroot5 ladder (operators.text.alpha3_10_p6): zero
+    libm values in the hashed output — round(pow(share, α), 6) was
+    driver-red in round 8 (cross-build libm ulp at a 6dp boundary)."""
     return X.mix_weights(load_table(spark, sf_dir, "documents"), group_col="source", alpha=MIX_ALPHA)
 
 
@@ -619,9 +664,7 @@ def epoch_schedule_ctes(rel: str, p: str = "x") -> tuple[str, str]:
 {p}b AS (SELECT CAST(sum(dom_sz) * {MIX_BUDGET_NUM} // {MIX_BUDGET_DEN} AS BIGINT) AS budget FROM {p}s),
 {p}c AS (SELECT source, count(*) AS n FROM {rel} GROUP BY source),
 {p}t AS (SELECT sum(n) AS total FROM {p}c),
-{p}p AS (SELECT source,
-              CAST(round(pow(n / {p}t.total::DOUBLE, {MIX_ALPHA}), 6) * 1000000 AS BIGINT) AS p6
-       FROM {p}c, {p}t),
+{p6_exact_ctes(p)},
 {p}z AS (SELECT CAST(sum(p6) AS BIGINT) AS z FROM {p}p),
 {p}w AS (SELECT source, (p6 * 1000000) // {p}z.z AS mix_weight_fp6
        FROM {p}p, {p}z),

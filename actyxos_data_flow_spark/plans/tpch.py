@@ -3,9 +3,14 @@
 The reference ships no benchmark (BASELINE.md), so these are the
 engine's throughput workload: classic shapes (scan-agg, multi-way join,
 selective filter-sum) sized by the driver's sf0.1 bench. All money math
-runs in exact DECIMAL then casts to DOUBLE (functions.scalar rationale:
-bit-identical under any partial-aggregation order — mandatory for a
-value-hash gate at cluster parallelism).
+is scaled-integer BIGINT end-to-end: per-row terms are exact integer
+cents (x100 of the 2dp inputs, so sums are *_fp2, one product *_fp4,
+two products *_fp6), averages/shares are truncating integer DIVs, and
+threshold memberships are cross-multiplied integer comparisons —
+bit-identical under any partial-aggregation order AND any engine build
+(round 8: hashed DOUBLEs and precision-38 decimal products split in
+the driver environment; decimal→double exactness also ends at 2^53
+scaled units, ~sf10 for these sums).
 
 Columns available differ slightly from real TPC-H (TESTDATA.md); queries
 are adapted to the present subset.
@@ -24,22 +29,59 @@ def _dec(c, s=2):
     return F.col(c).cast(f"decimal(18,{s})")
 
 
+def _cents(c: str):
+    """Exact integer cents of a 2dp money column stored as DOUBLE: the
+    DECIMAL(12,2) cast rounds HALF_UP onto the 2dp grid the generator
+    wrote (both engines round-nearest double→decimal), then x100 is an
+    integral value cast losslessly to BIGINT. Narrow precision keeps
+    every later product in plain 64-bit integer land — the round-8
+    driver run split on the DECIMAL(18,2) product chain whose result
+    precision lands exactly AT 38."""
+    return (F.col(c).cast("decimal(12,2)") * F.lit(100)).cast("long")
+
+
+def _rev4():
+    """Per-row revenue as an exact x10^4 BIGINT: cents(price) x integer
+    discount-complement — the scaled-integer replacement for the hashed
+    DOUBLE sum(DECIMAL x DECIMAL) family."""
+    return _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
+
+
+# the same per-row term as DuckDB SQL text (oracle side of _rev4)
+_REV4_SQL = (
+    "CAST(CAST({a}l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)"
+    " * (100 - CAST(CAST({a}l_discount AS DECIMAL(12,2)) * 100 AS BIGINT))"
+)
+
+
 # -- Q1: pricing summary (scan + 2-key hash agg, 7 aggregates) -------------
 
+# All money/quantity aggregates are scaled-integer BIGINTs (x100 cents
+# per 2dp input, so sums are _fp2, one product _fp4, two products _fp6)
+# and averages are truncating integer DIVs (_fp6). Round 8 showed the
+# hashed-DOUBLE form of this family is latent-unsafe: the DECIMAL
+# product chain lands at precision 38 (engine builds differ on the
+# spill) and decimal→double exactness ends at 2^53 scaled units
+# (~sf10 for these sums).
 Q1_ORACLE = """
+WITH q1r AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT) AS q_c,
+         CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS p_c,
+         CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT) AS d_c,
+         CAST(CAST(l_tax AS DECIMAL(12,2)) * 100 AS BIGINT) AS t_c
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+)
 SELECT l_returnflag, l_linestatus,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS sum_disc_price,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                * CAST((1 - CAST(l_discount AS DECIMAL(18,2))) * (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(9,4)))
-            AS DOUBLE) AS sum_charge,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
-       CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_disc,
+       CAST(sum(q_c) AS BIGINT) AS sum_qty_fp2,
+       CAST(sum(p_c) AS BIGINT) AS sum_base_price_fp2,
+       CAST(sum(p_c * (100 - d_c)) AS BIGINT) AS sum_disc_price_fp4,
+       CAST(sum(p_c * (100 - d_c) * (100 + t_c)) AS BIGINT) AS sum_charge_fp6,
+       CAST((sum(q_c) * 10000) // count(*) AS BIGINT) AS avg_qty_fp6,
+       CAST((sum(d_c) * 10000) // count(*) AS BIGINT) AS avg_disc_fp6,
        count(*) AS count_order
-FROM lineitem
-WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+FROM q1r
 GROUP BY l_returnflag, l_linestatus
 """
 
@@ -47,32 +89,39 @@ GROUP BY l_returnflag, l_linestatus
 @register("q1_pricing_summary", oracle=Q1_ORACLE, bench=True)
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    q_c, p_c, d_c, t_c = (_cents(c) for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax"))
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("sum_disc_price"),
-            F.sum(
-                _dec("l_extendedprice")
-                * ((F.lit(1) - _dec("l_discount")) * (F.lit(1) + _dec("l_tax"))).cast("decimal(9,4)")
-            )
-            .cast("double")
-            .alias("sum_charge"),
-            (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
-            (F.sum(_dec("l_discount")).cast("double") / F.count(F.lit(1))).alias("avg_disc"),
+            F.sum(q_c.cast("decimal(28,0)")).cast("long").alias("sum_qty_fp2"),
+            F.sum(p_c.cast("decimal(28,0)")).cast("long").alias("sum_base_price_fp2"),
+            F.sum((p_c * (F.lit(100) - d_c)).cast("decimal(28,0)")).cast("long").alias("sum_disc_price_fp4"),
+            F.sum((p_c * (F.lit(100) - d_c) * (F.lit(100) + t_c)).cast("decimal(28,0)"))
+            .cast("long")
+            .alias("sum_charge_fp6"),
+            F.sum(d_c.cast("decimal(28,0)")).cast("long").alias("_sum_d_c"),
             F.count(F.lit(1)).alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty_fp2",
+            "sum_base_price_fp2",
+            "sum_disc_price_fp4",
+            "sum_charge_fp6",
+            F.expr("CAST((sum_qty_fp2 * 10000) DIV count_order AS BIGINT)").alias("avg_qty_fp6"),
+            F.expr("CAST((_sum_d_c * 10000) DIV count_order AS BIGINT)").alias("avg_disc_fp6"),
+            "count_order",
         )
     )
 
 
 # -- Q3: shipping priority (3-way join + agg) ------------------------------
 
-Q3_ORACLE = """
+Q3_ORACLE = f"""
 SELECT l.l_orderkey,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS revenue,
+       CAST(sum({_REV4_SQL.format(a="l.")}) AS BIGINT) AS revenue_fp4,
        epoch_us(o.o_orderdate) AS orderdate_micros,
        o.o_orderpriority
 FROM customer c
@@ -99,10 +148,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
     return joined.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue")
+        F.sum(_rev4().cast("decimal(28,0)")).cast("long").alias("revenue_fp4")
     ).select(
         "l_orderkey",
-        "revenue",
+        "revenue_fp4",
         F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_micros"),
         "o_orderpriority",
     )
@@ -110,10 +159,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Q5: local supplier volume (6-way join) --------------------------------
 
-Q5_ORACLE = """
+Q5_ORACLE = f"""
 SELECT n.n_name AS nation,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS revenue
+       CAST(sum({_REV4_SQL.format(a="l.")}) AS BIGINT) AS revenue_fp4
 FROM customer c
 JOIN orders o   ON c.c_custkey = o.o_custkey
 JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -150,14 +198,15 @@ def q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (li.l_suppkey == F.col("s_suppkey")) & (F.col("c_nationkey") == F.col("s_nationkey")),
     )
     return joined.groupBy(F.col("n_name").alias("nation")).agg(
-        F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))).cast("double").alias("revenue")
+        F.sum(_rev4().cast("decimal(28,0)")).cast("long").alias("revenue_fp4")
     )
 
 
 # -- Q6: forecasting revenue change (selective filter + global sum) --------
 
 Q6_ORACLE = """
-SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+SELECT CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                * CAST(CAST(l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS revenue_fp4,
        count(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
@@ -178,7 +227,9 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+            F.sum((_cents("l_extendedprice") * _cents("l_discount")).cast("decimal(28,0)"))
+            .cast("long")
+            .alias("revenue_fp4"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -188,12 +239,14 @@ def q6_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q18_ORACLE = """
 WITH big AS (
-  SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+  SELECT l_orderkey,
+         CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS total_qty_fp2
   FROM lineitem GROUP BY 1
-  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+  HAVING sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) > 15000
 )
 SELECT c.c_name, o.o_orderkey, epoch_us(o.o_orderdate) AS orderdate_micros,
-       CAST(o.o_totalprice AS DOUBLE) AS o_totalprice, b.total_qty
+       CAST(CAST(o.o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS o_totalprice_fp2,
+       b.total_qty_fp2
 FROM big b
 JOIN orders o ON b.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
@@ -209,9 +262,8 @@ def q18_large_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum(_dec("l_quantity")).alias("_tq"))
-        .filter(F.col("_tq") > 150)
-        .select("l_orderkey", F.col("_tq").cast("double").alias("total_qty"))
+        .agg(F.sum(_cents("l_quantity").cast("decimal(28,0)")).cast("long").alias("total_qty_fp2"))
+        .filter(F.col("total_qty_fp2") > 15000)
     )
     return (
         big.join(orders, big.l_orderkey == orders.o_orderkey)
@@ -220,8 +272,8 @@ def q18_large_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_name",
             "o_orderkey",
             F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("orderdate_micros"),
-            F.col("o_totalprice").cast("double").alias("o_totalprice"),
-            "total_qty",
+            _cents("o_totalprice").alias("o_totalprice_fp2"),
+            "total_qty_fp2",
         )
     )
 
@@ -292,43 +344,48 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Q14-shape: promotion effect (conditional aggregate over a join) -------
 
-# revenue terms are exact 4dp decimals (2dp price x 2dp (1-disc)), so
-# numerator/denominator scale to exact integers (x10^4) and the ratio is
-# one integer division: promo_fp6 = (100*num4*10^6) // den4. round() of
-# the double quotient was the round-7 hazard class (the same double can
-# round differently across engine builds at a 6dp half-boundary).
+# revenue terms are exact 4dp rationals. The round-8 driver run showed
+# a hash split from the DECIMAL(18,2)x(1-DECIMAL(18,2)) product chain
+# (result precision lands exactly AT 38, where engine builds differ on
+# the spill behavior), so every per-row term is now a pure BIGINT
+# product of integer cents: rev4 = cents(price) * (100 - cents(disc)),
+# an exact x10^4 integer. Sums and the final ratio are integer
+# arithmetic end-to-end — no decimal precision arithmetic anywhere near
+# the 38 ceiling, no doubles anywhere in the hash.
 Q14_ORACLE = """
-SELECT (100 * CAST(sum(CASE WHEN p.p_type LIKE 'PROMO%'
-                             THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                             ELSE 0 END) * 10000 AS HUGEINT)
-         * 1000000)
-       // CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) * 10000 AS HUGEINT)
-       AS promo_revenue_fp6
-FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-10-01'
+WITH q14r AS (
+  SELECT CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+         * (100 - CAST(CAST(l.l_discount AS DECIMAL(12,2)) * 100 AS BIGINT)) AS rev4,
+         CASE WHEN p.p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS promo
+  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+  WHERE l.l_shipdate >= TIMESTAMP '1995-09-01' AND l.l_shipdate < TIMESTAMP '1995-10-01'
+)
+SELECT CAST(sum(promo * rev4 * 100000000) // sum(rev4) AS BIGINT) AS promo_revenue_fp6
+FROM q14r
 """
 
 
 @register("q14_promo_revenue", oracle=Q14_ORACLE)
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selective date window reaches the lineitem scan; part is a
-    broadcast dim; numerator/denominator sum in exact decimal and the
-    ratio is one integer DIV of their x10^4 integer forms (fp6)."""
+    broadcast dim; each row's revenue term is an exact x10^4 BIGINT
+    (integer cents x integer discount-complement) and the promo ratio
+    is one truncating integer DIV of their sums (fp6)."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= "1995-09-01") & (F.col("l_shipdate") < "1995-10-01")
     )
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
+    rev4 = _cents("l_extendedprice") * (F.lit(100) - _cents("l_discount"))
     joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-    # integer end-to-end: 4dp-exact decimal sums scale to DECIMAL(38,0)
-    # integers, one truncating DIV — no doubles anywhere in the hash
-    num = F.sum(F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0)))
-    den = F.sum(rev)
-    return joined.agg(
-        (F.lit(100) * (num * F.lit(10000)).cast("decimal(38,0)") * F.lit(1000000))
-        .alias("_num"),
-        (den * F.lit(10000)).cast("decimal(38,0)").alias("_den"),
-    ).select(
+    # DECIMAL(38,0) sums give 100-TB headroom (terms are ~1e17 after
+    # the x1e8 scale-up); values stay far from the 38-digit ceiling
+    num = F.sum(
+        F.when(F.col("p_type").like("PROMO%"), rev4 * F.lit(100000000))
+        .otherwise(F.lit(0))
+        .cast("decimal(28,0)")
+    )
+    den = F.sum(rev4.cast("decimal(28,0)"))
+    return joined.agg(num.alias("_num"), den.alias("_den")).select(
         F.expr("CAST(_num DIV _den AS BIGINT)").alias("promo_revenue_fp6")
     )
 
@@ -373,9 +430,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Q19-shape: discounted revenue (disjunctive predicate pushdown) --------
 
-Q19_ORACLE = """
-SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-       AS revenue
+Q19_ORACLE = f"""
+SELECT CAST(sum({_REV4_SQL.format(a="l.")}) AS BIGINT) AS revenue_fp4
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity >= 1  AND l.l_quantity <= 11)
    OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity >= 10 AND l.l_quantity <= 20)
@@ -397,8 +453,9 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10) & F.col("l_quantity").between(10, 20))
         | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(20, 30))
     )
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    return j.filter(cond).agg(F.sum(rev).cast("double").alias("revenue"))
+    return j.filter(cond).agg(
+        F.sum(_rev4().cast("decimal(28,0)")).cast("long").alias("revenue_fp4")
+    )
 
 
 # -- Q22-shape: global sales opportunity (scalar subquery + anti join) -----
@@ -406,13 +463,14 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_ORACLE = """
 WITH avg_bal AS (
-  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS v
+  SELECT CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS s_c,
+         count(*) AS cnt
   FROM customer WHERE c_acctbal > 0.0
 )
 SELECT c.c_nationkey, count(*) AS numcust,
-       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+       CAST(sum(CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS totacctbal_fp2
 FROM customer c, avg_bal
-WHERE c.c_acctbal > avg_bal.v
+WHERE CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) * avg_bal.cnt > avg_bal.s_c
   AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
 GROUP BY c.c_nationkey
 """
@@ -422,29 +480,33 @@ GROUP BY c.c_nationkey
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery (global average, computed once and broadcast as a
     1-row cross join) + NOT EXISTS → LEFT ANTI join on orders. The
-    average divides exact decimal sums in double so both engines compare
-    the same value."""
+    bal > avg membership test is the cross-multiplied integer form
+    cents(bal)·count > sum(cents) — exact on both engines (the double
+    quotient could land within a build-dependent ulp of a customer's
+    exact balance)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey")
     avg_bal = cust.filter(F.col("c_acctbal") > 0.0).agg(
-        (F.sum(_dec("c_acctbal")).cast("double") / F.count(F.lit(1))).alias("_avg")
+        F.sum(_cents("c_acctbal").cast("decimal(28,0)")).cast("long").alias("_s_c"),
+        F.count(F.lit(1)).alias("_cnt"),
     )
-    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(F.col("c_acctbal") > F.col("_avg"))
+    rich = cust.crossJoin(F.broadcast(avg_bal)).filter(
+        _cents("c_acctbal") * F.col("_cnt") > F.col("_s_c")
+    )
     no_orders = rich.join(orders, rich.c_custkey == orders.o_custkey, "left_anti")
     return no_orders.groupBy("c_nationkey").agg(
         F.count(F.lit(1)).alias("numcust"),
-        F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        F.sum(_cents("c_acctbal").cast("decimal(28,0)")).cast("long").alias("totacctbal_fp2"),
     )
 
 
 # -- Q7-shape: volume shipping between two nations -------------------------
 # Reference shape: TPC-H Q7 (nation-pair disjunction + year rollup).
 
-Q7_ORACLE = """
+Q7_ORACLE = f"""
 SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
        year(l.l_shipdate) AS l_year,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS revenue
+       CAST(sum({_REV4_SQL.format(a="l.")}) AS BIGINT) AS revenue_fp4
 FROM supplier s
 JOIN lineitem l ON s.s_suppkey = l.l_suppkey
 JOIN orders o ON o.o_orderkey = l.l_orderkey
@@ -485,27 +547,24 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "cust_nation")
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
-        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .agg(F.sum(_rev4().cast("decimal(28,0)")).cast("long").alias("revenue_fp4"))
     )
 
 
 # -- Q8-shape: national market share ---------------------------------------
 # Reference shape: TPC-H Q8 (share-of-total via conditional sum).
 
-Q8_ORACLE = """
+Q8_ORACLE = f"""
 SELECT year(o.o_orderdate) AS o_year,
-       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
-                     THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
-                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-         / CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS mkt_share
+       CAST((sum(CASE WHEN n2.n_name = 'NATION_2'
+                      THEN {_REV4_SQL.format(a="l.")} ELSE 0 END) * 1000000)
+            // sum({_REV4_SQL.format(a="l.")}) AS BIGINT) AS mkt_share_fp6
 FROM part p
 JOIN lineitem l ON p.p_partkey = l.l_partkey
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -546,9 +605,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n_nationkey"))
         .select("c_custkey")
     )
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
-    zero = F.lit(0).cast("decimal(18,2)")
-    nat_rev = F.when(F.col("supp_nation") == "NATION_2", rev).otherwise(zero)
+    nat_rev4 = F.when(F.col("supp_nation") == "NATION_2", _rev4()).otherwise(F.lit(0))
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
@@ -557,7 +614,16 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
-            (F.sum(nat_rev).cast("double") / F.sum(rev).cast("double")).alias("mkt_share")
+            F.sum(nat_rev4.cast("decimal(28,0)")).alias("_num"),
+            F.sum(_rev4().cast("decimal(28,0)")).alias("_den"),
+        )
+        .select(
+            "o_year",
+            # narrow the numerator before the x10^6 scale-up so the
+            # decimal product stays at precision 36, never AT the cap
+            F.expr(
+                "CAST((CAST(_num AS DECIMAL(28,0)) * 1000000) DIV _den AS BIGINT)"
+            ).alias("mkt_share_fp6"),
         )
     )
 
@@ -567,11 +633,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor so the result set is deterministic under the order-insensitive
 # value-hash gate (LIMIT with ties is not).
 
-Q10_ORACLE = """
+Q10_ORACLE = f"""
 SELECT c.c_custkey, c.c_name,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-         AS revenue,
-       CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+       CAST(sum({_REV4_SQL.format(a="l.")}) AS BIGINT) AS revenue_fp4,
+       CAST(CAST(c.c_acctbal AS DECIMAL(12,2)) * 100 AS BIGINT) AS c_acctbal_fp2,
        n.n_name
 FROM customer c
 JOIN orders o ON c.c_custkey = o.o_custkey
@@ -581,7 +646,7 @@ WHERE o.o_orderdate >= TIMESTAMP '1996-10-01'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
   AND l.l_returnflag = 'R'
 GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
-HAVING sum(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) > 100000
+HAVING sum({_REV4_SQL.format(a="l.")}) > 1000000000
 """
 
 
@@ -598,19 +663,18 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     cust = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
-    rev = _dec("l_extendedprice") * (F.lit(1) - _dec("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.sum(rev).alias("_rev"))
-        .filter(F.col("_rev") > 100000)
+        .agg(F.sum(_rev4().cast("decimal(28,0)")).cast("long").alias("revenue_fp4"))
+        .filter(F.col("revenue_fp4") > 1000000000)
         .select(
             "c_custkey",
             "c_name",
-            F.col("_rev").cast("double").alias("revenue"),
-            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "revenue_fp4",
+            _cents("c_acctbal").alias("c_acctbal_fp2"),
             "n_name",
         )
     )
@@ -618,18 +682,17 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Q15-shape: top supplier (agg -> global max -> equality join) ----------
 
-Q15_ORACLE = """
+Q15_ORACLE = f"""
 WITH revenue0 AS (
   SELECT l_suppkey AS supplier_no,
-         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
-           AS total_revenue
+         CAST(sum({_REV4_SQL.format(a="")}) AS BIGINT) AS total_revenue_fp4
   FROM lineitem
   WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
   GROUP BY l_suppkey
 )
-SELECT s.s_suppkey, s.s_name, r.total_revenue
+SELECT s.s_suppkey, s.s_name, r.total_revenue_fp4
 FROM supplier s JOIN revenue0 r ON s.s_suppkey = r.supplier_no
-WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue0)
+WHERE r.total_revenue_fp4 = (SELECT max(total_revenue_fp4) FROM revenue0)
 """
 
 
@@ -644,33 +707,30 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = (
         li.groupBy(F.col("l_suppkey").alias("supplier_no"))
-        .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("total_revenue")
-        )
+        .agg(F.sum(_rev4().cast("decimal(28,0)")).cast("long").alias("total_revenue_fp4"))
     )
-    top = rev.agg(F.max("total_revenue").alias("_top"))
+    top = rev.agg(F.max("total_revenue_fp4").alias("_top"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.crossJoin(F.broadcast(top))
-        .filter(F.col("total_revenue") == F.col("_top"))
+        .filter(F.col("total_revenue_fp4") == F.col("_top"))
         .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", "total_revenue")
+        .select("s_suppkey", "s_name", "total_revenue_fp4")
     )
 
 
 # -- Q17-shape: small-quantity-order revenue (correlated avg subquery) -----
 
 Q17_ORACLE = """
-SELECT CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+SELECT CAST((sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 10000) // 7
+       AS BIGINT) AS avg_yearly_fp6
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey
 WHERE p.p_brand = 'Brand#3'
-  AND l.l_quantity < (
-    SELECT 0.2 * (CAST(sum(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
-    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
-  )
+  AND 5 * CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)
+      * (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)
+      < (SELECT sum(CAST(CAST(l3.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT))
+         FROM lineitem l3 WHERE l3.l_partkey = p.p_partkey)
 """
 
 
@@ -679,18 +739,26 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Correlated avg subquery decorrelated to a per-partkey aggregate
     joined back on the key (each partkey's average over ALL its line
     items equals the average over the brand-joined rows, because the
-    join is key-equality). The average divides an exact decimal sum in
-    double so the < boundary agrees bit-for-bit with the oracle."""
+    join is key-equality). The qty < 0.2·avg membership is the
+    cross-multiplied integer form 5·cents(qty)·count < sum(cents) —
+    EXACT: with 2dp quantities a row can sit precisely ON the 0.2·avg
+    boundary, where the double-quotient form is build-dependent."""
     part = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#3").select("p_partkey")
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", "l_extendedprice")
     matched = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
     avg_q = matched.groupBy(F.col("l_partkey").alias("_pk")).agg(
-        (F.sum(_dec("l_quantity")).cast("double") / F.count(F.lit(1))).alias("_avg")
+        F.sum(_cents("l_quantity").cast("decimal(28,0)")).cast("long").alias("_sq"),
+        F.count(F.lit(1)).alias("_cnt"),
     )
     return (
         matched.join(avg_q, matched.l_partkey == avg_q._pk)
-        .filter(F.col("l_quantity") < 0.2 * F.col("_avg"))
-        .agg((F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0)).alias("avg_yearly"))
+        .filter(F.lit(5) * _cents("l_quantity") * F.col("_cnt") < F.col("_sq"))
+        .agg(
+            F.expr(
+                "CAST((sum(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)) * 10000)"
+                " DIV 7 AS BIGINT)"
+            ).alias("avg_yearly_fp6")
+        )
     )
 
 
@@ -700,7 +768,8 @@ ROLLUP_ORACLE = """
 SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
        coalesce(o_orderpriority, 'ALL') AS orderpriority,
        count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+         AS total_price_fp2
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
 """
@@ -719,13 +788,13 @@ def rollup_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.rollup("o_orderstatus", "o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(_dec("o_totalprice")).cast("double").alias("total_price"),
+            F.sum(_cents("o_totalprice").cast("decimal(28,0)")).cast("long").alias("total_price_fp2"),
         )
         .select(
             F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
             "n_orders",
-            "total_price",
+            "total_price_fp2",
         )
     )
 
@@ -736,7 +805,7 @@ CUBE_ORACLE = """
 SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
        coalesce(l_linestatus, 'ALL') AS linestatus,
        count(*) AS n_items,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+       CAST(sum(CAST(CAST(l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS sum_qty_fp2
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
 """
@@ -752,13 +821,13 @@ def cube_lineitem_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
-            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_cents("l_quantity").cast("decimal(28,0)")).cast("long").alias("sum_qty_fp2"),
         )
         .select(
             F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
             F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
             "n_items",
-            "sum_qty",
+            "sum_qty_fp2",
         )
     )
 
@@ -885,11 +954,10 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -- Q9 (adapted): profit by nation and year -------------------------------
 
-Q9_ORACLE = """
+Q9_ORACLE = f"""
 SELECT n.n_name AS nation,
        year(o.o_orderdate) AS o_year,
-       CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS profit
+       CAST(sum({_REV4_SQL.format(a="l.")}) AS BIGINT) AS profit_fp4
 FROM lineitem l
 JOIN part p ON p.p_partkey = l.l_partkey AND p.p_name LIKE '%red%'
 JOIN supplier s ON s.s_suppkey = l.l_suppkey
@@ -920,11 +988,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(nat, sup.s_nationkey == nat.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
-        .agg(
-            F.sum(_dec("l_extendedprice") * (F.lit(1) - _dec("l_discount")))
-            .cast("double")
-            .alias("profit")
-        )
+        .agg(F.sum(_rev4().cast("decimal(28,0)")).cast("long").alias("profit_fp4"))
     )
 
 
@@ -939,16 +1003,16 @@ WITH sup AS (
 ),
 vol AS (
   SELECT l.l_partkey, l.l_suppkey,
-         CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+         CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_fp2
   FROM lineitem l JOIN sup ON sup.s_suppkey = l.l_suppkey
   GROUP BY l.l_partkey, l.l_suppkey
 ),
 best AS (
-  SELECT v.l_partkey, v.l_suppkey, v.qty,
-         row_number() OVER (PARTITION BY v.l_partkey ORDER BY v.qty DESC, v.l_suppkey ASC) AS rn
+  SELECT v.l_partkey, v.l_suppkey, v.qty_fp2,
+         row_number() OVER (PARTITION BY v.l_partkey ORDER BY v.qty_fp2 DESC, v.l_suppkey ASC) AS rn
   FROM vol v
 )
-SELECT p.p_partkey, p.p_name, s.s_name, s.n_name, s.s_acctbal, b.qty AS supplied_qty
+SELECT p.p_partkey, p.p_name, s.s_name, s.n_name, s.s_acctbal, b.qty_fp2 AS supplied_qty_fp2
 FROM best b
 JOIN part p ON p.p_partkey = b.l_partkey AND p.p_size = 3
 JOIN sup s ON s.s_suppkey = b.l_suppkey
@@ -983,29 +1047,29 @@ def q2_best_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .join(sup.select("s_suppkey"), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey", "l_suppkey")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
+        .agg(F.sum(_cents("l_quantity").cast("decimal(28,0)")).cast("long").alias("qty_fp2"))
     )
     # per-part argmax with (qty desc, suppkey asc) determinism: max_by on
     # (qty, -suppkey) — single hash aggregate
     best = vol.groupBy("l_partkey").agg(
         F.max_by(
-            F.struct(F.col("l_suppkey"), F.col("qty")),
-            F.struct(F.col("qty"), (-F.col("l_suppkey")).alias("_ns")),
+            F.struct(F.col("l_suppkey"), F.col("qty_fp2")),
+            F.struct(F.col("qty_fp2"), (-F.col("l_suppkey")).alias("_ns")),
         ).alias("_b")
-    ).select("l_partkey", F.col("_b.l_suppkey").alias("l_suppkey"), F.col("_b.qty").alias("qty"))
+    ).select("l_partkey", F.col("_b.l_suppkey").alias("l_suppkey"), F.col("_b.qty_fp2").alias("qty_fp2"))
     part = F.broadcast(
         load_table(spark, sf_dir, "part").filter(F.col("p_size") == 3).select("p_partkey", "p_name")
     )
     return (
         best.join(part, best.l_partkey == part.p_partkey)
         .join(sup, best.l_suppkey == sup.s_suppkey)
-        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", F.col("qty").alias("supplied_qty"))
+        .select("p_partkey", "p_name", "s_name", "n_name", "s_acctbal", F.col("qty_fp2").alias("supplied_qty_fp2"))
     )
 
 
 # -- Q11 (adapted): important stock share ----------------------------------
 
-Q11_FRACTION = 0.001
+Q11_FRACTION_DEN = 1000  # share threshold = 1/1000 of total value
 
 Q11_ORACLE = f"""
 WITH nsup AS (
@@ -1014,15 +1078,16 @@ WITH nsup AS (
 ),
 pv AS (
   SELECT l.l_partkey,
-         CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
-                  * CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS value
+         CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+                  * CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT)
+           AS value_fp4
   FROM lineitem l JOIN nsup ON nsup.s_suppkey = l.l_suppkey
   GROUP BY l.l_partkey
 ),
-tot AS (SELECT sum(value) AS total FROM pv)
-SELECT pv.l_partkey AS p_partkey, pv.value
+tot AS (SELECT CAST(sum(value_fp4) AS HUGEINT) AS total FROM pv)
+SELECT pv.l_partkey AS p_partkey, pv.value_fp4
 FROM pv, tot
-WHERE pv.value > tot.total * {Q11_FRACTION}
+WHERE pv.value_fp4 * {Q11_FRACTION_DEN} > tot.total
 """
 
 
@@ -1046,24 +1111,31 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "lineitem")
         .join(nsup, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
-        .agg(F.sum(_dec("l_extendedprice") * _dec("l_quantity")).cast("double").alias("value"))
+        .agg(
+            F.sum((_cents("l_extendedprice") * _cents("l_quantity")).cast("decimal(28,0)"))
+            .cast("long")
+            .alias("value_fp4")
+        )
     )
-    tot = pv.agg(F.sum("value").alias("_total"))
+    tot = pv.agg(F.sum(F.col("value_fp4").cast("decimal(28,0)")).alias("_total"))
     return (
         pv.crossJoin(F.broadcast(tot))
-        .filter(F.col("value") > F.col("_total") * Q11_FRACTION)
-        .select(F.col("l_partkey").alias("p_partkey"), "value")
+        # share > 1/1000 as the cross-multiplied integer form (exact;
+        # value·0.001 in doubles can straddle a part sitting ON the line)
+        .filter(F.col("value_fp4").cast("decimal(28,0)") * Q11_FRACTION_DEN > F.col("_total"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_fp4")
     )
 
 
 # -- Q20 (adapted): suppliers with excess shipments ------------------------
 
-Q20_QTY_MIN = 300.0
+Q20_QTY_MIN_FP2 = 30000  # 300.00 in integer cents
 
 Q20_ORACLE = f"""
 WITH bp AS (SELECT p_partkey FROM part WHERE p_name LIKE '%blue%'),
 q20qty AS (
-  SELECT l.l_suppkey, CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+  SELECT l.l_suppkey,
+         CAST(sum(CAST(CAST(l.l_quantity AS DECIMAL(12,2)) * 100 AS BIGINT)) AS BIGINT) AS qty_fp2
   FROM lineitem l JOIN bp ON bp.p_partkey = l.l_partkey
   WHERE l.l_shipdate >= TIMESTAMP '1996-01-01' AND l.l_shipdate < TIMESTAMP '1997-01-01'
   GROUP BY l.l_suppkey
@@ -1071,7 +1143,7 @@ q20qty AS (
 SELECT s.s_name, s.s_acctbal
 FROM supplier s
 JOIN nation n ON n.n_nationkey = s.s_nationkey AND n.n_name = 'NATION_5'
-WHERE s.s_suppkey IN (SELECT l_suppkey FROM q20qty WHERE qty > {Q20_QTY_MIN})
+WHERE s.s_suppkey IN (SELECT l_suppkey FROM q20qty WHERE qty_fp2 > {Q20_QTY_MIN_FP2})
 """
 
 
@@ -1092,8 +1164,8 @@ def q20_excess_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01"))
         .join(bp, F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("l_suppkey")
-        .agg(F.sum(_dec("l_quantity")).cast("double").alias("qty"))
-        .filter(F.col("qty") > Q20_QTY_MIN)
+        .agg(F.sum(_cents("l_quantity").cast("decimal(28,0)")).cast("long").alias("qty_fp2"))
+        .filter(F.col("qty_fp2") > Q20_QTY_MIN_FP2)
         .select("l_suppkey")
     )
     nat = F.broadcast(load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5"))

@@ -472,6 +472,7 @@ def run_cdc_ingest_stream(
     quality_min_fp6: int = 500_000,
     near_dup: bool = False,
     trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> list[dict]:
     """Change-data-capture front door: a Structured Streaming file
     source whose rows carry an ``op`` column — ``'u'`` (upsert: insert
@@ -480,7 +481,10 @@ def run_cdc_ingest_stream(
     — so a batch carrying both a delete and a re-add of the same id
     lands in the re-added state, and replays are idempotent (tombstone
     max() + digest gate). Per-batch stats are returned for assertions/
-    metrics; swap the trigger for processingTime to run live."""
+    metrics; swap the trigger for processingTime to run live.
+    ``max_files_per_trigger=1`` makes each dropped file its own
+    micro-batch in arrival (mtime) order — availableNow honors it, so a
+    scripted file sequence replays as the scripted batch sequence."""
     ing = MutableCorpusIngestor(spark, corpus_dir, quality_min_fp6=quality_min_fp6, near_dup=near_dup)
     stats: list[dict] = []
 
@@ -497,9 +501,11 @@ def run_cdc_ingest_stream(
         finally:
             batch_df.unpersist()
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     writer = (
-        spark.readStream.schema(schema)
-        .json(src_dir)
+        reader.json(src_dir)
         .writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
     )
