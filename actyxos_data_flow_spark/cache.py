@@ -39,16 +39,14 @@ shared entry, so releases are refcounted per canonical plan (see
 _PIN_COUNTS below for the failure this prevents).
 
 :func:`pin_dir` scratch DIRECTORIES are different: there is no
-recompute path for deleted files. The contract for callers is
-therefore stricter — keep the returned query result alive for as long
-as ANY DataFrame derived from it may still be evaluated. If a caller
-derives a child frame, drops the parent result, and lets
-``RETAIN_QUERIES`` newer queries retire behind it, the scratch parquet
-the child lazily reads is gone and evaluation fails (loudly — never a
-wrong answer, the files are whole-directory removed). The registered
-grading/bench/check loops all collect before dropping, which satisfies
-the contract; ad-hoc composition should either re-run the registered
-query or hold the original result.
+recompute path for deleted files, so (since round 9) they are
+SESSION-scoped, not window-scoped — registered once, removed only at
+interpreter exit (``atexit``) or an explicit
+:func:`cleanup_session_dirs`. A child frame derived from a dropped
+parent result therefore still evaluates at ANY later point in the
+session (tests/test_cache.py::test_child_frame_outlives_parent_result);
+the cost is bounded scratch-disk growth over one session, which the
+grading/bench/check loops' tempdirs keep in the tens of MB.
 
 Single-threaded by design (the driver, ``bench.py`` and ``tools/check.py``
 all build one query at a time); the pending lists are module-level, not
@@ -57,21 +55,29 @@ thread-local.
 
 from __future__ import annotations
 
+import atexit
 import shutil
 import weakref
 from collections import deque
 
 from pyspark.sql import DataFrame
 
-_PENDING_FRAMES: list[DataFrame] = []
-_PENDING_DIRS: list[str] = []
+# (plan_key, frame) pairs: the key is computed ONCE at pin time, so the
+# release path decrements exactly the counter the pin incremented even
+# if key computation would diverge later (JVM gateway death downgrades
+# _plan_key to id(df) — recomputing at release would then leak the
+# pin-time counter and a later pin of the same plan would inherit a
+# stale count, skipping its final unpersist).
+_PENDING_FRAMES: list[tuple[int, DataFrame]] = []
+_SESSION_DIRS: list[str] = []
+_ATEXIT_ARMED = False
 
 # groups retired by finalize, oldest first; len > RETAIN_QUERIES => the
 # oldest group is truly released. 2 keeps min-of-N warm bench passes and
 # back-to-back composed queries cache-hot while the grading loop stays
 # bounded at ~3 queries' worth of cached blocks.
 RETAIN_QUERIES = 2
-_RETIRED: deque[tuple[list[DataFrame], list[str]]] = deque()
+_RETIRED: deque[tuple[list[tuple[int, DataFrame]], list[str]]] = deque()
 
 
 # Refcount of live pins per CANONICAL PLAN: Spark's CacheManager dedupes
@@ -99,37 +105,54 @@ def _plan_key(df: DataFrame) -> int:
 def pin(df: DataFrame) -> DataFrame:
     """``persist()`` a plan-internal intermediate and track it for
     release when the enclosing registered query's result is dropped.
-    Pins are REFCOUNTED by canonical plan (see _PIN_COUNTS)."""
+    Pins are REFCOUNTED by canonical plan (see _PIN_COUNTS); the plan
+    key is computed HERE and carried with the frame, so release always
+    decrements the exact counter this pin incremented."""
     df = df.persist()
     key = _plan_key(df)
     _PIN_COUNTS[key] = _PIN_COUNTS.get(key, 0) + 1
-    _PENDING_FRAMES.append(df)
+    _PENDING_FRAMES.append((key, df))
     return df
 
 
 def pin_dir(path: str) -> str:
-    """Track a per-call scratch directory for removal with the result."""
-    _PENDING_DIRS.append(path)
+    """Register a per-call scratch directory for SESSION-lifetime
+    cleanup (atexit / :func:`cleanup_session_dirs`) — never removed by
+    the retirement window, so frames lazily reading the files stay
+    evaluable for the whole session."""
+    global _ATEXIT_ARMED
+    _SESSION_DIRS.append(path)
+    if not _ATEXIT_ARMED:
+        atexit.register(cleanup_session_dirs)
+        _ATEXIT_ARMED = True
     return path
 
 
-def drain() -> tuple[list[DataFrame], list[str]]:
-    """Pop everything pinned since the last drain."""
-    frames, dirs = _PENDING_FRAMES[:], _PENDING_DIRS[:]
+def cleanup_session_dirs() -> None:
+    """Remove every scratch directory registered this session
+    (idempotent; runs automatically at interpreter exit)."""
+    while _SESSION_DIRS:
+        shutil.rmtree(_SESSION_DIRS.pop(), ignore_errors=True)
+
+
+def drain() -> tuple[list[tuple[int, DataFrame]], list[str]]:
+    """Pop every frame pinned since the last drain. (The dirs slot is
+    retained for API shape; scratch dirs are session-scoped now and no
+    longer flow through the retirement groups.)"""
+    frames = _PENDING_FRAMES[:]
     _PENDING_FRAMES.clear()
-    _PENDING_DIRS.clear()
-    return frames, dirs
+    return frames, []
 
 
-def release(frames: list[DataFrame], dirs: list[str]) -> None:
-    """Release pins / remove dirs (idempotent, safe at interpreter
-    shutdown when the JVM gateway may already be gone). A frame's
-    shared cache entry is only unpersisted when ITS plan's refcount
-    reaches zero — a newer query may have pinned the same plan and
-    still be reading the entry."""
-    for df in frames:
+def release(frames: list[tuple[int, DataFrame]], dirs: list[str]) -> None:
+    """Release pins (idempotent, safe at interpreter shutdown when the
+    JVM gateway may already be gone). A frame's shared cache entry is
+    only unpersisted when ITS plan's refcount reaches zero — a newer
+    query may have pinned the same plan and still be reading the
+    entry. ``dirs`` passed explicitly are removed immediately (legacy
+    direct callers); session dirs never arrive here."""
+    for key, df in frames:
         try:
-            key = _plan_key(df)
             n = _PIN_COUNTS.get(key, 1) - 1
             if n > 0:
                 _PIN_COUNTS[key] = n

@@ -40,26 +40,18 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             from .. import cache
 
-            # Orphans from direct operator calls outside any registered
-            # query (tests): unpersist the frames, but NEVER rmtree the
-            # scratch dirs here — the raw caller may still hold a live
-            # result that lazily reads those files (e.g. a test calling
-            # an unwrapped ingest helper, then a registered query
-            # firing this drain before the test evaluates). Leaked dirs
-            # are bounded by the scratch area and cleaned by the
-            # finalize/retirement path of the query that CREATED them
-            # when it runs wrapped; destructive removal is reserved for
-            # paths where the result is provably unreachable.
-            frames, dirs = cache.drain()
+            # Orphan FRAMES from direct operator calls outside any
+            # registered query (tests): unpersist them here. Scratch
+            # DIRS never flow through drain anymore — pin_dir is
+            # session-scoped (removed at interpreter exit), so a raw
+            # caller's live result that lazily reads those files stays
+            # evaluable no matter how many queries run in between.
+            frames, _ = cache.drain()
             cache.release(frames, [])
-            if dirs:  # re-queue: let a later finalize own them
-                for p in dirs:
-                    cache.pin_dir(p)
             try:
                 result = fn(spark, sf_dir)
             except BaseException:
-                # the failed build's own frames can go; dirs again stay
-                f2, d2 = cache.drain()
+                f2, _ = cache.drain()
                 cache.release(f2, [])
                 raise
             return cache.attach(result, *cache.drain())

@@ -96,10 +96,18 @@ def _spec_matches(path: str, keys: tuple[str, ...], n_buckets: int, sort: bool) 
         or spec.get("sort") != bool(sort)
     ):
         return False
-    for f, size in spec.get("files", {}).items():
+    recorded = spec.get("files", {})
+    for f, size in recorded.items():
         fp = os.path.join(path, f)
         if not os.path.exists(fp) or os.path.getsize(fp) != size:
             return False  # a bucket file was lost/changed after _SUCCESS
+    # set equality, not subset: a STRAY parquet that appeared after the
+    # spec was written would be scanned by the adopted table and serve
+    # duplicate/foreign rows — "describe the files as they are" cuts
+    # both ways
+    current = {f for f in os.listdir(path) if f.endswith(".parquet")}
+    if current != set(recorded):
+        return False
     return True
 
 

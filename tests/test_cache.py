@@ -40,24 +40,50 @@ def test_retirement_window_bounds_cached_blocks(spark):
     assert all(not p.storageLevel.useMemory for p in pins)
 
 
-def test_pin_dir_removed_with_window(spark):
+def test_pin_dir_is_session_scoped(spark):
+    """Scratch dirs survive the retirement window for the whole session
+    (no recompute path exists for deleted files); cleanup_session_dirs
+    (the atexit hook) is what removes them."""
     cache.release_retired()
     d = cache.pin_dir(tempfile.mkdtemp(prefix="cache_test_"))
     frames, dirs = cache.drain()
     result = spark.range(1)
     cache.attach(result, frames, dirs)
     del result
-    assert os.path.isdir(d)  # still inside the retirement window
     cache.release_retired()
+    assert os.path.isdir(d)  # window passed; dir still alive
+    cache.cleanup_session_dirs()
     assert not os.path.exists(d)
+
+
+def test_child_frame_outlives_parent_result(spark):
+    """A frame derived from a registered query's result must evaluate
+    even after the parent result is dropped and the retirement window
+    has rolled past it — the round-8 documented contract violation this
+    module's session-scoped dirs close."""
+    import pyspark.sql.functions as F
+
+    cache.release_retired()
+    base = cache.pin_dir(tempfile.mkdtemp(prefix="cache_child_"))
+    spark.range(50).withColumn("v", F.col("id") * 2).write.parquet(base + "/t")
+    parent = spark.read.parquet(base + "/t")
+    cache.attach(parent, *cache.drain())
+    child = parent.filter(F.col("v") >= 40).select(F.sum("v").alias("s"))
+    del parent  # drop the result; group retires
+    for i in range(cache.RETAIN_QUERIES + 2):  # roll the window past it
+        _, r = _run_query_with_pin(spark, 10 + i)
+        del r
+    assert child.collect()[0]["s"] == sum(v * 2 for v in range(20, 50))
+    cache.cleanup_session_dirs()
 
 
 def test_drain_isolates_queries(spark):
     cache.release_retired()
     a = cache.pin(spark.range(5))
-    assert cache.drain()[0] == [a]
+    drained = cache.drain()
+    assert [df for _, df in drained[0]] == [a]
     assert cache.drain() == ([], [])  # second drain is empty
-    cache.release([a], [])
+    cache.release(drained[0], [])
     assert not a.storageLevel.useMemory
 
 

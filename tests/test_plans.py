@@ -573,6 +573,35 @@ def test_bucketed_mirror_adoption_refuses_lost_bucket_file(spark):
     assert sorted(map(tuple, c.collect())) == rows_before
 
 
+def test_bucketed_mirror_adoption_refuses_stray_file(spark):
+    """The inverse hole of file LOSS: a parquet that APPEARED in the
+    mirror directory after _SPEC.json was written would be scanned by
+    an adopted table and serve duplicate/foreign rows. Adoption
+    requires SET EQUALITY between the directory's *.parquet listing and
+    the sidecar's recorded files — extras force a rewrite."""
+    import glob
+    import os
+    import shutil
+
+    from actyxos_data_flow_spark.sources.bucketed import (
+        _WAREHOUSE,
+        bucketed_name,
+        ensure_bucketed,
+    )
+
+    a = ensure_bucketed(spark, SF, "region", ("r_regionkey",), n_buckets=4)
+    rows_before = sorted(map(tuple, a.collect()))
+    name = bucketed_name(SF, "region", ("r_regionkey",), 4)
+    path = os.path.join(_WAREHOUSE, name)
+    src = sorted(glob.glob(os.path.join(path, "*.parquet")))[0]
+    spark.sql(f"DROP TABLE {name}")  # external: files survive
+    shutil.copy(src, os.path.join(path, "part-stray.parquet"))  # foreign file
+    b = ensure_bucketed(spark, SF, "region", ("r_regionkey",), n_buckets=4)
+    # the rewrite purged the stray and restored the exact row set
+    assert sorted(map(tuple, b.collect())) == rows_before
+    assert not os.path.exists(os.path.join(path, "part-stray.parquet"))
+
+
 def test_bucketed_mirror_is_idempotent(spark):
     """Second ensure_bucketed call reuses the registered table (no
     rewrite) and the mirror holds exactly the source rows."""
