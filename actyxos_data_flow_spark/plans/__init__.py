@@ -84,7 +84,7 @@ _PRIORITY: tuple[str, ...] = (
     # and q14 (no hashed DOUBLE, no precision-38 product) ---
     "source_mix_weights", "join_selinger_dp", "q14_promo_revenue",
     # --- new this round ---
-    "cdc_ingest_replay",
+    "cdc_ingest_replay", "mutable_vectors_replay", "cdc_vector_replay",
     # --- never driver-graded (cumulative coverage must strictly grow) ---
     "quality_constraints_report", "windowed_distinct_hll_replay",
     "stream_attribution_replay", "stream_attribution_outer_replay",
@@ -143,6 +143,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import mutable  # noqa: F401
     from . import behavior  # noqa: F401
     from . import mining  # noqa: F401
+    from . import vectors  # noqa: F401
     from . import envprobe  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]

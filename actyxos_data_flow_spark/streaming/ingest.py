@@ -44,6 +44,38 @@ from ..operators import text as X
 DIGEST_SCHEMA = "digest string, doc_id long"
 
 
+def _cosine_ge(ea, eb, threshold: float):
+    """cos(ea, eb) >= threshold as an EXACT integer comparison — the
+    vector gate's membership test, portable across engine builds:
+
+        dot9 >= 0  AND  den² · dot9² >= num² · sq9(ea) · sq9(eb)
+
+    with threshold = num/den (Fraction of the decimal literal, e.g.
+    0.98 → 49/50) and dot9/sq9 the per-term floor(x·y·1e9 + 0.5) BIGINT
+    sums (operators.similarity._dot9/_sq9 — identical integers on any
+    engine because each per-term double product is one IEEE-exact op).
+    The double-quotient form cos >= t can flip a candidate sitting
+    within one build's ulp of the threshold; squaring the quantized
+    integers cannot. Narrow decimal casts keep every product clearly
+    under precision 38 (values ≤ ~1e25 for unit-scale dims ≤ 10^3)."""
+    from fractions import Fraction
+
+    from ..operators import similarity as S
+
+    frac = Fraction(str(threshold))
+    num, den = frac.numerator, frac.denominator
+    if num <= 0:
+        raise ValueError("cosine threshold must be positive")
+    d9 = S._dot9(ea, eb)
+    lhs = d9.cast("decimal(14,0)") * d9.cast("decimal(14,0)") * F.lit(den * den)
+    rhs = (
+        F.lit(num * num).cast("decimal(8,0)")
+        * S._sq9(ea).cast("decimal(12,0)")
+        * S._sq9(eb).cast("decimal(12,0)")
+    )
+    return (d9 >= 0) & (lhs >= rhs)
+
+
 def _directed_drops(near: DataFrame, batch_ids: DataFrame, id_col: str) -> DataFrame:
     """Which BATCH members to reject given undirected near-pairs: a
     batch doc/vector drops if it near-matches history (partner not in
@@ -649,15 +681,12 @@ class VectorIngestor:
             )
             va = all_vecs.select(F.col(self.id_col).alias("id_a"), F.col(self.vec_col).alias("_ea"))
             vb = all_vecs.select(F.col(self.id_col).alias("id_b"), F.col(self.vec_col).alias("_eb"))
-            cos = S._dot(F.col("_ea"), F.col("_eb")) / (
-                S._norm(F.col("_ea")) * S._norm(F.col("_eb"))
-            )
             near = (
                 F.broadcast(cand)
                 .join(va, "id_a")
                 .join(vb, "id_b")
-                .select("id_a", "id_b", cos.alias("_c"))
-                .filter(F.col("_c") >= self.cosine_threshold)
+                .filter(_cosine_ge(F.col("_ea"), F.col("_eb"), self.cosine_threshold))
+                .select("id_a", "id_b")
             )
             drops = _directed_drops(near, fresh.select(self.id_col), self.id_col)
             accepted_df = fresh.join(drops, self.id_col, "left_anti").persist()

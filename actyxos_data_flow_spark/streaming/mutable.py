@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 
 from ..operators import dedup as D
 from ..operators import text as X
-from .ingest import DIGEST_SCHEMA, CorpusIngestor, VectorIngestor, _directed_drops
+from .ingest import DIGEST_SCHEMA, CorpusIngestor, VectorIngestor, _cosine_ge, _directed_drops
 
 TOMB_SCHEMA = "tomb_id long, upto_seq long"
 EDGE_SCHEMA = "id_a long, id_b long, _seq long"
@@ -357,15 +357,12 @@ class MutableVectorIngestor(_TombstoneStore, VectorIngestor):
             )
             va = all_vecs.select(F.col(self.id_col).alias("id_a"), F.col(self.vec_col).alias("_ea"))
             vb = all_vecs.select(F.col(self.id_col).alias("id_b"), F.col(self.vec_col).alias("_eb"))
-            cos = S._dot(F.col("_ea"), F.col("_eb")) / (
-                S._norm(F.col("_ea")) * S._norm(F.col("_eb"))
-            )
             near = (
                 F.broadcast(cand)
                 .join(va, "id_a")
                 .join(vb, "id_b")
-                .select("id_a", "id_b", cos.alias("_c"))
-                .filter(F.col("_c") >= self.cosine_threshold)
+                .filter(_cosine_ge(F.col("_ea"), F.col("_eb"), self.cosine_threshold))
+                .select("id_a", "id_b")
             )
             drops = _directed_drops(near, fresh.select(self.id_col), self.id_col)
             accepted_df = fresh.join(drops, self.id_col, "left_anti").persist()
@@ -525,11 +522,14 @@ def run_cdc_vector_stream(
     schema: str = "vec_id long, embedding array<double>, op string",
     cosine_threshold: float = 0.98,
     trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
 ) -> list[dict]:
     """CDC front door for the vector store — the embedding twin of
     :func:`run_cdc_ingest_stream`: rows carry op = 'u' (upsert) or 'd'
     (delete); deletes apply first, then upserts re-embed through the
-    near-dup gate. Replay-idempotent for the same reasons."""
+    near-dup gate. Replay-idempotent for the same reasons;
+    ``max_files_per_trigger=1`` replays a scripted file sequence as the
+    scripted batch sequence."""
     ing = MutableVectorIngestor(spark, store_dir, dim=dim, cosine_threshold=cosine_threshold)
     stats: list[dict] = []
 
@@ -546,9 +546,11 @@ def run_cdc_vector_stream(
         finally:
             batch_df.unpersist()
 
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     writer = (
-        spark.readStream.schema(schema)
-        .json(src_dir)
+        reader.json(src_dir)
         .writeStream.foreachBatch(handle)
         .option("checkpointLocation", checkpoint_dir)
     )
