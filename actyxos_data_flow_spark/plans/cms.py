@@ -629,18 +629,23 @@ def join_selinger_applied(spark: SparkSession, sf_dir: str) -> DataFrame:
 # CONNECTED subsets of a join graph that is not a star: part/supplier/
 # orders join the lineitem fact directly, nation joins THROUGH supplier
 # (s_nationkey = n_nationkey), so {nation} alone and {part, nation} are
-# not reachable states. Same integer cost model, multiplied through by
-# the shared denominator N³·|sels| so every DP cell is an EXACT integer
-# (HUGEINT/DECIMAL(38,0) — holds through ~sf10; beyond that both
-# engines move the cell type up): with sel_d = est_d/N for the fact
-# dims and sel_nation = est_nation/|sels|, the scaled size of a
-# k-subset S is N^(4-f)·|sels|^(1-i_n)·Π est_d (f = fact dims in S, i_n
-# = nation ∈ S), the cost of an order is the sum of its proper-prefix
-# sizes (the FULL 4-join size is permutation-invariant and omitted),
-# and ties break on the lexicographic order string in BOTH engines.
-# The oracle replays the WHOLE DP TABLE (one unrolled CTE per connected
-# subset, min over its predecessor transitions), and the table itself
-# rides in the hashed output alongside the executed answer.
+# not reachable states. Cost model (round-9 rescale): selectivities are
+# fixed-point PARTS-PER-10^6 integers — sel6_d = (est_d·10^6) DIV N for
+# the fact dims, (est_nation·10^6) DIV |sels| for nation — and the
+# estimated size of a subset S is the TRUNCATING SORTED FOLD
+#   size_fp(S) = fold(x = N; for d in sorted(S): x = (x·sel6_d) DIV 10^6),
+# identical text in both engines (the sorted dim order makes the
+# truncation sequence canonical). Every intermediate is ≤ N·max(sel6),
+# so cells stay ~N at ANY scale factor — the previous exact common-
+# denominator form (N^(4-f)·|sels|^(1-i)·Π est) grew as N^4 and hit
+# 7.2e37 at the 10x probe, within one SF of the 38-digit integer
+# ceiling (the headroom assertion caught it). Cost of an order = sum of
+# its proper-prefix sizes (the FULL 4-join size is order-invariant
+# under the canonical fold and omitted); ties break on the
+# lexicographic order string in BOTH engines. The oracle replays the
+# WHOLE DP TABLE (one unrolled CTE per connected subset, min over its
+# predecessor transitions), and the table itself rides in the hashed
+# output alongside the executed answer.
 
 _DP_FACT_DIMS = frozenset({"part", "supplier", "orders"})
 _DP_DIMS = ("nation", "orders", "part", "supplier")
@@ -673,13 +678,24 @@ def _dp_states() -> tuple[list[frozenset], dict]:
     return subsets, trans
 
 
-def _dp_term_factors(s: frozenset) -> tuple[int, int]:
-    """(#N factors, #|sels| factors) in the scaled size of subset s."""
+def _dp_size_fp(s: frozenset, n_fact: int, sel6: dict[str, int]) -> int:
+    """Estimated |S-join| as the canonical truncating fold over sorted
+    dims: x = N, then x = (x·sel6_d) DIV 10^6 per dim. The full set is
+    omitted (order-invariant under the canonical fold)."""
     if len(s) == len(_DP_DIMS):
-        return (0, 0)  # full-join size is permutation-invariant: omitted
-    f = len(s & _DP_FACT_DIMS)
-    i_n = 1 if "nation" in s else 0
-    return (4 - f, 1 - i_n)
+        return 0
+    x = n_fact
+    for d in sorted(s):
+        x = (x * sel6[d]) // 10**6
+    return x
+
+
+def _dp_sel6(ests: dict[str, int], n_fact: int, s_cnt: int) -> dict[str, int]:
+    """Fixed-point parts-per-10^6 selectivities (nation's denominator
+    is the filtered supplier count — it joins through supplier)."""
+    return {
+        d: (ests[d] * 10**6) // (s_cnt if d == "nation" else n_fact) for d in _DP_DIMS
+    }
 
 
 def _dp_key(s: frozenset) -> str:
@@ -688,14 +704,14 @@ def _dp_key(s: frozenset) -> str:
 
 def selinger_dp_decision(spark: SparkSession, sf_dir: str):
     """Sketch-priced bitmask DP: CMS estimates for the four joins (the
-    three fact keys + supplier⋈nation), then exact-integer DP over the
-    11 connected subsets (15 non-empty minus the 4 holding nation
-    without supplier). Returns (winning order, DP-table rows,
-    {dim: est}, n_fact, s_cnt); only model-sized aggregates cross the
-    driver, and Python integers keep the scaled costs exact at any
-    magnitude. Every cell cost is asserted < 10^37 — headroom under
-    both DuckDB HUGEINT (~1.7e38) and DECIMAL(38,0), so the oracle's
-    integer replay cannot silently saturate at larger SFs."""
+    three fact keys + supplier⋈nation), then integer DP over the 11
+    connected subsets (15 non-empty minus the 4 holding nation without
+    supplier). Returns (winning order, DP-table rows, {dim: est},
+    n_fact, s_cnt); only model-sized aggregates cross the driver.
+    Costs use the fixed-point selectivity fold (_dp_size_fp): cells
+    stay ~N at any SF (the exact common-denominator form grew as N^4
+    and came within one SF of the 38-digit ceiling at the 10x probe);
+    a BIGINT-headroom backstop still asserts the invariant."""
     li, part, supp, orders = _selinger_inputs(spark, sf_dir)
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey")
 
@@ -723,26 +739,20 @@ def selinger_dp_decision(spark: SparkSession, sf_dir: str):
     }
     n_fact = li.count()
     s_cnt = supp.count()
+    sel6 = _dp_sel6(ests, n_fact, s_cnt)
     subsets, trans = _dp_states()
-
-    def term(s: frozenset) -> int:
-        nf, ns = _dp_term_factors(s)
-        v = (n_fact**nf) * (s_cnt**ns)
-        for d in s:
-            v *= ests[d]
-        return v
 
     best: dict[frozenset, tuple[int, str]] = {}
     for s in sorted(subsets, key=lambda x: (len(x), _dp_key(x))):
         cands = []
         for p, d in trans[s]:
             pc, po = best[p] if p else (0, "")
-            cands.append((pc + term(s), (po + "," + d) if po else d))
+            cands.append((pc + _dp_size_fp(s, n_fact, sel6), (po + "," + d) if po else d))
         best[s] = min(cands)
-        if best[s][0] >= 10**37:  # overflow headroom: HUGEINT/DECIMAL(38,0) replay
+        if best[s][0] >= 10**18:  # BIGINT headroom backstop (cells are ~N by construction)
             raise OverflowError(
-                f"selinger DP cell {_dp_key(s)} cost {best[s][0]:.3e} is within 10x of "
-                "the 38-digit integer ceiling; rescale the cost model before this SF"
+                f"selinger DP cell {_dp_key(s)} cost {best[s][0]:.3e} exceeds the "
+                "BIGINT replay budget — cost-model invariant broken"
             )
     order = best[frozenset(_DP_DIMS)][1].split(",")
     table = sorted(
@@ -752,12 +762,14 @@ def selinger_dp_decision(spark: SparkSession, sf_dir: str):
 
 
 def _dp_term_sql(s: frozenset) -> str:
-    nf, ns = _dp_term_factors(s)
-    factors = ["CAST(1 AS HUGEINT)"]
-    factors += ["e.n_fact"] * nf
-    factors += ["e.s_cnt"] * ns
-    factors += [f"e.est_{d}" for d in sorted(s)]
-    return "(" + " * ".join(factors) + ")"
+    """size_fp(s) as the SAME canonical sorted truncating fold the
+    Python decision runs — unrolled to nested integer expressions."""
+    if len(s) == len(_DP_DIMS):
+        return "CAST(0 AS HUGEINT)"
+    expr = "e.n_fact"
+    for d in sorted(s):
+        expr = f"(({expr} * e.sel6_{d}) // 1000000)"
+    return expr
 
 
 def _dp_ctes() -> str:
@@ -797,7 +809,7 @@ def _dp_ctes() -> str:
         )
     rows = "\n    UNION ALL\n    ".join(
         f"SELECT '{_dp_key(s)}' AS subset, {len(s)} AS k, "
-        f"CAST(dp_{''.join(sorted(d[0] for d in s))}.cost AS DECIMAL(38,0)) AS best_cost_scaled, "
+        f"CAST(dp_{''.join(sorted(d[0] for d in s))}.cost AS BIGINT) AS best_cost_fp, "
         f"dp_{''.join(sorted(d[0] for d in s))}.ord AS best_order "
         f"FROM dp_{''.join(sorted(d[0] for d in s))}"
         for s in sorted(subsets, key=lambda x: (len(x), _dp_key(x)))
@@ -837,12 +849,15 @@ SELINGER_DP_ORACLE = (
     + _ip_cte("sn", "xsn", "xn")
     + f""",
 selests AS MATERIALIZED (
-  SELECT CAST((SELECT est_pairs FROM esp) AS HUGEINT) AS est_part,
-         CAST((SELECT est_pairs FROM ess) AS HUGEINT) AS est_supplier,
-         CAST((SELECT est_pairs FROM eso) AS HUGEINT) AS est_orders,
-         CAST((SELECT est_pairs FROM esn) AS HUGEINT) AS est_nation,
-         CAST((SELECT count(*) FROM lineitem) AS HUGEINT) AS n_fact,
-         CAST((SELECT count(*) FROM sels) AS HUGEINT) AS s_cnt
+  SELECT (CAST((SELECT est_pairs FROM esp) AS HUGEINT) * 1000000)
+           // (SELECT count(*) FROM lineitem) AS sel6_part,
+         (CAST((SELECT est_pairs FROM ess) AS HUGEINT) * 1000000)
+           // (SELECT count(*) FROM lineitem) AS sel6_supplier,
+         (CAST((SELECT est_pairs FROM eso) AS HUGEINT) * 1000000)
+           // (SELECT count(*) FROM lineitem) AS sel6_orders,
+         (CAST((SELECT est_pairs FROM esn) AS HUGEINT) * 1000000)
+           // (SELECT count(*) FROM sels) AS sel6_nation,
+         CAST((SELECT count(*) FROM lineitem) AS HUGEINT) AS n_fact
 ),
 """
     + _dp_ctes()
@@ -861,7 +876,7 @@ dpans AS (
   GROUP BY 1, 2
 )
 SELECT a.nation, a.o_year, a.revenue_fp4, a.n_items,
-       t.subset, t.k, t.best_cost_scaled, t.best_order
+       t.subset, t.k, t.best_cost_fp, t.best_order
 FROM dpans a CROSS JOIN dptab t
 """
 )
@@ -872,18 +887,18 @@ def join_selinger_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Selinger as the textbook BITMASK DP, applied: CMS-priced
     dynamic programming over the 11 connected subsets of the
     4-relation join graph (part/supplier/orders on the lineitem fact;
-    nation only through supplier), exact-integer scaled costs,
-    (cost, order)-lexicographic cell minima. The winning order BUILDS
-    the executed left-deep broadcast tree (nation joins after supplier
-    by construction — the DP never emits a disconnected prefix), and
-    the ENTIRE DP table (subset, k, best_cost_scaled, best_order)
-    rides in the hashed output cross-joined with the executed answer,
-    so the oracle must reproduce every cell, not just the winner.
-    The answer's revenue is an exact x10^4 BIGINT (integer cents x
-    integer discount-complement per row) — the round-8 driver run
-    split on the hashed-DOUBLE/precision-38-decimal form."""
-    from decimal import Decimal
-
+    nation only through supplier), fixed-point-selectivity integer
+    costs (parts-per-10^6, canonical sorted truncating fold — cells
+    stay ~N at any SF), (cost, order)-lexicographic cell minima. The
+    winning order BUILDS the executed left-deep broadcast tree (nation
+    joins after supplier by construction — the DP never emits a
+    disconnected prefix), and the ENTIRE DP table (subset, k,
+    best_cost_fp, best_order) rides in the hashed output cross-joined
+    with the executed answer, so the oracle must reproduce every cell,
+    not just the winner. The answer's revenue is an exact x10^4 BIGINT
+    (integer cents x integer discount-complement per row) — the
+    round-8 driver run split on the hashed-DOUBLE/precision-38-decimal
+    form."""
     order, table, ests, n_fact, s_cnt = selinger_dp_decision(spark, sf_dir)
     li, part, supp, orders = _selinger_inputs(spark, sf_dir)
     nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -911,10 +926,10 @@ def join_selinger_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dp = spark.createDataFrame(
-        [(k, n, Decimal(c), o) for k, n, c, o in table],
-        "subset string, k int, best_cost_scaled decimal(38,0), best_order string",
+        [(k, n, int(c), o) for k, n, c, o in table],
+        "subset string, k int, best_cost_fp long, best_order string",
     )
     return ans.crossJoin(F.broadcast(dp)).select(
         "nation", "o_year", "revenue_fp4", "n_items",
-        "subset", "k", "best_cost_scaled", "best_order",
+        "subset", "k", "best_cost_fp", "best_order",
     )

@@ -780,8 +780,8 @@ def test_join_selinger_dp_order_fires_and_table_is_consistent(spark, registry):
         prev = cells[sub][1]
     # and the emitted table matches the driver-side decision exactly
     got = {
-        (r["subset"], r["k"], int(r["best_cost_scaled"]), r["best_order"])
-        for r in df.select("subset", "k", "best_cost_scaled", "best_order").distinct().collect()
+        (r["subset"], r["k"], int(r["best_cost_fp"]), r["best_order"])
+        for r in df.select("subset", "k", "best_cost_fp", "best_order").distinct().collect()
     }
     assert got == {(a, b, c, d) for a, b, c, d in table}
 
@@ -810,24 +810,21 @@ def test_selinger_dp_equals_bruteforce_enumeration():
 
     from actyxos_data_flow_spark.plans.cms import (
         _DP_DIMS,
-        _DP_FACT_DIMS,
+        _dp_sel6,
+        _dp_size_fp,
         _dp_states,
-        _dp_term_factors,
     )
 
     def brute(ests, n_fact, s_cnt):
-        def term(s):
-            nf, ns = _dp_term_factors(frozenset(s))
-            v = n_fact**nf * s_cnt**ns
-            for d in s:
-                v *= ests[d]
-            return v
-
+        sel6 = _dp_sel6(ests, n_fact, s_cnt)
         best = None
         for perm in itertools.permutations(_DP_DIMS):
             if perm.index("nation") < perm.index("supplier"):
                 continue
-            cost = sum(term(perm[: k + 1]) for k in range(len(perm)))
+            cost = sum(
+                _dp_size_fp(frozenset(perm[: k + 1]), n_fact, sel6)
+                for k in range(len(perm))
+            )
             key = (cost, ",".join(perm))
             if best is None or key < best:
                 best = key
@@ -835,20 +832,13 @@ def test_selinger_dp_equals_bruteforce_enumeration():
 
     def dp(ests, n_fact, s_cnt):
         subsets, trans = _dp_states()
-
-        def term(s):
-            nf, ns = _dp_term_factors(s)
-            v = n_fact**nf * s_cnt**ns
-            for d in s:
-                v *= ests[d]
-            return v
-
+        sel6 = _dp_sel6(ests, n_fact, s_cnt)
         best = {}
         for s in sorted(subsets, key=lambda x: (len(x), ",".join(sorted(x)))):
             cands = []
             for p, d in trans[s]:
                 pc, po = best[p] if p else (0, "")
-                cands.append((pc + term(s), (po + "," + d) if po else d))
+                cands.append((pc + _dp_size_fp(s, n_fact, sel6), (po + "," + d) if po else d))
             best[s] = min(cands)
         return best[frozenset(_DP_DIMS)]
 
