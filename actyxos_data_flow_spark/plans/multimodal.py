@@ -300,7 +300,10 @@ WITH m AS (
          ascii(substr(text, ((rr.r * h // {PH_DH}) * w + (cc.c * w // {PH_DW + 1})) % bl + 5, 1)) AS pl,
          ascii(substr(text, ((rr.r * h // {PH_DH}) * w + ((cc.c+1) * w // {PH_DW + 1})) % bl + 5, 1)) AS pr
   FROM m, range(0, {PH_DH}) rr(r), range(0, {PH_DW}) cc(c)
-), ph AS (
+), ph AS MATERIALIZED (
+  -- MATERIALIZED: the pairs oracle references ph on BOTH sides of its
+  -- all-pairs spec join; inlined, DuckDB re-derives the whole grid
+  -- chain per side (measured: half the 10x probe's ~29 min)
   SELECT doc_id AS media_id,
          string_agg(CASE WHEN pl > pr THEN '1' ELSE '0' END, '' ORDER BY r, c) AS phash
   FROM g GROUP BY doc_id
