@@ -165,7 +165,7 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     at 1× and 10×."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SCRATCH, "_DONE_v9")  # bump to regenerate (v9: nation in main for the Selinger-DP probe)
+    marker = os.path.join(SCRATCH, "_DONE_v10")  # bump to regenerate (v10: events.ts as TIMESTAMP micros — the driver testdata's physical form — so event-time oracles typed for TIMESTAMP run against the probe)
     if os.path.exists(marker):
         return
     main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
@@ -261,15 +261,22 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     # events at 10x USERS (shifted user_id/event_id, per-user histories
     # verbatim): the funnel/cohort cascades key on user_id, so the
     # honest linear scale-up multiplies users, not history depth.
-    # load_table (not a raw read) so ts is already normalized to LONG
-    # nanos — the probe file round-trips through the same normalizer.
+    # load_table normalizes ts to LONG nanos; the probe file writes it
+    # BACK as TIMESTAMP micros — the driver testdata's physical form —
+    # so oracle texts typed for TIMESTAMP (event-time streaming
+    # replays: date_trunc, ± INTERVAL) run against the probe unchanged
+    # and the Spark-side reader re-normalizes on load as usual.
     from actyxos_data_flow_spark.sources import load_table as _lt
 
     ev = _lt(spark, base_dir, "events")
     ev.crossJoin(reps).select(
         (F.col("event_id") + F.col("_rep") * 100_000_000).alias("event_id"),
         (F.col("user_id") + F.col("_rep") * 10_000_000).alias("user_id"),
-        *[c for c in ev.columns if c not in ("event_id", "user_id")],
+        *[
+            F.expr("timestamp_micros(ts DIV 1000)").alias("ts") if c == "ts" else F.col(c)
+            for c in ev.columns
+            if c not in ("event_id", "user_id")
+        ],
     ).coalesce(8).write.mode("overwrite").parquet(os.path.join(main, "events.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
