@@ -165,7 +165,7 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     at 1× and 10×."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SCRATCH, "_DONE_v10")  # bump to regenerate (v10: events.ts as TIMESTAMP micros — the driver testdata's physical form — so event-time oracles typed for TIMESTAMP run against the probe)
+    marker = os.path.join(SCRATCH, "_DONE_v11")  # bump to regenerate (v10: events.ts as TIMESTAMP micros — the driver testdata's physical form — so event-time oracles typed for TIMESTAMP run against the probe; v11: region verbatim so the region-joining tpch shapes probe at 10x)
     if os.path.exists(marker):
         return
     main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
@@ -247,12 +247,17 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     spark.read.parquet(os.path.join(base_dir, "part.parquet")).coalesce(2).write.mode(
         "overwrite"
     ).parquet(os.path.join(main, "part.parquet"))
-    # nation verbatim (25 rows; the DP probe joins it through supplier
-    # — shifted suppkeys keep their original s_nationkey, so density
-    # per nation grows 10x exactly like the fact)
+    # nation + region verbatim (25/5 rows; the DP probe joins nation
+    # through supplier — shifted suppkeys keep their original
+    # s_nationkey, so density per nation grows 10x exactly like the
+    # fact; region completes the dim closure for q5/q8/q2-shaped
+    # probes)
     spark.read.parquet(os.path.join(base_dir, "nation.parquet")).coalesce(1).write.mode(
         "overwrite"
     ).parquet(os.path.join(main, "nation.parquet"))
+    spark.read.parquet(os.path.join(base_dir, "region.parquet")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(main, "region.parquet"))
     supp = spark.read.parquet(os.path.join(base_dir, "supplier.parquet"))
     supp.crossJoin(reps).select(
         (F.col("s_suppkey") + F.col("_rep") * 10_000_000).alias("s_suppkey"),
