@@ -953,3 +953,107 @@ def epoch_schedule(
         )
         .select(group_col, id_col, size_col, "n_epochs", "epoch", sched_key.alias("sched_key"))
     )
+
+
+# content-defined chunking: rolling-hash parameters shared verbatim by
+# the DuckDB oracle (plans/dedup.py) — all integer arithmetic, so the
+# boundary set is bit-identical on any engine build
+CDC_WINDOW = 8
+CDC_BASE = 256
+CDC_MOD = 1_000_003  # prime; window sum stays < 2^63 long before % 
+CDC_MASK = 64  # boundary when h % CDC_MASK == 0 → ~len/64 expected chunks
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Content-defined chunking (the FastCDC/rsync idea): split each
+    document at positions where a rolling polynomial hash of the last
+    CDC_WINDOW characters satisfies a mask, so chunk boundaries are a
+    function of CONTENT, not offsets — insert one word at the front of
+    a document and every downstream boundary re-synchronizes, letting
+    partially-overlapping documents share most of their chunk digests
+    (the dedup primitive exact digests and shingles both miss: exact
+    digests break on any edit, shingles explode per token).
+
+    Output: (id, chunk_idx, chunk, chunk_digest) — one row per chunk in
+    document order.
+
+    Engine portability: h_i = Σ_{j<w} ascii(char_{i-j})·B^j (mod M) is
+    pure integer arithmetic (per-step mod on the Spark fold ≡ the
+    oracle's sum-then-mod: no intermediate exceeds 255·w·M « 2^63), so
+    the boundary set — and therefore every chunk string and digest —
+    is identical on any build.
+
+    Scale shape: per-row JVM higher-order functions only (char array →
+    per-position window hash → boundary filter → slice), O(len·w) work
+    in the scan stage, ZERO shuffle — chunking is embarrassingly
+    parallel at any corpus size; only the digest aggregate downstream
+    shuffles, and it shuffles 16-byte digests, never text."""
+    w, b, m = CDC_WINDOW, CDC_BASE, CDC_MOD
+    pw = [pow(b, j, m) for j in range(w)]
+    pw_lit = "array(" + ", ".join(f"{p}L" for p in pw) + ")"
+    # cache.pin = a projection BARRIER, not (only) a cache: Catalyst's
+    # CollapseProject would otherwise INLINE this char-array expression
+    # into every per-position lambda below — O(len²·w) per row instead
+    # of O(len·w) (measured: the uncollapsed form ran minutes on 500
+    # docs; the barrier makes it seconds). The pinned intermediate is
+    # (id, text, int array) — linear in corpus bytes.
+    t = cache.pin(
+        df.select(
+            id_col,
+            F.col(text_col).alias("_t"),
+            # split('') is one O(len) pass; per-position substr would be
+            # O(len²) (UTF8String substr walks from the front)
+            F.expr(f"transform(split({text_col}, ''), c -> ascii(c))").alias("_ch"),
+        )
+    )
+    # rolling hash as 8 shifted-slice zip_with passes with TRIVIAL
+    # lambdas (x·pw + acc), not a per-position aggregate() — the
+    # aggregate form costs ~10 interpreted expression nodes per
+    # (position × window-step) and ran ~20ms/doc; the slice form is
+    # w linear passes (measured ~4x faster). slice j holds, at index
+    # k, the char code at position i−j for i = w+k−1, so summing the
+    # w slices×powers gives h_i for every window end i in one shape.
+    acc = f"transform(slice(_ch, {w}, length(_t) - {w - 1}), x -> x * {pw[0]}L)"
+    for j in range(1, w):
+        acc = (
+            f"zip_with({acc}, slice(_ch, {w - j}, length(_t) - {w - 1}),"
+            f" (a, x) -> a + x * {pw[j]}L)"
+        )
+    # boundary positions: window END i (1-based) where h % mask == 0,
+    # plus the text end; array_distinct handles len(text) itself
+    # satisfying the mask (sum-then-mod ≡ the oracle: max sum
+    # 255·w·MOD « 2^63)
+    t = t.withColumn(
+        "_brk",
+        F.expr(
+            f"array_sort(array_distinct(concat("
+            f"  CASE WHEN length(_t) >= {w} THEN"
+            f"    filter(zip_with({acc}, sequence({w}, greatest(length(_t), {w})),"
+            f"                    (h, i) -> IF(h % {m} % {CDC_MASK} = 0, i, -1)),"
+            f"           i -> i > 0)"
+            f"  ELSE array() END,"
+            f"  array(length(_t)))))"
+        ),
+    )
+    chunks = t.select(
+        id_col,
+        F.expr(
+            "filter(transform(sequence(1, size(_brk)),"
+            "  k -> struct(k AS _k,"
+            "              substring(_t, CASE WHEN k = 1 THEN 1 ELSE element_at(_brk, k - 1) + 1 END,"
+            "                        element_at(_brk, k) - CASE WHEN k = 1 THEN 0 ELSE element_at(_brk, k - 1) END)"
+            "              AS _c)),"
+            "  s -> length(s._c) > 0)"
+        ).alias("_cs"),
+    )
+    out = chunks.select(id_col, F.posexplode("_cs").alias("_i", "_s"))
+    return out.select(
+        id_col,
+        (F.col("_i") + 1).alias("chunk_idx"),
+        F.col("_s._c").alias("chunk"),
+        F.md5(F.col("_s._c").cast("binary")).alias("chunk_digest"),
+    )

@@ -85,6 +85,7 @@ _PRIORITY: tuple[str, ...] = (
     "source_mix_weights", "join_selinger_dp", "q14_promo_revenue",
     # --- new this round ---
     "cdc_ingest_replay", "mutable_vectors_replay", "cdc_vector_replay",
+    "dedup_cdc_chunks",
     # --- never driver-graded (cumulative coverage must strictly grow) ---
     "quality_constraints_report", "windowed_distinct_hll_replay",
     "stream_attribution_replay", "stream_attribution_outer_replay",

@@ -1254,3 +1254,75 @@ def dedup_prefix_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.lit(b) * F.col("intersection") >= F.lit(a) * F.col("union_size"))
     )
+
+
+# -- content-defined chunking dedup ------------------------------------------
+# The storage-dedup primitive exact digests and shingles both miss:
+# rolling-hash boundaries are a function of CONTENT, so an edit at the
+# front of a document re-synchronizes every later boundary and
+# partially-overlapping documents share most chunk digests. Constants
+# and arithmetic (integer polynomial hash mod a prime) are shared
+# verbatim with operators/text.cdc_chunks, so the boundary set — and
+# every chunk digest — is bit-identical on any engine build.
+
+from ..operators.text import CDC_BASE, CDC_MASK, CDC_MOD, CDC_WINDOW  # noqa: E402
+
+_CDC_PW_ROWS = ", ".join(
+    f"({j}, {pow(CDC_BASE, j, CDC_MOD)})" for j in range(CDC_WINDOW)
+)
+
+CDC_CHUNKS_ORACLE = f"""
+WITH cdcpw AS (SELECT * FROM (VALUES {_CDC_PW_ROWS}) AS t(j, pw)),
+cdoc AS MATERIALIZED (SELECT doc_id, text, length(text) AS n FROM documents),
+cpos AS (SELECT doc_id, unnest(range({CDC_WINDOW}, n + 1)) AS i FROM cdoc),
+chash AS MATERIALIZED (
+  SELECT p.doc_id, p.i,
+         sum(ascii(substr(d.text, CAST(p.i - t.j AS INTEGER), 1)) * t.pw) % {CDC_MOD} AS h
+  FROM cpos p JOIN cdoc d USING (doc_id) CROSS JOIN cdcpw t
+  GROUP BY 1, 2
+),
+cbnd AS (
+  SELECT doc_id, i FROM chash WHERE h % {CDC_MASK} = 0
+  UNION
+  SELECT doc_id, CAST(n AS BIGINT) FROM cdoc WHERE n > 0
+),
+cbrk AS (
+  SELECT doc_id, i, lag(i, 1, 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+  FROM cbnd
+),
+cchunk AS MATERIALIZED (
+  SELECT b.doc_id, md5(substr(d.text, CAST(b.prev + 1 AS INTEGER), CAST(b.i - b.prev AS INTEGER))) AS dg
+  FROM cbrk b JOIN cdoc d USING (doc_id) WHERE b.i > b.prev
+),
+cshare AS MATERIALIZED (SELECT dg, count(DISTINCT doc_id) AS nd FROM cchunk GROUP BY dg)
+SELECT c.doc_id, count(*) AS n_chunks,
+       CAST(sum(CASE WHEN s.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS shared_chunks
+FROM cchunk c JOIN cshare s ON s.dg = c.dg
+GROUP BY 1
+"""
+
+
+@register("dedup_cdc_chunks", oracle=CDC_CHUNKS_ORACLE)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content-defined-chunk dedup report: (doc_id,
+    n_chunks, shared_chunks) where a chunk counts as shared when its
+    digest appears in at least two distinct documents — the byte-level
+    overlap signal for near-copied documents whose exact digests
+    differ. Chunking is per-row JVM array expressions in the scan (zero
+    shuffle); the digest share-count is one hash aggregate over 16-byte
+    digests and broadcast-joins back — text never shuffles."""
+    from ..operators.text import cdc_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    ch = cache.pin(cdc_chunks(docs))
+    share = ch.groupBy("chunk_digest").agg(
+        F.count_distinct("doc_id").alias("_nd")
+    )
+    return (
+        ch.join(share, "chunk_digest")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_nd") > 1, 1).otherwise(0)).alias("shared_chunks"),
+        )
+    )
