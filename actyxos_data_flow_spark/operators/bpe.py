@@ -199,14 +199,95 @@ def bpe_train_topr(
     return merges
 
 
+WP_MERGES = 6
+WP_SCORE_SCALE = 10**9
+# the integer score c*10^9 must fit a signed 64-bit value on both
+# engines; c is bounded by the corpus symbol total, so guard that once
+_WP_C_MAX = (2**63 - 1) // WP_SCORE_SCALE
+
+
+def wordpiece_train(
+    docs: DataFrame,
+    n_merges: int = WP_MERGES,
+    text_col: str = "text",
+    checkpoint_every: int = 4,
+) -> list[tuple[int, str, str, int, int]]:
+    """Learn a WordPiece merge table: [(rank, left, right, pair_count,
+    score_fp9)].
+
+    WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) differs
+    from BPE only in the selection rule: instead of the most FREQUENT
+    adjacent pair it fuses the pair maximizing the likelihood gain
+    count(l,r) / (count(l) * count(r)) — rare-but-strongly-associated
+    symbols merge first. The ratio is quantized to an exact integer
+    score ``(c * 10^9) DIV n_l DIV n_r`` (sequential truncating integer
+    division, Spark ``DIV`` == DuckDB ``//``) with the deterministic
+    tie-break (score DESC, c DESC, l, r), so the DuckDB oracle replays
+    the identical trajectory with zero floating point anywhere — the
+    same determinism envelope as the rest of the registry.
+
+    Scale shape matches :func:`bpe_train`: both per-round aggregates
+    (pair counts and unigram symbol counts) scan the vocab-sized word-
+    TYPE table, the join of the two is model-sized, and only the single
+    winning row crosses the driver per round. The merge application is
+    the same pure-JVM :func:`merge_fold`.
+    """
+    wf = word_freqs(docs, text_col).persist()
+    total = wf.select(
+        F.sum((F.length("word") + 1) * F.col("freq")).cast("long")
+    ).first()[0]
+    assert total is not None and total <= _WP_C_MAX, (
+        f"corpus symbol total {total} leaves no 64-bit headroom for the "
+        f"10^9-scaled WordPiece score; shard the corpus or lower the scale"
+    )
+    syms_tbl = wf.select("word", "freq", base_symbols(F.col("word")).alias("syms"))
+    merges: list[tuple[int, str, str, int, int]] = []
+    try:
+        for rank in range(n_merges):
+            pc = _pair_counts(syms_tbl)
+            sc = (
+                syms_tbl.select("freq", F.explode("syms").alias("sym"))
+                .groupBy("sym")
+                .agg(F.sum("freq").alias("n"))
+            )
+            top = (
+                pc.join(sc.withColumnRenamed("sym", "l").withColumnRenamed("n", "n_l"), "l")
+                .join(sc.withColumnRenamed("sym", "r").withColumnRenamed("n", "n_r"), "r")
+                .withColumn(
+                    "score_fp9",
+                    F.expr(f"(c * CAST({WP_SCORE_SCALE} AS BIGINT)) DIV n_l DIV n_r"),
+                )
+                .orderBy(
+                    F.col("score_fp9").desc(),
+                    F.col("c").desc(),
+                    F.col("l").asc(),
+                    F.col("r").asc(),
+                )
+                .limit(1)
+                .collect()
+            )
+            if not top:
+                break
+            l, r = top[0]["l"], top[0]["r"]
+            merges.append((rank, l, r, int(top[0]["c"]), int(top[0]["score_fp9"])))
+            syms_tbl = syms_tbl.withColumn("syms", merge_fold(F.col("syms"), l, r))
+            if (rank + 1) % checkpoint_every == 0:
+                syms_tbl = syms_tbl.localCheckpoint()
+    finally:
+        wf.unpersist()
+    return merges
+
+
 def bpe_encode_words(
-    words: DataFrame, merges: list[tuple[int, str, str, int]], word_col: str = "word"
+    words: DataFrame, merges: list[tuple], word_col: str = "word"
 ) -> DataFrame:
     """Apply the merge table (in rank order) to word types: adds
     ``bpe_syms`` (array) and ``n_bpe`` (symbol count incl. the
-    end-of-word sentinel)."""
+    end-of-word sentinel). Accepts BPE (rank, l, r, count) or WordPiece
+    (rank, l, r, count, score) rows — the fold only needs (l, r)."""
     syms = base_symbols(F.col(word_col))
-    for _, l, r, _ in sorted(merges):
+    for row in sorted(merges):
+        l, r = row[1], row[2]
         syms = merge_fold(syms, l, r)
     return words.withColumn("bpe_syms", syms).withColumn("n_bpe", F.size("bpe_syms"))
 

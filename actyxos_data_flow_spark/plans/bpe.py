@@ -229,6 +229,145 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- WordPiece: likelihood-driven merges, exact-integer score ------------
+
+N_WP = B.WP_MERGES
+_WPS = B.WP_SCORE_SCALE
+
+
+def _wp_train_ctes(k: int, src: str = "documents", with_base: bool = True) -> str:
+    """Unrolled WordPiece training: per round i, symbol counts wps{i} +
+    pair counts wpp{i} → single winner wpmm{i} by the exact integer
+    score ``(c * 10^9) // n_l // n_r`` (score DESC, c DESC, l, r) →
+    cumulative table wpam{i+1} → one :func:`_apply_cte` stage. All
+    operands positive, so DuckDB's floor ``//`` equals Spark's
+    truncating ``DIV``. ``with_base=False`` reuses an existing ``w0``
+    (the shared char-symbol table) instead of re-deriving it."""
+    parts = []
+    if with_base:
+        parts.append(
+            f"""wf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {src})
+  WHERE word <> '' GROUP BY 1
+),
+w0 AS MATERIALIZED (SELECT word, freq, list_append(string_split(word, ''), '·') AS syms FROM wf)"""
+        )
+    parts.append(
+        """wpw0 AS (SELECT * FROM w0),
+wpam0 AS (SELECT CAST(NULL AS BIGINT) AS grank, CAST(NULL AS VARCHAR) AS l,
+                 CAST(NULL AS VARCHAR) AS r, CAST(NULL AS HUGEINT) AS c,
+                 CAST(NULL AS HUGEINT) AS score WHERE false)"""
+    )
+    for i in range(k):
+        parts.append(
+            f"""wps{i} AS (
+  SELECT s.sym, sum(freq) AS n FROM wpw{i}, unnest(syms) AS s(sym) GROUP BY 1
+),
+wpp{i} AS (
+  SELECT syms[i] AS l, syms[i + 1] AS r, sum(freq) AS c
+  FROM wpw{i}, unnest(range(1, len(syms))) AS t(i)
+  GROUP BY 1, 2
+),
+wpmm{i} AS MATERIALIZED (
+  SELECT p.l, p.r, p.c, (p.c * {_WPS}) // sl.n // sr.n AS score
+  FROM wpp{i} p
+  JOIN wps{i} sl ON sl.sym = p.l
+  JOIN wps{i} sr ON sr.sym = p.r
+  ORDER BY score DESC, c DESC, l ASC, r ASC LIMIT 1
+),
+wpam{i + 1} AS (
+  SELECT * FROM wpam{i}
+  UNION ALL
+  SELECT {i} AS grank, l, r, c, score FROM wpmm{i}
+)"""
+        )
+        parts.append(_apply_cte(f"wpw{i}", f"wpw{i + 1}", f"wpmm{i}", f"wpcp{i}", f"wpsp{i}"))
+    return ",\n".join(parts)
+
+
+WP_MERGES_ORACLE = (
+    "WITH "
+    + _wp_train_ctes(N_WP)
+    + f"""
+SELECT grank::INT AS merge_rank, l AS left_sym, r AS right_sym,
+       c::BIGINT AS pair_count, score::BIGINT AS score_fp9
+FROM wpam{N_WP}"""
+)
+
+
+@register("wordpiece_merges", oracle=WP_MERGES_ORACLE)
+def wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WordPiece merge table (merge_rank, left_sym, right_sym,
+    pair_count, score_fp9): BERT-style likelihood-gain selection
+    count(pair)/(count(l)*count(r)) as an exact integer score — the
+    oracle re-learns the trajectory from scratch, so hash equality
+    certifies every round's counts, scores, and winner. Complements
+    `bpe_merges` (frequency-driven selection) as the second tokenizer
+    family; no floating point anywhere in either engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    merges = B.wordpiece_train(docs, n_merges=N_WP)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, left_sym string, right_sym string, pair_count long, score_fp9 long",
+    )
+
+
+TOKENIZER_COMPARE_ORACLE = (
+    "WITH "
+    + _train_ctes(N_MERGES)
+    + ",\n"
+    + _wp_train_ctes(N_WP, with_base=False)
+    + f""",
+occ AS (
+  SELECT lang, word, count(*) AS occ
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' GROUP BY 1, 2
+)
+SELECT occ.lang,
+       sum(occ)::BIGINT AS ws_tokens,
+       sum(occ * len(occ.word))::BIGINT AS chars,
+       sum(occ * len(wb.syms))::BIGINT AS bpe_tokens,
+       sum(occ * len(ww.syms))::BIGINT AS wp_tokens
+FROM occ
+JOIN w{N_MERGES} wb ON wb.word = occ.word
+JOIN wpw{N_WP} ww ON ww.word = occ.word
+GROUP BY 1
+"""
+)
+
+
+@register("tokenizer_compare", oracle=TOKENIZER_COMPARE_ORACLE)
+def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train BOTH tokenizer families on the same corpus and report
+    per-language compression side by side (whitespace tokens, chars,
+    BPE symbols, WordPiece symbols) — the comparison a pipeline runs
+    before freezing its tokenizer. Both trainings operate on the shared
+    word-TYPE table (corpus scanned once for the counts); encoding is
+    vocab-sized; the oracle replays both trajectories in one query."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    bpe = B.bpe_train_topr(docs, n_merges=N_MERGES)
+    wp = B.wordpiece_train(docs, n_merges=N_WP)
+    occ = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    types = occ.select("word").distinct()
+    encb = B.bpe_encode_words(types, bpe).select("word", F.col("n_bpe").alias("nb"))
+    encw = B.bpe_encode_words(types, wp).select("word", F.col("n_bpe").alias("nw"))
+    joined = occ.join(F.broadcast(encb), "word").join(F.broadcast(encw), "word")
+    return joined.groupBy("lang").agg(
+        F.sum("occ").cast("long").alias("ws_tokens"),
+        F.sum(F.col("occ") * F.length("word")).cast("long").alias("chars"),
+        F.sum(F.col("occ") * F.col("nb")).cast("long").alias("bpe_tokens"),
+        F.sum(F.col("occ") * F.col("nw")).cast("long").alias("wp_tokens"),
+    )
+
+
 # -- flagship composite: clean corpus → trained tokenizer → packed bins ----
 
 from .pipeline import PIPELINE_ORACLE  # noqa: E402

@@ -134,3 +134,73 @@ def test_bpe_train_topr_accepts_disjoint_batches(spark):
     m = B.bpe_train_topr(docs, n_merges=3, r=3)
     assert [(r, l_, rt) for r, l_, rt, _ in m][:3] == [(0, "a", "b"), (1, "c", "d"), (2, "e", "f")]
     assert [c for *_, c in m] == [3, 2, 1]
+
+
+# -- WordPiece -------------------------------------------------------------
+
+
+def _py_wordpiece(texts: list[str], n_merges: int) -> list[tuple]:
+    """Plain-Python reference of the WordPiece trajectory: word-type
+    freqs, per-round weighted symbol/pair counts, exact integer score
+    (c*10^9)//nl//nr, winner by (score DESC, c DESC, l, r)."""
+    from collections import Counter
+
+    wf = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: list(w) + [B.END_MARK] for w in wf}
+    out = []
+    for rank in range(n_merges):
+        sc: Counter = Counter()
+        pc: Counter = Counter()
+        for w, f in wf.items():
+            s = syms[w]
+            for x in s:
+                sc[x] += f
+            for a, b in zip(s, s[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        scored = [
+            ((c * B.WP_SCORE_SCALE) // sc[l] // sc[r], c, l, r)
+            for (l, r), c in pc.items()
+        ]
+        # ties on (score, c) break to the SMALLEST (l, r)
+        best_sc = max((t[0], t[1]) for t in scored)
+        score, c, l, r = min((t for t in scored if (t[0], t[1]) == best_sc), key=lambda t: (t[2], t[3]))
+        out.append((rank, l, r, c, score))
+        for w in syms:
+            syms[w] = _py_merge(syms[w], l, r)
+    return out
+
+
+def test_wordpiece_matches_python_reference(spark):
+    texts = ["the cat sat on the mat", "a cat and a rat", "the bat", "zz zz qx"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = B.wordpiece_train(docs, n_merges=5)
+    assert got == _py_wordpiece(texts, 5)
+
+
+def test_wordpiece_prefers_associated_over_frequent(spark):
+    """'ab' is the most FREQUENT pair, but q/x appear ONLY together —
+    BPE's first merge is (a,b); WordPiece's likelihood score picks the
+    perfectly-associated rare pair (q,x) first."""
+    docs = spark.createDataFrame(
+        [(1, "ab ab ab ab ab ab ab ab qx qx")], "doc_id long, text string"
+    )
+    bpe0 = B.bpe_train(docs, n_merges=1)[0]
+    wp0 = B.wordpiece_train(docs, n_merges=1)[0]
+    assert (bpe0[1], bpe0[2]) == ("a", "b")
+    assert (wp0[1], wp0[2]) == ("q", "x")
+
+
+def test_wordpiece_deterministic_and_encodable(spark):
+    docs = spark.createDataFrame(
+        [(1, "abab abab cdcd"), (2, "abab cdcd cdcd xy")],
+        "doc_id long, text string",
+    )
+    m1 = B.wordpiece_train(docs, n_merges=4)
+    assert m1 == B.wordpiece_train(docs, n_merges=4)
+    enc = B.bpe_encode_words(spark.createDataFrame([("abab",), ("cdcd",)], "word string"), m1)
+    rows = {r["word"]: r["n_bpe"] for r in enc.collect()}
+    assert all(1 <= n <= 5 for n in rows.values())
