@@ -159,6 +159,138 @@ def zorder_prune_report(
     )
 
 
+def hilbert_steps(bits: int, x: str, y: str, d: str) -> list[tuple[str, str, str]]:
+    """Per-level SQL texts for the classic iterative Hilbert xy→d walk
+    (quadrant term + rotate/flip), referencing columns ``x``/``y``/``d``:
+    returns [(x_next, y_next, d_next), ...] from the top bit down. The
+    SAME strings are rendered into Spark ``F.expr`` and the DuckDB
+    oracle, so the two engines share the formula verbatim — pure
+    integer CASE arithmetic, no xor (DuckDB's ``^`` is power), no
+    floats. Level s: d += s²·q with q = ry=1 ? (rx=1 ? 2 : 1) : 3·rx;
+    then (x,y) rotates: ry=1 → identity, rx=0 → swap, else flipped
+    swap (n-1-y, n-1-x)."""
+    n = 1 << bits
+    steps = []
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = f"(CASE WHEN ({x} & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN ({y} & {s}) > 0 THEN 1 ELSE 0 END)"
+        q = f"(CASE WHEN {ry} = 1 THEN (CASE WHEN {rx} = 1 THEN 2 ELSE 1 END) ELSE 3 * {rx} END)"
+        steps.append(
+            (
+                f"(CASE WHEN {ry} = 1 THEN {x} WHEN {rx} = 0 THEN {y} ELSE {n - 1} - {y} END)",
+                f"(CASE WHEN {ry} = 1 THEN {y} WHEN {rx} = 0 THEN {x} ELSE {n - 1} - {x} END)",
+                f"({d} + {s * s} * {q})",
+            )
+        )
+    return steps
+
+
+def hilbert_key(
+    df: DataFrame, col_a: str, col_b: str, bits: int = Z_BITS
+) -> DataFrame:
+    """Attach ``hkey``: the Hilbert-curve index of the two columns'
+    ``bits``-bit min-max-scaled ranks. Same scale step and same cost
+    shape as :func:`zorder_key` (1-row bounds broadcast + a pure
+    integer projection, ~4·bits CASE terms inside codegen); the Hilbert
+    walk preserves locality strictly better than Morton — every curve
+    step is an adjacent cell, so bin bounding boxes have no Z-shaped
+    jumps across the midline."""
+    bounds = df.agg(
+        F.min(col_a).alias("_min_a"),
+        F.max(col_a).alias("_max_a"),
+        F.min(col_b).alias("_min_b"),
+        F.max(col_b).alias("_max_b"),
+    )
+    out = (
+        df.crossJoin(F.broadcast(bounds))
+        .withColumn("_hx0", _scale_expr(col_a, "_min_a", "_max_a", bits).cast("long"))
+        .withColumn("_hy0", _scale_expr(col_b, "_min_b", "_max_b", bits).cast("long"))
+        .withColumn("_hd0", F.lit(0).cast("long"))
+    )
+    for i in range(bits):
+        xs, ys, ds = hilbert_steps(bits, x=f"_hx{i}", y=f"_hy{i}", d=f"_hd{i}")[i]
+        out = out.withColumns(
+            {
+                f"_hx{i + 1}": F.expr(xs),
+                f"_hy{i + 1}": F.expr(ys),
+                f"_hd{i + 1}": F.expr(ds),
+            }
+        )
+    drop = ["_min_a", "_max_a", "_min_b", "_max_b"] + [
+        c for j in range(bits + 1) for c in (f"_hx{j}", f"_hy{j}", f"_hd{j}")
+    ]
+    return out.withColumn("hkey", F.col(f"_hd{bits}")).drop(*drop)
+
+
+def hilbert_bin_stats(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = Z_BITS,
+    bin_bits: int = Z_BIN_BITS,
+) -> DataFrame:
+    """Per-bin footer stats for the Hilbert layout — same contract as
+    :func:`zorder_bin_stats` (bin = top ``bin_bits`` of hkey)."""
+    keyed = hilbert_key(df, col_a, col_b, bits)
+    bin_col = F.shiftright(F.col("hkey"), 2 * bits - bin_bits).alias("bin")
+    return (
+        keyed.select(bin_col, col_a, col_b)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min(col_a).alias("min_a"),
+            F.max(col_a).alias("max_a"),
+            F.min(col_b).alias("min_b"),
+            F.max(col_b).alias("max_b"),
+        )
+    )
+
+
+def file_cut_stats(
+    keyed: DataFrame,
+    key_col: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+) -> DataFrame:
+    """Equal-row-count file simulation over a layout key: cut the key's
+    frequency distribution into ``n_files`` files (file = cum_before ·
+    n // total, whole key-groups never split) and report each file's
+    row count + (a, b) bounding box — the footer stats the written
+    files would carry. Quadrant-aligned bins make Morton and Hilbert
+    provably identical (top key bits = the same quadtree cell either
+    way); EQUAL-SIZE file cuts straddle quadrant boundaries, which is
+    where Hilbert's every-step-adjacent walk keeps boxes tight and
+    Morton's Z-jumps blow them up — and is also what a real compaction
+    writer produces. The running sum is a window over the DISTINCT-KEY
+    table, bounded by 4^bits (= 65,536 at bits=8) rows regardless of
+    corpus size — model-sized by construction, never a corpus sort."""
+    from pyspark.sql import Window as W
+
+    dk = keyed.groupBy(F.col(key_col).alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min(col_a).alias("pmin_a"),
+        F.max(col_a).alias("pmax_a"),
+        F.min(col_b).alias("pmin_b"),
+        F.max(col_b).alias("pmax_b"),
+    )
+    w = W.orderBy("k").rowsBetween(W.unboundedPreceding, -1)
+    tot = dk.agg(F.sum("cnt").alias("tot"))
+    cum = (
+        dk.withColumn("cum", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .withColumn("file", F.expr(f"(cum * {n_files}) DIV tot"))
+    )
+    return cum.groupBy("file").agg(
+        F.sum("cnt").alias("cnt"),
+        F.min("pmin_a").alias("min_a"),
+        F.max("pmax_a").alias("max_a"),
+        F.min("pmin_b").alias("min_b"),
+        F.max("pmax_b").alias("max_b"),
+    )
+
+
 def zorder_write(
     df: DataFrame,
     path: str,

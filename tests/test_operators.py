@@ -1992,3 +1992,66 @@ def test_graph_convergence_early_exit(spark):
     core = {r.node: r.deg for r in G.kcore_prune(kc, k=3, rounds=10, info=info).collect()}
     assert info["converged"] and info["rounds_run"] <= 2
     assert core == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_hilbert_key_matches_classic_walk(spark):
+    """hilbert_key replays the classic iterative xy2d walk exactly:
+    bijective on a full grid, matches a plain-Python reference cell for
+    cell, and is layout-independent."""
+    from actyxos_data_flow_spark.operators.layout import hilbert_key
+
+    def xy2d(n, x, y):
+        d, s = 0, n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x, y = n - 1 - x, n - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    bits, n = 5, 32
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    keyed = {(r["a"], r["b"]): r["hkey"] for r in hilbert_key(df, "a", "b", bits=bits).collect()}
+    assert keyed == {(a, b): xy2d(n, a, b) for a, b in rows}
+    assert sorted(keyed.values()) == list(range(n * n))  # bijective
+    keyed2 = {
+        (r["a"], r["b"]): r["hkey"]
+        for r in hilbert_key(df.repartition(7), "a", "b", bits=bits).collect()
+    }
+    assert keyed == keyed2
+
+
+def test_hilbert_adjacency(spark):
+    """The property Morton lacks: consecutive Hilbert indexes are
+    ALWAYS grid neighbours (|Δa| + |Δb| = 1), so equal-size file cuts
+    cover connected regions with tight bounding boxes."""
+    from actyxos_data_flow_spark.operators.layout import hilbert_key
+
+    bits, n = 4, 16
+    rows = [(a, b) for a in range(n) for b in range(n)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    bykey = {r["hkey"]: (r["a"], r["b"]) for r in hilbert_key(df, "a", "b", bits=bits).collect()}
+    for d in range(n * n - 1):
+        (a1, b1), (a2, b2) = bykey[d], bykey[d + 1]
+        assert abs(a1 - a2) + abs(b1 - b2) == 1, (d, bykey[d], bykey[d + 1])
+
+
+def test_file_cut_stats_equal_files_and_invariance(spark):
+    """file_cut_stats: whole key-groups never split, file sizes are
+    balanced within a key-group's size, totals are preserved, and the
+    assignment is independent of physical partitioning."""
+    from actyxos_data_flow_spark.operators.layout import file_cut_stats, zorder_key
+
+    rows = [(a % 50, (a * 7) % 40) for a in range(2000)]
+    df = spark.createDataFrame(rows, "a long, b long")
+    keyed = zorder_key(df, "a", "b", bits=6)
+    st = file_cut_stats(keyed, "zkey", "a", "b", 8).collect()
+    assert sum(r["cnt"] for r in st) == 2000
+    assert len(st) <= 8 and len({r["file"] for r in st}) == len(st)
+    st2 = file_cut_stats(zorder_key(df.repartition(11), "a", "b", bits=6), "zkey", "a", "b", 8).collect()
+    assert sorted(map(tuple, st)) == sorted(map(tuple, st2))
