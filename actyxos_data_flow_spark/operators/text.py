@@ -1057,3 +1057,110 @@ def cdc_chunks(
         F.col("_s._c").alias("chunk"),
         F.md5(F.col("_s._c").cast("binary")).alias("chunk_digest"),
     )
+
+
+# -- DSIR: data selection with importance resampling ------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_SALT = "dsir:1"
+DSIR_TOPK = 150
+
+
+def _dsir_bucket(tok: Column) -> Column:
+    """Token → feature bucket: 60-bit salted md5 mod DSIR_BUCKETS (the
+    engine-portable hash idiom shared with stratified_sample)."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(DSIR_SALT + ":"), tok).cast("binary")), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return F.pmod(h, F.lit(DSIR_BUCKETS))
+
+
+def dsir_select(
+    raw: DataFrame,
+    target: DataFrame,
+    k: int = DSIR_TOPK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): fit hashed bag-of-
+    words models on the TARGET domain and the RAW corpus, score every
+    raw document by its importance log-ratio Σ_tokens llr(bucket(w)),
+    keep the top-k. The per-bucket log-ratio uses the EXACT integer
+    log2 kernel (functions/intlog — shift-and-square over scaled
+    integers, zero libm):
+    ``llr = ilog2_fp20((tcnt+1)/(ccnt+1))`` on the MODEL-sized bucket
+    table, plus the global normalizer ``kc = ilog2_fp20((C+B)/(T+B))``
+    once per token (log2((tcnt+1)/(T+B) · (C+B)/(ccnt+1)) split by log
+    additivity). Every hashed value is an exact BIGINT by construction
+    — a first draft with round(ln(·),6) split between engine builds at
+    the FIRST scale factor (4096 libm sites ⇒ near-boundary hits are
+    certain), which is why this kernel exists.
+
+    Scale shape: two token-count aggregates (map-side combined), a
+    ≤4096-row broadcast join onto the raw token stream, one per-doc
+    sum, and a TakeOrderedAndProject top-k — the corpus is scanned
+    twice and never shuffled beyond the per-doc aggregate. Ties at the
+    cut break on doc_id, so the selection is total-order deterministic.
+    """
+    rtok = (
+        with_tokens(raw, text_col)
+        .select(id_col, F.explode("tokens").alias("w"))
+        .select(id_col, _dsir_bucket(F.col("w")).alias("b"))
+    )
+    ttok = (
+        with_tokens(target, text_col)
+        .select(F.explode("tokens").alias("w"))
+        .select(_dsir_bucket(F.col("w")).alias("b"))
+    )
+    from ..functions import intlog
+
+    tgt = ttok.groupBy("b").agg(F.count(F.lit(1)).alias("tcnt"))
+    cor = rtok.groupBy("b").agg(F.count(F.lit(1)).alias("ccnt"))
+    totals = cor.crossJoin(tgt.agg(F.sum("tcnt").alias("_t"))).agg(
+        F.sum("ccnt").alias("_c"), F.max("_t").alias("_t")
+    ).collect()[0]
+    c_tot, t_tot = int(totals["_c"]), int(totals["_t"] or 0)
+    assert max(c_tot, t_tot) + 1 < (1 << 33), (
+        f"token totals ({c_tot}, {t_tot}) exceed the ilog2 kernel's 2^33 "
+        f"overflow envelope; shard the counts or widen the kernel"
+    )
+    # global normalizer, by log additivity: log2(C+B) - log2(T+B),
+    # computed with the SAME truncating integer algorithm the in-plan
+    # kernel runs, so oracle and driver agree bit-for-bit
+    kc = intlog.py_ilog2_fp20(c_tot + DSIR_BUCKETS, t_tot + DSIR_BUCKETS)
+    bkt = (
+        cor.join(tgt, "b", "left")
+        .withColumn("tcnt", F.coalesce(F.col("tcnt"), F.lit(0)))
+        .withColumn("y0", F.expr(f"((tcnt + 1) * {1 << 30}) DIV (ccnt + 1)"))
+        .withColumn("blen", F.length(F.conv(F.col("y0"), 10, 2)).cast("int"))
+    )
+    for col, expr in intlog.ilog2_cols("y0", "blen", div="DIV"):
+        bkt = bkt.withColumn(col, F.expr(expr))
+    bkt = bkt.select("b", F.col("ilog2_fp20").alias("llr_ilfp20"))
+    scored = (
+        rtok.join(F.broadcast(bkt), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (F.sum("llr_ilfp20") + F.count(F.lit(1)) * F.lit(kc)).alias(
+                "dsir_score_ilfp20"
+            ),
+        )
+    )
+    top = scored.orderBy(
+        F.col("dsir_score_ilfp20").desc(), F.col(id_col).asc()
+    ).limit(k)
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.col("dsir_score_ilfp20").desc(), F.col(id_col).asc())
+    return top.select(
+        F.row_number().over(w).cast("long").alias("rank"),
+        id_col,
+        "n_tokens",
+        "dsir_score_ilfp20",
+    )

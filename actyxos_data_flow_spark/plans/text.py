@@ -924,3 +924,82 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((slope_fp6 * ((num * 1000000) DIV deny)) DIV 1000000 AS BIGINT)"
         ).alias("r2_fp6"),
     )
+
+
+# -- DSIR importance-resampling selection -----------------------------------
+
+# the target domain: 'src0' documents (the same slice decontaminate_vs_eval
+# uses as its held-out set), everything else is the raw pool
+DSIR_TARGET = "src0"
+_DB = X.DSIR_BUCKETS
+_DBK = X.DSIR_TOPK
+_DH = f"('0x' || substr(md5('{X.DSIR_SALT}:' || w), 1, 15))::BIGINT % {_DB}"
+
+def _ilog_chain(inner: str) -> str:
+    """Nest the shared intlog kernel steps (DuckDB `//` rendering) over
+    an inner SELECT that provides positive columns y0 and blen."""
+    from ..functions.intlog import ilog2_cols
+
+    q = inner
+    for col, expr in ilog2_cols("y0", "blen", div="//"):
+        q = f"SELECT *, {expr} AS {col} FROM ({q})"
+    return q
+
+
+DSIR_ORACLE = f"""
+WITH rtok AS (
+  SELECT doc_id, {_DH} AS b
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE source <> '{DSIR_TARGET}')
+),
+ttok AS (
+  SELECT {_DH} AS b
+  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE source = '{DSIR_TARGET}')
+),
+tgt AS (SELECT b, count(*) AS tcnt FROM ttok GROUP BY b),
+cor AS (SELECT b, count(*) AS ccnt FROM rtok GROUP BY b),
+tt AS (SELECT sum(tcnt) AS t FROM tgt),
+ct AS (SELECT sum(ccnt) AS c FROM cor),
+bkb AS (
+  SELECT cor.b,
+         CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (cor.ccnt + 1) AS BIGINT) AS y0,
+         CAST(length(bin(CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (cor.ccnt + 1) AS BIGINT))) AS INT) AS blen
+  FROM cor LEFT JOIN tgt USING (b)
+),
+bkt AS MATERIALIZED (SELECT b, ilog2_fp20 FROM ({_ilog_chain('SELECT * FROM bkb')})),
+kcb AS (
+  SELECT CAST(((ct.c + {_DB}) * {1 << 30}) // (tt.t + {_DB}) AS BIGINT) AS y0,
+         CAST(length(bin(CAST(((ct.c + {_DB}) * {1 << 30}) // (tt.t + {_DB}) AS BIGINT))) AS INT) AS blen
+  FROM ct, tt
+),
+kc AS (SELECT ilog2_fp20 AS kc FROM ({_ilog_chain('SELECT * FROM kcb')})),
+scored AS (
+  SELECT r.doc_id, count(*) AS n_tokens,
+         CAST(sum(k.ilog2_fp20) + count(*) * (SELECT kc FROM kc) AS BIGINT) AS dsir_score_ilfp20
+  FROM rtok r JOIN bkt k USING (b)
+  GROUP BY r.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY dsir_score_ilfp20 DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, n_tokens, dsir_score_ilfp20
+FROM scored
+ORDER BY dsir_score_ilfp20 DESC, doc_id ASC
+LIMIT {_DBK}
+"""
+
+
+@register("dsir_select", oracle=DSIR_ORACLE)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (hashed bag-of-words importance resampling):
+    score every raw-pool document by how much more likely the TARGET
+    domain's unigram model finds it than the raw pool's own model, keep
+    the top-k. The log-ratio runs on the exact integer log2 kernel
+    (functions/intlog) — zero libm anywhere, every hashed value an
+    exact BIGINT by construction; the top-k cut is total-order
+    deterministic (score DESC, doc_id). The published technique behind
+    'select pretraining data that looks like your eval domain',
+    engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != DSIR_TARGET)
+    target = docs.filter(F.col("source") == DSIR_TARGET)
+    return X.dsir_select(raw, target)
