@@ -110,3 +110,131 @@ def sketch_hll_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(err, 6).alias("abs_err"),
         (err <= F.lit(_BOUND) * F.col("exact_distinct")).alias("within_3se"),
     )
+
+
+# -- KMV sketch set algebra -------------------------------------------------
+
+from ..operators import kmv as K  # noqa: E402
+
+_KK = K.KMV_K
+_KNUM = (_KK - 1) * (1 << 60)
+_KH = f"('0x' || substr(md5('{K.KMV_SALT}:' || CAST(o_custkey AS VARCHAR)), 1, 15))::BIGINT"
+_SET_A = "1-URGENT"
+_SET_B = "2-HIGH"
+
+KMV_ORACLE = f"""
+WITH acs AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '{_SET_A}'),
+bcs AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '{_SET_B}'),
+ha AS (SELECT DISTINCT {_KH} AS h FROM acs),
+hb AS (SELECT DISTINCT {_KH} AS h FROM bcs),
+ska AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT {_KK}),
+skb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT {_KK}),
+sku AS MATERIALIZED (
+  SELECT h FROM (SELECT h FROM ska UNION SELECT h FROM skb) ORDER BY h LIMIT {_KK}
+),
+ea AS (SELECT count(*) AS n, max(h) AS th FROM ska),
+eb AS (SELECT count(*) AS n, max(h) AS th FROM skb),
+eu AS (SELECT count(*) AS n, max(h) AS th FROM sku),
+sh AS (
+  SELECT count(*) AS shared FROM sku
+  WHERE h IN (SELECT h FROM ha) AND h IN (SELECT h FROM hb)
+),
+x AS (
+  SELECT (SELECT count(*) FROM acs) AS exact_a,
+         (SELECT count(*) FROM bcs) AS exact_b,
+         (SELECT count(DISTINCT o_custkey) FROM
+            (SELECT o_custkey FROM acs UNION ALL SELECT o_custkey FROM bcs)) AS exact_union,
+         (SELECT count(*) FROM acs WHERE o_custkey IN (SELECT o_custkey FROM bcs)) AS exact_intersect
+),
+est AS (
+  SELECT
+    CAST(CASE WHEN ea.n < {_KK} THEN ea.n ELSE {_KNUM}::HUGEINT // ea.th END AS BIGINT) AS est_a,
+    CAST(CASE WHEN eb.n < {_KK} THEN eb.n ELSE {_KNUM}::HUGEINT // eb.th END AS BIGINT) AS est_b,
+    CAST(CASE WHEN eu.n < {_KK} THEN eu.n ELSE {_KNUM}::HUGEINT // eu.th END AS BIGINT) AS est_union,
+    eu.n AS n_u, sh.shared AS shared
+  FROM ea, eb, eu, sh
+)
+SELECT CAST({_KK} AS BIGINT) AS k,
+       est_a, CAST(x.exact_a AS BIGINT) AS exact_a,
+       est_b, CAST(x.exact_b AS BIGINT) AS exact_b,
+       est_union, CAST(x.exact_union AS BIGINT) AS exact_union,
+       CAST((est.shared * est_union) // est.n_u AS BIGINT) AS est_intersect,
+       CAST(x.exact_intersect AS BIGINT) AS exact_intersect,
+       CAST((est.shared * 1000000) // est.n_u AS BIGINT) AS jaccard_est_fp6,
+       (est_a - x.exact_a) * (est_a - x.exact_a) * ({_KK} - 2) <= 9 * x.exact_a * x.exact_a AS within_3se_a,
+       (est_b - x.exact_b) * (est_b - x.exact_b) * ({_KK} - 2) <= 9 * x.exact_b * x.exact_b AS within_3se_b,
+       (est_union - x.exact_union) * (est_union - x.exact_union) * ({_KK} - 2) <= 9 * x.exact_union * x.exact_union AS within_3se_union,
+       abs((est.shared * est_union) // est.n_u - x.exact_intersect) <= (3 * est_union) // 16 AS within_bound_intersect
+FROM est, x
+"""
+
+
+@register("sketch_kmv_setops", oracle=KMV_ORACLE)
+def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches with SET ALGEBRA: the urgent-order and
+    high-priority-order customer sets, each summarized as its k=256
+    smallest distinct hashes, then |A|, |B|, |A∪B|, |A∩B| and Jaccard
+    estimated purely from the two k-row models and checked against the
+    exact answers — the synopsis operation HLL cannot do (intersection)
+    without inclusion-exclusion blowup. All-integer estimators
+    ((k−1)·2^60 DIV θ; shared·est_union DIV k), 3σ contracts as
+    cross-multiplied integer comparisons (√(k−2) squared away), and the
+    whole report is one row assembled from model-sized aggregates —
+    the corpus contributes two distinct-hash projections feeding k-row
+    tournament top-ks, nothing else."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderpriority") == _SET_A).select("o_custkey")
+    b = orders.filter(F.col("o_orderpriority") == _SET_B).select("o_custkey")
+    ha = a.select(K.kmv_hash(F.col("o_custkey")).alias("h")).distinct()
+    hb = b.select(K.kmv_hash(F.col("o_custkey")).alias("h")).distinct()
+    from .. import cache
+
+    ska = cache.pin(ha.orderBy(F.col("h").asc()).limit(_KK))
+    skb = cache.pin(hb.orderBy(F.col("h").asc()).limit(_KK))
+    sku = cache.pin(
+        ska.union(skb).distinct().orderBy(F.col("h").asc()).limit(_KK)
+    )
+    ea = K.kmv_estimate(ska).select(
+        F.col("est").alias("est_a")
+    )
+    eb = K.kmv_estimate(skb).select(F.col("est").alias("est_b"))
+    eu = K.kmv_estimate(sku).select(
+        F.col("est").alias("est_union"), F.col("n_sk").alias("n_u")
+    )
+    shared = (
+        sku.join(ha, "h", "left_semi")
+        .join(hb, "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    exact = (
+        a.agg(F.countDistinct("o_custkey").alias("exact_a"))
+        .crossJoin(b.agg(F.countDistinct("o_custkey").alias("exact_b")))
+        .crossJoin(
+            a.union(b).agg(F.countDistinct("o_custkey").alias("exact_union"))
+        )
+        .crossJoin(
+            a.distinct()
+            .join(b.distinct(), "o_custkey", "left_semi")
+            .agg(F.count(F.lit(1)).alias("exact_intersect"))
+        )
+    )
+    row = (
+        ea.crossJoin(eb).crossJoin(eu).crossJoin(shared).crossJoin(exact)
+    )
+    se2 = _KK - 2
+    return row.select(
+        F.lit(_KK).cast("long").alias("k"),
+        "est_a",
+        F.col("exact_a").cast("long").alias("exact_a"),
+        "est_b",
+        F.col("exact_b").cast("long").alias("exact_b"),
+        "est_union",
+        F.col("exact_union").cast("long").alias("exact_union"),
+        F.expr("CAST((shared * est_union) DIV n_u AS BIGINT)").alias("est_intersect"),
+        F.col("exact_intersect").cast("long").alias("exact_intersect"),
+        F.expr("CAST((shared * 1000000) DIV n_u AS BIGINT)").alias("jaccard_est_fp6"),
+        F.expr(f"(est_a - exact_a) * (est_a - exact_a) * {se2} <= 9 * exact_a * exact_a").alias("within_3se_a"),
+        F.expr(f"(est_b - exact_b) * (est_b - exact_b) * {se2} <= 9 * exact_b * exact_b").alias("within_3se_b"),
+        F.expr(f"(est_union - exact_union) * (est_union - exact_union) * {se2} <= 9 * exact_union * exact_union").alias("within_3se_union"),
+        F.expr("abs((shared * est_union) DIV n_u - exact_intersect) <= (3 * est_union) DIV 16").alias("within_bound_intersect"),
+    )

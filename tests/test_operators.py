@@ -2055,3 +2055,34 @@ def test_file_cut_stats_equal_files_and_invariance(spark):
     assert len(st) <= 8 and len({r["file"] for r in st}) == len(st)
     st2 = file_cut_stats(zorder_key(df.repartition(11), "a", "b", bits=6), "zkey", "a", "b", 8).collect()
     assert sorted(map(tuple, st)) == sorted(map(tuple, st2))
+
+
+def test_kmv_sketch_merge_and_estimate(spark):
+    """KMV closure under union-of-sketches, exactness below k, and the
+    estimator's 3-sigma envelope on a set larger than k."""
+    from actyxos_data_flow_spark.operators.kmv import kmv_estimate, kmv_sketch
+
+    small = spark.createDataFrame([(i,) for i in range(50)], "v long")
+    sk = kmv_sketch(small, "v", k=256)
+    est = kmv_estimate(sk, k=256).collect()[0]
+    assert est["n_sk"] == 50 and est["est"] == 50  # below k: sketch IS the set
+
+    big = spark.createDataFrame([(i,) for i in range(20000)], "v long")
+    e = kmv_estimate(kmv_sketch(big, "v", k=256), k=256).collect()[0]
+    assert abs(e["est"] - 20000) <= 3 * 20000 / (254 ** 0.5)
+
+    # merge closure: k smallest of (sketch_A union sketch_B) equals the
+    # sketch of (A union B)
+    a = spark.createDataFrame([(i,) for i in range(0, 3000)], "v long")
+    b = spark.createDataFrame([(i,) for i in range(1500, 4500)], "v long")
+    from pyspark.sql import functions as F
+
+    merged = (
+        kmv_sketch(a, "v", k=64)
+        .union(kmv_sketch(b, "v", k=64))
+        .distinct()
+        .orderBy(F.col("h").asc())
+        .limit(64)
+    )
+    direct = kmv_sketch(a.union(b), "v", k=64)
+    assert [r["h"] for r in merged.collect()] == [r["h"] for r in direct.collect()]
