@@ -73,6 +73,17 @@ def ilog2_cols(y0: str, blen: str, div: str = "DIV") -> list[tuple[str, str]]:
     return steps
 
 
+def ilog_chain_sql(inner: str, div: str = "//") -> str:
+    """Nest the kernel steps over an inner SELECT providing positive
+    columns ``y0`` and ``blen`` — the SQL-side rendering used by DuckDB
+    oracles (``div='//'``). The outermost SELECT exposes every inner
+    column plus ``ilog2_fp20``."""
+    q = inner
+    for col, expr in ilog2_cols("y0", "blen", div=div):
+        q = f"SELECT *, {expr} AS {col} FROM ({q})"
+    return q
+
+
 def py_ilog2_fp20(num: int, den: int) -> int:
     """Driver-side twin of :func:`ilog2_cols` — the SAME truncating
     algorithm in plain Python, for model-sized constants (e.g. a global

@@ -443,3 +443,120 @@ def pipeline_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     return X.pack_sequences(
         dl, id_col="doc_id", len_col="bpe_tokens", budget=PACK_BUDGET, order_cols=("doc_id",)
     )
+
+
+# -- Unigram-LM (SentencePiece-style) tokenizer ---------------------------
+
+from ..functions.intlog import ilog_chain_sql  # noqa: E402
+from ..operators import unigram as U  # noqa: E402
+
+
+def _ulm_ctes(src: str = "documents") -> str:
+    """Unrolled unigram-LM training: word types (≤ ULM_MAX_WORD chars)
+    → substring piece counts → seed vocab (top-ULM_SEED_TOP + all
+    single chars) → integer-log2 piece scores → ULM_MAX_WORD lockstep
+    Viterbi DP stages → argmax edge table → ULM_MAX_WORD backtracking
+    walk stages → usage counts. Every stage is the same exact integer
+    arithmetic operators/unigram runs as Columns."""
+    mw, mp, st = U.ULM_MAX_WORD, U.ULM_MAX_PIECE, U.ULM_SEED_TOP
+    parts = [
+        f"""uwf AS (
+  SELECT word, count(*) AS freq
+  FROM (SELECT unnest(string_split(text, ' ')) AS word FROM {src})
+  WHERE word <> '' AND len(word) <= {mw} GROUP BY 1
+),
+usub AS MATERIALIZED (
+  SELECT word, freq, s, l, substr(word, s, l) AS piece
+  FROM uwf, unnest(range(1, len(word) + 1)) AS ts(s),
+       unnest([{", ".join(str(i) for i in range(1, mp + 1))}]) AS tl(l)
+  WHERE s + l - 1 <= len(word)
+),
+upc AS (SELECT piece, sum(freq) AS cnt FROM usub GROUP BY 1),
+uvocp AS (
+  SELECT piece, cnt FROM (SELECT piece, cnt FROM upc ORDER BY cnt DESC, piece ASC LIMIT {st})
+  UNION
+  SELECT piece, cnt FROM upc WHERE len(piece) = 1
+),
+utot AS (SELECT sum(cnt) AS t FROM uvocp),
+uvoc AS MATERIALIZED (
+  SELECT piece, cnt, ilog2_fp20 AS lp_fp20 FROM ({ilog_chain_sql(
+      "SELECT piece, cnt, "
+      f"CAST((cnt * {1 << 30}) // (SELECT t FROM utot) AS BIGINT) AS y0, "
+      f"CAST(length(bin(CAST((cnt * {1 << 30}) // (SELECT t FROM utot) AS BIGINT))) AS INT) AS blen "
+      "FROM uvocp")})
+),
+uedges AS MATERIALIZED (
+  SELECT u.word, u.s - 1 AS frm, u.s + u.l - 1 AS tto, u.piece, v.lp_fp20
+  FROM usub u JOIN uvoc v USING (piece)
+),
+uball0 AS (SELECT word, 0 AS pos, CAST(0 AS BIGINT) AS score FROM uwf)"""
+    ]
+    for p in range(1, mw + 1):
+        parts.append(
+            f"""ubp{p} AS (
+  SELECT e.word, {p} AS pos, max(b.score + e.lp_fp20) AS score
+  FROM uedges e JOIN uball{p - 1} b ON b.word = e.word AND b.pos = e.frm
+  WHERE e.tto = {p} GROUP BY e.word
+),
+uball{p} AS MATERIALIZED (SELECT * FROM uball{p - 1} UNION ALL SELECT * FROM ubp{p})"""
+        )
+    parts.append(
+        f"""uchosen AS MATERIALIZED (
+  SELECT word, frm, tto, piece FROM (
+    SELECT e.word, e.frm, e.tto, e.piece,
+           row_number() OVER (PARTITION BY e.word, e.tto
+                              ORDER BY b.score + e.lp_fp20 DESC, e.frm ASC) AS rn
+    FROM uedges e JOIN uball{mw} b ON b.word = e.word AND b.pos = e.frm
+  ) WHERE rn = 1
+),
+uw0 AS (SELECT word, len(word) AS pos FROM uwf)"""
+    )
+    for t in range(1, mw + 1):
+        parts.append(
+            f"""uw{t} AS MATERIALIZED (
+  SELECT w.word, c.frm AS pos, c.piece
+  FROM uw{t - 1} w JOIN uchosen c ON c.word = w.word AND c.tto = w.pos
+  WHERE w.pos > 0
+)"""
+        )
+    walk_union = "\n  UNION ALL\n  ".join(
+        f"SELECT word, piece FROM uw{t}" for t in range(1, mw + 1)
+    )
+    parts.append(
+        f"""upieces AS (
+  {walk_union}
+),
+uused AS (
+  SELECT p.piece, sum(f.freq) AS used_cnt
+  FROM upieces p JOIN uwf f USING (word) GROUP BY 1
+)"""
+    )
+    return ",\n".join(parts)
+
+
+ULM_VOCAB_ORACLE = (
+    "WITH "
+    + _ulm_ctes()
+    + f"""
+SELECT CAST(row_number() OVER (ORDER BY coalesce(u.used_cnt, 0) DESC, v.piece ASC) AS BIGINT) AS rank,
+       v.piece, CAST(v.cnt AS BIGINT) AS seed_cnt,
+       CAST(coalesce(u.used_cnt, 0) AS BIGINT) AS used_cnt,
+       CAST(v.lp_fp20 AS BIGINT) AS lp_fp20
+FROM uvoc v LEFT JOIN uused u USING (piece)
+ORDER BY coalesce(u.used_cnt, 0) DESC, v.piece ASC
+LIMIT {U.ULM_VOCAB_TOP}
+"""
+)
+
+
+@register("unigram_lm_vocab", oracle=ULM_VOCAB_ORACLE)
+def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The third tokenizer family: unigram-LM (SentencePiece) hard-EM
+    round — seed substring vocabulary, exact-integer log2 piece scores,
+    Viterbi segmentation of every word type, usage re-estimation. The
+    oracle re-runs the ENTIRE trajectory (piece counts, scores, all 16
+    DP stages, the argmax walk), so hash equality certifies every
+    word's segmentation, not just the final table. Zero libm anywhere
+    (functions/intlog)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return U.ulm_train(docs)

@@ -935,15 +935,7 @@ _DB = X.DSIR_BUCKETS
 _DBK = X.DSIR_TOPK
 _DH = f"('0x' || substr(md5('{X.DSIR_SALT}:' || w), 1, 15))::BIGINT % {_DB}"
 
-def _ilog_chain(inner: str) -> str:
-    """Nest the shared intlog kernel steps (DuckDB `//` rendering) over
-    an inner SELECT that provides positive columns y0 and blen."""
-    from ..functions.intlog import ilog2_cols
-
-    q = inner
-    for col, expr in ilog2_cols("y0", "blen", div="//"):
-        q = f"SELECT *, {expr} AS {col} FROM ({q})"
-    return q
+from ..functions.intlog import ilog_chain_sql as _ilog_chain  # noqa: E402
 
 
 DSIR_ORACLE = f"""

@@ -204,3 +204,95 @@ def test_wordpiece_deterministic_and_encodable(spark):
     enc = B.bpe_encode_words(spark.createDataFrame([("abab",), ("cdcd",)], "word string"), m1)
     rows = {r["word"]: r["n_bpe"] for r in enc.collect()}
     assert all(1 <= n <= 5 for n in rows.values())
+
+
+# -- Unigram LM (SentencePiece-style) ---------------------------------------
+
+
+def test_unigram_viterbi_matches_python_reference(spark):
+    """ulm_train's full trajectory (seed counts, integer lp, Viterbi
+    paths, usage counts) equals a plain-Python re-derivation."""
+    from collections import Counter
+
+    from actyxos_data_flow_spark.functions.intlog import py_ilog2_fp20
+    from actyxos_data_flow_spark.operators import unigram as U
+
+    texts = ["the theme thesis", "he she the the", "seesaw sea sea see"]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+    wf = Counter(w for t in texts for w in t.split(" ") if w and len(w) <= U.ULM_MAX_WORD)
+    pc: Counter = Counter()
+    for w, f in wf.items():
+        for s in range(len(w)):
+            for l in range(1, U.ULM_MAX_PIECE + 1):
+                if s + l <= len(w):
+                    pc[w[s : s + l]] += f
+    top = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[: U.ULM_SEED_TOP]
+    voc = dict(top)
+    voc.update({p: c for p, c in pc.items() if len(p) == 1})
+    total = sum(voc.values())
+    lp = {p: py_ilog2_fp20(c, total) for p, c in voc.items()}
+
+    def viterbi(w):
+        best = {0: 0}
+        for j in range(1, len(w) + 1):
+            cands = []
+            for i in range(max(0, j - U.ULM_MAX_PIECE), j):
+                piece = w[i:j]
+                if piece in voc and i in best:
+                    cands.append((best[i] + lp[piece], i, piece))
+            # (score DESC, frm ASC)
+            sc, i, piece = sorted(cands, key=lambda t: (-t[0], t[1]))[0]
+            best[j] = sc
+        # backtrack with the same tie rule
+        pieces, pos = [], len(w)
+        while pos > 0:
+            cands = []
+            for i in range(max(0, pos - U.ULM_MAX_PIECE), pos):
+                piece = w[i:pos]
+                if piece in voc and i in best:
+                    cands.append((best[i] + lp[piece], i, piece))
+            _, i, piece = sorted(cands, key=lambda t: (-t[0], t[1]))[0]
+            pieces.append(piece)
+            pos = i
+        return pieces
+
+    used: Counter = Counter()
+    for w, f in wf.items():
+        for p in viterbi(w):
+            used[p] += f
+
+    expect = sorted(
+        ((p, voc[p], used.get(p, 0), lp[p]) for p in voc),
+        key=lambda t: (-t[2], t[0]),
+    )[: U.ULM_VOCAB_TOP]
+    got = [
+        (r["piece"], r["seed_cnt"], r["used_cnt"], r["lp_fp20"])
+        for r in U.ulm_train(docs).orderBy("rank").collect()
+    ]
+    assert got == expect
+
+
+def test_unigram_single_chars_guarantee_coverage(spark):
+    """A word made of rare characters still segments (single-char
+    pieces are always in the vocabulary), and total used piece length
+    reconstructs every word exactly."""
+    from actyxos_data_flow_spark.operators import unigram as U
+
+    docs = spark.createDataFrame(
+        [(1, "zzzz qqq xyxy xyxy common common common")], "doc_id long, text string"
+    )
+    wf = U.ulm_word_freqs(docs)
+    voc, _ = U.ulm_vocab(wf)
+    seg = U.ulm_segment(wf, voc)
+    from pyspark.sql import functions as F
+
+    rec = (
+        seg.groupBy("word")
+        .agg(F.sum(F.length("piece")).alias("plen"))
+        .join(wf, "word")
+        .filter(F.col("plen") != F.length("word"))
+    )
+    assert rec.count() == 0
