@@ -1107,18 +1107,28 @@ def dsir_select(
     twice and never shuffled beyond the per-doc aggregate. Ties at the
     cut break on doc_id, so the selection is total-order deterministic.
     """
-    rtok = (
-        with_tokens(raw, text_col)
-        .select(id_col, F.explode("tokens").alias("w"))
-        .select(id_col, _dsir_bucket(F.col("w")).alias("b"))
-    )
-    ttok = (
-        with_tokens(target, text_col)
-        .select(F.explode("tokens").alias("w"))
-        .select(_dsir_bucket(F.col("w")).alias("b"))
-    )
+    bkt, kc = dsir_model(raw, target, text_col=text_col)
+    return dsir_score_topk(raw, bkt, kc, k=k, id_col=id_col, text_col=text_col)
+
+
+def _dsir_buckets(df: DataFrame, text_col: str, id_col: str | None = None) -> DataFrame:
+    cols = ([id_col] if id_col else []) + [F.explode("tokens").alias("w")]
+    out = with_tokens(df, text_col).select(*cols)
+    keep = ([id_col] if id_col else []) + [_dsir_bucket(F.col("w")).alias("b")]
+    return out.select(*keep)
+
+
+def dsir_model(
+    raw: DataFrame, target: DataFrame, text_col: str = "text"
+) -> tuple[DataFrame, int]:
+    """Fit the importance model: a COMPLETE ``DSIR_BUCKETS``-row table
+    (bucket, llr_ilfp20) — unseen buckets carry the smoothed ccnt=0
+    score, so a FROZEN model can score documents it has never seen —
+    plus the integer global normalizer kc (added once per token)."""
     from ..functions import intlog
 
+    rtok = _dsir_buckets(raw, text_col)
+    ttok = _dsir_buckets(target, text_col)
     tgt = ttok.groupBy("b").agg(F.count(F.lit(1)).alias("tcnt"))
     cor = rtok.groupBy("b").agg(F.count(F.lit(1)).alias("ccnt"))
     totals = cor.crossJoin(tgt.agg(F.sum("tcnt").alias("_t"))).agg(
@@ -1133,17 +1143,37 @@ def dsir_select(
     # computed with the SAME truncating integer algorithm the in-plan
     # kernel runs, so oracle and driver agree bit-for-bit
     kc = intlog.py_ilog2_fp20(c_tot + DSIR_BUCKETS, t_tot + DSIR_BUCKETS)
+    allb = raw.sparkSession.range(DSIR_BUCKETS).select(F.col("id").alias("b"))
     bkt = (
-        cor.join(tgt, "b", "left")
+        allb.join(cor, "b", "left")
+        .join(tgt, "b", "left")
         .withColumn("tcnt", F.coalesce(F.col("tcnt"), F.lit(0)))
+        .withColumn("ccnt", F.coalesce(F.col("ccnt"), F.lit(0)))
         .withColumn("y0", F.expr(f"((tcnt + 1) * {1 << 30}) DIV (ccnt + 1)"))
         .withColumn("blen", F.length(F.conv(F.col("y0"), 10, 2)).cast("int"))
     )
-    for col, expr in intlog.ilog2_cols("y0", "blen", div="DIV"):
+    from ..functions.intlog import ilog2_cols
+
+    for col, expr in ilog2_cols("y0", "blen", div="DIV"):
         bkt = bkt.withColumn(col, F.expr(expr))
-    bkt = bkt.select("b", F.col("ilog2_fp20").alias("llr_ilfp20"))
+    return bkt.select("b", F.col("ilog2_fp20").alias("llr_ilfp20")), kc
+
+
+def dsir_score_topk(
+    docs: DataFrame,
+    bkt: DataFrame,
+    kc: int,
+    k: int = DSIR_TOPK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Score documents under a (possibly frozen) bucket model and keep
+    the deterministic top-k: one broadcast join of the token stream
+    against the ≤ DSIR_BUCKETS-row model, one per-doc BIGINT sum, one
+    TakeOrderedAndProject."""
+    dtok = _dsir_buckets(docs, text_col, id_col=id_col)
     scored = (
-        rtok.join(F.broadcast(bkt), "b")
+        dtok.join(F.broadcast(bkt), "b")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -1164,3 +1194,22 @@ def dsir_select(
         "n_tokens",
         "dsir_score_ilfp20",
     )
+
+
+def dsir_delta_select(
+    base: DataFrame,
+    delta: DataFrame,
+    target: DataFrame,
+    k: int = DSIR_TOPK,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental DSIR: fit the model on the STANDING corpus (base +
+    target) once, then score an appended batch under the frozen model —
+    per-batch cost is O(batch), the standing corpus is only touched by
+    the (persistable) model build. Unseen buckets score via the
+    smoothed ccnt=0 entry, so the frozen model is total. This is the
+    serving shape of data selection under continuous ingest; refreshing
+    the model is a policy decision, not a correctness one."""
+    bkt, kc = dsir_model(base, target, text_col=text_col)
+    return dsir_score_topk(delta, bkt, kc, k=k, id_col=id_col, text_col=text_col)

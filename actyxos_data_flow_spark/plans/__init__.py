@@ -86,6 +86,16 @@ _PRIORITY: tuple[str, ...] = (
     # --- new this round ---
     "cdc_ingest_replay", "mutable_vectors_replay", "cdc_vector_replay",
     "dedup_cdc_chunks",
+    # --- new this round, second wave: the window policy's rule (a) —
+    # first official rows for queries registered this round: the two
+    # additional tokenizer families (WordPiece exact-integer likelihood
+    # merges; unigram-LM Viterbi hard-EM on the integer log2 kernel),
+    # DSIR importance-resampling selection (the kernel's first user),
+    # KMV sketch set algebra, and the Hilbert layout + file-cut
+    # prune comparison ---
+    "wordpiece_merges", "tokenizer_compare", "unigram_lm_vocab",
+    "dsir_select", "dsir_delta_select", "sketch_kmv_setops",
+    "layout_hilbert_bins", "layout_prune_compare",
     # --- never driver-graded (cumulative coverage must strictly grow) ---
     "quality_constraints_report", "windowed_distinct_hll_replay",
     "stream_attribution_replay", "stream_attribution_outer_replay",

@@ -169,7 +169,7 @@ FROM est, x
 """
 
 
-@register("sketch_kmv_setops", oracle=KMV_ORACLE)
+@register("sketch_kmv_setops", oracle=KMV_ORACLE, bench=True)
 def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV distinct sketches with SET ALGEBRA: the urgent-order and
     high-priority-order customer sets, each summarized as its k=256

@@ -995,3 +995,92 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = docs.filter(F.col("source") != DSIR_TARGET)
     target = docs.filter(F.col("source") == DSIR_TARGET)
     return X.dsir_select(raw, target)
+
+
+# -- incremental DSIR: frozen-model scoring of an appended batch ------------
+
+_DSALT = "dsirsplit:1"
+_DSPLIT = f"('0x' || substr(md5('{_DSALT}:' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 2"
+
+DSIR_DELTA_ORACLE = f"""
+WITH rawd AS (SELECT * FROM documents WHERE source <> '{DSIR_TARGET}'),
+bdoc AS (SELECT * FROM rawd WHERE {_DSPLIT} = 0),
+ddoc AS (SELECT * FROM rawd WHERE {_DSPLIT} = 1),
+rtok AS (
+  SELECT {_DH} AS b
+  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM bdoc)
+),
+ttok AS (
+  SELECT {_DH} AS b
+  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE source = '{DSIR_TARGET}')
+),
+tgt AS (SELECT b, count(*) AS tcnt FROM ttok GROUP BY b),
+cor AS (SELECT b, count(*) AS ccnt FROM rtok GROUP BY b),
+tt AS (SELECT sum(tcnt) AS t FROM tgt),
+ct AS (SELECT sum(ccnt) AS c FROM cor),
+bkb AS (
+  SELECT tr.b,
+         CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (coalesce(cor.ccnt, 0) + 1) AS BIGINT) AS y0,
+         CAST(length(bin(CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (coalesce(cor.ccnt, 0) + 1) AS BIGINT))) AS INT) AS blen
+  FROM unnest(range(0, {_DB})) tr(b)
+  LEFT JOIN cor ON cor.b = tr.b
+  LEFT JOIN tgt ON tgt.b = tr.b
+),
+bkt AS MATERIALIZED (SELECT b, ilog2_fp20 FROM ({_ilog_chain('SELECT * FROM bkb')})),
+kcb AS (
+  SELECT CAST(((ct.c + {_DB}) * {1 << 30}) // (tt.t + {_DB}) AS BIGINT) AS y0,
+         CAST(length(bin(CAST(((ct.c + {_DB}) * {1 << 30}) // (tt.t + {_DB}) AS BIGINT))) AS INT) AS blen
+  FROM ct, tt
+),
+kc AS (SELECT ilog2_fp20 AS kc FROM ({_ilog_chain('SELECT * FROM kcb')})),
+dtok AS (
+  SELECT doc_id, {_DH} AS b
+  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM ddoc)
+),
+scored AS (
+  SELECT d.doc_id, count(*) AS n_tokens,
+         CAST(sum(k.ilog2_fp20) + count(*) * (SELECT kc FROM kc) AS BIGINT) AS dsir_score_ilfp20
+  FROM dtok d JOIN bkt k USING (b)
+  GROUP BY d.doc_id
+)
+SELECT CAST(row_number() OVER (ORDER BY dsir_score_ilfp20 DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, n_tokens, dsir_score_ilfp20
+FROM scored
+ORDER BY dsir_score_ilfp20 DESC, doc_id ASC
+LIMIT {_DBK}
+"""
+
+
+@register("dsir_delta_select", oracle=DSIR_DELTA_ORACLE)
+def dsir_delta_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR under continuous ingest: the raw pool splits
+    deterministically (60-bit md5 parity) into a STANDING corpus and an
+    appended batch; the importance model is fit on the standing corpus
+    only and the batch is scored under that FROZEN model — per-batch
+    cost O(batch), unseen feature buckets covered by the smoothed
+    ccnt=0 entries of the complete 4096-row model. The oracle rebuilds
+    the frozen model and replays the batch scoring, so hash equality
+    certifies the incremental path end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != DSIR_TARGET)
+    target = docs.filter(F.col("source") == DSIR_TARGET)
+    par = F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_DSALT + ":"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(2),
+    )
+    base = raw.filter(par == 0)
+    delta = raw.filter(par == 1)
+    return X.dsir_delta_select(base, delta, target)

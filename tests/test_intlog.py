@@ -89,3 +89,33 @@ def test_dsir_select_prefers_target_like_docs(spark):
         for r in dsir_select(raw.repartition(5), target.repartition(3), k=4).collect()
     }
     assert out == out2
+
+
+def test_dsir_delta_uses_frozen_model(spark):
+    """The delta batch is scored under the BASE model: a delta-only
+    token (unseen bucket) contributes the smoothed ccnt=0 score, and
+    re-running with the batch folded into the base changes the model
+    (so the frozen-path result is genuinely incremental, not a rerun)."""
+    from actyxos_data_flow_spark.operators.text import (
+        dsir_delta_select,
+        dsir_model,
+        dsir_score_topk,
+    )
+
+    target = spark.createDataFrame(
+        [(100, "alpha beta gamma")], "doc_id long, text string"
+    )
+    base = spark.createDataFrame(
+        [(1, "alpha zz beta"), (2, "qq ww ee")], "doc_id long, text string"
+    )
+    delta = spark.createDataFrame(
+        [(3, "alpha beta gamma"), (4, "brandnewword qq")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in dsir_delta_select(base, delta, target, k=2).collect()}
+    assert set(out) == {3, 4} and out[3]["rank"] == 1  # target-like doc wins
+    # frozen-model scoring == model(base) applied to delta, by construction
+    bkt, kc = dsir_model(base, target)
+    direct = {r["doc_id"]: r for r in dsir_score_topk(delta, bkt, kc, k=2).collect()}
+    assert {d: r["dsir_score_ilfp20"] for d, r in out.items()} == {
+        d: r["dsir_score_ilfp20"] for d, r in direct.items()
+    }
