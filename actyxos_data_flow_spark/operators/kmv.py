@@ -81,3 +81,77 @@ def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
             F.expr(f"CAST(CAST({num} AS DECIMAL(25,0)) DIV theta AS BIGINT)")
         ).alias("est"),
     )
+
+
+# -- priority sampling (weighted subset-sum synopsis) ------------------------
+
+PRI_K = 256
+PRI_SALT = "pri:1"
+_H30 = 1 << 30
+
+
+def priority_sample_estimates(
+    df: DataFrame,
+    group_col: str,
+    weight_cents: Column,
+    key_cols: list[str],
+    k: int = PRI_K,
+) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup 2007): ONE (k+1)-row
+    weighted sample answers ANY subset-sum query over the weights —
+    here grouped by ``group_col`` — with variance ≤ W_S·W/(k−1)
+    (Szegedy 2006). Derandomized: the uniform is a salted 60-bit md5 of
+    the row's content key, so the sample, threshold and estimates are
+    engine-identical (identical duplicate rows are interchangeable
+    under the total tie order, leaving the estimator unchanged).
+
+    priority = (w · 2^30) DIV ((h >> 30) + 1)   — exact integers;
+    τ = the (k+1)-th priority; estimate per sampled row = max(w, τ);
+    the 3σ contract is checked in DECIMAL cross-multiplication
+    ((est−exact)²·(k−1) ≤ 9·exact·W — all products ≤ 10^33, far from
+    the 38-digit cap).
+
+    Scale shape: a projection computing (g, w, h, priority), ONE
+    TakeOrderedAndProject of k+1 rows, model-sized estimator algebra,
+    and the exact-answer aggregate it is audited against."""
+    key = F.concat_ws(":", F.lit(PRI_SALT), *[F.col(c).cast("string") for c in key_cols])
+    h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+    base = df.select(
+        F.col(group_col).alias("g"),
+        weight_cents.cast("long").alias("w"),
+        h.alias("h"),
+    ).withColumn("pri", F.expr(f"(w * {_H30}) DIV ((h >> 30) + 1)"))
+    order = [F.col("pri").desc(), F.col("h").asc(), F.col("w").asc(), F.col("g").asc()]
+    from .. import cache
+
+    top = cache.pin(base.orderBy(*order).limit(k + 1))
+    tau = top.agg(F.min("pri").alias("tau"))
+    sample = top.orderBy(*order).limit(k)
+    est = (
+        sample.crossJoin(F.broadcast(tau))
+        .groupBy("g")
+        .agg(
+            F.sum(F.greatest(F.col("w"), F.col("tau"))).alias("est_w"),
+            F.count(F.lit(1)).alias("n_in_sample"),
+        )
+    )
+    exact = base.groupBy("g").agg(F.sum("w").alias("exact_w"))
+    tot = base.agg(F.sum("w").alias("tot_w"))
+    out = (
+        exact.join(est, "g", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "g",
+            F.col("exact_w").cast("long").alias("exact_cents"),
+            F.coalesce(F.col("est_w"), F.lit(0)).cast("long").alias("est_cents"),
+            F.coalesce(F.col("n_in_sample"), F.lit(0)).cast("long").alias("n_in_sample"),
+            F.lit(k).cast("long").alias("k"),
+            F.expr(
+                f"CAST(CAST(abs(coalesce(est_w, 0) - exact_w) AS DECIMAL(14,0)) *"
+                f" CAST(abs(coalesce(est_w, 0) - exact_w) AS DECIMAL(14,0)) AS DECIMAL(29,0))"
+                f" * {k - 1} <= CAST(9 AS DECIMAL(2,0)) * CAST(exact_w AS DECIMAL(14,0))"
+                f" * CAST(tot_w AS DECIMAL(14,0))"
+            ).alias("within_3se"),
+        )
+    )
+    return out

@@ -95,6 +95,7 @@ _PRIORITY: tuple[str, ...] = (
     # prune comparison ---
     "wordpiece_merges", "tokenizer_compare", "unigram_lm_vocab",
     "dsir_select", "dsir_delta_select", "sketch_kmv_setops",
+    "sketch_priority_sample",
     "layout_hilbert_bins", "layout_prune_compare",
     # --- never driver-graded (cumulative coverage must strictly grow) ---
     "quality_constraints_report", "windowed_distinct_hll_replay",

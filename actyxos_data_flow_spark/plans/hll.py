@@ -238,3 +238,68 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"(est_union - exact_union) * (est_union - exact_union) * {se2} <= 9 * exact_union * exact_union").alias("within_3se_union"),
         F.expr("abs((shared * est_union) DIV n_u - exact_intersect) <= (3 * est_union) DIV 16").alias("within_bound_intersect"),
     )
+
+
+# -- priority sampling: one sample, any subset sum ---------------------------
+
+_PK = K.PRI_K
+_PRI_H = (
+    f"('0x' || substr(md5('{K.PRI_SALT}:' || l_orderkey || ':' || l_linenumber"
+    f" || ':' || l_partkey || ':' || l_suppkey || ':' || w), 1, 15))::BIGINT"
+)
+
+PRIORITY_ORACLE = f"""
+WITH wtab AS (
+  SELECT l_returnflag AS g, CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS w,
+         l_orderkey, l_linenumber, l_partkey, l_suppkey
+  FROM lineitem
+),
+ptab AS (
+  SELECT g, w, {_PRI_H} AS h,
+         (w * {1 << 30}) // (({_PRI_H} >> 30) + 1) AS pri
+  FROM wtab
+),
+top AS MATERIALIZED (
+  SELECT * FROM ptab ORDER BY pri DESC, h ASC, w ASC, g ASC LIMIT {_PK + 1}
+),
+tau AS (SELECT min(pri) AS tau FROM top),
+sample AS (SELECT * FROM top ORDER BY pri DESC, h ASC, w ASC, g ASC LIMIT {_PK}),
+est AS (
+  SELECT g,
+         CAST(sum(CASE WHEN w > (SELECT tau FROM tau) THEN w ELSE (SELECT tau FROM tau) END) AS BIGINT) AS est_w,
+         count(*) AS n_in_sample
+  FROM sample GROUP BY g
+),
+exact AS (SELECT g, sum(w) AS exact_w FROM wtab GROUP BY g),
+tot AS (SELECT sum(w) AS tot_w FROM wtab)
+SELECT exact.g,
+       CAST(exact.exact_w AS BIGINT) AS exact_cents,
+       CAST(coalesce(est.est_w, 0) AS BIGINT) AS est_cents,
+       CAST(coalesce(est.n_in_sample, 0) AS BIGINT) AS n_in_sample,
+       CAST({_PK} AS BIGINT) AS k,
+       (abs(coalesce(est.est_w, 0) - exact.exact_w)::HUGEINT
+          * abs(coalesce(est.est_w, 0) - exact.exact_w) * {_PK - 1})
+         <= (9::HUGEINT * exact.exact_w * tot.tot_w) AS within_3se
+FROM exact LEFT JOIN est USING (g), tot
+"""
+
+
+@register("sketch_priority_sample", oracle=PRIORITY_ORACLE, bench=True)
+def sketch_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling: ONE derandomized 257-row weighted sample of
+    lineitem answers revenue-by-returnflag (and any other subset sum)
+    within the Szegedy variance bound — the synopsis for 'estimate any
+    slice of a 100 TB fact table from one tiny stored sample'. The
+    sample, threshold τ and estimates are exact integer arithmetic on
+    salted md5 uniforms, replayed verbatim by the oracle; the 3σ
+    contract is a cross-multiplied integer comparison IN the hashed
+    output."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "w_cents", F.expr("CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT)")
+    )
+    return K.priority_sample_estimates(
+        li,
+        "l_returnflag",
+        F.col("w_cents"),
+        ["l_orderkey", "l_linenumber", "l_partkey", "l_suppkey", "w_cents"],
+    )

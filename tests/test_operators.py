@@ -2086,3 +2086,35 @@ def test_kmv_sketch_merge_and_estimate(spark):
     )
     direct = kmv_sketch(a.union(b), "v", k=64)
     assert [r["h"] for r in merged.collect()] == [r["h"] for r in direct.collect()]
+
+
+def test_priority_sample_estimates(spark):
+    """Priority sampling: exact totals preserved, below-k degenerates
+    to the exact answer (tau can exceed weights but every row is
+    sampled), estimates deterministic across layouts."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators.kmv import priority_sample_estimates
+
+    rows = [(i, "A" if i % 3 else "B", 100 + (i * 37) % 500) for i in range(4000)]
+    df = spark.createDataFrame(rows, "id long, g string, w long")
+    out = {
+        r["g"]: r
+        for r in priority_sample_estimates(
+            df, "g", F.col("w"), ["id", "w"], k=256
+        ).collect()
+    }
+    exact = {"A": sum(w for i, g, w in rows if g == "A"), "B": sum(w for i, g, w in rows if g == "B")}
+    tot = sum(exact.values())
+    for g, r in out.items():
+        assert r["exact_cents"] == exact[g]
+        # Szegedy 3-sigma bound, same cross-mult the query hashes
+        assert (r["est_cents"] - exact[g]) ** 2 * 255 <= 9 * exact[g] * tot
+        assert r["within_3se"]
+    out2 = {
+        r["g"]: r["est_cents"]
+        for r in priority_sample_estimates(
+            df.repartition(13), "g", F.col("w"), ["id", "w"], k=256
+        ).collect()
+    }
+    assert out2 == {g: r["est_cents"] for g, r in out.items()}
