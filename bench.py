@@ -104,6 +104,15 @@ SF1_QUERIES = (
     # builds + an 11-cell DP over 10x keys
     "mutable_corpus_replay",
     "join_selinger_dp",
+    # round-9 second wave: DSIR scans the corpus twice and broadcasts a
+    # 4096-row model — must stay linear; the two sampling synopses are
+    # scan + k-row tournament top-k (sublinear tails); the layout
+    # compare's file cuts run on the bounded distinct-key table, so the
+    # probe prices the three keyed scans, not a sort
+    "dsir_select",
+    "sketch_priority_sample",
+    "sketch_kmv_setops",
+    "layout_prune_compare",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule")
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the

@@ -1,0 +1,98 @@
+"""Replica of the driver's graded run: a VANILLA SparkSession (none of
+session.get_spark's confs — the engine must self-apply whatever it
+needs) driving the ``_PRIORITY`` prefix through the same oracle compare
+as tools/check.py. This is the closest local predictor of the driver's
+CORRECTNESS_r{N}.json: same entry surface (__spark_entry__), same
+grading order, same value-hash.
+
+Usage::
+
+    python tools/driver_sim.py [sf_dir] [n_prefix]   # defaults sf0.01, all of _PRIORITY
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import duckdb
+
+from check import env_stamp, value_hash  # noqa: E402  (tools/ sibling)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
+    rest = [a for a in sys.argv[1:] if not os.path.isdir(a)]
+    n_prefix = int(rest[0]) if rest else None
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    import __spark_entry__ as E
+    from actyxos_data_flow_spark.plans import _PRIORITY
+    from actyxos_data_flow_spark.sources import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        tp = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.isdir(tp):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tp}/*.parquet')")
+        elif os.path.exists(tp):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{tp}')")
+
+    queries, oracles = E.queries(), E.oracle_sql()
+    names = list(_PRIORITY[:n_prefix] if n_prefix else _PRIORITY)
+    results, failed = {}, []
+    for name in names:
+        t0 = time.time()
+        try:
+            sdf = queries[name](spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+            if name not in oracles:
+                results[name] = {"status": "rows_only", "rows": len(srows), "sec": round(time.time() - t0, 2)}
+                continue
+            cur = con.execute(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()
+            ok = (
+                len(srows) == len(orows)
+                and sorted(scols) == sorted(ocols)
+                and value_hash(srows, scols) == value_hash(orows, ocols)
+            )
+            results[name] = {
+                "status": "MATCH" if ok else "MISMATCH",
+                "rows": len(srows),
+                "oracle_rows": len(orows),
+                "count_ok": len(srows) == len(orows),
+                "schema_ok": sorted(scols) == sorted(ocols),
+                "hash_ok": ok,
+                "sec": round(time.time() - t0, 2),
+            }
+            if not ok:
+                failed.append(name)
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            results[name] = {"status": "ERROR", "error": str(e)[:500], "sec": round(time.time() - t0, 2)}
+    results["_note"] = (
+        f"vanilla-SparkSession replica of the driver's graded prefix "
+        f"({len(names)} rows) at {sf_dir} — none of session.get_spark's confs"
+    )
+    results["_env"] = env_stamp()
+    print(json.dumps(results, indent=2, default=str))
+    n_ok = sum(1 for k, r in results.items() if not k.startswith("_") and r["status"] in ("MATCH", "rows_only"))
+    print(f"\n{n_ok}/{len(names)} ok; failed: {failed}", file=sys.stderr)
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
