@@ -69,7 +69,7 @@ def kmv_estimate(sketch: DataFrame, k: int = KMV_K) -> DataFrame:
     full, else the sketch size itself (the set fit entirely). The
     (k−1)·2^60 constant is folded as one integer literal and divided in
     DECIMAL so nothing approaches the 38-digit cap."""
-    num = (KMV_K - 1) * _SPACE if k == KMV_K else (k - 1) * _SPACE
+    num = (k - 1) * _SPACE
     return sketch.agg(
         F.count(F.lit(1)).alias("n_sk"), F.max("h").alias("theta")
     ).select(

@@ -951,8 +951,8 @@ ttok AS (
 ),
 tgt AS (SELECT b, count(*) AS tcnt FROM ttok GROUP BY b),
 cor AS (SELECT b, count(*) AS ccnt FROM rtok GROUP BY b),
-tt AS (SELECT sum(tcnt) AS t FROM tgt),
-ct AS (SELECT sum(ccnt) AS c FROM cor),
+tt AS (SELECT coalesce(sum(tcnt), 0) AS t FROM tgt),
+ct AS (SELECT coalesce(sum(ccnt), 0) AS c FROM cor),
 bkb AS (
   SELECT cor.b,
          CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (cor.ccnt + 1) AS BIGINT) AS y0,
@@ -1017,8 +1017,8 @@ ttok AS (
 ),
 tgt AS (SELECT b, count(*) AS tcnt FROM ttok GROUP BY b),
 cor AS (SELECT b, count(*) AS ccnt FROM rtok GROUP BY b),
-tt AS (SELECT sum(tcnt) AS t FROM tgt),
-ct AS (SELECT sum(ccnt) AS c FROM cor),
+tt AS (SELECT coalesce(sum(tcnt), 0) AS t FROM tgt),
+ct AS (SELECT coalesce(sum(ccnt), 0) AS c FROM cor),
 bkb AS (
   SELECT tr.b,
          CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (coalesce(cor.ccnt, 0) + 1) AS BIGINT) AS y0,
