@@ -94,8 +94,9 @@ _PRIORITY: tuple[str, ...] = (
     # KMV sketch set algebra, and the Hilbert layout + file-cut
     # prune comparison ---
     "wordpiece_merges", "tokenizer_compare", "unigram_lm_vocab",
+    "unigram_lm_stats",
     "dsir_select", "dsir_delta_select", "sketch_kmv_setops",
-    "sketch_priority_sample",
+    "sketch_priority_sample", "graph_modularity",
     "layout_hilbert_bins", "layout_prune_compare",
     # --- never driver-graded (cumulative coverage must strictly grow) ---
     "quality_constraints_report", "windowed_distinct_hll_replay",

@@ -560,3 +560,51 @@ def unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     (functions/intlog)."""
     docs = load_table(spark, sf_dir, "documents")
     return U.ulm_train(docs)
+
+
+ULM_STATS_ORACLE = (
+    "WITH "
+    + _ulm_ctes()
+    + f""",
+uocc AS (
+  SELECT lang, word, count(*) AS occ
+  FROM (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents)
+  WHERE word <> '' AND len(word) <= {U.ULM_MAX_WORD} GROUP BY 1, 2
+),
+unp AS (SELECT word, count(*) AS np FROM upieces GROUP BY 1)
+SELECT uocc.lang,
+       sum(occ)::BIGINT AS ws_tokens,
+       sum(occ * len(uocc.word))::BIGINT AS chars,
+       sum(occ * unp.np)::BIGINT AS ulm_tokens
+FROM uocc JOIN unp USING (word)
+GROUP BY 1
+"""
+)
+
+
+@register("unigram_lm_stats", oracle=ULM_STATS_ORACLE)
+def unigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language compression of the trained unigram-LM tokenizer
+    (whitespace tokens vs chars vs Viterbi pieces) — the deployment
+    report that completes the family triptych with `bpe_token_stats`
+    and `tokenizer_compare`. Segmentation runs once over word TYPES;
+    the corpus contributes only the per-language occurrence counts."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = U.ulm_word_freqs(docs).persist()
+    voc, _ = U.ulm_vocab(wf)
+    seg = U.ulm_segment(wf, voc.localCheckpoint())
+    np_ = seg.groupBy("word").agg(F.count(F.lit(1)).alias("np"))
+    wf.unpersist()
+    occ = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
+        .filter((F.col("word") != "") & (F.length("word") <= U.ULM_MAX_WORD))
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("occ"))
+    )
+    return occ.join(F.broadcast(np_), "word").groupBy("lang").agg(
+        F.sum("occ").cast("long").alias("ws_tokens"),
+        F.sum(F.col("occ") * F.length("word")).cast("long").alias("chars"),
+        F.sum(F.col("occ") * F.col("np")).cast("long").alias("ulm_tokens"),
+    )

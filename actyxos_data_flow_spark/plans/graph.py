@@ -894,3 +894,106 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     te = _strong_tie_edges(spark, sf_dir)
     return G.kcore_prune(te, k=KCORE_K, rounds=KCORE_ROUNDS)
+
+
+# -- community quality: Newman modularity of the LPA partition --------------
+
+MODULARITY_ORACLE = (
+    f"WITH {_STRONG_TIE_CTE},"
+    + _LPA_SQL
+    + f""",
+mM AS (SELECT count(*) AS M FROM cud),
+mdeg AS (SELECT s AS node, count(*) AS deg FROM cud GROUP BY 1),
+mic AS (
+  SELECT count(*) AS ic
+  FROM cud u
+  JOIN {_LPA_FINAL} la ON la.node = u.s
+  JOIN {_LPA_FINAL} lb ON lb.node = u.p
+  WHERE la.community = lb.community
+),
+mdsq AS (
+  SELECT sum(dc * dc) AS dsq FROM (
+    SELECT l.community, sum(d.deg) AS dc
+    FROM mdeg d JOIN {_LPA_FINAL} l USING (node) GROUP BY 1
+  )
+),
+mnc AS (SELECT count(DISTINCT community) AS n_communities,
+               count(*) AS n_nodes FROM {_LPA_FINAL}),
+magg AS (
+  SELECT CAST(mM.M AS BIGINT) AS m2,
+         CAST(mic.ic AS BIGINT) AS ic,
+         CAST(mdsq.dsq AS BIGINT) AS dsq,
+         CAST(mM.M * mic.ic - mdsq.dsq AS BIGINT) AS q_num,
+         CAST(mM.M * mM.M AS BIGINT) AS q_den,
+         mnc.n_nodes, mnc.n_communities
+  FROM mM, mic, mdsq, mnc
+)
+SELECT CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(n_communities AS BIGINT) AS n_communities,
+       m2 // 2 AS m_edges,
+       ic // 2 AS internal_edges,
+       q_num AS modularity_num,
+       q_den AS modularity_den,
+       CASE WHEN q_num >= 0
+            THEN CAST((CAST(q_num AS HUGEINT) * 1000000000) // q_den AS BIGINT)
+            ELSE -CAST((CAST(-q_num AS HUGEINT) * 1000000000) // q_den AS BIGINT)
+       END AS modularity_fp9
+FROM magg
+"""
+)
+
+
+@register("graph_modularity", oracle=MODULARITY_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the label-propagation partition — the
+    number that says whether the detected communities are real
+    structure or noise (Q > 0.3 ≈ strong): Q = (M·ic − Σ_c d_c²) / M²
+    over the doubled edge count M, internal directed pairs ic, and
+    per-community degree sums — kept as an EXACT integer rational
+    (modularity_num / modularity_den) plus a sign-guarded truncating
+    fp9 rendering, because DuckDB's ``//`` floors while Spark's ``DIV``
+    truncates and Q can be negative. One degree aggregate, one
+    two-sided label join, model-sized algebra; the oracle replays the
+    LPA rounds AND the modularity algebra."""
+    te = _strong_tie_edges(spark, sf_dir)
+    labels = G.label_propagation(te, iters=LPA_ITERS).localCheckpoint()
+    und = (
+        te.select(F.col("src").alias("s"), F.col("dst").alias("p"))
+        .unionByName(te.select(F.col("dst").alias("s"), F.col("src").alias("p")))
+        .distinct()
+    )
+    M = und.agg(F.count(F.lit(1)).alias("m2"))
+    deg = und.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
+    la = labels.withColumnRenamed("node", "s").withColumnRenamed("community", "ca")
+    lb = labels.withColumnRenamed("node", "p").withColumnRenamed("community", "cb")
+    ic = (
+        und.join(la, "s")
+        .join(lb, "p")
+        .filter(F.col("ca") == F.col("cb"))
+        .agg(F.count(F.lit(1)).alias("ic"))
+    )
+    dsq = (
+        deg.join(labels, "node")
+        .groupBy("community")
+        .agg(F.sum("deg").alias("dc"))
+        .agg(F.sum(F.col("dc") * F.col("dc")).alias("dsq"))
+    )
+    nc = labels.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.countDistinct("community").alias("n_communities"),
+    )
+    row = M.crossJoin(ic).crossJoin(dsq).crossJoin(nc).select(
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("n_communities").cast("long").alias("n_communities"),
+        F.expr("m2 DIV 2").cast("long").alias("m_edges"),
+        F.expr("ic DIV 2").cast("long").alias("internal_edges"),
+        F.expr("CAST(m2 * ic - dsq AS BIGINT)").alias("modularity_num"),
+        F.expr("CAST(m2 * m2 AS BIGINT)").alias("modularity_den"),
+        F.expr(
+            "CASE WHEN m2 * ic - dsq >= 0"
+            " THEN CAST((CAST(m2 * ic - dsq AS DECIMAL(20,0)) * 1000000000) DIV (m2 * m2) AS BIGINT)"
+            " ELSE -CAST((CAST(-(m2 * ic - dsq) AS DECIMAL(20,0)) * 1000000000) DIV (m2 * m2) AS BIGINT)"
+            " END"
+        ).alias("modularity_fp9"),
+    )
+    return row

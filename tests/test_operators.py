@@ -2118,3 +2118,41 @@ def test_priority_sample_estimates(spark):
         ).collect()
     }
     assert out2 == {g: r["est_cents"] for g, r in out.items()}
+
+
+def test_modularity_two_cliques(spark):
+    """Newman Q computed by the graph_modularity algebra on a known
+    graph: two 4-cliques joined by one bridge — LPA finds the cliques
+    and Q matches the hand computation."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators.graph import label_propagation
+
+    c1 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    c2 = [(a + 10, b + 10) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(c1 + c2 + [(0, 10)], "src long, dst long")
+    labels = label_propagation(edges, iters=3)
+    und = (
+        edges.select(F.col("src").alias("s"), F.col("dst").alias("p"))
+        .unionByName(edges.select(F.col("dst").alias("s"), F.col("src").alias("p")))
+        .distinct()
+    )
+    M = und.count()            # 2m = 26
+    la = {r["node"]: r["community"] for r in labels.collect()}
+    assert len(set(la.values())) == 2  # the two cliques
+    ic = sum(
+        1
+        for r in und.collect()
+        if la[r["s"]] == la[r["p"]]
+    )
+    deg = {r["s"]: r["cnt"] for r in und.groupBy("s").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    from collections import defaultdict
+
+    dc = defaultdict(int)
+    for n, d in deg.items():
+        dc[la[n]] += d
+    num = M * ic - sum(v * v for v in dc.values())
+    q = num / (M * M)
+    # two equal cliques with one bridge: Q = 24/26 - 2*(13/26)^2 = 0.4231
+    assert abs(q - (ic / M - sum((v / M) ** 2 for v in dc.values()))) < 1e-12
+    assert 0.40 < q < 0.45
