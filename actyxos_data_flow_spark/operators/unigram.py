@@ -100,6 +100,11 @@ def ulm_segment(wf: DataFrame, voc: DataFrame, max_word: int = ULM_MAX_WORD) -> 
             "lp_fp20",
         )
     )
+    # rounds beyond the corpus' actual longest word are provably empty
+    # (no edge ends there), so bound the lockstep loop by the data —
+    # the oracle's fixed ULM_MAX_WORD stages no-op identically
+    actual = wf.agg(F.max(F.length("word"))).first()[0] or 0
+    max_word = min(max_word, int(actual))
     best = wf.select("word", F.lit(0).alias("pos"), F.lit(0).cast("long").alias("score"))
     for p in range(1, max_word + 1):
         cand = (
