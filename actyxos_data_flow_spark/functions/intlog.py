@@ -90,8 +90,10 @@ def py_ilog2_fp20(num: int, den: int) -> int:
     normalizer) that must agree bit-for-bit with the in-plan kernel."""
     assert num > 0 and den > 0
     assert num < (1 << 33), f"num {num} exceeds the 2^33 overflow envelope"
-    y0 = (num << 30) // den
-    assert y0 > 0, "ratio below 2^-30 — rescale inputs"
+    # ratios below 2^-30 floor to the smallest representable input
+    # (ilog2 = -30·2^20) — the same clamp call sites apply in-plan via
+    # greatest(y0, 1), so the twin and both engines agree on the floor
+    y0 = max((num << 30) // den, 1)
     blen = y0.bit_length()
     e = blen - 31
     m = y0 // (1 << (blen - 31)) if blen >= 31 else y0 * (1 << (31 - blen))

@@ -106,10 +106,12 @@ def priority_sample_estimates(
     under the total tie order, leaving the estimator unchanged).
 
     priority = (w · 2^30) DIV ((h >> 30) + 1)   — exact integers;
-    τ = the (k+1)-th priority; estimate per sampled row = max(w, τ);
-    the 3σ contract is checked in DECIMAL cross-multiplication
-    ((est−exact)²·(k−1) ≤ 9·exact·W — all products ≤ 10^33, far from
-    the 38-digit cap).
+    τ = the (k+1)-th priority, or 0 when the population has ≤ k rows
+    (the sample is then the population and every estimate is EXACT);
+    estimate per sampled row = max(w, τ); the 3σ contract is checked in
+    DECIMAL cross-multiplication ((est−exact)²·(k−1) ≤ 9·exact·W —
+    DECIMAL(16) operands keep products ≤ 36 digits up to 10^16−1-cent
+    totals).
 
     Scale shape: a projection computing (g, w, h, priority), ONE
     TakeOrderedAndProject of k+1 rows, model-sized estimator algebra,
@@ -125,7 +127,15 @@ def priority_sample_estimates(
     from .. import cache
 
     top = cache.pin(base.orderBy(*order).limit(k + 1))
-    tau = top.agg(F.min("pri").alias("tau"))
+    # tau is the (k+1)-th priority; when the population has <= k rows it
+    # does not exist and tau = 0, making the sample the population and
+    # every estimate EXACT (max(w, 0) = w) - the Duffield-Lund-Thorup
+    # below-k degeneracy
+    tau = top.agg(
+        F.when(F.count(F.lit(1)) <= k, F.lit(0).cast("long"))
+        .otherwise(F.min("pri"))
+        .alias("tau")
+    )
     sample = top.orderBy(*order).limit(k)
     est = (
         sample.crossJoin(F.broadcast(tau))
@@ -146,11 +156,14 @@ def priority_sample_estimates(
             F.coalesce(F.col("est_w"), F.lit(0)).cast("long").alias("est_cents"),
             F.coalesce(F.col("n_in_sample"), F.lit(0)).cast("long").alias("n_in_sample"),
             F.lit(k).cast("long").alias("k"),
+            # DECIMAL(16) operands keep every product <= 36 digits while
+            # admitting totals to 10^16-1 cents (~SF 500); beyond that,
+            # widen or cross-multiply in HUGEINT-equivalent pieces
             F.expr(
-                f"CAST(CAST(abs(coalesce(est_w, 0) - exact_w) AS DECIMAL(14,0)) *"
-                f" CAST(abs(coalesce(est_w, 0) - exact_w) AS DECIMAL(14,0)) AS DECIMAL(29,0))"
-                f" * {k - 1} <= CAST(9 AS DECIMAL(2,0)) * CAST(exact_w AS DECIMAL(14,0))"
-                f" * CAST(tot_w AS DECIMAL(14,0))"
+                f"CAST(CAST(abs(coalesce(est_w, 0) - exact_w) AS DECIMAL(16,0)) *"
+                f" CAST(abs(coalesce(est_w, 0) - exact_w) AS DECIMAL(16,0)) AS DECIMAL(33,0))"
+                f" * {k - 1} <= CAST(9 AS DECIMAL(2,0)) * CAST(exact_w AS DECIMAL(16,0))"
+                f" * CAST(tot_w AS DECIMAL(16,0))"
             ).alias("within_3se"),
         )
     )

@@ -208,8 +208,11 @@ def hilbert_key(
         .withColumn("_hy0", _scale_expr(col_b, "_min_b", "_max_b", bits).cast("long"))
         .withColumn("_hd0", F.lit(0).cast("long"))
     )
-    for i in range(bits):
-        xs, ys, ds = hilbert_steps(bits, x=f"_hx{i}", y=f"_hy{i}", d=f"_hd{i}")[i]
+    steps = [
+        hilbert_steps(bits, x=f"_hx{i}", y=f"_hy{i}", d=f"_hd{i}")[i]
+        for i in range(bits)
+    ]
+    for i, (xs, ys, ds) in enumerate(steps):
         out = out.withColumns(
             {
                 f"_hx{i + 1}": F.expr(xs),

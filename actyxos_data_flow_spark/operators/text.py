@@ -1134,8 +1134,8 @@ def dsir_model(
     totals = cor.crossJoin(tgt.agg(F.sum("tcnt").alias("_t"))).agg(
         F.sum("ccnt").alias("_c"), F.max("_t").alias("_t")
     ).collect()[0]
-    c_tot, t_tot = int(totals["_c"]), int(totals["_t"] or 0)
-    assert max(c_tot, t_tot) + 1 < (1 << 33), (
+    c_tot, t_tot = int(totals["_c"] or 0), int(totals["_t"] or 0)
+    assert max(c_tot, t_tot) + DSIR_BUCKETS < (1 << 33), (
         f"token totals ({c_tot}, {t_tot}) exceed the ilog2 kernel's 2^33 "
         f"overflow envelope; shard the counts or widen the kernel"
     )
@@ -1149,7 +1149,7 @@ def dsir_model(
         .join(tgt, "b", "left")
         .withColumn("tcnt", F.coalesce(F.col("tcnt"), F.lit(0)))
         .withColumn("ccnt", F.coalesce(F.col("ccnt"), F.lit(0)))
-        .withColumn("y0", F.expr(f"((tcnt + 1) * {1 << 30}) DIV (ccnt + 1)"))
+        .withColumn("y0", F.expr(f"greatest(((tcnt + 1) * {1 << 30}) DIV (ccnt + 1), 1)"))
         .withColumn("blen", F.length(F.conv(F.col("y0"), 10, 2)).cast("int"))
     )
     from ..functions.intlog import ilog2_cols

@@ -76,7 +76,7 @@ def ulm_vocab(wf: DataFrame) -> tuple[DataFrame, int]:
     total = int(voc.agg(F.sum("cnt")).first()[0] or 0)
     assert 0 < total < (1 << 33), f"piece total {total} outside the ilog2 envelope"
     voc = voc.withColumn(
-        "y0", F.expr(f"(cnt * {1 << 30}) DIV {total}")
+        "y0", F.expr(f"greatest((cnt * {1 << 30}) DIV {total}, 1)")
     ).withColumn("blen", F.length(F.conv(F.col("y0"), 10, 2)).cast("int"))
     for col, expr in intlog.ilog2_cols("y0", "blen", div="DIV"):
         voc = voc.withColumn(col, F.expr(expr))
@@ -140,6 +140,8 @@ def ulm_segment(wf: DataFrame, voc: DataFrame, max_word: int = ULM_MAX_WORD) -> 
         )
         picked.append(step.select("word", "piece"))
         cur = step.select("word", F.col("frm").alias("pos")).localCheckpoint()
+    if not picked:  # empty word table (e.g. every word over the cap)
+        return wf.sparkSession.createDataFrame([], "word string, piece string")
     out = picked[0]
     for d in picked[1:]:
         out = out.union(d)

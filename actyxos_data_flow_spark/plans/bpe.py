@@ -481,8 +481,8 @@ utot AS (SELECT sum(cnt) AS t FROM uvocp),
 uvoc AS MATERIALIZED (
   SELECT piece, cnt, ilog2_fp20 AS lp_fp20 FROM ({ilog_chain_sql(
       "SELECT piece, cnt, "
-      f"CAST((cnt * {1 << 30}) // (SELECT t FROM utot) AS BIGINT) AS y0, "
-      f"CAST(length(bin(CAST((cnt * {1 << 30}) // (SELECT t FROM utot) AS BIGINT))) AS INT) AS blen "
+      f"greatest(CAST((cnt * {1 << 30}) // (SELECT t FROM utot) AS BIGINT), 1) AS y0, "
+      f"CAST(length(bin(greatest(CAST((cnt * {1 << 30}) // (SELECT t FROM utot) AS BIGINT), 1))) AS INT) AS blen "
       "FROM uvocp")})
 ),
 uedges AS MATERIALIZED (

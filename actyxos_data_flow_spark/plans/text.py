@@ -955,8 +955,8 @@ tt AS (SELECT coalesce(sum(tcnt), 0) AS t FROM tgt),
 ct AS (SELECT coalesce(sum(ccnt), 0) AS c FROM cor),
 bkb AS (
   SELECT cor.b,
-         CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (cor.ccnt + 1) AS BIGINT) AS y0,
-         CAST(length(bin(CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (cor.ccnt + 1) AS BIGINT))) AS INT) AS blen
+         greatest(CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (cor.ccnt + 1) AS BIGINT), 1) AS y0,
+         CAST(length(bin(greatest(CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (cor.ccnt + 1) AS BIGINT), 1))) AS INT) AS blen
   FROM cor LEFT JOIN tgt USING (b)
 ),
 bkt AS MATERIALIZED (SELECT b, ilog2_fp20 FROM ({_ilog_chain('SELECT * FROM bkb')})),
@@ -1021,8 +1021,8 @@ tt AS (SELECT coalesce(sum(tcnt), 0) AS t FROM tgt),
 ct AS (SELECT coalesce(sum(ccnt), 0) AS c FROM cor),
 bkb AS (
   SELECT tr.b,
-         CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (coalesce(cor.ccnt, 0) + 1) AS BIGINT) AS y0,
-         CAST(length(bin(CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (coalesce(cor.ccnt, 0) + 1) AS BIGINT))) AS INT) AS blen
+         greatest(CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (coalesce(cor.ccnt, 0) + 1) AS BIGINT), 1) AS y0,
+         CAST(length(bin(greatest(CAST(((coalesce(tgt.tcnt, 0) + 1) * {1 << 30}) // (coalesce(cor.ccnt, 0) + 1) AS BIGINT), 1))) AS INT) AS blen
   FROM unnest(range(0, {_DB})) tr(b)
   LEFT JOIN cor ON cor.b = tr.b
   LEFT JOIN tgt ON tgt.b = tr.b

@@ -2090,8 +2090,8 @@ def test_kmv_sketch_merge_and_estimate(spark):
 
 def test_priority_sample_estimates(spark):
     """Priority sampling: exact totals preserved, below-k degenerates
-    to the exact answer (tau can exceed weights but every row is
-    sampled), estimates deterministic across layouts."""
+    to the exact answer (tau = 0 when the (k+1)-th priority does not
+    exist), estimates deterministic across layouts."""
     from pyspark.sql import functions as F
 
     from actyxos_data_flow_spark.operators.kmv import priority_sample_estimates
@@ -2118,6 +2118,19 @@ def test_priority_sample_estimates(spark):
         ).collect()
     }
     assert out2 == {g: r["est_cents"] for g, r in out.items()}
+
+    # below-k: 10 rows against k=256 -> the sample IS the population,
+    # tau = 0, every subset estimate EXACT
+    small = spark.createDataFrame(
+        [(i, "A" if i % 2 else "B", 50 + i) for i in range(10)], "id long, g string, w long"
+    )
+    outs = {
+        r["g"]: r
+        for r in priority_sample_estimates(small, "g", F.col("w"), ["id", "w"], k=256).collect()
+    }
+    for g, r in outs.items():
+        assert r["est_cents"] == r["exact_cents"], (g, r)
+        assert r["within_3se"]
 
 
 def test_modularity_two_cliques(spark):
