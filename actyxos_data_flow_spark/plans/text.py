@@ -590,44 +590,56 @@ def p6_exact_ctes(p: str) -> str:
     CTEs: given ``{p}c(source, n)`` and ``{p}t(total)``, emits the
     chain ending in ``{p}p(source, n, p6)``.
 
-    Zero libm in any VALUE: p6 = iroot5(isqrt(u³·10³)·10^15) with
-    u = (n·10^9)//total — every compare/multiply is HUGEINT ≤ 10^30.
-    The double sqrt()/pow() only SEED candidates (IEEE sqrt is
-    correctly rounded ⇒ candidate within ±1; libm pow within a few
-    ulp at 10^6 magnitude ⇒ within ±1); the CASE ladder then picks the
-    exact floor-root by integer comparison, so any build's libm lands
-    on the identical integer."""
+    SEED-FREE since round 10: zero libm calls ANYWHERE (rounds 7-9 the
+    oracle seeded the roots from sqrt()/pow() and corrected with a ±3
+    CASE ladder whose ELSE silently clamped — a driver-build libm seed
+    >3 off produced a wrong floor-root with no visible failure, and
+    ``source_mix_weights`` was driver-red three rounds running).  Each
+    root is now an exhaustive digit search: every base-10^k digit is
+    ``max(d)`` over a ``range()`` join filtered by the defining integer
+    inequality, so the result is the true floor root by construction —
+    on ANY build.  All compares/multiplies are HUGEINT ≤ ~10^30.
+
+        u  = (n·10^9) // total           (truncated 9dp share)
+        y  = isqrt(u³·10³)  via 3 digits of 10^5   (y ≤ 10^15)
+        p6 = iroot5(y·10^15) via 2 digits of 10^3  (p6 ≤ 10^6)
+
+    Aggregate-per-level keeps the plan 5 tiny hash-aggs over
+    |sources| × ≤10^5 candidate rows — model-sized either way."""
     return f"""{p}u AS (
   SELECT source, n, (CAST(n AS HUGEINT) * 1000000000) // {p}t.total AS u
   FROM {p}c, {p}t),
 {p}m1 AS (
-  SELECT source, n, u*u*u*1000 AS m1,
-         CAST(floor(sqrt(CAST(u*u*u*1000 AS DOUBLE))) AS HUGEINT) AS yc
+  SELECT source, n, u*u*u*CAST(1000 AS HUGEINT) AS m1
   FROM {p}u),
-{p}y AS (
-  SELECT source, n,
-         CASE WHEN (yc+3)*(yc+3) <= m1 THEN yc+3
-              WHEN (yc+2)*(yc+2) <= m1 THEN yc+2
-              WHEN (yc+1)*(yc+1) <= m1 THEN yc+1
-              WHEN yc*yc <= m1 THEN yc
-              WHEN (yc-1)*(yc-1) <= m1 THEN yc-1
-              WHEN (yc-2)*(yc-2) <= m1 THEN yc-2
-              ELSE greatest(yc-3, 0) END AS y
-  FROM {p}m1),
-{p}r5 AS (
-  SELECT source, n, y * 1000000000000000 AS m2,
-         CAST(floor(pow(CAST(y AS DOUBLE) * 1e15, 0.2)) AS HUGEINT) AS pc
-  FROM {p}y),
+{p}y1 AS (
+  SELECT source, n, m1, max(g.d) AS d1
+  FROM {p}m1, range(0, 100001) g(d)
+  WHERE CAST(g.d AS HUGEINT)*g.d*100000000000000000000 <= m1
+  GROUP BY source, n, m1),
+{p}y2 AS (
+  SELECT source, n, m1, max(d1*100000 + g.d) AS y12
+  FROM {p}y1, range(0, 100000) g(d)
+  WHERE (d1*CAST(100000 AS HUGEINT) + g.d)*(d1*100000 + g.d)*10000000000 <= m1
+  GROUP BY source, n, m1),
+{p}y3 AS (
+  SELECT source, n, max(y12*100000 + g.d) AS y
+  FROM {p}y2, range(0, 100000) g(d)
+  WHERE (y12*CAST(100000 AS HUGEINT) + g.d)*(y12*100000 + g.d) <= m1
+  GROUP BY source, n, m1),
+{p}m2 AS (
+  SELECT source, n, y*CAST(1000000000000000 AS HUGEINT) AS m2
+  FROM {p}y3),
+{p}p1 AS (
+  SELECT source, n, m2, max(g.d) AS e1
+  FROM {p}m2, range(0, 1001) g(d)
+  WHERE CAST(g.d AS HUGEINT)*g.d*g.d*g.d*g.d*1000000000000000 <= m2
+  GROUP BY source, n, m2),
 {p}p AS (
-  SELECT source, n,
-         CASE WHEN (pc+3)*(pc+3)*(pc+3)*(pc+3)*(pc+3) <= m2 THEN pc+3
-              WHEN (pc+2)*(pc+2)*(pc+2)*(pc+2)*(pc+2) <= m2 THEN pc+2
-              WHEN (pc+1)*(pc+1)*(pc+1)*(pc+1)*(pc+1) <= m2 THEN pc+1
-              WHEN pc*pc*pc*pc*pc <= m2 THEN pc
-              WHEN (pc-1)*(pc-1)*(pc-1)*(pc-1)*(pc-1) <= m2 THEN pc-1
-              WHEN (pc-2)*(pc-2)*(pc-2)*(pc-2)*(pc-2) <= m2 THEN pc-2
-              ELSE greatest(pc-3, 0) END AS p6
-  FROM {p}r5)"""
+  SELECT source, n, CAST(max(e1*1000 + g.d) AS HUGEINT) AS p6
+  FROM {p}p1, range(0, 1000) g(d)
+  WHERE (e1*CAST(1000 AS HUGEINT) + g.d)*(e1*1000 + g.d)*(e1*1000 + g.d)*(e1*1000 + g.d)*(e1*1000 + g.d) <= m2
+  GROUP BY source, n, m2)"""
 
 
 MIX_ORACLE = f"""
@@ -635,7 +647,8 @@ WITH mc AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
 mt AS (SELECT sum(n) AS total FROM mc),
 {p6_exact_ctes("m")},
 mz AS (SELECT sum(p6) AS z FROM mp)
-SELECT source, n, (p6 * 1000000) // mz.z AS mix_weight_fp6
+SELECT source, CAST(n AS BIGINT) AS n,
+       CAST((p6 * 1000000) // mz.z AS BIGINT) AS mix_weight_fp6
 FROM mp, mz
 """
 

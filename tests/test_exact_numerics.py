@@ -54,6 +54,17 @@ def test_p6_kernel_duckdb_parity():
     rng = random.Random(31)
     rows = [(1, 1), (1, 7), (6, 7), (1, 10**9), (10**9, 10**9)]
     rows += [(rng.randint(1, 10**7), 10**7) for _ in range(30)]
+    # adversarial floor-root boundaries: u = 10·a² makes m1 = u³·10³ a
+    # PERFECT square ((10³a³)²), so isqrt sits exactly on the edge where
+    # a seeded candidate one off flips the floor — the round-7..9 oracle's
+    # libm-seeded ladder could silently clamp here; the round-10
+    # digit-search must land exactly.  total=10^9 makes u = n verbatim.
+    for a in (1, 7, 123, 9999, 10**4):
+        for du in (-1, 0, 1):
+            n = 10 * a * a + du
+            if 1 <= n <= 10**9:
+                rows.append((n, 10**9))
+    rows = sorted(set(rows))
     con = duckdb.connect()
     con.execute("CREATE TABLE mc0(source VARCHAR, n BIGINT, total BIGINT)")
     con.executemany(
