@@ -863,29 +863,8 @@ def epoch_schedule(
     driver loops."""
     from pyspark.sql import Window
 
-    sizes = df.groupBy(group_col).agg(F.sum(F.col(size_col)).alias("_dom_sz"))
-    weights = mix_weights(df, group_col, alpha)
-    bt = sizes.agg(F.sum("_dom_sz").alias("_tot")).select(
-        F.expr(f"CAST(_tot * {budget_num} div {budget_den} AS BIGINT)").alias("_budget")
-    )
-    dom = (
-        sizes.join(F.broadcast(weights.select(group_col, "mix_weight_fp6")), group_col)
-        .crossJoin(F.broadcast(bt))
-        .select(
-            group_col,
-            "_dom_sz",
-            # floor(budget·w + 1/2) over fp6 integer weights:
-            # (2·budget·w_fp6 + 10^6) DIV (2·10^6) — exact integers
-            F.expr("(2 * _budget * mix_weight_fp6 + 1000000) DIV 2000000")
-            .cast("long")
-            .alias("_dom_budget"),
-        )
-        .select(
-            group_col,
-            F.expr("_dom_budget div _dom_sz").alias("_full_epochs"),
-            F.expr("_dom_budget % _dom_sz").alias("_rem"),
-        )
-    )
+    if alpha != 0.3:
+        raise ValueError("epoch_schedule: only alpha=0.3 has the exact integer kernel")
     h = F.conv(
         F.substring(
             F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")).cast("binary")), 1, 15
@@ -905,6 +884,41 @@ def epoch_schedule(
             n_parts, F.col(group_col).asc(), F.col("_hkey").asc(), F.col(id_col).asc()
         )
         .withColumn("_pid", F.spark_partition_id())
+    )
+    # ONE model-sized collect off the pinned frame feeds BOTH the
+    # α-temperature weights and the per-domain budgets (round 9 computed
+    # them as three separate corpus aggregates — mix_weights' count
+    # collect, a sizes agg, a budget agg — re-scanning the composed
+    # cleaning DAG each time; that regressed pipeline_mix_batches
+    # 0.90→3.90s warm). Reading the stats FROM `ranged` means the
+    # corpus (and any upstream cleaning pipeline) is scanned exactly
+    # once, at pin-materialization. The integer math is verbatim
+    # alpha3_10_p6 / (2·B·w+10^6) DIV 2·10^6 — values unchanged.
+    stats = ranged.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_sz").cast("long").alias("_dom_sz")
+    )
+    srows = stats.collect()  # model-sized: one row per domain
+    total_n = sum(int(r["_n"]) for r in srows)
+    p6s = {r[group_col]: alpha3_10_p6(int(r["_n"]), total_n) for r in srows}
+    z = sum(p6s.values()) or 1
+    budget = sum(int(r["_dom_sz"]) for r in srows) * budget_num // budget_den
+    dom_rows = []
+    for r in srows:
+        w_fp6 = (p6s[r[group_col]] * 10**6) // z
+        dom_budget = (2 * budget * w_fp6 + 10**6) // (2 * 10**6)
+        dom_sz = int(r["_dom_sz"])
+        if dom_sz <= 0:  # all-empty domain: NULL-div in the SQL form == dropped
+            continue
+        dom_rows.append((r[group_col], dom_budget // dom_sz, dom_budget % dom_sz))
+    dom = spark.createDataFrame(
+        dom_rows,
+        T.StructType(
+            [
+                df.schema[group_col],
+                T.StructField("_full_epochs", T.LongType(), False),
+                T.StructField("_rem", T.LongType(), False),
+            ]
+        ),
     )
     w_local = (
         Window.partitionBy(group_col, "_pid")
