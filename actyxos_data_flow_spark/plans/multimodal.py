@@ -323,16 +323,39 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PH_HAMMING = " + ".join(
-    f"(substr(a.phash, {j}, 1) <> substr(b.phash, {j}, 1))::INT"
+    f"(substr(pa, {j}, 1) <> substr(pb, {j}, 1))::INT"
     for j in range(1, PH_DW * PH_DH + 1)
 )
 
-# banding has FULL recall at the threshold (pigeonhole over
-# max_hamming+1 bands), so the oracle can use plain all-pairs hamming
-MM_PHASH_PAIRS_ORACLE = _PHASH_CTE + f"""
-SELECT a.media_id AS id_a, b.media_id AS id_b, {_PH_HAMMING} AS hamming
-FROM ph a JOIN ph b ON a.media_id < b.media_id
-WHERE {_PH_HAMMING} <= {PH_MAX_HAMMING}
+# The oracle blocks with the SAME pigeonhole banding as the engine
+# (simhash_bands: max_hamming+1 disjoint slices — two hashes within
+# the threshold must agree on at least one band, so recall is exactly
+# the all-pairs spec's). Round 9 shipped the literal quadratic
+# all-pairs join as the oracle and its O(n²·32) substr scan was ~29
+# minutes of the 10× probe's 1718.9s row; banding is value-identical
+# and keeps the oracle gradeable at probe scale.
+from ..operators.dedup import simhash_bands as _ph_bands  # noqa: E402
+
+_PH_BAND_CASE = " ".join(
+    f"WHEN {i} THEN substr(phash, {st}, {w})"
+    for i, (st, w) in enumerate(_ph_bands(PH_MAX_HAMMING, PH_DW * PH_DH))
+)
+
+MM_PHASH_PAIRS_ORACLE = _PHASH_CTE + f""",
+phb AS (
+  SELECT media_id, phash, g.band,
+         CASE g.band {_PH_BAND_CASE} END AS piece
+  FROM ph, range(0, {PH_MAX_HAMMING + 1}) g(band)
+),
+phc AS (
+  SELECT a.media_id AS id_a, b.media_id AS id_b,
+         a.phash AS pa, b.phash AS pb
+  FROM phb a JOIN phb b
+    ON a.band = b.band AND a.piece = b.piece AND a.media_id < b.media_id
+)
+SELECT DISTINCT id_a, id_b, hamming FROM (
+  SELECT id_a, id_b, {_PH_HAMMING} AS hamming FROM phc
+) WHERE hamming <= {PH_MAX_HAMMING}
 """
 
 

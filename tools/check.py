@@ -78,11 +78,15 @@ def main():
             sdf = spec.fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            t1 = time.time()  # engine-vs-oracle split (round-9 finding:
+            # a single `sec` conflated a 2s engine with a 29-min oracle)
             if spec.oracle is None:
-                results[name] = {"status": "rows_only", "rows": len(srows), "sec": round(time.time() - t0, 2)}
+                results[name] = {"status": "rows_only", "rows": len(srows), "sec": round(t1 - t0, 2)}
                 continue
-            ocols = [d[0] for d in con.execute(spec.oracle).description]
-            orows = con.execute(spec.oracle).fetchall()
+            cur = con.execute(spec.oracle)
+            ocols = [d[0] for d in cur.description]
+            orows = cur.fetchall()  # same cursor: the oracle runs ONCE
+            t2 = time.time()
             count_ok = len(srows) == len(orows)
             schema_ok = sorted(scols) == sorted(ocols)
             hash_ok = schema_ok and value_hash(srows, scols) == value_hash(orows, ocols)
@@ -95,6 +99,8 @@ def main():
                 "schema_ok": schema_ok,
                 "hash_ok": hash_ok,
                 "sec": round(time.time() - t0, 2),
+                "spark_sec": round(t1 - t0, 2),
+                "oracle_sec": round(t2 - t1, 2),
             }
             if status != "MATCH":
                 failed.append(name)
