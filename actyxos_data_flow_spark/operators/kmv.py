@@ -122,7 +122,19 @@ def priority_sample_estimates(
         F.col(group_col).alias("g"),
         weight_cents.cast("long").alias("w"),
         h.alias("h"),
-    ).withColumn("pri", F.expr(f"(w * {_H30}) DIV ((h >> 30) + 1)"))
+    ).withColumn(
+        "pri",
+        # in-plan 64-bit envelope guard (the wordpiece _WP_C_MAX /
+        # dsir_model assertion posture): w·2^30 silently wraps in
+        # non-ANSI long math past w = 2^33 cents (~$86M/row) while the
+        # DuckDB oracle errors or diverges — fail loudly ON the
+        # offending row instead, at zero extra scans
+        F.expr(
+            f"CASE WHEN w < {1 << 33} THEN (w * {_H30}) DIV ((h >> 30) + 1) "
+            f"ELSE CAST(raise_error(concat('priority_sample: weight_cents ', "
+            f"CAST(w AS STRING), ' exceeds the 2^33 overflow envelope')) AS BIGINT) END"
+        ),
+    )
     order = [F.col("pri").desc(), F.col("h").asc(), F.col("w").asc(), F.col("g").asc()]
     from .. import cache
 

@@ -1145,10 +1145,12 @@ def dsir_model(
     ttok = _dsir_buckets(target, text_col)
     tgt = ttok.groupBy("b").agg(F.count(F.lit(1)).alias("tcnt"))
     cor = rtok.groupBy("b").agg(F.count(F.lit(1)).alias("ccnt"))
-    totals = cor.crossJoin(tgt.agg(F.sum("tcnt").alias("_t"))).agg(
-        F.sum("ccnt").alias("_c"), F.max("_t").alias("_t")
-    ).collect()[0]
-    c_tot, t_tot = int(totals["_c"] or 0), int(totals["_t"] or 0)
+    # two INDEPENDENT aggregates (mirroring the oracle's separate ct/tt
+    # CTEs): routing t_tot through a crossJoin with cor silently
+    # collapsed it to 0 when the raw/standing corpus was empty, skewing
+    # the global normalizer kc while the oracle kept the real total
+    c_tot = int(cor.agg(F.sum("ccnt")).collect()[0][0] or 0)
+    t_tot = int(tgt.agg(F.sum("tcnt")).collect()[0][0] or 0)
     assert max(c_tot, t_tot) + DSIR_BUCKETS < (1 << 33), (
         f"token totals ({c_tot}, {t_tot}) exceed the ilog2 kernel's 2^33 "
         f"overflow envelope; shard the counts or widen the kernel"

@@ -262,7 +262,7 @@ ptab AS (
 top AS MATERIALIZED (
   SELECT * FROM ptab ORDER BY pri DESC, h ASC, w ASC, g ASC LIMIT {_PK + 1}
 ),
-tau AS (SELECT CASE WHEN count(*) <= 256 THEN 0 ELSE min(pri) END AS tau FROM top),
+tau AS (SELECT CASE WHEN count(*) <= {_PK} THEN 0 ELSE min(pri) END AS tau FROM top),
 sample AS (SELECT * FROM top ORDER BY pri DESC, h ASC, w ASC, g ASC LIMIT {_PK}),
 est AS (
   SELECT g,

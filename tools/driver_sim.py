@@ -26,9 +26,25 @@ from check import env_stamp, value_hash  # noqa: E402  (tools/ sibling)
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    rest = [a for a in sys.argv[1:] if not os.path.isdir(a)]
-    n_prefix = int(rest[0]) if rest else None
+    # explicit positional parse: argv[1] is sf_dir iff it LOOKS like a
+    # path (contains a separator or exists) — a mistyped path must error
+    # out, not silently fall back to the default dataset and then crash
+    # in int() with an unrelated ValueError
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and (os.sep in args[0] or not args[0].isdigit()):
+        sf_dir = args.pop(0)
+        if not os.path.isdir(sf_dir):
+            print(f"driver_sim: sf_dir does not exist: {sf_dir}", file=sys.stderr)
+            return 2
+    if len(args) > 1:
+        print(f"driver_sim: unexpected arguments: {args[1:]}", file=sys.stderr)
+        return 2
+    try:
+        n_prefix = int(args[0]) if args else None
+    except ValueError:
+        print(f"driver_sim: n_prefix must be an integer, got {args[0]!r}", file=sys.stderr)
+        return 2
 
     from pyspark.sql import SparkSession
 
