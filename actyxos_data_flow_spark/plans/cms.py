@@ -111,7 +111,11 @@ h{tag} AS (
          ('0x' || substr(md5(t.term), 17, 15))::BIGINT AS p2
   FROM k{tag} t GROUP BY 1
 ),
-s{tag} AS (
+s{tag} AS MATERIALIZED (
+  -- MATERIALIZED: the {_D}x{_W}-cell sketch is the SHARED artifact each
+  -- downstream inner-product reads; hinting it pins the one-scan-per-
+  -- (table,key) cost no matter how DuckDB's inliner treats the chain
+  -- (the 10x Selinger probe's ceiling was these 8 builds)
   SELECT r.row, (h.p1 + r.row * h.p2) % {_W} AS bucket, sum(h.cnt) AS c
   FROM h{tag} h CROSS JOIN rows_ r GROUP BY 1, 2
 )"""
