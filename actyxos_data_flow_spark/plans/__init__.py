@@ -88,6 +88,8 @@ _PRIORITY: tuple[str, ...] = (
     "mm_phash_pairs", "sample_quality_weighted",
     # --- new queries registered this round (first official grades);
     # names appended by each query's landing commit ---
+    "rl_episode_returns", "rl_advantage_baseline", "pref_pair_mining",
+    "pref_agreement_matrix", "trace_call_depth",
     # --- staleness rotation (round-9 directive #6): the rows graded
     # longest ago — the rounds-3/4-era §2 micro-rows, temporal family,
     # skew/shape rows — re-greened on final round-10 code ---
@@ -139,6 +141,7 @@ def load_all() -> dict[str, QuerySpec]:
     from . import behavior  # noqa: F401
     from . import mining  # noqa: F401
     from . import vectors  # noqa: F401
+    from . import rlpref  # noqa: F401
     from . import envprobe  # noqa: F401
 
     missing = [n for n in _PRIORITY if n not in REGISTRY]

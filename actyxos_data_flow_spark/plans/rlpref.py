@@ -1,0 +1,175 @@
+"""RL / preference-data queries over ``events`` (operators/rlpref.py)
+— the post-training data plane: reward traces, advantage baselines,
+preference-pair mining, annotator agreement, tool-trace health.
+
+Every oracle shares its constants (discount weights, thresholds,
+push/pop types) with the Spark operators via the module symbols, so
+the two sides cannot drift; every hashed column is an exact BIGINT
+(cents, integer-weighted window sums, truncating DIV)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators import rlpref as R
+from ..sources import load_table
+from . import register
+
+_CENTS = "CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)"
+
+# -- truncated discounted returns -------------------------------------------
+
+_W = R._return_weights(R.RL_HORIZON)
+_G_TERMS = " + ".join(
+    (f"r_cents * {_W[0]}" if k == 0 else f"coalesce(lead(r_cents, {k}) OVER w, 0) * {_W[k]}")
+    for k in range(R.RL_HORIZON + 1)
+)
+
+RETURNS_ORACLE = f"""
+WITH rb AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_micros, {_CENTS} AS r_cents
+  FROM events
+)
+SELECT event_id, user_id, ts_micros, r_cents,
+       CAST({_G_TERMS} AS BIGINT) AS g_fp8
+FROM rb
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_micros ASC, event_id ASC)
+"""
+
+
+@register("rl_episode_returns", oracle=RETURNS_ORACLE, bench=True)
+def rl_episode_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step truncated discounted return (γ=0.9, H=8) over each
+    user's event stream — the reward-trace materialization every RL
+    fine-tune consumes. The discount is integer WEIGHTS inside one
+    window pass (never pow()), so g_fp8 is the same BIGINT on any
+    build."""
+    return R.episode_returns(load_table(spark, sf_dir, "events"))
+
+
+ADVANTAGE_ORACLE = f"""
+WITH rb AS (
+  SELECT event_id, user_id, epoch_us(ts) AS ts_micros, {_CENTS} AS r_cents
+  FROM events
+),
+rg AS (
+  SELECT event_id, user_id, ts_micros,
+         CAST({_G_TERMS} AS BIGINT) AS g_fp8
+  FROM rb
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts_micros ASC, event_id ASC)
+)
+SELECT event_id, user_id, ts_micros, g_fp8,
+       CAST((sum(g_fp8) OVER pu) // (count(*) OVER pu) AS BIGINT) AS baseline_fp8,
+       CAST(g_fp8 - (sum(g_fp8) OVER pu) // (count(*) OVER pu) AS BIGINT) AS adv_fp8
+FROM rg
+WINDOW pu AS (PARTITION BY user_id)
+"""
+
+
+@register("rl_advantage_baseline", oracle=ADVANTAGE_ORACLE)
+def rl_advantage_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advantage vs the per-episode truncating-mean baseline
+    (REINFORCE-with-baseline), composed on the returns operator — the
+    baseline aggregate reuses the returns' episode partitioning, so
+    the composition adds no extra shuffle."""
+    return R.advantage_baseline(R.episode_returns(load_table(spark, sf_dir, "events")))
+
+
+# -- preference pairs --------------------------------------------------------
+
+PREF_PAIRS_ORACLE = f"""
+WITH pp AS (
+  SELECT user_id, event_type, event_id, {_CENTS} AS c FROM events
+),
+pr AS (
+  SELECT user_id, event_type, event_id, c,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY c DESC, event_id ASC) AS rhi,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY c ASC, event_id ASC) AS rlo,
+         count(*) OVER (PARTITION BY user_id, event_type) AS n
+  FROM pp
+),
+phi AS (SELECT user_id, event_type, event_id AS chosen_id, c AS chosen_cents
+        FROM pr WHERE rhi = 1 AND n >= 2),
+plo AS (SELECT user_id, event_type, event_id AS rejected_id, c AS rejected_cents
+        FROM pr WHERE rlo = 1 AND n >= 2)
+SELECT user_id, event_type, chosen_id, rejected_id, chosen_cents, rejected_cents,
+       chosen_cents - rejected_cents AS margin_cents
+FROM phi JOIN plo USING (user_id, event_type)
+WHERE chosen_cents - rejected_cents > 0
+"""
+
+
+@register("pref_pair_mining", oracle=PREF_PAIRS_ORACLE)
+def pref_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO-style preference pairs: per prompt group the top-scored row
+    is CHOSEN, the bottom-scored REJECTED (deterministic ties, zero
+    margins dropped). The engine mines both extremes with ONE
+    max_by/min_by aggregate — no window sort, no self-join; the oracle
+    says the same thing with two rank windows."""
+    return R.preference_pairs(load_table(spark, sf_dir, "events"))
+
+
+AGREEMENT_ORACLE = f"""
+WITH ab AS (
+  SELECT CAST(props->>'$.k' AS BIGINT) AS item, user_id AS u,
+         epoch_us(ts) AS tsu, event_id AS id,
+         CASE WHEN {_CENTS} >= {R.AGREE_THRESHOLD_CENTS} THEN 1 ELSE 0 END AS lab
+  FROM events
+  WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+),
+alast AS (
+  SELECT item, u, lab FROM (
+    SELECT item, u, lab,
+           row_number() OVER (PARTITION BY item, u ORDER BY tsu DESC, id DESC) AS rn
+    FROM ab
+  ) WHERE rn = 1
+)
+SELECT a.u AS user_a, b.u AS user_b,
+       count(*) AS n_items,
+       CAST(sum((a.lab = b.lab)::INT) AS BIGINT) AS n_agree,
+       (CAST(sum((a.lab = b.lab)::INT) AS BIGINT) * 1000000) // count(*) AS agree_fp6
+FROM alast a JOIN alast b ON a.item = b.item AND a.u < b.u
+GROUP BY 1, 2
+"""
+
+
+@register("pref_agreement_matrix", oracle=AGREEMENT_ORACLE)
+def pref_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-annotator agreement over items (props.k): latest verdict
+    per (item, user) wins, labels are the cents threshold, and every
+    co-rating user pair reports (n_items, n_agree, agree_fp6). The
+    item is the blocking key (fanout = raters-per-item², never
+    corpus²)."""
+    return R.agreement_matrix(load_table(spark, sf_dir, "events"))
+
+
+# -- tool-trace health -------------------------------------------------------
+
+TRACE_DEPTH_ORACLE = f"""
+WITH td AS (
+  SELECT user_id, epoch_us(ts) AS tsu, event_id,
+         CASE event_type WHEN '{R.TRACE_PUSH}' THEN 1
+                         WHEN '{R.TRACE_POP}' THEN -1 ELSE 0 END AS d
+  FROM events
+),
+tc AS (
+  SELECT user_id, d,
+         sum(d) OVER (PARTITION BY user_id ORDER BY tsu ASC, event_id ASC
+                      ROWS UNBOUNDED PRECEDING) AS depth
+  FROM td
+)
+SELECT user_id,
+       CAST(max(depth) AS BIGINT) AS max_depth,
+       CAST(sum(d) AS BIGINT) AS end_balance,
+       CAST(sum(CASE WHEN d = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_push,
+       CAST(sum(CASE WHEN d = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pop
+FROM tc GROUP BY user_id
+"""
+
+
+@register("trace_call_depth", oracle=TRACE_DEPTH_ORACLE)
+def trace_call_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tool-trace nesting health: running ±1 prefix sum per trace =
+    stack depth; emits max depth, final imbalance, push/pop counts —
+    the agentic-data audit run before traces become training turns."""
+    return R.call_depth_stats(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,111 @@
+"""RL/preference-data operators (operators/rlpref.py): exactness of the
+integer discount weights, determinism of the pair mining under ties,
+and the depth recurrence against a straight Python replay."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from actyxos_data_flow_spark.operators import rlpref as R
+
+
+def _ev(spark, rows):
+    # rows: (event_id, ts_seconds, user_id, event_type, value)
+    data = [
+        (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, t, v, None)
+        for (i, s, u, t, v) in rows
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    # events read as LONG epoch-nanos in the engine (sources/tables)
+    return df.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+
+
+def test_return_weights_are_exact_gamma_powers():
+    w = R._return_weights(R.RL_HORIZON)
+    assert len(w) == R.RL_HORIZON + 1
+    for k, wk in enumerate(w):
+        assert wk == R.RL_GAMMA_NUM**k * R.RL_GAMMA_DEN ** (R.RL_HORIZON - k)
+    # fp scale: k=0 weight is exactly gamma_den^H
+    assert w[0] == R.RL_GAMMA_DEN**R.RL_HORIZON
+
+
+def test_episode_returns_match_python_replay(spark):
+    rows = [(i, i * 10, 1, "click", float(i + 1)) for i in range(12)]
+    out = {
+        r["event_id"]: r["g_fp8"]
+        for r in R.episode_returns(_ev(spark, rows)).collect()
+    }
+    cents = [int(v * 100 + 0.5) for v in (float(i + 1) for i in range(12))]
+    w = R._return_weights(R.RL_HORIZON)
+    for t in range(12):
+        expect = sum(
+            cents[t + k] * w[k] for k in range(R.RL_HORIZON + 1) if t + k < 12
+        )
+        assert out[t] == expect, t
+
+
+def test_advantage_baseline_is_truncating_mean(spark):
+    rows = [(i, i, 7, "view", float(v)) for i, v in enumerate([1.0, 2.0, 2.0])]
+    res = R.advantage_baseline(R.episode_returns(_ev(spark, rows))).collect()
+    gs = [r["g_fp8"] for r in res]
+    b = sum(gs) // len(gs)
+    for r in res:
+        assert r["baseline_fp8"] == b
+        assert r["adv_fp8"] == r["g_fp8"] - b
+
+
+def test_preference_pairs_tie_break_and_filters(spark):
+    rows = [
+        # group (1, click): tie at the top value -> smallest id chosen
+        (1, 1, 1, "click", 5.0),
+        (2, 2, 1, "click", 5.0),
+        (3, 3, 1, "click", 1.0),
+        # group (2, view): single row -> dropped
+        (4, 4, 2, "view", 9.0),
+        # group (3, view): zero margin -> dropped
+        (5, 5, 3, "view", 2.0),
+        (6, 6, 3, "view", 2.0),
+    ]
+    got = {tuple(r[:2]): r for r in R.preference_pairs(_ev(spark, rows)).collect()}
+    assert set(got) == {(1, "click")}
+    r = got[(1, "click")]
+    assert r["chosen_id"] == 1 and r["rejected_id"] == 3
+    assert r["margin_cents"] == 400
+
+
+def test_call_depth_stats_recurrence(spark):
+    seq = ["click", "click", "purchase", "click", "purchase", "purchase", "purchase"]
+    rows = [(i, i, 9, t, 0.0) for i, t in enumerate(seq)]
+    r = R.call_depth_stats(_ev(spark, rows)).collect()[0]
+    depth, mx = 0, 0
+    for t in seq:
+        depth += 1 if t == R.TRACE_PUSH else (-1 if t == R.TRACE_POP else 0)
+        mx = max(mx, depth)
+    assert r["max_depth"] == mx and r["end_balance"] == depth
+    assert r["n_push"] == 3 and r["n_pop"] == 4
+
+
+def test_agreement_matrix_latest_wins(spark):
+    def evp(i, s, u, v, k):
+        return (i, dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s), u, "view", v, '{"k": %d}' % k)
+
+    data = [
+        evp(1, 1, 1, 200.0, 5),   # u1 item5: lab 1
+        evp(2, 2, 2, 10.0, 5),    # u2 item5: lab 0 ...
+        evp(3, 3, 2, 300.0, 5),   # ... overridden later -> lab 1 (agree)
+        evp(4, 4, 1, 10.0, 6),    # u1 item6: lab 0
+        evp(5, 5, 2, 400.0, 6),   # u2 item6: lab 1 (disagree)
+    ]
+    df = spark.createDataFrame(
+        data, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+    r = R.agreement_matrix(df).collect()
+    assert len(r) == 1
+    row = r[0]
+    assert (row["user_a"], row["user_b"]) == (1, 2)
+    assert row["n_items"] == 2 and row["n_agree"] == 1
+    assert row["agree_fp6"] == 500000
