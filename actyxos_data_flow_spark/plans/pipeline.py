@@ -357,3 +357,53 @@ def pipeline_mix_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         budget=PACK_BUDGET,
         order_cols=("sched_key", "chunk_id", "source"),
     )
+
+
+# -- DSIR-selected mixing: importance resampling feeding the epoch plan -----
+
+from .text import DSIR_TARGET, _DBK, _DSIR_BODY  # noqa: E402
+
+_DM_BODY, _DM_FINAL = epoch_schedule_ctes("ddoc", "z")
+
+DSIR_MIX_ORACLE = f"""
+WITH {_DSIR_BODY},
+dsel AS (SELECT doc_id FROM scored
+         ORDER BY dsir_score_ilfp20 DESC, doc_id ASC LIMIT {_DBK}),
+ddoc AS (SELECT d.doc_id, d.source, d.n_chars
+         FROM documents d JOIN dsel USING (doc_id)),
+{_DM_BODY}
+SELECT source, doc_id, n_chars, n_epochs, epoch, sched_key FROM {_DM_FINAL}
+"""
+
+
+@register("pipeline_dsir_mix", oracle=DSIR_MIX_ORACLE)
+def pipeline_dsir_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted-pretraining composition: DSIR importance resampling
+    picks the top-k raw-pool documents that look most like the target
+    domain (exact integer log2 kernel), and the α-temperature epoch
+    schedule then turns THAT selection into a materialized training
+    plan — per-source budgets, replication epochs, salted-permutation
+    remainder, schedule keys. Both stages are the already-proven
+    standalone operators; the oracle replays the full composition in
+    one SQL chain, so the hash gate covers the seam (the doc_id join
+    and the re-derived source shares over the selected subset), not
+    just the parts.
+
+    Scale shape: the selection is a TakeOrderedAndProject of k ids
+    broadcast back onto the corpus scan; the schedule adds its one
+    model-sized stats collect off the pinned range partitioning — no
+    new shuffle beyond the two operators' own."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = docs.filter(F.col("source") != DSIR_TARGET)
+    target = docs.filter(F.col("source") == DSIR_TARGET)
+    sel = X.dsir_select(raw, target).select("doc_id")
+    selected = docs.join(sel, "doc_id")
+    return X.epoch_schedule(
+        selected,
+        group_col="source",
+        size_col="n_chars",
+        alpha=MIX_ALPHA,
+        budget_num=MIX_BUDGET_NUM,
+        budget_den=MIX_BUDGET_DEN,
+        salt=MIX_SALT,
+    )

@@ -951,8 +951,9 @@ _DH = f"('0x' || substr(md5('{X.DSIR_SALT}:' || w), 1, 15))::BIGINT % {_DB}"
 from ..functions.intlog import ilog_chain_sql as _ilog_chain  # noqa: E402
 
 
-DSIR_ORACLE = f"""
-WITH rtok AS (
+# the CTE body (ends in `scored`) is shared with the pipeline_dsir_mix
+# composition oracle (plans/pipeline.py)
+_DSIR_BODY = f"""rtok AS (
   SELECT doc_id, {_DH} AS b
   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
         FROM documents WHERE source <> '{DSIR_TARGET}')
@@ -984,7 +985,10 @@ scored AS (
          CAST(sum(k.ilog2_fp20) + count(*) * (SELECT kc FROM kc) AS BIGINT) AS dsir_score_ilfp20
   FROM rtok r JOIN bkt k USING (b)
   GROUP BY r.doc_id
-)
+)"""
+
+DSIR_ORACLE = f"""
+WITH {_DSIR_BODY}
 SELECT CAST(row_number() OVER (ORDER BY dsir_score_ilfp20 DESC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, n_tokens, dsir_score_ilfp20
 FROM scored
