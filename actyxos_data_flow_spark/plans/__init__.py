@@ -90,6 +90,7 @@ _PRIORITY: tuple[str, ...] = (
     # names appended by each query's landing commit ---
     "rl_episode_returns", "rl_advantage_baseline", "pref_pair_mining",
     "pref_agreement_matrix", "trace_call_depth", "pipeline_dsir_mix",
+    "embedding_matryoshka_recall", "stream_latebound_sessionize",
     # --- staleness rotation (round-9 directive #6): the rows graded
     # longest ago — the rounds-3/4-era §2 micro-rows, temporal family,
     # skew/shape rows — re-greened on final round-10 code ---

@@ -1160,3 +1160,87 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+# -- matryoshka (MRL) truncation evaluation ---------------------------------
+
+MRL_DIMS = (8, 16, 32, 64)  # 64 = the full width (recall exactly 1.0)
+
+
+def _mrl_dim_ctes(d: int) -> str:
+    """Per-truncation-width chain: slice both sides to the leading d
+    dims, score, rank, keep top-k — the same score/rank conventions as
+    _SCORE (rank on the unrounded double, ties to vec_id)."""
+    return f"""
+mp{d} AS (SELECT qid, vec_id, list_slice(qe, 1, {d}) AS sq,
+                 list_slice(embedding, 1, {d}) AS se FROM q, e),
+mu{d} AS (SELECT qid, vec_id, unnest(sq)::DOUBLE a, unnest(se)::DOUBLE b FROM mp{d}),
+ms{d} AS (SELECT qid, vec_id, sum(a*b) AS dot, sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+          FROM mu{d} GROUP BY 1, 2),
+mt{d} AS (
+  SELECT qid, vec_id FROM (
+    SELECT qid, vec_id,
+           row_number() OVER (PARTITION BY qid ORDER BY dot/(na*nb) DESC, vec_id ASC) AS rank
+    FROM ms{d}
+  ) WHERE rank <= {K})"""
+
+
+MRL_ORACLE = (
+    "WITH "
+    + _COS_CTE.rstrip().rstrip(",")
+    + ","
+    + ",".join(_mrl_dim_ctes(d) for d in MRL_DIMS)
+    + f""",
+mall AS ({" UNION ALL ".join(f"SELECT {d} AS dim, qid, vec_id FROM mt{d}" for d in MRL_DIMS)}),
+mhit AS (
+  SELECT dim, count(*) AS hits
+  FROM mall a JOIN mt{max(MRL_DIMS)} t USING (qid, vec_id)
+  GROUP BY dim
+)
+SELECT CAST(dim AS INT) AS dim, CAST(hits AS BIGINT) AS hits,
+       (CAST(hits AS BIGINT) * 1000000) // (SELECT count(*) FROM mt{max(MRL_DIMS)}) AS recall_at_k_fp6
+FROM mhit
+"""
+)
+
+
+@register("embedding_matryoshka_recall", oracle=MRL_ORACLE)
+def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-representation evaluation (Kusupati et al. 2022): how
+    much top-k recall survives truncating embeddings to their leading
+    8/16/32 dims vs the full 64 — the measurement behind serving MRL
+    embeddings at a fraction of the storage/FLOPs. Each width reuses
+    the exact brute-force operator on prefix-sliced vectors (the slice
+    is a zero-copy array op in both engines); the full width doubles as
+    the truth set, so its recall row is exactly 10^6 by construction —
+    a built-in sanity sentinel.
+
+    Scale shape: one corpus scan per width (the widths could share a
+    scan via a single exploded pass, but each per-width pass is the
+    already-proven batched-BLAS score+prune with ≤ |Q|·k surviving
+    rows; at serving scale you'd only ever evaluate one candidate
+    width against the full truth anyway)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    parts = None
+    topk = {}
+    for d in MRL_DIMS:
+        corpus = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("qid"), F.slice("embedding", 1, d).alias("qe")
+        )
+        topk[d] = S.cosine_topk(queries, corpus, k=K).select("qid", "vec_id")
+    truth = cache.pin(topk[max(MRL_DIMS)])
+    for d in MRL_DIMS:
+        part = (topk[d] if d != max(MRL_DIMS) else truth).select(
+            F.lit(d).cast("int").alias("dim"), "qid", "vec_id"
+        )
+        parts = part if parts is None else parts.unionByName(part)
+    hits = parts.join(truth, ["qid", "vec_id"]).groupBy("dim").agg(
+        F.count(F.lit(1)).alias("hits")
+    )
+    denom = truth.agg(F.count(F.lit(1)).alias("_n"))
+    return hits.crossJoin(F.broadcast(denom)).select(
+        "dim",
+        F.col("hits").cast("long").alias("hits"),
+        F.expr("(hits * 1000000) DIV _n").alias("recall_at_k_fp6"),
+    )

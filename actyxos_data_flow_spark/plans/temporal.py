@@ -149,6 +149,66 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -- out-of-order arrival sessionization (IVM replay) ------------------------
+
+LATE_N_BATCHES = 5
+LATE_SALT = "latearrival:1"
+
+
+@register("stream_latebound_sessionize", oracle=SESSION_ORACLE)
+def stream_latebound_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization under MAXIMALLY out-of-order arrival: the event
+    stream is replayed as salted-hash arrival batches (so every batch
+    carries events from the whole time range — late data by
+    construction), and each batch folds into a standing per-user
+    session state via streaming.windows.merge_session_state — batch
+    mini-sessions merged into islands on the same >= gap break rule as
+    session_window. After the replay the state must be BIT-IDENTICAL
+    to the one-pass batch sessionization (the same oracle as
+    session_windows): the merge relation is order-independent and its
+    aggregates associative-commutative, so arrival order cannot leak
+    into the result. This is the session analog of the CDC replay
+    rows' exactly-once contract; Structured Streaming's session store
+    keeps the same O(active sessions) state this fold does.
+
+    Scale shape per batch: sessionize the BATCH (one session_window
+    agg), then merge touching users only (broadcast semi/anti split of
+    the state); localCheckpoint is the per-batch commit point."""
+    from ..streaming.windows import merge_session_state
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", ns_micros("ts").alias("tsu")
+    )
+    arrival = F.pmod(
+        F.xxhash64(F.concat(F.lit(LATE_SALT + ":"), F.col("event_id").cast("string"))),
+        F.lit(LATE_N_BATCHES),
+    )
+    ev = ev.withColumn("_arr", arrival)
+    state = None
+    for b in range(LATE_N_BATCHES):
+        batch = ev.filter(F.col("_arr") == b)
+        mini = (
+            batch.groupBy(
+                "user_id",
+                F.session_window(F.timestamp_micros(F.col("tsu")), "30 minutes"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.unix_micros(F.col("session_window.start")).alias("s_us"),
+                (F.unix_micros(F.col("session_window.end")) - SESSION_GAP_US).alias("last_us"),
+                "n_events",
+            )
+        )
+        state = merge_session_state(state, mini, SESSION_GAP_US).localCheckpoint()
+    return state.select(
+        "user_id",
+        F.col("s_us").alias("session_start_micros"),
+        (F.col("last_us") + SESSION_GAP_US).alias("session_end_micros"),
+        "n_events",
+    )
+
+
 ROLLING_ORACLE = """
 WITH rbase AS (
   SELECT event_id, user_id, epoch_us(ts) AS ts_micros, value FROM events

@@ -99,3 +99,64 @@ def windowed_distinct_hll(
         "idx",
         "r",
     )
+
+
+def merge_session_state(
+    state: "DataFrame | None",
+    batch_sessions: DataFrame,
+    gap_us: int,
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Incremental sessionization merge — the IVM step behind
+    late-/out-of-order-arrival sessionization: fold a batch's
+    mini-sessions (min event time, last event time, n_events) into the
+    standing per-user session state. Two sessions merge when the later
+    one STARTS strictly within gap of the earlier one's last event —
+    exactly Spark's ``session_window`` break rule (new session iff
+    diff >= gap), so folding arrival batches in ANY order converges to
+    the same state as one batch pass over the fully-ordered stream:
+    "same session" is the transitive closure of consecutive-gap < gap,
+    an order-independent relation, and (min, max, sum) are its
+    associative-commutative aggregates.
+
+    Scale shape per batch: only TOUCHED users re-sessionize — the
+    state is split by a broadcast semi/anti join on the batch's user
+    set, untouched rows pass through untouched; the island window
+    sorts only (touched users × their sessions), never the whole
+    state. State stays one row per session: O(active sessions), the
+    same bound Structured Streaming's session store keeps."""
+    from pyspark.sql import Window
+
+    cols = [user_col, "s_us", "last_us", "n_events"]
+    b = batch_sessions.select(*cols)
+    if state is None:
+        merged_in = b
+        untouched = None
+    else:
+        users = b.select(user_col).distinct()
+        touched = state.join(F.broadcast(users), user_col, "semi")
+        untouched = state.join(F.broadcast(users), user_col, "anti")
+        merged_in = touched.select(*cols).unionByName(b)
+    w_prev = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("s_us").asc(), F.col("last_us").asc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col("s_us").asc(), F.col("last_us").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_last = F.max("last_us").over(w_prev)
+    brk = F.when(prev_last.isNull() | (F.col("s_us") >= prev_last + F.lit(gap_us)), 1).otherwise(0)
+    islands = (
+        merged_in.withColumn("_sid", F.sum(brk).over(w_run))
+        .groupBy(user_col, "_sid")
+        .agg(
+            F.min("s_us").alias("s_us"),
+            F.max("last_us").alias("last_us"),
+            F.sum("n_events").cast("long").alias("n_events"),
+        )
+        .drop("_sid")
+    )
+    return islands if untouched is None else islands.unionByName(untouched.select(*cols))

@@ -109,3 +109,41 @@ def test_agreement_matrix_latest_wins(spark):
     assert (row["user_a"], row["user_b"]) == (1, 2)
     assert row["n_items"] == 2 and row["n_agree"] == 1
     assert row["agree_fp6"] == 500000
+
+
+def test_merge_session_state_is_arrival_order_independent(spark):
+    """Folding arrival batches in ANY order must converge to the same
+    session state (the stream_latebound_sessionize contract)."""
+    import itertools
+    import random
+
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.streaming.windows import merge_session_state
+
+    gap = 100
+    rng = random.Random(5)
+    # 2 users, event times with gaps straddling the threshold
+    times = {1: [0, 50, 149, 300, 401, 500], 2: [10, 111, 211, 600]}
+    rows = [(u, t) for u, ts in times.items() for t in ts]
+
+    def mini(batch):
+        df = spark.createDataFrame(batch, "user_id long, tsu long")
+        return df.groupBy("user_id", "tsu").agg(F.count(F.lit(1)).alias("n_events")).select(
+            "user_id", F.col("tsu").alias("s_us"), F.col("tsu").alias("last_us"), "n_events"
+        )
+
+    def fold(order, batches):
+        state = None
+        for i in order:
+            state = merge_session_state(state, mini(batches[i]), gap)
+        return sorted(tuple(r) for r in state.collect())
+
+    batches = [rows[i::3] for i in range(3)]
+    base = fold([0, 1, 2], batches)
+    for order in itertools.permutations(range(3)):
+        assert fold(list(order), batches) == base, order
+    # sanity: sessions split exactly at >= gap
+    u1 = [r for r in base if r[0] == 1]
+    # 149->300 (151) and 300->401 (101) both break at >= 100; 401->500 (99) joins
+    assert [(r[1], r[2], r[3]) for r in u1] == [(0, 149, 3), (300, 300, 1), (401, 500, 2)]
