@@ -91,6 +91,7 @@ _PRIORITY: tuple[str, ...] = (
     "rl_episode_returns", "rl_advantage_baseline", "pref_pair_mining",
     "pref_agreement_matrix", "trace_call_depth", "pipeline_dsir_mix",
     "embedding_matryoshka_recall", "stream_latebound_sessionize",
+    "ann_query_router", "ann_filtered_topk",
     # --- staleness rotation (round-9 directive #6): the rows graded
     # longest ago — the rounds-3/4-era §2 micro-rows, temporal family,
     # skew/shape rows — re-greened on final round-10 code ---

@@ -1244,3 +1244,152 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hits").cast("long").alias("hits"),
         F.expr("(hits * 1000000) DIV _n").alias("recall_at_k_fp6"),
     )
+
+
+# -- serving-side ANN: cost-based routing + filtered search -----------------
+
+
+def _ann_chain(p: str) -> str:
+    """Score/rank chain over a caller-defined ``{p}p(qid, vec_id, qe,
+    embedding)`` candidate CTE — the _SCORE conventions (rank on the
+    unrounded double, ties to vec_id) under per-path names."""
+    return f"""
+{p}u AS (SELECT qid, vec_id, unnest(qe)::DOUBLE a, unnest(embedding)::DOUBLE b FROM {p}p),
+{p}s AS (SELECT qid, vec_id, sum(a*b) AS dot, sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+         FROM {p}u GROUP BY 1, 2),
+{p}r AS (SELECT qid, vec_id, dot/(na*nb) AS cosine,
+                row_number() OVER (PARTITION BY qid ORDER BY dot/(na*nb) DESC, vec_id ASC) AS rank
+         FROM {p}s)"""
+
+
+ROUTE_FACTOR = 20  # IVF iff 20 * |query's cell| >= |corpus| (cell >= 1/20th)
+
+ROUTER_ORACLE = (
+    "WITH "
+    + _COS_CTE.rstrip().rstrip(",")
+    + f""",
+rh AS (SELECT label, count(*) AS c FROM e GROUP BY label),
+rcnt AS (SELECT count(*) AS n FROM e),
+rroute AS (
+  SELECT q.qid, CASE WHEN {ROUTE_FACTOR} * rh.c >= rcnt.n THEN 'ivf' ELSE 'brute' END AS method
+  FROM q JOIN rh ON rh.label = q.qlabel, rcnt
+),
+rbp AS (SELECT qid, vec_id, qe, embedding FROM q, e),
+{_ann_chain("rb").lstrip()},
+rip AS (SELECT qid, vec_id, qe, embedding FROM q JOIN e ON e.label = q.qlabel),
+{_ann_chain("ri").lstrip()}
+SELECT r.qid, r.method, x.vec_id, x.rank, round(x.cosine, 6) AS cosine
+FROM rroute r JOIN (
+  SELECT 'brute' AS method, qid, vec_id, rank, cosine FROM rbr WHERE rank <= {K}
+  UNION ALL
+  SELECT 'ivf' AS method, qid, vec_id, rank, cosine FROM rir WHERE rank <= {K}
+) x ON x.qid = r.qid AND x.method = r.method
+"""
+)
+
+
+@register("ann_query_router", oracle=ROUTER_ORACLE)
+def ann_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cost-based per-query routing between exact brute force and IVF
+    (the vector-serving CBO): a query whose coarse cell holds at least
+    a 1/20th corpus share takes the IVF path (the cell is dense enough
+    to trust nprobe=1), thin-cell queries fall back to the exact scan.
+    The routing table derives from the label histogram — nlist rows,
+    decided driver-side, broadcast back — and each path's operator
+    runs ONLY on its routed subset (the whole point of routing: the
+    oracle computes both paths for every query and filters after,
+    which is the spec, not the plan).
+
+    Scale shape: histogram = one map-side-combined aggregate; the
+    routed split is a broadcast join; each subset reuses the proven
+    brute/IVF operators unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", "label")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "label"
+    )
+    hist = corpus.groupBy("label").agg(F.count(F.lit(1)).alias("c")).collect()
+    n = sum(int(r["c"]) for r in hist)
+    routed = spark.createDataFrame(
+        [(int(r["label"]), "ivf" if ROUTE_FACTOR * int(r["c"]) >= n else "brute") for r in hist],
+        "label int, method string",
+    )
+    qr = q.join(F.broadcast(routed), "label")
+    brute_q = qr.filter(F.col("method") == "brute").select("qid", "qe")
+    ivf_q = qr.filter(F.col("method") == "ivf").select("qid", "qe", "label")
+    out_b = S.cosine_topk(brute_q, corpus.select("vec_id", "embedding"), k=K).select(
+        "qid", F.lit("brute").alias("method"), "vec_id", "rank", "cosine"
+    )
+    out_i = S.ivf_topk(ivf_q, corpus, k=K).select(
+        "qid", F.lit("ivf").alias("method"), "vec_id", "rank", "cosine"
+    )
+    return out_b.unionByName(out_i)
+
+
+FILTER_OVERFETCH = 3  # post-filter overfetches K * 3 then drops non-matching
+
+FILTERED_ORACLE = (
+    "WITH "
+    + _COS_CTE.rstrip().rstrip(",")
+    + f""",
+fe AS (SELECT vec_id, embedding FROM e WHERE label % 2 = 0),
+ffp AS (SELECT qid, vec_id, qe, embedding FROM q, fe),
+{_ann_chain("ff").lstrip()},
+fap AS (SELECT qid, vec_id, qe, embedding FROM q, e),
+{_ann_chain("fa").lstrip()},
+fpost AS (
+  SELECT p.qid, p.vec_id, p.cosine,
+         row_number() OVER (PARTITION BY p.qid ORDER BY p.rank ASC) AS rank
+  FROM far p JOIN e ON e.vec_id = p.vec_id
+  WHERE p.rank <= {K * FILTER_OVERFETCH} AND e.label % 2 = 0
+)
+SELECT 'prefilter' AS method, qid, vec_id, rank, round(cosine, 6) AS cosine
+FROM ffr WHERE rank <= {K}
+UNION ALL
+SELECT 'postfilter' AS method, qid, vec_id, rank, round(cosine, 6) AS cosine
+FROM fpost WHERE rank <= {K}
+"""
+)
+
+
+@register("ann_filtered_topk", oracle=FILTERED_ORACLE)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, both serving strategies side by side:
+    PRE-filter (exact top-k over the metadata-matching corpus slice —
+    the correct answer) vs POST-filter (overfetch K·3 from the
+    unfiltered index, then drop non-matching and re-rank — what a
+    filter-unaware index forces). Emitting both under one hash gate
+    pins the semantic difference: postfilter rows are exactly the
+    matching survivors of the global top-30, which is how real systems
+    under-recall on selective filters.
+
+    Scale shape: the pre-filter path pushes the predicate INTO the
+    corpus scan (partition-prunable at 100 TB); the post-filter path
+    is the unfiltered operator + a broadcast-sized re-rank window over
+    ≤ |Q|·3K rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding", "label")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    fcorpus = corpus.filter(F.col("label") % 2 == 0).select("vec_id", "embedding")
+    pre = S.cosine_topk(q, fcorpus, k=K).select(
+        F.lit("prefilter").alias("method"), "qid", "vec_id", "rank", "cosine"
+    )
+    over = S.cosine_topk(q, corpus.select("vec_id", "embedding"), k=K * FILTER_OVERFETCH)
+    from pyspark.sql import Window
+
+    surv = over.join(corpus.filter(F.col("label") % 2 == 0).select("vec_id"), "vec_id")
+    wq = Window.partitionBy("qid").orderBy(F.col("rank").asc())
+    post = (
+        surv.withColumn("_rr", F.row_number().over(wq))
+        .filter(F.col("_rr") <= K)
+        .select(
+            F.lit("postfilter").alias("method"),
+            "qid",
+            "vec_id",
+            F.col("_rr").alias("rank"),
+            "cosine",
+        )
+    )
+    return pre.unionByName(post)
