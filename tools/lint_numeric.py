@@ -218,6 +218,11 @@ ALLOWLIST: list[tuple[str, str, str]] = [
     # HDR quantiles: integer cents re-rendered at 2dp
     (r"^sketch_hdr_quantiles", r"/ 100\.0|l_extendedprice \* 100",
      "[on-grid] integer cents / 100 sits exactly ON the 2dp grid"),
+    # env fingerprints: probing libm/round/cast IS the query's purpose —
+    # every sentinel value is compared to a committed constant and only
+    # the integer match-mask row COUNT is emitted (never the value)
+    (r"^env_fingerprint_", r".",
+     "[probe] sentinel expressions; output is the integer match mask, values never emitted"),
 ]
 
 _RULES = [(re.compile(q), re.compile(sn, re.I), j) for q, sn, j in ALLOWLIST]
@@ -246,6 +251,10 @@ def _allowed(query: str, snippet: str) -> bool:
 #               isqrt/iroot5 candidate ladders); its value never
 #               reaches the output.
 DOUBLE_ALLOWLIST: list[tuple[str, str, str]] = [
+    # env fingerprints: probing libm/round/cast IS the purpose; only the
+    # integer match-mask row count leaves the query, never a value
+    (r"^env_fingerprint_", r".",
+     "[probe] sentinel expressions; output is the integer match mask, values never emitted"),
     # exact-rational jaccard/ratio memberships and columns: ONE IEEE
     # division of identical exact integers — correctly rounded by spec
     # in every build (libm covers pow/exp/ln only, not /)
