@@ -45,8 +45,11 @@ def test_iroot5_boundaries():
 def test_p6_kernel_duckdb_parity():
     """The DuckDB CTE generator (plans/text.p6_exact_ctes) must produce
     the SAME integer as the Python kernel for every (n, total) —
-    including boundary shares — independent of libm, because the
-    double sqrt/pow only seed candidates the CASE ladder verifies."""
+    including boundary shares — independent of libm: since round 10 the
+    generator is SEED-FREE (each root digit is max(d) over a range()
+    join filtered by the defining integer inequality), so equality is
+    by construction, and this test is the regression net for the
+    generator's digit/overflow bookkeeping."""
     import duckdb
 
     from actyxos_data_flow_spark.plans.text import p6_exact_ctes
@@ -128,3 +131,34 @@ def test_cosine_ge_matches_exact_rational_membership(spark):
         )
         if abs(cos - 0.98) > 1e-6:
             assert got[i] == (cos >= 0.98), (i, cos)
+
+
+def test_env_fingerprint_masks_are_full_in_builder_env(spark):
+    """In the builder environment every sentinel matches its committed
+    constant, so both fingerprint probes must return exactly 127 rows
+    (the all-bits mask); and the DuckDB oracle must agree with the
+    in-process evaluation row-for-row."""
+    import duckdb
+
+    from actyxos_data_flow_spark.plans import envprobe as E
+
+    s = E.env_fingerprint_spark(spark, "")
+    d = E.env_fingerprint_duckdb(spark, "")
+    n_sent = len(E._SENTINELS)
+    full = (1 << n_sent) - 1
+    assert s.count() == full == d.count()
+    orows = duckdb.connect().execute(E.DUCKDB_FINGERPRINT_ORACLE).fetchall()
+    assert len(orows) == full and {r[0] for r in orows} == set(range(1, full + 1))
+
+
+def test_env_fingerprint_mask_drops_named_bit_on_divergence(monkeypatch, spark):
+    """A diverging sentinel must clear exactly ITS bit — the row count
+    names the primitive (the whole point of the row-count encoding)."""
+    from actyxos_data_flow_spark.plans import envprobe as E
+
+    bad = dict(E.BUILDER_SPARK_SENTINELS)
+    bad["sqrt_2"] = "not-the-value"
+    monkeypatch.setattr(E, "BUILDER_SPARK_SENTINELS", bad)
+    idx = [n for n, _ in E._SENTINELS].index("sqrt_2")
+    expect = ((1 << len(E._SENTINELS)) - 1) & ~(1 << idx)
+    assert E.env_fingerprint_spark(spark, "").count() == expect
