@@ -5,8 +5,9 @@ split.
 
 Runs the registered ``env_probe`` query in THIS environment (Spark JVM
 libm + in-process DuckDB) and compares every sentinel against the
-reference JSON (default: ENV_PROBE_r09.json, the builder's committed
-values). A differing ``*.pow_*``/``*.exp_*``/``*.ln_*`` row means the
+reference JSON (default: ENV_PROBE_r10.json, the builder's committed
+values — identical to r09's, so the committed fingerprint constants in
+plans/envprobe.py cover both). A differing ``*.pow_*``/``*.exp_*``/``*.ln_*`` row means the
 two environments' libm builds disagree at that primitive — any hashed
 column whose lineage passes through it is suspect; ``round_half_6dp``
 diverging means the round(double, k) class; ``cast_dec_half`` the
@@ -26,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    ref_path = sys.argv[1] if len(sys.argv) > 1 else "ENV_PROBE_r09.json"
+    ref_path = sys.argv[1] if len(sys.argv) > 1 else "ENV_PROBE_r10.json"
     with open(ref_path) as fh:
         ref = json.load(fh)
 
