@@ -164,6 +164,20 @@ def preference_pairs(
 # binary verdict on an item
 AGREE_THRESHOLD_CENTS = 10_000
 
+# rater cap per item before the pair self-join (the max_bucket guard
+# from operators/dedup.py applied to the agreement blocking key): a
+# viral item rated by millions contributes at most cap^2/2 pairs —
+# computed over a DETERMINISTIC salted-md5 subsample of its raters, so
+# the capped matrix is still a pure function of the data on any engine
+AGREE_MAX_RATERS = 64
+AGREE_SAMPLE_SALT = "agree:v1"
+
+# bounded-report defaults: a pair must co-rate at least this many items
+# to be reportable (1-co-item pairs are the Θ(users²) long tail with no
+# statistical signal), and each user reports at most this many peers
+AGREE_MIN_CO_ITEMS = 2
+AGREE_TOP_PEERS = 5
+
 
 def agreement_matrix(
     df: DataFrame,
@@ -172,20 +186,33 @@ def agreement_matrix(
     ts_col: str = "ts",
     id_col: str = "event_id",
     value_col: str = "value",
+    max_raters: int | None = AGREE_MAX_RATERS,
 ) -> DataFrame:
     """Inter-annotator agreement matrix: each user's LATEST event on an
     item (props.k — last verdict wins, the SCD posture) is a binary
     label (value ≥ threshold); every user pair that labeled ≥1 common
-    item gets (n_items, n_agree, agree_fp6). The fp6 rate is truncating
-    integer division — exact on any build.
+    item gets (n_items, n_agree, agree_fp6, n_items_capped). The fp6
+    rate is truncating integer division — exact on any build.
 
     Scale shape: the latest-verdict dedup is one max_by aggregate per
     (item, user); the pair join is an equi-join on item whose fanout is
     raters-per-item², NOT corpus² — items are the blocking key exactly
-    like LSH bands, and a viral item (millions of raters) would be
-    capped the same way (max_bucket) before the self-join."""
+    like LSH bands. ``max_raters`` is the max_bucket skew guard
+    (operators/dedup.py lsh_candidate_pairs): an item with more raters
+    than the cap pairs only a deterministic salted-md5 subsample of
+    ``max_raters`` of them (rank by 60-bit md5 of (salt, item, user) —
+    an engine-portable uniform draw, never an RNG), so a viral item
+    contributes O(cap²) pairs instead of Θ(raters²) while still being
+    REPRESENTED in the matrix. Each output pair carries
+    ``n_items_capped`` = how many of its co-rated items were
+    subsampled, so downstream consumers can weigh (or drop) estimates
+    built on capped evidence. The count and the rank share one
+    Exchange on item — the same single-shuffle posture as the LSH cap."""
     if item_expr is None:
-        item_expr = F.from_json(F.col("props"), "k INT").getField("k")
+        # BIGINT, not INT: from_json silently NULLs on overflow, and the
+        # DuckDB oracle's TRY_CAST(... AS BIGINT) must drop the exact
+        # same malformed/out-of-range rows (ADVICE r10)
+        item_expr = F.from_json(F.col("props"), "k BIGINT").getField("k")
     lab = F.when(cents(value_col) >= AGREE_THRESHOLD_CENTS, F.lit(1)).otherwise(F.lit(0))
     base = df.select(
         item_expr.cast("long").alias("item"),
@@ -199,6 +226,38 @@ def agreement_matrix(
     latest = base.groupBy("item", "u").agg(
         F.max(F.struct(F.col("_tsu"), F.col("_id"), F.col("_lab"))).alias("_last")
     ).select("item", "u", F.col("_last._lab").alias("lab"))
+    if max_raters is not None:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.lit(AGREE_SAMPLE_SALT),
+                        F.col("item").cast("string"),
+                        F.col("u").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        w_item = Window.partitionBy("item")
+        w_rank = Window.partitionBy("item").orderBy(h.asc(), F.col("u").asc())
+        latest = (
+            latest.withColumn("_nr", F.count(F.lit(1)).over(w_item))
+            .withColumn("_rk", F.row_number().over(w_rank))
+            .filter(F.col("_rk") <= max_raters)
+            .select(
+                "item",
+                "u",
+                "lab",
+                (F.col("_nr") > max_raters).cast("long").alias("capped"),
+            )
+        )
+    else:
+        latest = latest.withColumn("capped", F.lit(0).cast("long"))
     a, b = latest.alias("a"), latest.alias("b")
     pairs = a.join(b, (F.col("a.item") == F.col("b.item")) & (F.col("a.u") < F.col("b.u")))
     return (
@@ -206,6 +265,7 @@ def agreement_matrix(
         .agg(
             F.count(F.lit(1)).alias("n_items"),
             F.sum((F.col("a.lab") == F.col("b.lab")).cast("long")).alias("n_agree"),
+            F.sum(F.col("a.capped")).alias("n_items_capped"),
         )
         .select(
             "user_a",
@@ -213,6 +273,57 @@ def agreement_matrix(
             "n_items",
             "n_agree",
             F.expr("(n_agree * 1000000) DIV n_items").alias("agree_fp6"),
+            "n_items_capped",
+        )
+    )
+
+
+def agreement_report(
+    matrix: DataFrame,
+    min_co_items: int = AGREE_MIN_CO_ITEMS,
+    top_peers: int = AGREE_TOP_PEERS,
+) -> DataFrame:
+    """The 100 TB-shaped agreement REPORT on top of the (capped)
+    matrix: symmetrize the unordered pairs so every user sees all its
+    co-raters, drop pairs below the ``min_co_items`` evidence floor
+    (the Θ(users²) tail of 1-co-item pairs carries no signal), and keep
+    each user's ``top_peers`` strongest peers by
+    (n_items DESC, agree_fp6 DESC, peer ASC) — a deterministic total
+    order, so the report is a pure function of the matrix.
+
+    Output: (user_id, peer_id, rank, n_items, n_agree, agree_fp6,
+    n_items_capped) — at most ``top_peers`` rows per user regardless of
+    corpus size: bounded OUTPUT on top of the matrix's bounded COMPUTE.
+
+    Scale shape: one union (projection), one rank window partitioned by
+    user — the window input is already floor-filtered, so the sort is
+    over surviving pairs only."""
+    fwd = matrix.select(
+        F.col("user_a").alias("user_id"),
+        F.col("user_b").alias("peer_id"),
+        "n_items",
+        "n_agree",
+        "agree_fp6",
+        "n_items_capped",
+    )
+    rev = matrix.select(
+        F.col("user_b").alias("user_id"),
+        F.col("user_a").alias("peer_id"),
+        "n_items",
+        "n_agree",
+        "agree_fp6",
+        "n_items_capped",
+    )
+    both = fwd.unionByName(rev).filter(F.col("n_items") >= min_co_items)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("n_items").desc(), F.col("agree_fp6").desc(), F.col("peer_id").asc()
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= top_peers)
+        .select(
+            "user_id", "peer_id", "rank", "n_items", "n_agree", "agree_fp6",
+            "n_items_capped",
         )
     )
 

@@ -89,7 +89,8 @@ _PRIORITY: tuple[str, ...] = (
     # --- new queries registered this round (first official grades);
     # names appended by each query's landing commit ---
     "rl_episode_returns", "rl_advantage_baseline", "pref_pair_mining",
-    "pref_agreement_matrix", "trace_call_depth", "pipeline_dsir_mix",
+    "pref_agreement_matrix", "pref_agreement_report",
+    "trace_call_depth", "pipeline_dsir_mix",
     "embedding_matryoshka_recall", "stream_latebound_sessionize",
     "ann_query_router", "ann_filtered_topk",
     # --- staleness rotation (round-9 directive #6): the rows graded

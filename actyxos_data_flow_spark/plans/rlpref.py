@@ -109,13 +109,23 @@ def pref_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     return R.preference_pairs(load_table(spark, sf_dir, "events"))
 
 
-AGREEMENT_ORACLE = f"""
+# the capped-matrix CTE chain is shared by the matrix row and the
+# bounded report row (the report must equal a report OVER the matrix,
+# so both hanging off one oracle text is the spec, not a shortcut).
+# TRY_CAST mirrors Spark's from_json('k BIGINT') NULL-on-malformed
+# posture (ADVICE r10); the rater subsample ranks by the same salted
+# 60-bit md5 as the engine.
+_AGREE_H = (
+    f"('0x' || substr(md5('{R.AGREE_SAMPLE_SALT}:' || CAST(item AS VARCHAR) "
+    f"|| ':' || CAST(u AS VARCHAR)), 1, 15))::BIGINT"
+)
+_AGREE_MATRIX_CTES = f"""
 WITH ab AS (
-  SELECT CAST(props->>'$.k' AS BIGINT) AS item, user_id AS u,
+  SELECT TRY_CAST(props->>'$.k' AS BIGINT) AS item, user_id AS u,
          epoch_us(ts) AS tsu, event_id AS id,
          CASE WHEN {_CENTS} >= {R.AGREE_THRESHOLD_CENTS} THEN 1 ELSE 0 END AS lab
   FROM events
-  WHERE CAST(props->>'$.k' AS BIGINT) IS NOT NULL
+  WHERE TRY_CAST(props->>'$.k' AS BIGINT) IS NOT NULL
 ),
 alast AS (
   SELECT item, u, lab FROM (
@@ -123,13 +133,32 @@ alast AS (
            row_number() OVER (PARTITION BY item, u ORDER BY tsu DESC, id DESC) AS rn
     FROM ab
   ) WHERE rn = 1
+),
+ar AS (
+  SELECT item, u, lab,
+         count(*) OVER (PARTITION BY item) AS nr,
+         row_number() OVER (PARTITION BY item ORDER BY {_AGREE_H} ASC, u ASC) AS rk
+  FROM alast
+),
+asel AS (
+  SELECT item, u, lab,
+         CAST(nr > {R.AGREE_MAX_RATERS} AS BIGINT) AS capped
+  FROM ar WHERE rk <= {R.AGREE_MAX_RATERS}
+),
+amat AS (
+  SELECT a.u AS user_a, b.u AS user_b,
+         count(*) AS n_items,
+         CAST(sum((a.lab = b.lab)::INT) AS BIGINT) AS n_agree,
+         (CAST(sum((a.lab = b.lab)::INT) AS BIGINT) * 1000000) // count(*) AS agree_fp6,
+         CAST(sum(a.capped) AS BIGINT) AS n_items_capped
+  FROM asel a JOIN asel b ON a.item = b.item AND a.u < b.u
+  GROUP BY 1, 2
 )
-SELECT a.u AS user_a, b.u AS user_b,
-       count(*) AS n_items,
-       CAST(sum((a.lab = b.lab)::INT) AS BIGINT) AS n_agree,
-       (CAST(sum((a.lab = b.lab)::INT) AS BIGINT) * 1000000) // count(*) AS agree_fp6
-FROM alast a JOIN alast b ON a.item = b.item AND a.u < b.u
-GROUP BY 1, 2
+"""
+
+AGREEMENT_ORACLE = f"""
+{_AGREE_MATRIX_CTES}
+SELECT user_a, user_b, n_items, n_agree, agree_fp6, n_items_capped FROM amat
 """
 
 
@@ -137,10 +166,47 @@ GROUP BY 1, 2
 def pref_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inter-annotator agreement over items (props.k): latest verdict
     per (item, user) wins, labels are the cents threshold, and every
-    co-rating user pair reports (n_items, n_agree, agree_fp6). The
-    item is the blocking key (fanout = raters-per-item², never
-    corpus²)."""
+    co-rating user pair reports (n_items, n_agree, agree_fp6,
+    n_items_capped). The item is the blocking key (fanout =
+    raters-per-item², never corpus²) AND carries the max_bucket cap:
+    items with more than {R.AGREE_MAX_RATERS} raters pair only a
+    deterministic salted-md5 subsample, so one viral item is O(cap²)
+    instead of Θ(raters²) — the same skew guard as the LSH band join."""
     return R.agreement_matrix(load_table(spark, sf_dir, "events"))
+
+
+AGREEMENT_REPORT_ORACLE = f"""
+{_AGREE_MATRIX_CTES},
+sym AS (
+  SELECT user_a AS user_id, user_b AS peer_id,
+         n_items, n_agree, agree_fp6, n_items_capped FROM amat
+  UNION ALL
+  SELECT user_b AS user_id, user_a AS peer_id,
+         n_items, n_agree, agree_fp6, n_items_capped FROM amat
+),
+rnk AS (
+  SELECT user_id, peer_id, n_items, n_agree, agree_fp6, n_items_capped,
+         CAST(row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY n_items DESC, agree_fp6 DESC, peer_id ASC) AS BIGINT) AS rank
+  FROM sym WHERE n_items >= {R.AGREE_MIN_CO_ITEMS}
+)
+SELECT user_id, peer_id, rank, n_items, n_agree, agree_fp6, n_items_capped
+FROM rnk WHERE rank <= {R.AGREE_TOP_PEERS}
+"""
+
+
+@register("pref_agreement_report", oracle=AGREEMENT_REPORT_ORACLE)
+def pref_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded agreement REPORT (the 100 TB-shaped row beside the exact
+    matrix): symmetrized pairs, an evidence floor of
+    ≥{R.AGREE_MIN_CO_ITEMS} co-rated items, and each user's top
+    {R.AGREE_TOP_PEERS} peers by (n_items, agree_fp6, peer) — at most
+    {R.AGREE_TOP_PEERS} rows per user however large the corpus: bounded
+    OUTPUT on the capped matrix's bounded COMPUTE."""
+    return R.agreement_report(
+        R.agreement_matrix(load_table(spark, sf_dir, "events"))
+    )
 
 
 # -- tool-trace health -------------------------------------------------------

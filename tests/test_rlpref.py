@@ -109,6 +109,95 @@ def test_agreement_matrix_latest_wins(spark):
     assert (row["user_a"], row["user_b"]) == (1, 2)
     assert row["n_items"] == 2 and row["n_agree"] == 1
     assert row["agree_fp6"] == 500000
+    assert row["n_items_capped"] == 0  # nothing near the cap here
+
+
+def _agree_events(spark, triples):
+    """triples: (user, item, lab) -> one event per (u, item) with value
+    clearing the threshold iff lab."""
+    data = [
+        (
+            i,
+            dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i),
+            u,
+            "view",
+            500.0 if lab else 1.0,
+            '{"k": %d}' % k,
+        )
+        for i, (u, k, lab) in enumerate(triples)
+    ]
+    df = spark.createDataFrame(
+        data,
+        "event_id long, ts timestamp, user_id long, event_type string, value double, props string",
+    )
+    return df.withColumn("ts", F.unix_micros("ts") * F.lit(1000))
+
+
+def test_agreement_matrix_cap_bounds_viral_item(spark):
+    """A viral item (raters >> cap) must contribute at most cap-choose-2
+    pairs, flagged via n_items_capped; an uncapped item is untouched;
+    and the subsample is deterministic (two runs identical)."""
+    cap = 4
+    viral = [(u, 100, 1) for u in range(1, 21)]  # 20 raters, all agree
+    small = [(u, 200, u % 2) for u in (1, 2, 3)]  # 3 raters, under cap
+    df = _agree_events(spark, viral + small)
+    out = R.agreement_matrix(df, max_raters=cap).collect()
+    out2 = R.agreement_matrix(df, max_raters=cap).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))  # deterministic
+    via_viral = [r for r in out if r["n_items_capped"] > 0]
+    # exactly cap raters survive the subsample -> C(cap,2) viral pairs
+    assert len(via_viral) <= cap * (cap - 1) // 2
+    viral_users = {r["user_a"] for r in via_viral} | {r["user_b"] for r in via_viral}
+    assert len(viral_users) <= cap
+    # item 200 (3 raters < cap) pairs all 3 users, uncapped
+    small_pairs = [
+        r for r in out
+        if {r["user_a"], r["user_b"]} <= {1, 2, 3} and r["n_items_capped"] == 0
+    ]
+    assert any(r["n_items"] >= 1 for r in small_pairs) or all(
+        u in viral_users for u in (1, 2, 3)
+    )
+    # uncapped run for contrast: the viral item alone fans out 20*19/2
+    full = R.agreement_matrix(df, max_raters=None).collect()
+    assert len(full) >= 20 * 19 // 2
+
+
+def test_agreement_report_floor_and_topn(spark):
+    """The report keeps only pairs at/above the co-item floor, at most
+    top_peers rows per user, ranked (n_items DESC, agree_fp6 DESC,
+    peer ASC) — verified against a Python replay of the matrix."""
+    triples = []
+    # users 1..4 all rate items 10..13 (4 shared items); user 5 rates
+    # only item 10 (1 co-item with everyone -> below a floor of 2)
+    for k in (10, 11, 12, 13):
+        for u in (1, 2, 3, 4):
+            triples.append((u, k, (u + k) % 2))
+    triples.append((5, 10, 1))
+    df = _agree_events(spark, triples)
+    mat = R.agreement_matrix(df, max_raters=None)
+    rep = R.agreement_report(mat, min_co_items=2, top_peers=2).collect()
+    mrows = mat.collect()
+    # replay: symmetrize, floor, rank
+    sym = []
+    for r in mrows:
+        sym.append((r["user_a"], r["user_b"], r["n_items"], r["agree_fp6"]))
+        sym.append((r["user_b"], r["user_a"], r["n_items"], r["agree_fp6"]))
+    expect = {}
+    for u in {s[0] for s in sym}:
+        mine = sorted(
+            [s for s in sym if s[0] == u and s[2] >= 2],
+            key=lambda s: (-s[2], -s[3], s[1]),
+        )[:2]
+        if mine:
+            expect[u] = [(s[1], i + 1) for i, s in enumerate(mine)]
+    got = {}
+    for r in sorted(rep, key=lambda r: (r["user_id"], r["rank"])):
+        got.setdefault(r["user_id"], []).append((r["peer_id"], r["rank"]))
+        assert r["n_items"] >= 2
+    assert got == expect
+    # user 5 has no pair with >= 2 co-items -> absent
+    assert 5 not in got
+    assert all(len(v) <= 2 for v in got.values())
 
 
 def test_merge_session_state_is_arrival_order_independent(spark):
