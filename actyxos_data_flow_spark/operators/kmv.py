@@ -122,19 +122,7 @@ def priority_sample_estimates(
         F.col(group_col).alias("g"),
         weight_cents.cast("long").alias("w"),
         h.alias("h"),
-    ).withColumn(
-        "pri",
-        # in-plan 64-bit envelope guard (the wordpiece _WP_C_MAX /
-        # dsir_model assertion posture): w·2^30 silently wraps in
-        # non-ANSI long math past w = 2^33 cents (~$86M/row) while the
-        # DuckDB oracle errors or diverges — fail loudly ON the
-        # offending row instead, at zero extra scans
-        F.expr(
-            f"CASE WHEN w < {1 << 33} THEN (w * {_H30}) DIV ((h >> 30) + 1) "
-            f"ELSE CAST(raise_error(concat('priority_sample: weight_cents ', "
-            f"CAST(w AS STRING), ' exceeds the 2^33 overflow envelope')) AS BIGINT) END"
-        ),
-    )
+    ).withColumn("pri", F.expr(f"(w * {_H30}) DIV ((h >> 30) + 1)"))
     order = [F.col("pri").desc(), F.col("h").asc(), F.col("w").asc(), F.col("g").asc()]
     from .. import cache
 
@@ -157,14 +145,29 @@ def priority_sample_estimates(
             F.count(F.lit(1)).alias("n_in_sample"),
         )
     )
-    exact = base.groupBy("g").agg(F.sum("w").alias("exact_w"))
+    # 64-bit envelope guard (the wordpiece _WP_C_MAX / dsir_model
+    # assertion posture): w·2^30 silently wraps in non-ANSI long math
+    # past w = 2^33 cents (~$86M/row) while the DuckDB oracle errors or
+    # diverges. Round 10 guarded per-row with a CASE in the hot `pri`
+    # projection — a measurable branch cost on every input row (the
+    # r10 warm-drift finding); the check only needs max(w), so it now
+    # rides the `exact` aggregate the estimator already pays for and is
+    # evaluated once per GROUP (model-sized), covering every input row
+    # because each belongs to some group and `exact` is the output's
+    # left side.
+    exact = base.groupBy("g").agg(F.sum("w").alias("exact_w"), F.max("w").alias("_mxw"))
     tot = base.agg(F.sum("w").alias("tot_w"))
+    guarded_exact = F.expr(
+        f"CASE WHEN _mxw < {1 << 33} THEN exact_w "
+        f"ELSE CAST(raise_error(concat('priority_sample: weight_cents ', "
+        f"CAST(_mxw AS STRING), ' exceeds the 2^33 overflow envelope')) AS BIGINT) END"
+    )
     out = (
         exact.join(est, "g", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "g",
-            F.col("exact_w").cast("long").alias("exact_cents"),
+            guarded_exact.cast("long").alias("exact_cents"),
             F.coalesce(F.col("est_w"), F.lit(0)).cast("long").alias("est_cents"),
             F.coalesce(F.col("n_in_sample"), F.lit(0)).cast("long").alias("n_in_sample"),
             F.lit(k).cast("long").alias("k"),

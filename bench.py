@@ -115,6 +115,11 @@ SF1_QUERIES = (
     "layout_prune_compare",
 )
 SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule")
+# viral-ITEM rater skew (one item rated by ~every user at 1x and at 10x
+# users): the agreement matrix's max_bucket rater cap must keep the
+# item self-join O(cap^2) per item — growth @skew10x vs @skew1x should
+# track the linear latest-verdict aggregate, never raters^2
+SKEW_EV_QUERIES = ("pref_agreement_matrix",)
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the
 # degree-ordered orientation must keep the census near-linear when one
 # node's raw degree explodes
@@ -174,7 +179,7 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
     at 1× and 10×."""
     from pyspark.sql import functions as F
 
-    marker = os.path.join(SCRATCH, "_DONE_v11")  # bump to regenerate (v10: events.ts as TIMESTAMP micros — the driver testdata's physical form — so event-time oracles typed for TIMESTAMP run against the probe; v11: region verbatim so the region-joining tpch shapes probe at 10x)
+    marker = os.path.join(SCRATCH, "_DONE_v12")  # bump to regenerate (v10: events.ts as TIMESTAMP micros — the driver testdata's physical form — so event-time oracles typed for TIMESTAMP run against the probe; v11: region verbatim so the region-joining tpch shapes probe at 10x; v12: viral-item events in skew01/skew1 for the agreement rater-cap probe)
     if os.path.exists(marker):
         return
     main, s01, s1 = (os.path.join(SCRATCH, d) for d in ("main", "skew01", "skew1"))
@@ -292,6 +297,39 @@ def ensure_sf1_data(spark, base_dir: str) -> None:
             if c not in ("event_id", "user_id")
         ],
     ).coalesce(8).write.mode("overwrite").parquet(os.path.join(main, "events.parquet"))
+    # viral-ITEM events for the agreement-matrix rater-cap probe: ~30%
+    # of events re-point props.k at item 1, so one item's rater set is
+    # ~the whole user population at BOTH skew levels (skew01 = base
+    # users, skew1 = 10x users). Without the max_bucket rater cap the
+    # pair join would grow ~(10x)^2 = 100x between the two; with it the
+    # viral item is a constant cap^2 term and growth tracks the linear
+    # latest-verdict aggregate. ts written back as TIMESTAMP micros —
+    # same physical form as main/ (see the events comment above).
+    hot_props = F.when(
+        F.pmod("event_id", 10) < 3, F.to_json(F.struct(F.lit(1).alias("k")))
+    ).otherwise(F.col("props"))
+    ev.select(
+        "event_id",
+        "user_id",
+        *[
+            F.expr("timestamp_micros(ts DIV 1000)").alias("ts") if c == "ts"
+            else hot_props.alias("props") if c == "props"
+            else F.col(c)
+            for c in ev.columns
+            if c not in ("event_id", "user_id")
+        ],
+    ).coalesce(2).write.mode("overwrite").parquet(os.path.join(s01, "events.parquet"))
+    ev.crossJoin(reps).select(
+        (F.col("event_id") + F.col("_rep") * 100_000_000).alias("event_id"),
+        (F.col("user_id") + F.col("_rep") * 10_000_000).alias("user_id"),
+        *[
+            F.expr("timestamp_micros(ts DIV 1000)").alias("ts") if c == "ts"
+            else hot_props.alias("props") if c == "props"
+            else F.col(c)
+            for c in ev.columns
+            if c not in ("event_id", "user_id")
+        ],
+    ).coalesce(8).write.mode("overwrite").parquet(os.path.join(s1, "events.parquet"))
     with open(marker, "w") as f:
         f.write("ok")
 
@@ -350,7 +388,7 @@ def run_scale_probe(spark, registry, sf_dir: str) -> dict:
             cold_min(name, os.path.join(SCRATCH, "main"), q)
         sf1["queries"] = q
         skew: dict[str, float] = {}
-        for name in SKEW_QUERIES + SKEW_LI_QUERIES:
+        for name in SKEW_QUERIES + SKEW_LI_QUERIES + SKEW_EV_QUERIES:
             cold_min(name, os.path.join(SCRATCH, "skew01"), skew, key=f"{name}@skew1x")
             cold_min(name, os.path.join(SCRATCH, "skew1"), skew, key=f"{name}@skew10x")
         sf1["skew"] = skew

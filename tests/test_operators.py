@@ -2133,6 +2133,37 @@ def test_priority_sample_estimates(spark):
         assert r["within_3se"]
 
 
+def test_priority_sample_overflow_guard_fires_once_per_group(spark):
+    """The 2^33-cent envelope guard moved from a per-row CASE in the
+    hot pri projection to a once-per-group aggregate assertion (r10
+    warm-drift finding): it must still FAIL LOUDLY on any out-of-
+    envelope weight, and leave in-envelope results untouched. Under
+    ANSI mode (Spark 4 default) the w*2^30 multiply itself throws
+    ARITHMETIC_OVERFLOW before the guard is reached — also loud; the
+    aggregate guard is what protects NON-ANSI sessions where long math
+    silently wraps."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators.kmv import priority_sample_estimates
+
+    bad = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", (1 << 33) + 5), (3, "B", 20)],
+        "id long, g string, w long",
+    )
+    with pytest.raises(Exception, match="(?i)overflow"):
+        priority_sample_estimates(bad, "g", F.col("w"), ["id", "w"], k=8).collect()
+    ok = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", (1 << 33) - 1), (3, "B", 20)],
+        "id long, g string, w long",
+    )
+    got = {
+        r["g"]: r["exact_cents"]
+        for r in priority_sample_estimates(ok, "g", F.col("w"), ["id", "w"], k=8).collect()
+    }
+    assert got == {"A": 10 + (1 << 33) - 1, "B": 20}
+
+
 def test_modularity_two_cliques(spark):
     """Newman Q computed by the graph_modularity algebra on a known
     graph: two 4-cliques joined by one bridge — LPA finds the cliques
