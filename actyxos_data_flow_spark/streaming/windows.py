@@ -106,6 +106,7 @@ def merge_session_state(
     batch_sessions: DataFrame,
     gap_us: int,
     user_col: str = "user_id",
+    max_broadcast_users: int = 1_000_000,
 ) -> DataFrame:
     """Incremental sessionization merge — the IVM step behind
     late-/out-of-order-arrival sessionization: fold a batch's
@@ -120,11 +121,20 @@ def merge_session_state(
     associative-commutative aggregates.
 
     Scale shape per batch: only TOUCHED users re-sessionize — the
-    state is split by a broadcast semi/anti join on the batch's user
-    set, untouched rows pass through untouched; the island window
-    sorts only (touched users × their sessions), never the whole
-    state. State stays one row per session: O(active sessions), the
-    same bound Structured Streaming's session store keeps."""
+    state is split by a semi/anti join on the batch's user set,
+    untouched rows pass through untouched; the island window sorts
+    only (touched users × their sessions), never the whole state.
+    State stays one row per session: O(active sessions), the same
+    bound Structured Streaming's session store keeps.
+
+    The user-set join is broadcast only while the batch's distinct
+    users fit ``max_broadcast_users`` (the cosine_topk query-matrix
+    guard applied to the session merge): at ingest batch sizes the
+    broadcast wins, but a BACKFILL-sized batch (a replay of months of
+    history in one merge) would blow the broadcast limit — above the
+    cap the hint is dropped and both splits run as shuffle
+    semi/anti joins on the same key, correct at any batch size. The
+    one count() action pricing the guard is per MERGE, not per row."""
     from pyspark.sql import Window
 
     cols = [user_col, "s_us", "last_us", "n_events"]
@@ -134,8 +144,10 @@ def merge_session_state(
         untouched = None
     else:
         users = b.select(user_col).distinct()
-        touched = state.join(F.broadcast(users), user_col, "semi")
-        untouched = state.join(F.broadcast(users), user_col, "anti")
+        if users.count() <= max_broadcast_users:
+            users = F.broadcast(users)
+        touched = state.join(users, user_col, "semi")
+        untouched = state.join(users, user_col, "anti")
         merged_in = touched.select(*cols).unionByName(b)
     w_prev = (
         Window.partitionBy(user_col)

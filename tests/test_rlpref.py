@@ -232,6 +232,23 @@ def test_merge_session_state_is_arrival_order_independent(spark):
     base = fold([0, 1, 2], batches)
     for order in itertools.permutations(range(3)):
         assert fold(list(order), batches) == base, order
+    # backfill-size guard: above the cap the broadcast HINT is dropped
+    # (Catalyst/AQE then picks the strategy from actual sizes — it may
+    # still broadcast a genuinely tiny set, which is correct); the
+    # result must be identical either way
+    def fold_capped(order, cap):
+        state = None
+        for i in order:
+            state = merge_session_state(
+                state, mini(batches[i]), gap, max_broadcast_users=cap
+            )
+        return state
+
+    shuf = fold_capped([0, 1, 2], 0)
+    assert sorted(tuple(r) for r in shuf.collect()) == base
+    assert "ResolvedHint" not in shuf._jdf.queryExecution().analyzed().toString()
+    hinted = fold_capped([0, 1, 2], 10**9)
+    assert "ResolvedHint" in hinted._jdf.queryExecution().analyzed().toString()
     # sanity: sessions split exactly at >= gap
     u1 = [r for r in base if r[0] == 1]
     # 149->300 (151) and 300->401 (101) both break at >= 100; 401->500 (99) joins
