@@ -158,7 +158,14 @@ def env_fingerprint_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_MASK_SQL = "WITH m AS (SELECT " + " + ".join(
     f"(CASE WHEN CAST({sql} AS VARCHAR) = '{{{name}}}' THEN {1 << i} ELSE 0 END)"
     for i, (name, sql) in enumerate(_SENTINELS)
-) + " AS mask) SELECT CAST(g.range + 1 AS BIGINT) AS seq FROM m, range(0, 128) g WHERE g.range < m.mask"
+) + (
+    # range bound derived from the sentinel count (ADVICE r10): a
+    # hardcoded 128 would silently cap the oracle when an 8th sentinel
+    # lands while _mask_frame emits up to 255 — a spurious mismatch in
+    # the very diagnostic meant to explain mismatches
+    f" AS mask) SELECT CAST(g.range + 1 AS BIGINT) AS seq"
+    f" FROM m, range(0, {1 << len(_SENTINELS)}) g WHERE g.range < m.mask"
+)
 
 DUCKDB_FINGERPRINT_ORACLE = _DUCK_MASK_SQL.format(**BUILDER_DUCKDB_SENTINELS)
 

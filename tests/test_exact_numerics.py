@@ -137,10 +137,27 @@ def test_env_fingerprint_masks_are_full_in_builder_env(spark):
     """In the builder environment every sentinel matches its committed
     constant, so both fingerprint probes must return exactly 127 rows
     (the all-bits mask); and the DuckDB oracle must agree with the
-    in-process evaluation row-for-row."""
+    in-process evaluation row-for-row. On a machine whose libm/DuckDB
+    genuinely differ from the committed builder constants this is a
+    true ENVIRONMENT statement, not a bug — skip instead of failing,
+    like the repo's other env-gated tests (ADVICE r10); the divergence
+    itself stays covered by the drops-named-bit test below."""
     import duckdb
+    import pytest
 
     from actyxos_data_flow_spark.plans import envprobe as E
+
+    local_spark = dict(E._spark_sentinels(spark))
+    local_duck = {
+        name: str(duckdb.connect().execute(f"SELECT CAST({sql} AS VARCHAR)").fetchone()[0])
+        for name, sql in E._SENTINELS
+    }
+    if any(
+        local_spark.get(f"spark.{n}") != E.BUILDER_SPARK_SENTINELS[n]
+        or local_duck[n] != E.BUILDER_DUCKDB_SENTINELS[n]
+        for n, _ in E._SENTINELS
+    ):
+        pytest.skip("local libm/DuckDB sentinels differ from committed builder constants")
 
     s = E.env_fingerprint_spark(spark, "")
     d = E.env_fingerprint_duckdb(spark, "")

@@ -25,14 +25,29 @@ import duckdb
 from check import env_stamp, value_hash  # noqa: E402  (tools/ sibling)
 
 
+def _is_int(s: str) -> bool:
+    """True for anything int() accepts (including '-5'), so signed
+    prefixes route to the n_prefix branch and its error message."""
+    try:
+        int(s)
+        return True
+    except ValueError:
+        return False
+
+
 def main() -> int:
     # explicit positional parse: argv[1] is sf_dir iff it LOOKS like a
-    # path (contains a separator or exists) — a mistyped path must error
-    # out, not silently fall back to the default dataset and then crash
-    # in int() with an unrelated ValueError
+    # path (contains a separator, exists as a directory, or is not a
+    # plain unsigned integer) — a mistyped path must error out, not
+    # silently fall back to the default dataset and then crash in int()
+    # with an unrelated ValueError. The isdir() check first means a
+    # relative dataset directory named with digits only ('3/') still
+    # parses as sf_dir, and a negative n_prefix like '-5' reaches the
+    # int() branch with ITS error message instead of a bogus
+    # missing-directory complaint (ADVICE r10).
     args = sys.argv[1:]
     sf_dir = "/root/testdata/sf0.01"
-    if args and (os.sep in args[0] or not args[0].isdigit()):
+    if args and (os.sep in args[0] or os.path.isdir(args[0]) or not _is_int(args[0])):
         sf_dir = args.pop(0)
         if not os.path.isdir(sf_dir):
             print(f"driver_sim: sf_dir does not exist: {sf_dir}", file=sys.stderr)
@@ -44,6 +59,9 @@ def main() -> int:
         n_prefix = int(args[0]) if args else None
     except ValueError:
         print(f"driver_sim: n_prefix must be an integer, got {args[0]!r}", file=sys.stderr)
+        return 2
+    if n_prefix is not None and n_prefix <= 0:
+        print(f"driver_sim: n_prefix must be positive, got {n_prefix}", file=sys.stderr)
         return 2
 
     from pyspark.sql import SparkSession
