@@ -47,5 +47,11 @@ def connect_postgres(conninfo: str):
 
 
 class PostgresSink(DbapiSink):
-    def __init__(self, conninfo: str):
-        super().__init__(connect_postgres(conninfo), PostgresDialect())
+    def __init__(self, conninfo: str, conn=None):
+        """``conn``: bring-your-own DB-API connection (any object with
+        cursor/commit/rollback/close) — the injection point for pools,
+        wrappers, or alternative transports; default is whichever
+        psycopg the environment ships."""
+        super().__init__(
+            conn if conn is not None else connect_postgres(conninfo), PostgresDialect()
+        )

@@ -190,13 +190,79 @@ def _roundtrip(sink):
     assert sink.read_offsets(t) == {"abc": 43, "def": 22}
 
 
-@pytest.mark.skipif(
-    "POSTGRES_CONNECT" not in os.environ, reason="POSTGRES_CONNECT not set"
-)
-def test_postgres_round_trip_env_gated():
+@pytest.fixture(scope="session")
+def postgres_conninfo(tmp_path_factory):
+    """A live-Postgres conninfo: ``POSTGRES_CONNECT`` if set, else a
+    REAL server bootstrapped from this machine's postgres binaries
+    (initdb/pg_ctl ship in this container even though no Python driver
+    does). Postgres refuses to run as root, so the bootstrap drops to
+    ``nobody`` via su; trust auth on a private unix socket, no TCP.
+    Skips only when neither an env-provided server nor local binaries
+    exist — the round-10 directive's posture: 0 Postgres skips on the
+    build machine, env-gate preserved elsewhere."""
+    import shutil
+    import subprocess
+    import tempfile
+    import time
+
+    if "POSTGRES_CONNECT" in os.environ:
+        yield os.environ["POSTGRES_CONNECT"]
+        return
+    if not (
+        shutil.which("initdb") and shutil.which("pg_ctl") and shutil.which("su")
+    ):
+        pytest.skip("POSTGRES_CONNECT not set and no local postgres binaries")
+    if os.geteuid() != 0:
+        pytest.skip("local postgres bootstrap needs root (to su to a non-root user)")
+    base = tempfile.mkdtemp(prefix="adf_pg_")
+    data, sock = os.path.join(base, "data"), os.path.join(base, "sock")
+    os.makedirs(sock)
+    shutil.chown(base, "nobody")
+    shutil.chown(sock, "nobody")
+
+    def as_nobody(cmd: str) -> subprocess.CompletedProcess:
+        return subprocess.run(
+            ["su", "nobody", "-s", "/bin/sh", "-c", cmd],
+            capture_output=True, text=True, cwd="/tmp",
+        )
+
+    r = as_nobody(f"initdb -D {data} -A trust -U pg")
+    if r.returncode != 0:
+        pytest.skip(f"initdb failed: {r.stderr.splitlines()[-1] if r.stderr else r.returncode}")
+    port = 54329
+    r = as_nobody(
+        f"pg_ctl -D {data} -l {base}/log -w -o \"-k {sock} -c listen_addresses='' -p {port}\" start"
+    )
+    if r.returncode != 0:
+        pytest.skip(f"pg_ctl start failed: {(r.stderr or r.stdout)[-200:]}")
+    time.sleep(0.2)
+    try:
+        yield f"host={sock} port={port} user=pg dbname=postgres"
+    finally:
+        as_nobody(f"pg_ctl -D {data} -m immediate stop")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_postgres_round_trip_live(postgres_conninfo):
+    """The verbatim PostgresDialect SQL (NULL-safe compare, ctid
+    delete-exactly-n, offsets upsert) executed against a REAL
+    PostgreSQL server. Transport: psycopg if installed, else the
+    test-only v3 wire-protocol client (tests/pg_wire_client.py) — the
+    SQL and the DbapiSink core are identical either way, which is what
+    the reference's POSTGRES_CONNECT harness exercises
+    (/root/reference/src/db/postgre.rs:301-342)."""
     from actyxos_data_flow_spark.sinks import PostgresSink
 
-    _roundtrip(PostgresSink(os.environ["POSTGRES_CONNECT"]))
+    try:
+        sink = PostgresSink(postgres_conninfo)
+    except ImportError:
+        from tests.pg_wire_client import connect as pg_connect
+
+        sink = PostgresSink(postgres_conninfo, conn=pg_connect(postgres_conninfo))
+    try:
+        _roundtrip(sink)
+    finally:
+        sink.close()
 
 
 @pytest.mark.skipif("MSSQL_CONNECT" not in os.environ, reason="MSSQL_CONNECT not set")
