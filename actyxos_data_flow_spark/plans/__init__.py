@@ -74,43 +74,46 @@ def register(name: str, oracle: str | None = None, bench: bool = False):
 # local full-registry replica (tools/check.py).
 _PRIORITY: tuple[str, ...] = (
     # --- diagnostics FIRST: env_probe (human-readable values, rows-only)
-    # plus the round-10 ROW-COUNT-ENCODED fingerprints — the driver
-    # artifact's spark_rows/oracle_rows integers are bitmasks over the
-    # committed builder sentinels, so any engine split is identified
-    # from the official artifact alone (round-9 directive #2) ---
+    # plus the ROW-COUNT-ENCODED fingerprints — the driver artifact's
+    # spark_rows/oracle_rows integers are bitmasks over the committed
+    # builder sentinels (127 = healthy), so any engine split is
+    # identified from the official artifact alone ---
     "env_probe", "env_fingerprint_spark", "env_fingerprint_duckdb",
-    # --- the one round-9 red row, now oracle-side seed-free (exhaustive
-    # digit-search roots, zero libm anywhere, BIGINT-cast outputs), plus
-    # the two rows sharing the p6 kernel ---
-    "source_mix_weights", "mix_epoch_schedule", "pipeline_mix_batches",
-    # --- round-9 perf-weak rows, reworked this round: phash pair join
-    # bucket-bounded; mix-batches single-aggregate model path ---
-    "mm_phash_pairs", "sample_quality_weighted",
-    # --- new queries registered this round (first official grades);
-    # names appended by each query's landing commit ---
-    "rl_episode_returns", "rl_advantage_baseline", "pref_pair_mining",
+    # --- rows NEW or CODE-CHANGED in round 11 (first official grades on
+    # this code): the max_bucket-capped agreement matrix (schema gained
+    # n_items_capped) + its bounded top-N report; the sketch rows whose
+    # overflow guard moved from per-row CASE to per-group aggregate;
+    # the schedule family whose domain-budget table became a VALUES
+    # literal (values unchanged, plan identity restored); the
+    # sessionize row whose user-set broadcast gained the size guard ---
     "pref_agreement_matrix", "pref_agreement_report",
-    "trace_call_depth", "pipeline_dsir_mix",
-    "embedding_matryoshka_recall", "stream_latebound_sessionize",
-    "ann_query_router", "ann_filtered_topk",
-    # --- staleness rotation (round-9 directive #6): the rows graded
-    # longest ago — the rounds-3/4-era §2 micro-rows, temporal family,
-    # skew/shape rows — re-greened on final round-10 code ---
-    "e2_usage_intervals", "m1_monotonic_max_by", "m2_monotonic_representative",
-    "g5_reduce_trail", "g5_reduce_pandas", "f6_flat_map_tokens",
-    "u1_concat", "u3_distinct", "u4_threshold_clip", "u5_count_values",
-    "set_except_all", "set_intersect_all", "g4_join_single",
-    "g8_group_count", "g9_min_record", "g10_max_record", "g11_max_by",
-    "g13_regroup",
-    "asof_latest_click", "interval_clicks_after_error", "session_windows",
-    "rolling_hourly_avg", "scd2_user_history",
-    "skew_salted_distinct", "pivot_event_counts", "topk_orders_per_nation",
-    "percentiles_order_price", "histogram_event_values", "ivm_delta_join",
-    "sketch_user_stats",
-    # --- cross-family regression sentinels (most recent official grade
-    # stays fresh) ---
-    "e1_dashboard", "g3_join", "ivm_snapshot_diff", "dedup_exact",
-    "q1_pricing_summary", "ann_cosine_topk", "join_selinger_dp",
+    "sketch_priority_sample", "sketch_kmv_setops",
+    "source_mix_weights", "mix_epoch_schedule", "pipeline_mix_batches",
+    "pipeline_dsir_mix", "stream_latebound_sessionize",
+    # --- staleness rotation (round-10 directive #6): the rows whose
+    # official grade is oldest — the rounds-5/6-era quality/classifier,
+    # streaming-replay, retrieval and drift families — re-greened on
+    # final round-11 code ---
+    "dedup_semantic", "windowed_distinct_hll_replay",
+    "mutable_corpus_replay", "mutable_corpus_compact_replay",
+    "mutable_vectors_replay",
+    "bm25_search_topk", "bm25_index_delta_topk",
+    "quality_classifier_fit", "quality_classifier_metrics",
+    "quality_classifier_calibration", "quality_constraints_report",
+    "sample_quality_weighted", "text_quality_score",
+    "corpus_drift_jsd", "corpus_drift_terms", "corpus_health_by_source",
+    "corpus_split_assign", "dedup_minhash_quality",
+    "sketch_hll_cardinality", "pipeline_clean_corpus",
+    # --- cross-family regression sentinels (each family's most recent
+    # official grade stays fresh: §2 surface, relational, ANN, graph,
+    # RL, IVM, CBO) ---
+    "e1_dashboard", "e2_usage_intervals", "g3_join", "g11_max_by",
+    "m1_monotonic_max_by", "u3_distinct", "f6_flat_map_tokens",
+    "ivm_delta_join", "ivm_snapshot_diff", "dedup_exact",
+    "q1_pricing_summary", "ann_cosine_topk", "ann_query_router",
+    "join_selinger_dp", "rl_episode_returns", "pref_pair_mining",
+    "trace_call_depth", "graph_pagerank_trade", "session_windows",
+    "mm_phash_pairs",
     # (all other rows hold their most recent official grade and stay
     # covered by the committed 3-SF full-registry artifacts)
 )

@@ -357,6 +357,37 @@ def _clear_spark_caches(spark) -> None:
     _pl._CLEAN_IDS.clear()
 
 
+def run_cold_sweep(spark, registry, sf_dir: str) -> dict:
+    """The COLD section, in its own fresh JVM (the --cold-only
+    subprocess): after the parent's warm sweep an aged JVM's code-cache
+    and old-gen pressure made cold totals ±20% noise across same-code
+    runs (round-10 finding #5: 108.7 vs 128.6). Per query: one UNTIMED
+    pass first (JIT/codegen compile — cold means 'no query-result
+    reuse', never 'first janino compile'; folding first-compile into
+    cold was the round-4-8 artifact), then min of 2 cache-cleared timed
+    passes — the same fresh-JVM discipline the 10× probes already
+    use."""
+    headline = {k: v for k, v in registry.items() if v.bench}
+    spark.range(1000).selectExpr("sum(id)").collect()
+    cold: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in headline:
+        warm: dict[str, float] = {}
+        _timed(registry, spark, name, sf_dir, warm, errors)  # untimed-for-output JIT pass
+        if name in errors:
+            continue
+        for _ in range(2):
+            _clear_spark_caches(spark)
+            t1: dict[str, float] = {}
+            _timed(registry, spark, name, sf_dir, t1, errors)
+            if name in t1:
+                cold[name] = min(cold.get(name, t1[name]), t1[name])
+    out = {"queries_cold": cold, "value_cold": round(sum(cold.values()), 3)}
+    if errors:
+        out["errors_cold"] = errors
+    return out
+
+
 def run_scale_probe(spark, registry, sf_dir: str) -> dict:
     """The sf1 + skew probe sections. Run in a FRESH JVM (the
     --scale-only subprocess): after ~3000 stages of headline passes the
@@ -416,6 +447,11 @@ def main() -> None:
         action="store_true",
         help="run ONLY the sf1/skew probes and print their JSON (used by the main run as a fresh-JVM subprocess)",
     )
+    ap.add_argument(
+        "--cold-only",
+        action="store_true",
+        help="run ONLY the cold sweep and print its JSON (used by the main run as a fresh-JVM subprocess)",
+    )
     args = ap.parse_args()
     run_sf1 = not args.no_sf1 and os.environ.get("SPARK_GRAFT_SF1", "1") != "0"
 
@@ -426,6 +462,11 @@ def main() -> None:
         registry = load_all()
         spark.range(1000).selectExpr("sum(id)").collect()
         print(json.dumps(run_scale_probe(spark, registry, sf_dir)))
+        return
+    if args.cold_only:
+        spark = get_spark("bench-cold")
+        registry = load_all()
+        print(json.dumps(run_cold_sweep(spark, registry, sf_dir)))
         return
     spark = get_spark("bench")
 
@@ -459,57 +500,48 @@ def main() -> None:
             else:
                 times.pop(name, None)
                 break
-    # COLD pass AFTER the warm sweep (round-9 fix): every query timed
-    # with zero query-result reuse — CacheManager cleared and the
-    # clean-ids checkpoint memo dropped before EACH query — so flagship
-    # rows that share an expensive prefix (pipeline_training_batches
-    # reuses pipeline_clean_corpus's cached subtree on warm passes)
-    # report their real standalone cost. Running cold FIRST (rounds
-    # 4-8) silently folded FIRST-JIT into the cold number, violating
-    # _clear_spark_caches's own 'JIT stays warm' definition — the
-    # round-8 fp6 kernels are large codegen units whose first janino
-    # compile costs seconds (measured: text_quality_score 3.13s
-    # first-ever vs 0.64s cold-after-compile; the whole r8 'cold
-    # regression' was this artifact, not a plan change). With the warm
-    # sweep first, cold = the plan's standalone cost under warm JIT,
-    # comparable round-over-round regardless of kernel codegen size.
-    cold: dict[str, float] = {}
-    for name in headline:
-        if name in errors:
-            continue
-        _clear_spark_caches(spark)
-        _timed(registry, spark, name, sf_dir, cold, errors)
-    _clear_spark_caches(spark)
-
     out = {
         "metric": (
             f"headline query wall-clock (noop sink), per-query min of "
             f"{max(args.passes, 1)} warm passes, sum over queries; "
-            "queries_cold/value_cold = one pass per query with all "
-            "query-result reuse cleared, AFTER the warm sweep so JIT/"
-            "codegen is compiled (the number to hold against the "
-            "baseline bar; rounds 4-8 ran cold first and folded "
-            "first-compile of large codegen kernels into it)"
+            "queries_cold/value_cold = per-query min of 2 cache-cleared "
+            "passes in a FRESH JVM (--cold-only subprocess) after one "
+            "untimed JIT pass (the number to hold against the baseline "
+            "bar; rounds 4-8 ran cold first and folded first-compile "
+            "in, rounds 9-10 ran cold in the warm sweep's aged JVM and "
+            "measured session aging — ±20% across same-code runs)"
         ),
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": times,
-        "value_cold": round(sum(cold.values()), 3),
-        "queries_cold": cold,
         "sf": sf,
     }
 
-    if run_sf1:
-        # fresh-JVM subprocess: headline passes age this JVM (~3000
-        # stages -> code-cache/old-gen pressure) and were measured to
-        # inflate the heavy probes 2-9x; a child JVM prices the PLANS
-        import subprocess
+    # COLD sweep in its OWN fresh JVM (round-10 directive #5): after
+    # ~3000 warm-sweep stages this JVM's code cache and old-gen inflate
+    # cold rows unpredictably (same-code cold totals 108.7 vs 128.6 in
+    # round 10); the 10x probes already solved this with a --scale-only
+    # subprocess, so cold adopts the same discipline. Parent session
+    # stops FIRST — a resident local[32] JVM with a populated heap was
+    # measured to distort a child 3-7x (shared page cache and CPU).
+    import subprocess
 
-        # stop the parent session FIRST: a resident local[32] JVM with a
-        # populated heap distorts the child 3-7x (measured: the same
-        # probe 12.7s standalone vs 89s beside the idle parent — page
-        # cache and CPU are shared, the probe prices the plan)
+    spark.stop()
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--cold-only"],
+            capture_output=True, text=True, timeout=4800,
+            env={**os.environ, "SPARK_GRAFT_SF_DIR": sf_dir},
+        )
+        out.update(json.loads(proc.stdout.strip().splitlines()[-1]))
+    except Exception as ex:  # noqa: BLE001 — fall back to a fresh in-process session
+        spark = get_spark("bench-cold-fallback")
+        out.update(run_cold_sweep(spark, registry, sf_dir))
+        out["cold_fallback"] = f"{type(ex).__name__}: in-process fresh-session numbers"
         spark.stop()
+
+    if run_sf1:
+        # fresh-JVM subprocess, same rationale as the cold sweep
         try:
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__), "--scale-only"],
@@ -525,13 +557,15 @@ def main() -> None:
             )
 
     out["notes"] = (
-        "sf1/skew probes run in their own fresh JVM (--scale-only "
-        "subprocess) because headline-suite JVM aging was measured to "
-        "inflate heavy probe rows 2-9x (the aged number measures the "
-        "session, not the plan). queries_cold is the honest per-query "
-        "number to hold against the baseline bar; the warm min is for "
-        "round-over-round comparison. Round-specific narration lives in "
-        "the committed BENCH_FULL_r{N}.json artifact, not here."
+        "cold sweep AND sf1/skew probes each run in their own fresh JVM "
+        "(--cold-only / --scale-only subprocesses) because headline-"
+        "suite JVM aging was measured to inflate heavy rows 2-9x and "
+        "made same-code cold totals ±20% noise (the aged number "
+        "measures the session, not the plan). queries_cold is the "
+        "honest per-query number to hold against the baseline bar; the "
+        "warm min is for round-over-round comparison. Round-specific "
+        "narration lives in the committed BENCH_FULL_r{N}.json "
+        "artifact, not here."
     )
     if errors:
         out["errors"] = errors
