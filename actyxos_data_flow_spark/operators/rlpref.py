@@ -295,9 +295,15 @@ def agreement_report(
     n_items_capped) — at most ``top_peers`` rows per user regardless of
     corpus size: bounded OUTPUT on top of the matrix's bounded COMPUTE.
 
-    Scale shape: one union (projection), one rank window partitioned by
-    user — the window input is already floor-filtered, so the sort is
-    over surviving pairs only."""
+    Scale shape: the matrix is pinned (persisted) before symmetrization
+    — the union references it on both sides, and without the pin each
+    branch re-executes the whole latest-verdict + pair-join DAG
+    (measured: 4 event scans, zero ReusedExchange); one rank window
+    partitioned by user on top — the window input is already
+    floor-filtered, so the sort is over surviving pairs only."""
+    from .. import cache
+
+    matrix = cache.pin(matrix)
     fwd = matrix.select(
         F.col("user_a").alias("user_id"),
         F.col("user_b").alias("peer_id"),
