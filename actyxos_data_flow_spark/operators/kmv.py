@@ -156,7 +156,10 @@ def priority_sample_estimates(
     # because each belongs to some group and `exact` is the output's
     # left side.
     exact = base.groupBy("g").agg(F.sum("w").alias("exact_w"), F.max("w").alias("_mxw"))
-    tot = base.agg(F.sum("w").alias("tot_w"))
+    # grand total = sum of the per-group sums (exact integer identity):
+    # derived from `exact`'s model-sized output instead of a third full
+    # scan of base (the scan was ~1/3 of the query's warm cost)
+    tot = exact.agg(F.sum("exact_w").alias("tot_w"))
     guarded_exact = F.expr(
         f"CASE WHEN _mxw < {1 << 33} THEN exact_w "
         f"ELSE CAST(raise_error(concat('priority_sample: weight_cents ', "
