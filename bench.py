@@ -364,9 +364,9 @@ def run_cold_sweep(spark, registry, sf_dir: str) -> dict:
     runs (round-10 finding #5: 108.7 vs 128.6). Per query: one UNTIMED
     pass first (JIT/codegen compile — cold means 'no query-result
     reuse', never 'first janino compile'; folding first-compile into
-    cold was the round-4-8 artifact), then min of 2 cache-cleared timed
-    passes — the same fresh-JVM discipline the 10× probes already
-    use."""
+    cold was the round-4-8 artifact), then min of 3 cache-cleared timed
+    passes (2 left sub-second rows ±30% on scheduler noise) — the same
+    fresh-JVM discipline the 10× probes already use."""
     headline = {k: v for k, v in registry.items() if v.bench}
     spark.range(1000).selectExpr("sum(id)").collect()
     cold: dict[str, float] = {}
@@ -376,7 +376,7 @@ def run_cold_sweep(spark, registry, sf_dir: str) -> dict:
         _timed(registry, spark, name, sf_dir, warm, errors)  # untimed-for-output JIT pass
         if name in errors:
             continue
-        for _ in range(2):
+        for _ in range(3):
             _clear_spark_caches(spark)
             t1: dict[str, float] = {}
             _timed(registry, spark, name, sf_dir, t1, errors)
