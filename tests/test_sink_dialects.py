@@ -243,6 +243,48 @@ def postgres_conninfo(tmp_path_factory):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def test_pg_wire_client_types_params_and_error_recovery(postgres_conninfo):
+    """The minimal wire client's own contract against the real server:
+    placeholder conversion (%s -> $n, %% -> literal), text-format param
+    binding for NULL/bool/bigint-extremes/unicode, DB-API transaction
+    demarcation, and error recovery (a failed statement poisons the
+    transaction until rollback, like psycopg)."""
+    from tests.pg_wire_client import PgError, _pct_to_dollar, connect
+
+    assert _pct_to_dollar("a = %s AND b %% 2 = %s") == "a = $1 AND b % 2 = $2"
+
+    conn = connect(postgres_conninfo)
+    try:
+        cur = conn.cursor()
+        cur.execute(
+            "SELECT %s::bigint AS lo, %s::bigint AS hi, %s::boolean AS t, %s AS s, %s::text AS n",
+            (-(2**63), 2**63 - 1, True, "héllo 'quoted' \\slash", None),
+        )
+        row = cur.fetchone()
+        assert row == (-(2**63), 2**63 - 1, True, "héllo 'quoted' \\slash", None)
+        cur.execute("DROP TABLE IF EXISTS wire_types")
+        cur.execute("CREATE TABLE wire_types (a text, b bigint)")
+        cur.executemany(
+            "INSERT INTO wire_types (a, b) VALUES (%s, %s)", [("x", 1), (None, 2)]
+        )
+        conn.commit()
+        # failed statement -> PgError; txn must be rolled back before reuse
+        import pytest as _pt
+
+        with _pt.raises(PgError) as ei:
+            cur.execute("SELECT * FROM no_such_table_anywhere")
+        assert ei.value.sqlstate == "42P01"  # undefined_table
+        conn.rollback()
+        cur.execute("SELECT count(*) FROM wire_types")
+        assert cur.fetchone() == (2,)
+        # NULL-safe compare — the dialect shape the sink relies on
+        cur.execute("SELECT b FROM wire_types WHERE a IS NOT DISTINCT FROM %s", (None,))
+        assert cur.fetchall() == [(2,)]
+        conn.rollback()
+    finally:
+        conn.close()
+
+
 def test_postgres_round_trip_live(postgres_conninfo):
     """The verbatim PostgresDialect SQL (NULL-safe compare, ctid
     delete-exactly-n, offsets upsert) executed against a REAL
