@@ -208,6 +208,42 @@ def agreement_matrix(
     subsampled, so downstream consumers can weigh (or drop) estimates
     built on capped evidence. The count and the rank share one
     Exchange on item — the same single-shuffle posture as the LSH cap."""
+    latest = _capped_latest_labels(
+        df, item_expr, user_col, ts_col, id_col, value_col, max_raters
+    )
+    a, b = latest.alias("a"), latest.alias("b")
+    pairs = a.join(b, (F.col("a.item") == F.col("b.item")) & (F.col("a.u") < F.col("b.u")))
+    return (
+        pairs.groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum((F.col("a.lab") == F.col("b.lab")).cast("long")).alias("n_agree"),
+            F.sum(F.col("a.capped")).alias("n_items_capped"),
+        )
+        .select(
+            "user_a",
+            "user_b",
+            "n_items",
+            "n_agree",
+            F.expr("(n_agree * 1000000) DIV n_items").alias("agree_fp6"),
+            "n_items_capped",
+        )
+    )
+
+
+def _capped_latest_labels(
+    df: DataFrame,
+    item_expr,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    value_col: str,
+    max_raters: int | None,
+) -> DataFrame:
+    """(item, u, lab, capped): each user's LATEST binary verdict per
+    item, rater-capped per item by the deterministic salted-md5 rank —
+    the shared blocking frame under the matrix, the report and the
+    kappa rows (one spec, three consumers)."""
     if item_expr is None:
         # BIGINT, not INT: from_json silently NULLs on overflow, and the
         # DuckDB oracle's TRY_CAST(... AS BIGINT) must drop the exact
@@ -226,53 +262,94 @@ def agreement_matrix(
     latest = base.groupBy("item", "u").agg(
         F.max(F.struct(F.col("_tsu"), F.col("_id"), F.col("_lab"))).alias("_last")
     ).select("item", "u", F.col("_last._lab").alias("lab"))
-    if max_raters is not None:
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":",
-                        F.lit(AGREE_SAMPLE_SALT),
-                        F.col("item").cast("string"),
-                        F.col("u").cast("string"),
-                    ).cast("binary")
-                ),
-                1,
-                15,
+    if max_raters is None:
+        return latest.withColumn("capped", F.lit(0).cast("long"))
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.lit(AGREE_SAMPLE_SALT),
+                    F.col("item").cast("string"),
+                    F.col("u").cast("string"),
+                ).cast("binary")
             ),
-            16,
-            10,
-        ).cast("long")
-        w_item = Window.partitionBy("item")
-        w_rank = Window.partitionBy("item").orderBy(h.asc(), F.col("u").asc())
-        latest = (
-            latest.withColumn("_nr", F.count(F.lit(1)).over(w_item))
-            .withColumn("_rk", F.row_number().over(w_rank))
-            .filter(F.col("_rk") <= max_raters)
-            .select(
-                "item",
-                "u",
-                "lab",
-                (F.col("_nr") > max_raters).cast("long").alias("capped"),
-            )
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    w_item = Window.partitionBy("item")
+    w_rank = Window.partitionBy("item").orderBy(h.asc(), F.col("u").asc())
+    return (
+        latest.withColumn("_nr", F.count(F.lit(1)).over(w_item))
+        .withColumn("_rk", F.row_number().over(w_rank))
+        .filter(F.col("_rk") <= max_raters)
+        .select(
+            "item",
+            "u",
+            "lab",
+            (F.col("_nr") > max_raters).cast("long").alias("capped"),
         )
-    else:
-        latest = latest.withColumn("capped", F.lit(0).cast("long"))
+    )
+
+
+def agreement_kappa(
+    df: DataFrame,
+    item_expr=None,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    value_col: str = "value",
+    max_raters: int | None = AGREE_MAX_RATERS,
+) -> DataFrame:
+    """Cohen's kappa per co-rating user pair — the chance-corrected
+    agreement statistic (raw agree rate rewards raters who mark
+    everything positive; kappa subtracts the agreement their marginal
+    label rates would produce by chance). Over each pair's co-rated
+    (capped) items with counts n, agree, a1 = Σ lab_a, b1 = Σ lab_b:
+
+        num = agree·n − a1·b1 − (n−a1)·(n−b1)      (= n²·(p_o − p_e))
+        den = n²      − a1·b1 − (n−a1)·(n−b1)      (= n²·(1 − p_e))
+        kappa_fp6 = (num · 10⁶) DIV den
+
+    — pure BIGINT arithmetic (products ≤ n²·10⁶; safe to n = 10⁶
+    co-items), and num may be NEGATIVE: both engines' integer division
+    truncates toward zero (Spark ``-7 DIV 2`` = DuckDB ``-7 // 2`` =
+    −3, verified), so the fp6 value is bit-identical on any build.
+    Pairs with den = 0 (p_e = 1: both raters constant with identical
+    marginals — kappa undefined) are dropped, a deterministic spec on
+    both sides.
+
+    Scale shape: identical to the matrix — the capped latest-labels
+    frame, one item equi-join, one map-side-combined aggregate; the
+    kappa algebra is a projection on the aggregate's four counts."""
+    latest = _capped_latest_labels(
+        df, item_expr, user_col, ts_col, id_col, value_col, max_raters
+    )
     a, b = latest.alias("a"), latest.alias("b")
     pairs = a.join(b, (F.col("a.item") == F.col("b.item")) & (F.col("a.u") < F.col("b.u")))
+    g = pairs.groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum((F.col("a.lab") == F.col("b.lab")).cast("long")).alias("n_agree"),
+        F.sum(F.col("a.lab")).alias("a_pos"),
+        F.sum(F.col("b.lab")).alias("b_pos"),
+        F.sum(F.col("a.capped")).alias("n_items_capped"),
+    )
+    chance = "(a_pos * b_pos + (n_items - a_pos) * (n_items - b_pos))"
     return (
-        pairs.groupBy(F.col("a.u").alias("user_a"), F.col("b.u").alias("user_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_items"),
-            F.sum((F.col("a.lab") == F.col("b.lab")).cast("long")).alias("n_agree"),
-            F.sum(F.col("a.capped")).alias("n_items_capped"),
-        )
+        g.withColumn("_num", F.expr(f"n_agree * n_items - {chance}"))
+        .withColumn("_den", F.expr(f"n_items * n_items - {chance}"))
+        .filter(F.col("_den") != 0)
         .select(
             "user_a",
             "user_b",
             "n_items",
             "n_agree",
-            F.expr("(n_agree * 1000000) DIV n_items").alias("agree_fp6"),
+            "a_pos",
+            "b_pos",
+            F.expr("(_num * 1000000) DIV _den").alias("kappa_fp6"),
             "n_items_capped",
         )
     )

@@ -86,7 +86,7 @@ _PRIORITY: tuple[str, ...] = (
     # the schedule family whose domain-budget table became a VALUES
     # literal (values unchanged, plan identity restored); the
     # sessionize row whose user-set broadcast gained the size guard ---
-    "pref_agreement_matrix", "pref_agreement_report",
+    "pref_agreement_matrix", "pref_agreement_report", "pref_agreement_kappa",
     "sketch_priority_sample", "sketch_kmv_setops",
     "source_mix_weights", "mix_epoch_schedule", "pipeline_mix_batches",
     "pipeline_dsir_mix", "stream_latebound_sessionize",

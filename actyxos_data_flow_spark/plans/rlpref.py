@@ -209,6 +209,43 @@ def pref_agreement_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+AGREEMENT_KAPPA_ORACLE = f"""
+{_AGREE_MATRIX_CTES},
+kag AS (
+  SELECT a.u AS user_a, b.u AS user_b,
+         count(*) AS n_items,
+         CAST(sum((a.lab = b.lab)::INT) AS BIGINT) AS n_agree,
+         CAST(sum(a.lab) AS BIGINT) AS a_pos,
+         CAST(sum(b.lab) AS BIGINT) AS b_pos,
+         CAST(sum(a.capped) AS BIGINT) AS n_items_capped
+  FROM asel a JOIN asel b ON a.item = b.item AND a.u < b.u
+  GROUP BY 1, 2
+),
+kv AS (
+  SELECT *,
+         n_agree * n_items - (a_pos * b_pos + (n_items - a_pos) * (n_items - b_pos)) AS num,
+         n_items * n_items - (a_pos * b_pos + (n_items - a_pos) * (n_items - b_pos)) AS den
+  FROM kag
+)
+SELECT user_a, user_b, n_items, n_agree, a_pos, b_pos,
+       CAST((num * 1000000) // den AS BIGINT) AS kappa_fp6,
+       n_items_capped
+FROM kv WHERE den <> 0
+"""
+
+
+@register("pref_agreement_kappa", oracle=AGREEMENT_KAPPA_ORACLE)
+def pref_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa per co-rating pair — chance-corrected agreement
+    over the same capped latest-verdict frame as the matrix:
+    kappa_fp6 = (n²(p_o − p_e)·10⁶) DIV (n²(1 − p_e)) in pure BIGINT
+    (both engines truncate integer division toward zero, so negative
+    kappas are bit-identical too); p_e = 1 pairs are dropped
+    (undefined). The standard IAA statistic a labeling pipeline
+    actually reads before trusting a rater pool."""
+    return R.agreement_kappa(load_table(spark, sf_dir, "events"))
+
+
 # -- tool-trace health -------------------------------------------------------
 
 TRACE_DEPTH_ORACLE = f"""

@@ -200,6 +200,44 @@ def test_agreement_report_floor_and_topn(spark):
     assert all(len(v) <= 2 for v in got.values())
 
 
+def test_agreement_kappa_matches_hand_computation(spark):
+    """kappa_fp6 against the textbook formula on a hand-checkable case,
+    including a NEGATIVE kappa (truncation toward zero on both engines)
+    and the dropped den=0 (p_e = 1) pair."""
+    triples = []
+    # pair (1,2): labels a=[1,1,0,0], b=[1,0,0,1] over items 10..13
+    for k, (la, lb) in zip((10, 11, 12, 13), [(1, 1), (1, 0), (0, 0), (0, 1)]):
+        triples.append((1, k, la))
+        triples.append((2, k, lb))
+    # pair (3,4): both constant-1 on 2 items -> p_e = 1 -> dropped
+    for k in (20, 21):
+        triples.append((3, k, 1))
+        triples.append((4, k, 1))
+    # pair (5,6): perfect disagreement, balanced marginals -> kappa = -1
+    for k, (la, lb) in zip((30, 31), [(1, 0), (0, 1)]):
+        triples.append((5, k, la))
+        triples.append((6, k, lb))
+    df = _agree_events(spark, triples)
+    out = {(r["user_a"], r["user_b"]): r for r in R.agreement_kappa(df).collect()}
+    # (1,2): n=4, agree=2, a1=2, b1=2 -> chance=8, num=0, den=8 -> 0
+    r = out[(1, 2)]
+    assert (r["n_items"], r["n_agree"], r["a_pos"], r["b_pos"]) == (4, 2, 2, 2)
+    assert r["kappa_fp6"] == 0
+    # (3,4): den = 0 -> dropped
+    assert (3, 4) not in out
+    # (5,6): n=2, agree=0, a1=1, b1=1 -> chance=2, num=-2, den=2 -> -1.0
+    assert out[(5, 6)]["kappa_fp6"] == -1_000_000
+    # python replay for every emitted pair: int(Fraction) truncates
+    # toward zero — the semantics both engines' integer division share
+    from fractions import Fraction
+
+    for (ua, ub), r in out.items():
+        n, ag, a1, b1 = r["n_items"], r["n_agree"], r["a_pos"], r["b_pos"]
+        ch = a1 * b1 + (n - a1) * (n - b1)
+        num, den = ag * n - ch, n * n - ch
+        assert r["kappa_fp6"] == int(Fraction(num * 1_000_000, den)), (ua, ub)
+
+
 def test_merge_session_state_is_arrival_order_independent(spark):
     """Folding arrival batches in ANY order must converge to the same
     session state (the stream_latebound_sessionize contract)."""
