@@ -357,6 +357,12 @@ def _clear_spark_caches(spark) -> None:
     _pl._CLEAN_IDS.clear()
 
 
+# cache-cleared passes per cold row; the metric string derives from
+# this same constant so the artifact can never misdescribe its own
+# methodology again (ADVICE r11: loop said 3, string said 2)
+COLD_PASSES = 3
+
+
 def run_cold_sweep(spark, registry, sf_dir: str) -> dict:
     """The COLD section, in its own fresh JVM (the --cold-only
     subprocess): after the parent's warm sweep an aged JVM's code-cache
@@ -376,7 +382,7 @@ def run_cold_sweep(spark, registry, sf_dir: str) -> dict:
         _timed(registry, spark, name, sf_dir, warm, errors)  # untimed-for-output JIT pass
         if name in errors:
             continue
-        for _ in range(3):
+        for _ in range(COLD_PASSES):
             _clear_spark_caches(spark)
             t1: dict[str, float] = {}
             _timed(registry, spark, name, sf_dir, t1, errors)
@@ -502,18 +508,18 @@ def main() -> None:
                 break
     out = {
         "metric": (
-            f"headline query wall-clock (noop sink), per-query min of "
-            f"{max(args.passes, 1)} warm passes, sum over queries; "
-            "queries_cold/value_cold = per-query min of 2 cache-cleared "
-            "passes in a FRESH JVM (--cold-only subprocess) after one "
-            "untimed JIT pass (the number to hold against the baseline "
-            "bar; rounds 4-8 ran cold first and folded first-compile "
-            "in, rounds 9-10 ran cold in the warm sweep's aged JVM and "
-            "measured session aging — ±20% across same-code runs)"
+            "headline = COLD query wall-clock (noop sink): per-query "
+            f"min of {COLD_PASSES} cache-cleared passes in a FRESH JVM "
+            "(--cold-only subprocess) after one untimed JIT pass — "
+            "same-code reproducible to <1%, the number to hold against "
+            "the baseline bar. queries_warm/value_warm = per-query min "
+            f"of {max(args.passes, 1)} warm passes in the aged sweep "
+            "JVM (directed-probe use only: same-code warm totals "
+            "drifted 24% in round 11, so warm is no longer a headline)"
         ),
-        "value": round(sum(times.values()), 3),
+        "value_warm": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
+        "queries_warm": times,
         "sf": sf,
     }
 
@@ -539,6 +545,12 @@ def main() -> None:
         out.update(run_cold_sweep(spark, registry, sf_dir))
         out["cold_fallback"] = f"{type(ex).__name__}: in-process fresh-session numbers"
         spark.stop()
+    # the driver contract's value/queries carry the reproducible COLD
+    # numbers (round-12 directive: warm's 24% same-code drift retired
+    # it as a headline); queries_cold/value_cold stay as aliases so
+    # round-over-round tooling keeps working
+    out["value"] = out.get("value_cold", out["value_warm"])
+    out["queries"] = out.get("queries_cold", out["queries_warm"])
 
     if run_sf1:
         # fresh-JVM subprocess, same rationale as the cold sweep
@@ -573,8 +585,10 @@ def main() -> None:
     # progress bars are disabled in get_spark), duplicated to a file so
     # the artifact survives any stdout mangling driver-side
     line = json.dumps(out)
-    with open(os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), "w") as fh:
-        fh.write(line + "\n")
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from artifacts import atomic_write  # temp+rename: never a partial artifact
+
+    atomic_write(os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"), line + "\n")
     print(line)
 
 

@@ -46,8 +46,18 @@ def value_hash(rows, colnames):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 and os.path.isdir(sys.argv[1]) else "/root/testdata/sf0.01"
-    only = set(a for a in sys.argv[1:] if not os.path.isdir(a))
+    # --out FILE: write the JSON artifact atomically (temp+rename) in
+    # addition to stdout. Shell `> FILE` redirection truncates at
+    # process start and shipped a 0-byte artifact in round 11 — prefer
+    # --out for anything that gets committed.
+    argv = sys.argv[1:]
+    out_path = None
+    if "--out" in argv:
+        i = argv.index("--out")
+        out_path = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if argv and os.path.isdir(argv[0]) else "/root/testdata/sf0.01"
+    only = set(a for a in argv if not os.path.isdir(a))
 
     from actyxos_data_flow_spark.plans import load_all
     from actyxos_data_flow_spark.session import get_spark
@@ -125,6 +135,10 @@ def main():
     # engines that produced it, making the next cross-env split
     # diagnosable in minutes instead of a round.
     results["_env"] = env_stamp()
+    if out_path:
+        from artifacts import atomic_write_json
+
+        atomic_write_json(out_path, results)
     print(json.dumps(results, indent=2, default=str))
     n_q = len(results) - 1
     n_match = sum(

@@ -46,6 +46,11 @@ def main() -> int:
     # int() branch with ITS error message instead of a bogus
     # missing-directory complaint (ADVICE r10).
     args = sys.argv[1:]
+    out_path = None
+    if "--out" in args:  # atomic artifact write (round-11 truncation fix)
+        i = args.index("--out")
+        out_path = args[i + 1]
+        del args[i : i + 2]
     sf_dir = "/root/testdata/sf0.01"
     if args and (os.sep in args[0] or os.path.isdir(args[0]) or not _is_int(args[0])):
         sf_dir = args.pop(0)
@@ -122,6 +127,10 @@ def main() -> int:
         f"({len(names)} rows) at {sf_dir} — none of session.get_spark's confs"
     )
     results["_env"] = env_stamp()
+    if out_path:
+        from artifacts import atomic_write_json
+
+        atomic_write_json(out_path, results)
     print(json.dumps(results, indent=2, default=str))
     n_ok = sum(1 for k, r in results.items() if not k.startswith("_") and r["status"] in ("MATCH", "rows_only"))
     print(f"\n{n_ok}/{len(names)} ok; failed: {failed}", file=sys.stderr)
