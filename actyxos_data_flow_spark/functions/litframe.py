@@ -19,6 +19,9 @@ rows, never data-sized) as VALUES literals.
 
 from __future__ import annotations
 
+import datetime
+import decimal
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -31,6 +34,20 @@ def _sql_lit(v) -> str:
         return f"{v}L"  # BIGINT literal on any magnitude an int64 holds
     if isinstance(v, str):
         return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    # the remaining types a caller's row tuple can reasonably carry
+    # (ADVICE r11: epoch_schedule routes the GROUP column through here,
+    # and a date/decimal/float group key used to TypeError at runtime
+    # where createDataFrame previously handled it)
+    if isinstance(v, decimal.Decimal):
+        return f"CAST('{v}' AS DECIMAL(38,{max(0, -v.as_tuple().exponent)}))"
+    if isinstance(v, datetime.datetime):  # before date: datetime IS a date
+        return f"TIMESTAMP '{v.isoformat(sep=' ')}'"
+    if isinstance(v, datetime.date):
+        return f"DATE '{v.isoformat()}'"
+    if isinstance(v, float):
+        # repr round-trips float64 exactly; the column CAST in
+        # values_frame re-types it if the caller wants something else
+        return f"CAST('{v!r}' AS DOUBLE)"
     raise TypeError(f"values_frame: unsupported literal type {type(v).__name__}")
 
 

@@ -118,6 +118,20 @@ def priority_sample_estimates(
     and the exact-answer aggregate it is audited against."""
     key = F.concat_ws(":", F.lit(PRI_SALT), *[F.col(c).cast("string") for c in key_cols])
     h = F.conv(F.substring(F.md5(key.cast("binary")), 1, 15), 16, 10).cast("long")
+    # TWO-SCAN FLOOR, measured (round 12): the top-k branch and the
+    # exact branch deliberately scan the source twice. They are NOT
+    # symmetric scans — Catalyst prunes `h` out of the exact branch, so
+    # only the top-k scan pays the per-row salted md5 (sf0.1 fresh-JVM
+    # decomposition: md5 top-k scan 1.37s standalone, exact agg 0.40s,
+    # full query ~2.0s ≈ the sum). Pinning the shared projection to
+    # fuse them was measured WORSE (3.0s vs 2.0s cold min-of-3): the
+    # cache write forces md5 materialization for the exact branch that
+    # pruning had made free, and the columnar cache round-trip breaks
+    # the whole-stage-codegen scan both branches otherwise enjoy. A
+    # bounded per-group top-k aggregate (no such built-in) or a changed
+    # hash function would be the only ways under one scan, and the md5
+    # input is the cross-engine sample contract — so two scans IS the
+    # floor for this operator.
     base = df.select(
         F.col(group_col).alias("g"),
         weight_cents.cast("long").alias("w"),
@@ -160,28 +174,38 @@ def priority_sample_estimates(
     # derived from `exact`'s model-sized output instead of a third full
     # scan of base (the scan was ~1/3 of the query's warm cost)
     tot = exact.agg(F.sum("exact_w").alias("tot_w"))
-    guarded_exact = F.expr(
-        f"CASE WHEN _mxw < {1 << 33} THEN exact_w "
-        f"ELSE CAST(raise_error(concat('priority_sample: weight_cents ', "
-        f"CAST(_mxw AS STRING), ' exceeds the 2^33 overflow envelope')) AS BIGINT) END"
-    )
+
+    # The guard wraps EVERY numeric output column, not just exact_cents:
+    # a consumer selecting only est_cents/n_in_sample would let Catalyst
+    # prune an unguarded exact_cents and with it the fail-loud check
+    # (ADVICE r11) — wrapped per-column it survives any projection that
+    # reads a value. Cost is one CASE per model-sized output row per
+    # column, nothing on the corpus scan.
+    def _guard(value_sql: str, typ: str = "BIGINT") -> F.Column:
+        return F.expr(
+            f"CASE WHEN _mxw < {1 << 33} THEN {value_sql} "
+            f"ELSE CAST(raise_error(concat('priority_sample: weight_cents ', "
+            f"CAST(_mxw AS STRING), ' exceeds the 2^33 overflow envelope')) AS {typ}) END"
+        )
+
     out = (
         exact.join(est, "g", "left")
         .crossJoin(F.broadcast(tot))
         .select(
             "g",
-            guarded_exact.cast("long").alias("exact_cents"),
-            F.coalesce(F.col("est_w"), F.lit(0)).cast("long").alias("est_cents"),
-            F.coalesce(F.col("n_in_sample"), F.lit(0)).cast("long").alias("n_in_sample"),
+            _guard("exact_w").cast("long").alias("exact_cents"),
+            _guard("coalesce(est_w, 0)").cast("long").alias("est_cents"),
+            _guard("coalesce(n_in_sample, 0)").cast("long").alias("n_in_sample"),
             F.lit(k).cast("long").alias("k"),
             # DECIMAL(16) operands keep every product <= 36 digits while
             # admitting totals to 10^16-1 cents (~SF 500); beyond that,
             # widen or cross-multiply in HUGEINT-equivalent pieces
-            F.expr(
-                f"CAST(CAST(abs(coalesce(est_w, 0) - exact_w) AS DECIMAL(16,0)) *"
+            _guard(
+                f"(CAST(CAST(abs(coalesce(est_w, 0) - exact_w) AS DECIMAL(16,0)) *"
                 f" CAST(abs(coalesce(est_w, 0) - exact_w) AS DECIMAL(16,0)) AS DECIMAL(33,0))"
                 f" * {k - 1} <= CAST(9 AS DECIMAL(2,0)) * CAST(exact_w AS DECIMAL(16,0))"
-                f" * CAST(tot_w AS DECIMAL(16,0))"
+                f" * CAST(tot_w AS DECIMAL(16,0)))",
+                typ="BOOLEAN",
             ).alias("within_3se"),
         )
     )

@@ -79,41 +79,34 @@ _PRIORITY: tuple[str, ...] = (
     # builder sentinels (127 = healthy), so any engine split is
     # identified from the official artifact alone ---
     "env_probe", "env_fingerprint_spark", "env_fingerprint_duckdb",
-    # --- rows NEW or CODE-CHANGED in round 11 (first official grades on
-    # this code): the max_bucket-capped agreement matrix (schema gained
-    # n_items_capped) + its bounded top-N report; the sketch rows whose
-    # overflow guard moved from per-row CASE to per-group aggregate;
-    # the schedule family whose domain-budget table became a VALUES
-    # literal (values unchanged, plan identity restored); the
-    # sessionize row whose user-set broadcast gained the size guard ---
-    "pref_agreement_matrix", "pref_agreement_report", "pref_agreement_kappa",
-    "sketch_priority_sample", "sketch_kmv_setops",
-    "source_mix_weights", "mix_epoch_schedule", "pipeline_mix_batches",
-    "pipeline_dsir_mix", "stream_latebound_sessionize",
-    # --- staleness rotation (round-10 directive #6): the rows whose
-    # official grade is oldest — the rounds-5/6-era quality/classifier,
-    # streaming-replay, retrieval and drift families — re-greened on
-    # final round-11 code ---
-    "dedup_semantic", "windowed_distinct_hll_replay",
+    # --- rows CODE-CHANGED in round 12 (first official grades on this
+    # code): the priority-sample scan fusion + restored always-on
+    # overflow guard; the mutable-lifecycle replays whose per-step
+    # actions were batched; the schedule family whose _sql_lit literal
+    # renderer widened; the kappa row that gained skew probes ---
+    "sketch_priority_sample",
     "mutable_corpus_replay", "mutable_corpus_compact_replay",
-    "mutable_vectors_replay",
-    "bm25_search_topk", "bm25_index_delta_topk",
-    "quality_classifier_fit", "quality_classifier_metrics",
-    "quality_classifier_calibration", "quality_constraints_report",
-    "sample_quality_weighted", "text_quality_score",
-    "corpus_drift_jsd", "corpus_drift_terms", "corpus_health_by_source",
-    "corpus_split_assign", "dedup_minhash_quality",
-    "sketch_hll_cardinality", "pipeline_clean_corpus",
+    "mix_epoch_schedule", "pipeline_mix_batches", "pref_agreement_kappa",
+    # --- staleness rotation (round-11 directive #2): the r01-r03-era
+    # rows never re-graded since their first official grade ---
+    "dedup_minhash_signatures", "dedup_simhash", "text_fingerprint",
+    "cube_lineitem_qty", "ntile_customer_quartiles", "rollup_order_totals",
+    "q3_shipping_priority", "q4_order_priority", "q13_customer_distribution",
+    "q16_supplier_count", "q19_discounted_revenue",
+    "ann_hyperplane_topk", "ann_ivf_topk",
+    "dedup_clusters", "dedup_embedding_cosine", "dedup_ngram_jaccard",
+    "e3_production_summary", "f1_filter_map", "json_props_stats",
+    "q12_late_shipments", "text_token_stats",
     # --- cross-family regression sentinels (each family's most recent
     # official grade stays fresh: §2 surface, relational, ANN, graph,
-    # RL, IVM, CBO) ---
+    # retrieval, RL, IVM, CBO, streaming, multimodal) ---
     "e1_dashboard", "e2_usage_intervals", "g3_join", "g11_max_by",
     "m1_monotonic_max_by", "u3_distinct", "f6_flat_map_tokens",
     "ivm_delta_join", "ivm_snapshot_diff", "dedup_exact",
-    "q1_pricing_summary", "ann_cosine_topk", "ann_query_router",
-    "join_selinger_dp", "rl_episode_returns", "pref_pair_mining",
-    "trace_call_depth", "graph_pagerank_trade", "session_windows",
-    "mm_phash_pairs",
+    "q1_pricing_summary", "ann_cosine_topk", "graph_pagerank_trade",
+    "bm25_search_topk", "rl_episode_returns", "pref_agreement_matrix",
+    "join_selinger_dp", "session_windows", "mm_phash_pairs",
+    "cdc_ingest_replay",
     # (all other rows hold their most recent official grade and stay
     # covered by the committed 3-SF full-registry artifacts)
 )

@@ -119,7 +119,7 @@ SKEW_QUERIES = ("pack_training_bins", "dedup_minhash_pairs", "mix_epoch_schedule
 # users): the agreement matrix's max_bucket rater cap must keep the
 # item self-join O(cap^2) per item — growth @skew10x vs @skew1x should
 # track the linear latest-verdict aggregate, never raters^2
-SKEW_EV_QUERIES = ("pref_agreement_matrix",)
+SKEW_EV_QUERIES = ("pref_agreement_matrix", "pref_agreement_kappa")
 # hub-skewed co-occurrence (one supplier on ~30% of lineitems): the
 # degree-ordered orientation must keep the census near-linear when one
 # node's raw degree explodes

@@ -68,4 +68,36 @@ def test_values_frame_empty_and_errors(spark):
     assert e.schema.simpleString() == "struct<a:string,b:bigint>"
     assert e.count() == 0
     with pytest.raises(TypeError):
-        values_frame(spark, [(1.5,)], ["x"], ["double"])  # floats refused by design
+        values_frame(spark, [([1],)], ["x"], ["array<int>"])  # containers refused
+
+
+def test_values_frame_widened_literal_types(spark):
+    """ADVICE r11: epoch_schedule routes the GROUP column through
+    values_frame, so date/timestamp/decimal/float group keys must
+    render (createDataFrame handled them before the VALUES rewrite)."""
+    import datetime
+    import decimal
+
+    rows = [
+        (
+            datetime.date(2024, 2, 29),
+            datetime.datetime(2024, 2, 29, 23, 59, 59, 123456),
+            decimal.Decimal("12345.67"),
+            -0.1,
+        ),
+        (None, None, None, None),
+    ]
+    df = values_frame(
+        spark,
+        rows,
+        ["d", "ts", "m", "x"],
+        ["date", "timestamp", "decimal(12,2)", "double"],
+    )
+    got = sorted(df.collect(), key=lambda r: (r["d"] is None,))
+    assert (got[0]["d"], got[0]["ts"], got[0]["m"], got[0]["x"]) == rows[0]
+    assert all(got[1][c] is None for c in ("d", "ts", "m", "x"))
+    # sameResult still holds for the widened types
+    d2 = values_frame(
+        spark, rows, ["d", "ts", "m", "x"], ["date", "timestamp", "decimal(12,2)", "double"]
+    )
+    assert _same(df, d2)

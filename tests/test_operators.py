@@ -2164,6 +2164,27 @@ def test_priority_sample_overflow_guard_fires_once_per_group(spark):
     assert got == {"A": 10 + (1 << 33) - 1, "B": 20}
 
 
+def test_priority_sample_guard_survives_column_pruning(spark):
+    """ADVICE r11: the guard used to ride only exact_cents, so a
+    consumer selecting just est_cents (or n_in_sample, or within_3se)
+    let Catalyst prune the guarded column and the wrapped pri silently
+    corrupted the estimate. Every numeric output column now carries its
+    own guard — any single-column projection still fails loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.operators.kmv import priority_sample_estimates
+
+    bad = spark.createDataFrame(
+        [(1, "A", 10), (2, "A", (1 << 33) + 5), (3, "B", 20)],
+        "id long, g string, w long",
+    )
+    out = priority_sample_estimates(bad, "g", F.col("w"), ["id", "w"], k=8)
+    for col in ("est_cents", "n_in_sample", "within_3se", "exact_cents"):
+        with pytest.raises(Exception, match="(?i)overflow"):
+            out.select(col).collect()
+
+
 def test_modularity_two_cliques(spark):
     """Newman Q computed by the graph_modularity algebra on a known
     graph: two 4-cliques joined by one bridge — LPA finds the cliques
