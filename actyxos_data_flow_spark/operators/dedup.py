@@ -531,20 +531,46 @@ def connected_components_delta(
         cc_delta(cc(base), delta) == cc(base ∪ delta)
 
     Label ids stay canonical (min id of the merged component) because
-    star edges preserve reachability and the contraction re-minimizes.
-    This is the clustering companion to ``lsh_delta_pairs``: the band
-    index yields the delta edges, this folds them into the standing
-    cluster table.
+    every component id IS the min node id of its members (and a new
+    node's id is itself), so the min over merged component ids equals
+    the min over all member nodes. This is the clustering companion to
+    ``lsh_delta_pairs``: the band index yields the delta edges, this
+    folds them into the standing cluster table.
+
+    Scale shape (the round-12 rewrite): the standing label table —
+    doc-count-sized at corpus scale — is never fed through the
+    contraction loop (the previous formulation re-starred ALL prior
+    labels every batch: O(labels) shuffled per contraction round).
+    Delta endpoints map to their current component ids (one lookup
+    join; unseen nodes map to themselves), the iterative contraction
+    runs on the COMPONENT-LEVEL mini-graph — O(delta) edges — and the
+    merged roots broadcast-join back onto the standing table. Per
+    batch the big table is touched by single-pass joins only.
     """
-    # Every prior node enters as an edge — members as (node, component)
-    # star edges, roots and SINGLETON clusters as self-pairs (which the
-    # star contraction's singleton handling relabels) — so an existing
-    # cluster table can never lose rows through a maintenance step.
-    prior = labels.select(F.col("node").alias(id_a), F.col("component").alias(id_b))
-    delta = new_pairs.select(F.col(id_a), F.col(id_b))
-    return connected_components_star(
-        prior.unionByName(delta), id_a=id_a, id_b=id_b, max_iter=max_iter
+    la = labels.select(F.col("node").alias(id_a), F.col("component").alias("_ca"))
+    lb = labels.select(F.col("node").alias(id_b), F.col("component").alias("_cb"))
+    comp_edges = (
+        new_pairs.select(F.col(id_a), F.col(id_b))
+        .join(la, id_a, "left")
+        .join(lb, id_b, "left")
+        .select(
+            F.coalesce(F.col("_ca"), F.col(id_a)).alias(id_a),
+            F.coalesce(F.col("_cb"), F.col(id_b)).alias(id_b),
+        )
     )
+    mini = connected_components_star(comp_edges, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    # mini nodes are old component ids ∪ brand-new node ids; its labels
+    # are the merged roots. Relabel standing rows via the model-sized
+    # remap (broadcast), keep untouched components verbatim ...
+    remap = mini.select(F.col("node").alias("component"), F.col("component").alias("_new"))
+    updated = labels.join(F.broadcast(remap), "component", "left").select(
+        "node", F.coalesce("_new", F.col("component")).alias("component")
+    )
+    # ... and nodes the standing table has never seen enter with their
+    # merged root (old component ids are all in labels.node — each is
+    # the min MEMBER — so the anti-join isolates exactly the new nodes)
+    new_nodes = mini.join(labels.select("node"), "node", "left_anti")
+    return updated.unionByName(new_nodes.select("node", "component"))
 
 
 def decontaminate(

@@ -239,10 +239,25 @@ class CorpusIngestor:
         A batch doc drops if it near-matches history, or near-matches a
         smaller-id batch doc. Returns (accepted, accepted_sigs,
         near_pairs) — the verified pairs feed incremental cluster
-        maintenance."""
+        maintenance.
+
+        Materialization discipline (the round-12 wall-clock fix): the
+        batch signatures are checkpointed ONCE — the band probe, BOTH
+        sides of the estimator join, and the signature append all read
+        the same computed rows (lazily, minhash ran once per consumer:
+        3×+ per batch) — and the verified pair set is checkpointed
+        before anything derives from it, because drops/accepted/
+        accepted_sigs/cluster-maintenance each re-ran the whole
+        estimator join when ``near`` stayed lazy. Checkpointing near
+        here also pins the edge set as of the PRE-APPEND signature
+        index (cluster maintenance runs after this batch's sigs land —
+        a lazy plan would see the batch's own rows in the index). Both
+        frames are model-sized: O(batch) signatures, verified pairs.
+        At cluster scale swap localCheckpoint for reliable
+        checkpoint()."""
         sig_new = D.minhash_signatures(
             D.shingles(fresh, self.id_col, self.text_col), self.id_col, self.num_hashes
-        )
+        ).localCheckpoint()
         pairs = D.lsh_delta_pairs(
             self._sigs(), sig_new, self.id_col, self.num_hashes, self.band_size
         )
@@ -255,8 +270,9 @@ class CorpusIngestor:
         ) / F.lit(float(self.num_hashes))
         near = (
             both.join(sa, "id_a").join(sb, "id_b")
-            .select("id_a", "id_b", est.alias("est"))
-            .filter(F.col("est") >= self.sim_threshold)
+            .filter(est >= self.sim_threshold)
+            .select("id_a", "id_b")
+            .localCheckpoint()
         )
         drops = _directed_drops(near, fresh.select(self.id_col), self.id_col)
         accepted = fresh.join(drops, self.id_col, "left_anti")
@@ -265,10 +281,19 @@ class CorpusIngestor:
     def ingest_batch(self, docs: DataFrame) -> dict:
         """Gate, dedup (intra-batch then vs history), append. Returns
         counts {'arrived', 'gated', 'accepted'} for observability."""
-        arrived = docs.count()
         scored = X.quality_score(docs, self.id_col, self.text_col).select(
             self.id_col, "quality_fp6"
         )
+        # quality_score is a pure projection (one row per doc), so the
+        # arrived and gated counts come from ONE aggregate over the
+        # scored batch instead of two separate scans
+        _counts = scored.agg(
+            F.count(F.lit(1)).alias("_arrived"),
+            F.sum(
+                (F.col("quality_fp6") >= self.quality_min_fp6).cast("long")
+            ).alias("_gated"),
+        ).first()
+        arrived, n_gated = _counts["_arrived"], int(_counts["_gated"] or 0)
         gated = docs.join(
             scored.filter(F.col("quality_fp6") >= self.quality_min_fp6), self.id_col
         )
@@ -290,15 +315,10 @@ class CorpusIngestor:
         pre_gate = None
         if self.near_dup:
             pre_gate = fresh.persist()  # nodes entering the near-dup stage
+            # the gate checkpoints the batch signatures and the verified
+            # pair set internally (see _near_dup_gate) — sigs/near are
+            # cheap model-sized reads from here on
             fresh, sigs, near = self._near_dup_gate(pre_gate)
-            sigs = sigs.persist()
-            # pin the edge set AS OF the pre-append signature index:
-            # `near` is a lazy plan over the sigs parquet, and cluster
-            # maintenance runs AFTER this batch's sigs are appended —
-            # without materializing, the re-evaluation would see the
-            # batch's own signatures in the index (duplicate edges;
-            # CC-idempotent, but nondeterministic plan inputs)
-            near = near.localCheckpoint()
         # Write order = corpus → signatures → clusters → digest index.
         # The digest index is the ADMISSION GATE (the anti-join), so it
         # commits LAST: a crash anywhere earlier re-admits the batch on
@@ -399,11 +419,9 @@ class CorpusIngestor:
                 ).write.mode("append").parquet(self.index_path)
         finally:
             out.unpersist()
-            if sigs is not None:
-                sigs.unpersist()
             if pre_gate is not None:
                 pre_gate.unpersist()
-        return {"arrived": arrived, "gated": gated.count(), "accepted": accepted}
+        return {"arrived": arrived, "gated": n_gated, "accepted": accepted}
 
     def corpus(self) -> DataFrame:
         df = self.spark.read.parquet(self.docs_path)

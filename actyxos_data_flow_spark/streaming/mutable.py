@@ -160,8 +160,14 @@ class MutableCorpusIngestor(_TombstoneStore, CorpusIngestor):
         corpus → sigs → clusters/edges → digest index)."""
         self._batch_seq = self._advance_seq()
         seq = F.lit(self._batch_seq).cast("long")
-        arrived = docs.count()
         scored = X.quality_score(docs, self.id_col, self.text_col).select(self.id_col, "quality_fp6")
+        # one aggregate for both observability counts (quality_score is
+        # a pure projection — one row per doc), same as the base gate
+        _counts = scored.agg(
+            F.count(F.lit(1)).alias("_arrived"),
+            F.sum((F.col("quality_fp6") >= self.quality_min_fp6).cast("long")).alias("_gated"),
+        ).first()
+        arrived, n_gated = _counts["_arrived"], int(_counts["_gated"] or 0)
         gated = docs.join(scored.filter(F.col("quality_fp6") >= self.quality_min_fp6), self.id_col)
         with_digest = gated.withColumn("digest", F.md5(F.col(self.text_col).cast("binary")))
         rec = F.struct(*[F.col(c) for c in with_digest.columns])
@@ -176,9 +182,9 @@ class MutableCorpusIngestor(_TombstoneStore, CorpusIngestor):
         pre_gate = None
         if self.near_dup:
             pre_gate = fresh.persist()
+            # sigs/near come back checkpointed from the gate (see
+            # ingest._near_dup_gate's materialization discipline)
             fresh, sigs, near = self._near_dup_gate(pre_gate)
-            sigs = sigs.persist()
-            near = near.localCheckpoint()
         out = fresh.persist()
         try:
             accepted = out.count()
@@ -196,11 +202,9 @@ class MutableCorpusIngestor(_TombstoneStore, CorpusIngestor):
                 ).withColumn("_seq", seq).write.mode("append").parquet(self.index_path)
         finally:
             out.unpersist()
-            if sigs is not None:
-                sigs.unpersist()
             if pre_gate is not None:
                 pre_gate.unpersist()
-        return {"arrived": arrived, "gated": gated.count(), "accepted": accepted}
+        return {"arrived": arrived, "gated": n_gated, "accepted": accepted}
 
     # -- retract / upsert ----------------------------------------------
 
