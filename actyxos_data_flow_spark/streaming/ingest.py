@@ -684,9 +684,14 @@ class VectorIngestor:
         )
         fresh = in_batch.join(self._digests(), "digest", "left_anti").persist()
         try:
+            # same materialization discipline as the document gate: the
+            # batch signatures and the verified pair set are each
+            # computed ONCE (lazily, the signature fold re-ran for the
+            # band probe and the hsigs append, and the cosine-verify
+            # join re-ran for the admission count and every write)
             sig_new = S.hyperplane_signature(
                 fresh, self.dim, self.vec_col, self.id_col, planes=self.planes
-            )
+            ).localCheckpoint()
             cand = S.hyperplane_delta_pairs(
                 self._hsigs(), sig_new, self.id_col, self.planes, self.n_bands
             )
@@ -705,6 +710,7 @@ class VectorIngestor:
                 .join(vb, "id_b")
                 .filter(_cosine_ge(F.col("_ea"), F.col("_eb"), self.cosine_threshold))
                 .select("id_a", "id_b")
+                .localCheckpoint()
             )
             drops = _directed_drops(near, fresh.select(self.id_col), self.id_col)
             accepted_df = fresh.join(drops, self.id_col, "left_anti").persist()

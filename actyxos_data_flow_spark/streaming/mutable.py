@@ -350,9 +350,11 @@ class MutableVectorIngestor(_TombstoneStore, VectorIngestor):
         )
         fresh = in_batch.join(self._digests(), "digest", "left_anti").persist()
         try:
+            # signatures and verified pairs each materialize ONCE (same
+            # discipline as the document gate — see ingest._near_dup_gate)
             sig_new = S.hyperplane_signature(
                 fresh, self.dim, self.vec_col, self.id_col, planes=self.planes
-            )
+            ).localCheckpoint()
             cand = S.hyperplane_delta_pairs(
                 self._hsigs(), sig_new, self.id_col, self.planes, self.n_bands
             )
@@ -367,6 +369,7 @@ class MutableVectorIngestor(_TombstoneStore, VectorIngestor):
                 .join(vb, "id_b")
                 .filter(_cosine_ge(F.col("_ea"), F.col("_eb"), self.cosine_threshold))
                 .select("id_a", "id_b")
+                .localCheckpoint()
             )
             drops = _directed_drops(near, fresh.select(self.id_col), self.id_col)
             accepted_df = fresh.join(drops, self.id_col, "left_anti").persist()
