@@ -619,6 +619,41 @@ def test_corpus_ingestor_near_dup_gate(spark, tmp_path):
     assert got == [1, 20, 31]
 
 
+def test_near_dup_gate_pins_pre_append_state(spark, tmp_path):
+    """The gate's returned frames are MATERIALIZED (round-12
+    discipline): `near` and the batch signatures must be pinned as of
+    the PRE-APPEND signature index — cluster maintenance runs after
+    the batch's sigs land, so a lazy plan would re-evaluate against an
+    index that now contains the batch itself. Pin: appending to the
+    sigs store after the gate returns must not change `near`'s
+    content, and the returned plans must not re-run the estimator join
+    (leaf/no-join plans)."""
+    from pyspark.sql import functions as F
+
+    from actyxos_data_flow_spark.streaming.ingest import CorpusIngestor
+
+    base = "the quick brown fox jumps over the lazy dog and then rests in the shade of a tall tree"
+    near_txt = base.replace("tall tree", "tall oak")
+    ing = CorpusIngestor(spark, str(tmp_path / "corpus"), quality_min_fp6=400_000, near_dup=True)
+    b1 = spark.createDataFrame(
+        [(1, base, "en", "s")], "doc_id long, text string, lang string, source string"
+    )
+    ing.ingest_batch(b1)
+    b2 = spark.createDataFrame(
+        [(30, near_txt, "en", "s")], "doc_id long, text string, lang string, source string"
+    ).withColumn("digest", F.md5(F.col("text").cast("binary")))
+    _, _, near = ing._near_dup_gate(b2)
+    before = sorted((r.id_a, r.id_b) for r in near.collect())
+    assert before == [(1, 30)]
+    # mutate the store the lazy plan would have re-read
+    spark.createDataFrame(
+        [tuple([999] + [0] * ing.num_hashes)], ing._sig_schema()
+    ).write.mode("append").parquet(ing.sigs_path)
+    assert sorted((r.id_a, r.id_b) for r in near.collect()) == before
+    # the verified pair set is a materialized leaf — no join re-runs
+    assert "Join" not in near._jdf.queryExecution().analyzed().toString()
+
+
 def test_run_ingest_live_near_dup_gate(spark, tmp_path):
     """Live phase with near_dup=True: a NEAR duplicate (different
     digest) of already-ingested content landing on a later tick is
