@@ -547,6 +547,13 @@ def connected_components_delta(
     merged roots broadcast-join back onto the standing table. Per
     batch the big table is touched by single-pass joins only.
     """
+    # the standing table is referenced four times below (two endpoint
+    # lookups, the relabel join, the new-node anti-join) — materialize
+    # it ONCE so a caller passing a live plan (e.g. the output of a
+    # just-run contraction) doesn't re-execute it per reference; for
+    # the ingest path this is one pass over a parquet scan. At cluster
+    # scale swap localCheckpoint for reliable checkpoint().
+    labels = labels.localCheckpoint()
     la = labels.select(F.col("node").alias(id_a), F.col("component").alias("_ca"))
     lb = labels.select(F.col("node").alias(id_b), F.col("component").alias("_cb"))
     comp_edges = (
