@@ -33,17 +33,41 @@ def tokenize(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("tokens", F.split(F.col(text_col), " "))
 
 
+def shingle_arrays(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
+    """Per-document DISTINCT shingle SET as ONE array row (id, _sh) —
+    computed entirely row-local (tokenize → slide → ``array_distinct``),
+    i.e. the zero-Exchange form of :func:`shingles`/:func:`shingle_sets`:
+    (id, shingle) distinctness is per-document by construction, so the
+    corpus-wide ``distinct()`` shuffle and the ``collect_set`` re-group
+    the exploded formulation paid are both pure overhead — at 100 TB the
+    whole shingle stage rides the scan (r12, guide §2.4). Docs with < n
+    tokens drop out (both here and in oracles)."""
+    toks = tokenize(df, text_col).select(id_col, "tokens").filter(F.size("tokens") >= n)
+    arr = F.array_distinct(
+        F.expr(f"transform(sequence(1, size(tokens) - {n - 1}), i -> concat_ws(' ', slice(tokens, i, {n})))")
+    )
+    return toks.select(id_col, arr.alias("_sh"))
+
+
 def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3) -> DataFrame:
     """Distinct word n-gram shingles: (id, shingle). Docs with < n tokens
-    drop out (both here and in oracles)."""
+    drop out (both here and in oracles). Same row set as the historical
+    explode-then-``distinct()`` form with zero Exchange (the global
+    distinct shuffled the whole corpus token stream for a property the
+    per-doc ``array_distinct`` already guarantees).
+
+    The explode's child is deliberately the INLINE expression, not a
+    named column from :func:`shingle_arrays`: for a bare attribute,
+    Catalyst's InferFiltersFromGenerate adds ``size(e) > 0`` and
+    predicate pushdown then substitutes the whole array expression into
+    a Filter below any Exchange — the entire shingle computation ran
+    TWICE per row (and on the narrow pre-repartition side), measured 8×
+    slower at sf0.1. The rule skips complex generator children."""
     toks = tokenize(df, text_col).select(id_col, "tokens").filter(F.size("tokens") >= n)
-    sh = toks.select(
-        id_col,
-        F.explode(
-            F.expr(f"transform(sequence(1, size(tokens) - {n - 1}), i -> concat_ws(' ', slice(tokens, i, {n})))")
-        ).alias("shingle"),
+    arr = F.array_distinct(
+        F.expr(f"transform(sequence(1, size(tokens) - {n - 1}), i -> concat_ws(' ', slice(tokens, i, {n})))")
     )
-    return sh.distinct()
+    return toks.select(id_col, F.explode(arr).alias("shingle"))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -77,6 +101,38 @@ def minhash_signatures(sh: DataFrame, id_col: str = "doc_id", num_hashes: int = 
     pieces = sh.select(id_col, p1.alias("p1"), p2.alias("p2"))
     aggs = [F.min(F.col("p1") + F.lit(s) * F.col("p2")).alias(f"h{s}") for s in range(num_hashes)]
     return pieces.groupBy(id_col).agg(*aggs)
+
+
+def minhash_signatures_arrays(
+    sets: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    arr_col: str = "_sh",
+) -> DataFrame:
+    """:func:`minhash_signatures` computed ROW-LOCALLY from the per-doc
+    shingle arrays (:func:`shingle_arrays`): one md5 per shingle (nested
+    ``transform``, so the digest is computed once and both 60-bit pieces
+    slice the same hex string), then k ``array_min`` folds — identical
+    values to the grouped formulation (min over the same distinct
+    shingle set, same h_s = p1 + s·p2 family) with ZERO Exchange: the
+    exploded form shuffled (doc_id, p1, p2) corpus-wide into a hash
+    aggregate; here the signature stage rides the scan at any corpus
+    size (r12, guide §2.4)."""
+    ps = F.transform(
+        F.transform(F.col(arr_col), lambda x: F.md5(x.cast("binary"))),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("p1"),
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("p2"),
+        ),
+    )
+    t = sets.select(id_col, ps.alias("_ps"))
+    cols = [
+        F.array_min(
+            F.transform(F.col("_ps"), lambda p: p["p1"] + F.lit(s) * p["p2"])
+        ).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return t.select(id_col, *cols)
 
 
 def lsh_candidate_pairs(
@@ -604,7 +660,9 @@ def decontaminate(
     set exceeds broadcast size (falls back to a shuffle equi-join on
     the shingle hash). No cross product anywhere.
     """
-    tr_sh = shingles(train, id_col, text_col, n)
+    from ..sources.tables import ensure_parallelism
+
+    tr_sh = shingles(ensure_parallelism(train), id_col, text_col, n)
     ev_sh = shingles(eval_docs, id_col, text_col, n).select("shingle").distinct().withColumn(
         "_hit", F.lit(1)
     )
@@ -655,7 +713,9 @@ def decontaminate_bloom(
         m_bits = B.BLOOM_M_BITS
     if k is None:
         k = B.BLOOM_K
-    tr_sh = shingles(train, id_col, text_col, n)
+    from ..sources.tables import ensure_parallelism
+
+    tr_sh = shingles(ensure_parallelism(train), id_col, text_col, n)
     ev_sh = shingles(eval_docs, id_col, text_col, n).select("shingle").distinct()
     dense = B.bloom_dense(B.bloom_build(ev_sh, "shingle", m_bits, k), m_bits)
     maybe = B.bloom_contains(F.col("shingle"), dense, m_bits, k)

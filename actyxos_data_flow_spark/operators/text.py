@@ -155,14 +155,22 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k
     md5(word n-gram) hashes, concatenated. A stable content fingerprint
     robust to local edits (winnowing-style); equal fingerprints ⇒
     near-identical documents."""
-    from .dedup import shingles
+    from .dedup import shingle_arrays
 
-    sh = shingles(df, id_col=id_col, text_col=text_col, n=n)
-    hashed = sh.select(id_col, F.md5(F.col("shingle").cast("binary")).alias("h"))
-    agg = hashed.groupBy(id_col).agg(F.array_sort(F.collect_set("h")).alias("hs"))
-    return agg.select(
+    # r12: row-local form — per-doc distinct shingles, md5 per element,
+    # sort, take k: same value as the historical explode → groupBy →
+    # collect_set formulation with zero Exchange (guide §2.4)
+    from ..sources.tables import ensure_parallelism
+
+    sets = shingle_arrays(ensure_parallelism(df), id_col=id_col, text_col=text_col, n=n)
+    hs = F.array_sort(
+        F.array_distinct(
+            F.transform(F.col("_sh"), lambda x: F.md5(x.cast("binary")))
+        )
+    )
+    return sets.select(
         id_col,
-        F.array_join(F.slice("hs", 1, k), "").alias("fingerprint"),
+        F.array_join(F.slice(hs, 1, k), "").alias("fingerprint"),
     )
 
 

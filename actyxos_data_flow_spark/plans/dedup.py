@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from .. import cache
 from ..operators import dedup as D
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from . import register
 
 NUM_HASHES = 8
@@ -76,7 +76,10 @@ FROM pieces GROUP BY doc_id
 @register("dedup_minhash_signatures", oracle=MINHASH_SIG_ORACLE)
 def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_signatures(D.shingles(docs), num_hashes=NUM_HASHES)
+    # row-local array form (r12): same values, zero Exchange
+    return D.minhash_signatures_arrays(
+        D.shingle_arrays(ensure_parallelism(docs)), num_hashes=NUM_HASHES
+    )
 
 
 # -- minhash + LSH + jaccard verification (the full near-dup pipeline) -----
@@ -130,21 +133,21 @@ def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by :func:`dedup_minhash_pairs` (drops the counts) and
     :func:`dedup_source_matrix` (uses them for fixed-point sums)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs)
-    # The shingle table feeds FOUR consumers (signature build, both
-    # Jaccard index sides, per-doc sizes). Below the threshold,
-    # recomputing the tokenize+explode pipeline per consumer beats
-    # materializing token-sized rows (measured 1.6s vs 2.8s at sf0.1);
-    # above it the tradeoff flips hard (37s -> 6s at a 50k-doc probe),
-    # so the query adapts on the corpus row count — the "materialize
-    # between stages" decision every large pipeline makes explicitly.
+    # r12: the per-doc shingle SET table (row-local arrays) feeds the
+    # signature build and both Jaccard verify sides — the exploded
+    # distinct+collect_set round trip was two corpus Exchanges for
+    # per-document properties (guide §2.4). The set table is the thing
+    # worth materializing between stages: pin above the same corpus-size
+    # threshold as before (below it, recomputing the tokenize pipeline
+    # per consumer beats caching token-sized rows).
+    sets = D.shingle_arrays(ensure_parallelism(docs))
     if docs.count() > SHINGLE_PERSIST_MIN_DOCS:
-        sh = cache.pin(sh)
+        sets = cache.pin(sets)
     # pin the signature table — (id, k longs), O(docs): the banded
     # self-join references it on both sides, and if AQE broadcasts one
-    # side the md5/min-agg pipeline would otherwise run twice.
+    # side the md5/array-min pipeline would otherwise run twice.
     # cache.pin = persist + release when the query result is dropped
-    sig = cache.pin(D.minhash_signatures(sh, num_hashes=NUM_HASHES))
+    sig = cache.pin(D.minhash_signatures_arrays(sets, num_hashes=NUM_HASHES))
     # skew guard armed (no-op at test SF, where no bucket nears the cap;
     # the oracle is the uncapped pipeline, so the gate also proves it)
     cand = cache.pin(
@@ -154,7 +157,7 @@ def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # array-set verification: candidates broadcast onto the per-doc
     # shingle-set table twice, so the corpus never shuffles in verify
-    return D.jaccard_on_pairs_arrays(cand, D.shingle_sets(sh), with_counts=True).filter(
+    return D.jaccard_on_pairs_arrays(cand, sets, with_counts=True).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
 
@@ -219,8 +222,10 @@ def dedup_minhash_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-sized; the hash gate covers the error statistics
     themselves."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs)
-    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
+    sh = D.shingles(ensure_parallelism(docs))
+    sig = D.minhash_signatures_arrays(
+        D.shingle_arrays(ensure_parallelism(docs)), num_hashes=NUM_HASHES
+    )  # r12
     cand = D.lsh_candidate_pairs(sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE)
     sa = sig.select(F.col("doc_id").alias("id_a"), *[F.col(f"h{s}").alias(f"a{s}") for s in range(NUM_HASHES)])
     sb = sig.select(F.col("doc_id").alias("id_b"), *[F.col(f"h{s}").alias(f"b{s}") for s in range(NUM_HASHES)])
@@ -271,7 +276,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale you run the LSH variant — this one's cost grows with the
     square of per-shingle document frequency."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs)
+    sh = D.shingles(ensure_parallelism(docs))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
@@ -719,8 +724,8 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     dilutes; exact integer intersections, same broadcast inverted-index
     shape as the Jaccard verifier."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs)
-    sig = D.minhash_signatures(sh)
+    sh = D.shingles(ensure_parallelism(docs))
+    sig = D.minhash_signatures_arrays(D.shingle_arrays(ensure_parallelism(docs)))  # r12
     cand = D.lsh_candidate_pairs(sig)
     return D.containment_on_pairs(cand, sh)
 
@@ -778,8 +783,8 @@ def dedup_tfidf_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     complement to containment's recall. idf rounds to 6 before use so
     both engines' ln() agree."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs)
-    sig = D.minhash_signatures(sh)
+    sh = D.shingles(ensure_parallelism(docs))
+    sig = D.minhash_signatures_arrays(D.shingle_arrays(ensure_parallelism(docs)))  # r12
     cand = D.lsh_candidate_pairs(sig)
     return D.tfidf_cosine_on_pairs(cand, sh)
 
@@ -882,8 +887,10 @@ def dedup_minhash_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified. pairs(base) ∪ this == pairs(all) — the nightly full
     recompute collapses to a per-batch delta."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = D.shingles(docs)
-    sig = D.minhash_signatures(sh, num_hashes=NUM_HASHES)
+    sh = D.shingles(ensure_parallelism(docs))
+    sig = D.minhash_signatures_arrays(
+        D.shingle_arrays(ensure_parallelism(docs)), num_hashes=NUM_HASHES
+    )  # r12
     is_new = F.col("doc_id") % DELTA_MOD == 0
     cand = D.lsh_delta_pairs(
         sig.filter(~is_new), sig.filter(is_new),
@@ -974,14 +981,16 @@ def dedup_minhash_edit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     difference of pairs(old) vs pairs(new) exactly, retractions as
     mult = -1."""
     docs = load_table(spark, sf_dir, "documents")
-    sig_base = D.minhash_signatures(D.shingles(docs), num_hashes=NUM_HASHES)
+    sig_base = D.minhash_signatures_arrays(
+        D.shingle_arrays(ensure_parallelism(docs)), num_hashes=NUM_HASHES
+    )
     edited = (
         docs.filter(
             (F.col("doc_id") % EDIT_MOD == EDIT_RES) & (F.col("doc_id") % DEL_MOD != DEL_RES)
         )
         .withColumn("text", F.concat(F.col("text"), F.lit(EDIT_SUFFIX)))
     )
-    sig_edits = D.minhash_signatures(D.shingles(edited), num_hashes=NUM_HASHES)
+    sig_edits = D.minhash_signatures_arrays(D.shingle_arrays(edited), num_hashes=NUM_HASHES)
     removed = docs.filter(F.col("doc_id") % DEL_MOD == DEL_RES).select("doc_id")
     return D.lsh_edit_delta_pairs(
         sig_base, sig_edits, removed, num_hashes=NUM_HASHES, band_size=BAND_SIZE
@@ -1115,7 +1124,11 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides, verify sides, size tables) — materialize it ONCE; at
     # 100 TB this is the persisted shingle/posting table every
     # similarity-join system keeps anyway
-    sh = D.shingles(docs).localCheckpoint()
+    sh = (
+        D.shingles(ensure_parallelism(docs))
+        .repartition(F.col("shingle"))
+        .localCheckpoint()
+    )
     a, b = PREFIX_JACCARD_T
     pairs = D.prefix_filter_candidates(sh, a, b)
     # exact integer verification on candidates only, inverted-index
@@ -1168,7 +1181,7 @@ WHERE {PREFIX_JACCARD_T[1]} * i.i >= {PREFIX_JACCARD_T[0]} * (sa.n + sb.n - i.i)
 
 def _base_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.shingles(docs.filter(F.col("doc_id") % DELTA_MOD != 0))
+    return D.shingles(ensure_parallelism(docs.filter(F.col("doc_id") % DELTA_MOD != 0)))
 
 
 @register("dedup_prefix_delta_pairs", oracle=PREFIX_DELTA_ORACLE)
@@ -1223,7 +1236,9 @@ def dedup_prefix_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, f"pfx_sets_m{DELTA_MOD}", build_sets, ("documents",)
     )
 
-    sh_new = D.shingles(docs.filter(F.col("doc_id") % DELTA_MOD == 0)).localCheckpoint()
+    sh_new = D.shingles(
+        ensure_parallelism(docs.filter(F.col("doc_id") % DELTA_MOD == 0))
+    ).localCheckpoint()
     cand = D.prefix_filter_delta_probe(prefix_base, df_base, sh_new, a, b)
     sets_new = D.shingle_sets(sh_new).select(
         "doc_id", "_sh", F.size("_sh").cast("long").alias("_n")

@@ -118,17 +118,20 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("_rec.*", "n_copies")
     )
     reps = cache.pin(reps)
-    # the shingle set feeds signatures AND both sides of the Jaccard
-    # verification — pin it so the quality→dedup prefix runs once, not
-    # three times (at 100 TB this intermediate becomes a materialized
-    # table between stages; released with the query result — cross-query
-    # composition instead flows through the clean_doc_ids memo)
-    sh = cache.pin(D.shingles(reps))
+    # the per-doc shingle SET table feeds signatures AND both sides of
+    # the Jaccard verification — pin it so the quality→dedup prefix runs
+    # once, not three times (at 100 TB this intermediate becomes a
+    # materialized table between stages; released with the query result —
+    # cross-query composition instead flows through the clean_doc_ids
+    # memo). r12: built as ROW-LOCAL arrays (shingle_arrays) — the
+    # explode→distinct→collect_set round trip the exploded form paid was
+    # two corpus-wide Exchanges for per-doc properties (guide §2.4).
+    sets = cache.pin(D.shingle_arrays(reps))
     # the signature table feeds BOTH sides of the band self-join; when
     # AQE broadcasts one side the exchanges differ and the signature
-    # aggregate would run twice (once per side) even over cached
-    # shingles — (id, k longs) is cheap to pin
-    sig = cache.pin(D.minhash_signatures(sh, num_hashes=NUM_HASHES))
+    # pipeline would run twice — (id, k longs) is cheap to pin. r12:
+    # computed row-locally from the pinned arrays (zero Exchange).
+    sig = cache.pin(D.minhash_signatures_arrays(sets, num_hashes=NUM_HASHES))
     cand = cache.pin(
         D.lsh_candidate_pairs(
             sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
@@ -137,7 +140,6 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # verify on per-doc shingle ARRAYS: the candidate list (bucket-capped,
     # persisted so its guard count is free) broadcasts onto the set table
     # twice — zero corpus-wide exchanges in the verify stage
-    sets = cache.pin(D.shingle_sets(sh))
     near = D.jaccard_on_pairs_arrays(cand, sets).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )

@@ -97,6 +97,29 @@ def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> tuple[DataFram
     return tuple(load_table(spark, sf_dir, n) for n in names)
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Scale-ADAPTIVE scan parallelization (r12, guide §2): repartition
+    only when the frame's physical partition count is below the
+    session's parallelism. The case this exists for: a row-local
+    pipeline (e.g. the zero-Exchange shingle/signature stage) consuming
+    a small, unsplittable parquet file — one single-row-group 584 KB
+    local testdata file is ONE scan task, so without this the whole
+    stage runs single-threaded. At corpus scale the scan already has
+    >= cores splits and this is a NO-OP — it is never a tuned constant
+    and never adds a shuffle on a real cluster.
+
+    Only meant for scan-shaped frames (load_table output, optionally
+    filtered/projected): ``df.rdd`` on a shuffle-bearing AQE plan could
+    materialize query stages eagerly — keep it at the leaf."""
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:  # noqa: BLE001 — planning quirk: leave the frame alone
+        return df
+    return df.repartition(p) if n < p else df
+
+
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
     """Register each table as a temp view for the SQL API."""
     for n in names:

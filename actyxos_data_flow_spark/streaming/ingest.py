@@ -255,8 +255,10 @@ class CorpusIngestor:
         frames are model-sized: O(batch) signatures, verified pairs.
         At cluster scale swap localCheckpoint for reliable
         checkpoint()."""
-        sig_new = D.minhash_signatures(
-            D.shingles(fresh, self.id_col, self.text_col), self.id_col, self.num_hashes
+        sig_new = D.minhash_signatures_arrays(
+            D.shingle_arrays(fresh, self.id_col, self.text_col),
+            self.id_col,
+            self.num_hashes,
         ).localCheckpoint()
         pairs = D.lsh_delta_pairs(
             self._sigs(), sig_new, self.id_col, self.num_hashes, self.band_size
