@@ -192,8 +192,12 @@ def bpe_train_topr(
                     "syms", merge_fold(F.col("syms"), left, right)
                 )
             # one lineage cut per ROUND (not per merge): plan depth grows
-            # by at most r folds between cuts
-            syms_tbl = syms_tbl.localCheckpoint()
+            # by at most r folds between cuts. Skipped after the FINAL
+            # round (r12): nothing reads syms_tbl once the budget is
+            # spent, so the last checkpoint was a wasted materialization
+            # job executing the final folds for no consumer.
+            if len(merges) < n_merges:
+                syms_tbl = syms_tbl.localCheckpoint()
     finally:
         wf.unpersist()
     return merges

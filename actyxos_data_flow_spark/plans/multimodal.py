@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from .. import cache
 from ..operators import multimodal as M
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from . import register
 
 FRAME_BYTES = 16
@@ -40,7 +40,7 @@ def mm_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     as an actual BMP (even ids) or PNG (odd ids), then container-sniff
     and decode inside the plan; dims come from the decoded array. The
     char-math oracle proves the decoded geometry, byte-exactly."""
-    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "mixed")
+    media = M.encode_documents_media(ensure_parallelism(load_table(spark, sf_dir, "documents")), "mixed")
     return M.decode_image(media).select("media_id", "width", "height")
 
 
@@ -59,7 +59,7 @@ FROM f WHERE i % {EVERY} = 0
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-size frame split + every-Nth sampling (the 1:many flat_map
     shape over binary payloads)."""
-    media = M.documents_as_media(load_table(spark, sf_dir, "documents"), frame_bytes=FRAME_BYTES)
+    media = M.documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")), frame_bytes=FRAME_BYTES)
     frames = M.sample_frames(media, every=EVERY, frame_bytes=FRAME_BYTES)
     return frames.select(
         "media_id", F.col("frame_idx").cast("int").alias("frame_idx"), F.col("frame").cast("string").alias("frame")
@@ -87,7 +87,7 @@ def mm_features_topbucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature extraction (16-bucket byte histogram) → dominant bucket.
     Ties break to the lowest bucket on both engines (array_position
     finds the first maximum)."""
-    media = M.documents_as_media(load_table(spark, sf_dir, "documents"))
+    media = M.documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")))
     feats = M.extract_features(media, buckets=16, normalized=False)
     top = F.array_max("features")
     return feats.select(
@@ -127,7 +127,7 @@ def mm_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     groups, like the text shingle index; a degenerate digest (e.g. a
     silence/black frame shared by everything) would get the same
     bucket-cap treatment as LSH (operators/dedup.lsh_candidate_pairs)."""
-    media = M.documents_as_media(load_table(spark, sf_dir, "documents"), frame_bytes=FRAME_BYTES)
+    media = M.documents_as_media(ensure_parallelism(load_table(spark, sf_dir, "documents")), frame_bytes=FRAME_BYTES)
     frames = M.sample_frames(media, every=EVERY, frame_bytes=FRAME_BYTES)
     # persist: the inverted-index self-join references the digest table
     # on both sides; without materialization the mapInPandas frame
@@ -175,7 +175,7 @@ def mm_audio_rms(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the sample values via ascii() — sums of squares are exact
     integers, so the hash gate proves the full encode→decode
     round-trip, not an approximation."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     media = M.encode_documents_media(docs, "wav")
     return M.audio_rms_windows(media, window=RMS_WINDOW)
 
@@ -198,7 +198,7 @@ def mm_wav_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.codecs import decode_wav
 
-    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "wav")
+    media = M.encode_documents_media(ensure_parallelism(load_table(spark, sf_dir, "documents")), "wav")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -258,7 +258,7 @@ def mm_resize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "mixed")
+    media = M.encode_documents_media(ensure_parallelism(load_table(spark, sf_dir, "documents")), "mixed")
     resized = M.resize_image(M.decode_image(media), out_w=RS_W, out_h=RS_H)
 
     def cells(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -318,7 +318,7 @@ def mm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dHash perceptual fingerprints over really-encoded images: BMP/PNG
     mixed corpus → real decode → 9×4 grid → 32 horizontal-gradient
     bits."""
-    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "mixed")
+    media = M.encode_documents_media(ensure_parallelism(load_table(spark, sf_dir, "documents")), "mixed")
     return M.perceptual_hash(media, dw=PH_DW, dh=PH_DH)
 
 
@@ -368,7 +368,7 @@ def mm_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantic spec only."""
     from ..operators import dedup as D
 
-    media = M.encode_documents_media(load_table(spark, sf_dir, "documents"), "mixed")
+    media = M.encode_documents_media(ensure_parallelism(load_table(spark, sf_dir, "documents")), "mixed")
     ph = M.perceptual_hash(media, dw=PH_DW, dh=PH_DH)
     # persist the (id, 32-bit hash) table: the banded self-join
     # references it on BOTH sides, and when AQE broadcasts one side the

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from .. import cache
 from ..operators import similarity as S
-from ..sources import load_table
+from ..sources import ensure_parallelism, load_table
 from . import register
 
 K = 10
@@ -44,7 +44,7 @@ ANN_BRUTE_ORACLE = "WITH " + _COS_CTE + "p AS (SELECT qid, vec_id, qe, embedding
 @register("ann_cosine_topk", oracle=ANN_BRUTE_ORACLE, bench=True)
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exact cosine top-k (the recall=1 baseline)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -63,7 +63,7 @@ ANN_IVF_ORACLE = (
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned top-k (nprobe=1 over the pretrained ``label`` coarse
     assignment) — the ANN scale path; equi-join instead of cross join."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("label")
     )
@@ -115,7 +115,7 @@ def ann_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     approximate scoring, k×{SQ_RERANK} candidate pool, exact-cosine
     rerank. The oracle replays quantization, pool selection, and rerank
     exactly."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -153,7 +153,7 @@ def ann_ivf_nprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k at nprobe=3: queries rank the (tiny, broadcast) centroid
     table, probe their 3 nearest cells, and scan only those cells —
     recall recovers toward brute force at 3/nlist of the scan cost."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -189,7 +189,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs, blocked by the coarse partition
     (same-label pairs only — LSH-bucketed blocking at scale; exhaustive
     within the block)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"), "label")
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb"), "label")
     pairs = a.join(b, on="label").filter(F.col("id_a") < F.col("id_b"))
@@ -260,7 +260,7 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (label-free — no pretrained coarse assignment needed): candidates
     share a signature band; exact cosine verifies. The 100 TB shape:
     signatures in-scan, one equi-join, rerank on candidates only."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     sig = S.hyperplane_signature(emb, DIM, planes=PLANES)
     cand = S.hyperplane_near_pairs(sig, planes=PLANES, n_bands=N_BANDS)
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea"))
@@ -339,7 +339,7 @@ def dedup_embedding_edit_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     with affected ids only — O(batch x bands), the corpus never
     re-pairs — and must reproduce the from-scratch symmetric
     difference exactly."""
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings")).select("vec_id", "embedding")
     edited = emb.filter(
         (F.col("vec_id") % EMB_EDIT_MOD == EMB_EDIT_RES)
         & (F.col("vec_id") % EMB_DEL_MOD != EMB_DEL_RES)
@@ -380,7 +380,7 @@ p AS (
 def ann_hyperplane_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via hyperplane-band candidates + exact-cosine rerank —
     the label-free LSH scale path (vs ivf's pretrained partition)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -425,7 +425,7 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     label centroid (decimal-exact mean — see operators.similarity.
     label_centroids), outliers below OUTLIER_MIN_COSINE. Centroids
     broadcast; the corpus side never shuffles."""
-    return S.centroid_outliers(load_table(spark, sf_dir, "embeddings"))
+    return S.centroid_outliers(ensure_parallelism(load_table(spark, sf_dir, "embeddings")))
 
 
 # -- k-means-trained IVF ----------------------------------------------------
@@ -491,7 +491,7 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each Lloyd pass rescans its input (assign + the (cell,pos) agg) —
     # persist the (small) vector table so iterations hit memory; the
     # SAME cache serves ann_ivf_kmeans_topk via logical-plan matching
-    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
+    emb = cache.pin(ensure_parallelism(load_table(spark, sf_dir, "embeddings")))
     _, assign = S.kmeans_fit(emb)
     return assign
 
@@ -539,7 +539,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids + cell assignments, then the standard nprobe=2 probe
     (probe scores rounded to 9dp — centroid sums cross a join, so the
     rounding pins rank order across engines)."""
-    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
+    emb = cache.pin(ensure_parallelism(load_table(spark, sf_dir, "embeddings")))
     cent, assign = S.kmeans_fit(emb)
     corpus = emb.select("vec_id", "embedding").join(assign, "vec_id")
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
@@ -567,7 +567,7 @@ def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-5 nearest different-label vectors per anchor — the
     contrastive-pair miner (anchors broadcast; corpus scanned once
     with the label-mismatch predicate in-scan)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), F.col("label").alias("qlabel")
     )
@@ -663,7 +663,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads), asymmetric-distance candidate pool, exact-cosine rerank.
     The oracle unrolls the subspace fits as CTEs and replays encode ->
     ADC -> pool -> rerank bit-for-bit."""
-    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
+    emb = cache.pin(ensure_parallelism(load_table(spark, sf_dir, "embeddings")))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -747,7 +747,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rerank, which is what the index actually charges at serve time."""
     from ..sources.bucketed import ensure_ivf_layout, ensure_pq_books
 
-    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
+    emb = cache.pin(ensure_parallelism(load_table(spark, sf_dir, "embeddings")))
     vecs_path, cents_path = ensure_ivf_layout(spark, sf_dir)
     cent = spark.read.parquet(cents_path)
     assign = spark.read.parquet(vecs_path).select("vec_id", "cell")
@@ -874,7 +874,7 @@ def dedup_embedding_lsh_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing corpus — only pairs touching a new vector are computed and
     cosine-verified. pairs(base) ∪ this == pairs(all); base×base work
     is never redone."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     sig = S.hyperplane_signature(emb, DIM, planes=PLANES)
     is_new = F.col("vec_id") % DELTA_MOD == 0
     cand = S.hyperplane_delta_pairs(
@@ -909,7 +909,7 @@ def ann_ivf_partitioned_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell", F.col("cell").cast("int")
     )
     cent = spark.read.parquet(cents_path)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
     )
@@ -988,7 +988,7 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero higher-order-function folds in the pair path — the whole edge
     computation stays in whole-stage codegen.
     """
-    emb = cache.pin(load_table(spark, sf_dir, "embeddings"))
+    emb = cache.pin(ensure_parallelism(load_table(spark, sf_dir, "embeddings")))
     _, assign = S.kmeans_fit(emb)
     assign = cache.pin(assign)
     edges = S.semantic_near_pairs(emb, assign, tau=SEMDEDUP_TAU).select(
@@ -1106,7 +1106,7 @@ def retrieval_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     DCGs are pre-rounded decimal LITERALS folded into both engines, so
     the hash covers the metric values exactly with zero float-sum
     order sensitivity.""".format(nq=N_QUERIES, cut=EVAL_CUT, k=EVAL_K)
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qe"),
@@ -1220,7 +1220,7 @@ def embedding_matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     already-proven batched-BLAS score+prune with ≤ |Q|·k surviving
     rows; at serving scale you'd only ever evaluate one candidate
     width against the full truth anyway)."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     parts = None
     topk = {}
     for d in MRL_DIMS:
@@ -1303,7 +1303,7 @@ def ann_query_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: histogram = one map-side-combined aggregate; the
     routed split is a broadcast join; each subset reuses the proven
     brute/IVF operators unchanged."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     corpus = emb.select("vec_id", "embedding", "label")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe"), "label"
@@ -1367,7 +1367,7 @@ def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan (partition-prunable at 100 TB); the post-filter path
     is the unfiltered operator + a broadcast-sized re-rank window over
     ≤ |Q|·3K rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    emb = ensure_parallelism(load_table(spark, sf_dir, "embeddings"))
     corpus = emb.select("vec_id", "embedding", "label")
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")

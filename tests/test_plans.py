@@ -347,11 +347,17 @@ def test_sq8_corpus_never_shuffles_for_scoring(spark, registry):
 
 def test_multimodal_codec_chains_never_shuffle(spark, registry):
     """The real-codec queries (encode → decode → feature extract) must
-    fuse into the scan stage: zero Exchange nodes — blobs stream through
-    Arrow-batched mapInPandas without ever crossing the network."""
+    fuse into the scan stage: blobs stream through Arrow-batched
+    mapInPandas without ever crossing the network on a key. The only
+    Exchange allowed is the r12 scan-parallelization RoundRobin on the
+    RAW SOURCE rows (pre-encode — sources.ensure_parallelism, a no-op
+    whenever the scan already has >= cores splits); the encoded blobs
+    themselves must never feed a hash/range repartition."""
     for q in ("mm_decode_meta", "mm_resize_grid", "mm_audio_rms", "mm_wav_meta"):
         plan = _plan(registry[q].fn(spark, SF))
-        assert "Exchange" not in plan, q
+        assert "hashpartitioning" not in plan, q
+        assert "rangepartitioning" not in plan, q
+        assert plan.count("Exchange") <= 1, q  # just the input RoundRobin
         assert "MapInPandas" in plan, q
 
 
