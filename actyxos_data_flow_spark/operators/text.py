@@ -428,10 +428,6 @@ def pack_sequences(
     from pyspark.sql import Window
 
     order = order_cols or (id_col,)
-    spark = df.sparkSession
-    n_parts = num_range_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "200")
-    )
     range_keys = [F.col(shard_col).asc()] + [F.col(c).asc() for c in order]
     # Both branches below (local running sum, per-partition totals) must
     # observe the SAME physical range partitioning — `_pid` appears in
@@ -445,10 +441,20 @@ def pack_sequences(
     # consistent). It cannot be unpersisted here — the returned plan
     # still reads it lazily — so cache.pin defers the release to the
     # moment the enclosing query's result is dropped.
-    ranged = cache.pin(
-        df.repartitionByRange(n_parts, *range_keys)
-        .withColumn("_pid", F.spark_partition_id())
+    #
+    # r12 (guide §2.3): no explicit partition COUNT unless the caller
+    # pins one — an explicit count disables AQE coalescing on the range
+    # exchange, burning shuffle-partition-config tasks on any input
+    # (200 window tasks over KBs locally; a non-adaptive constant on a
+    # cluster). AQE-coalesced ranges merge ADJACENT slices, so every
+    # partition still holds a contiguous run of the packing order and
+    # the two-level sum is value-identical for any boundary placement.
+    ranged = (
+        df.repartitionByRange(num_range_partitions, *range_keys)
+        if num_range_partitions
+        else df.repartitionByRange(*range_keys)
     )
+    ranged = cache.pin(ranged.withColumn("_pid", F.spark_partition_id()))
 
     w_local = (
         Window.partitionBy(shard_col, "_pid")
@@ -881,15 +887,17 @@ def epoch_schedule(
         10,
     ).cast("long")
     spark = df.sparkSession
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     # two-level prefix sum (pack_sequences pattern): range partitions
     # hold contiguous slices of each domain's permutation, sized by
-    # config rather than domain skew; persist pins one partitioning so
-    # _pid agrees between the local-sum and totals branches
+    # AQE (r12, guide §2.3: no explicit count — adjacent-slice
+    # coalescing keeps contiguity and the values are boundary-
+    # independent) rather than domain skew; persist pins one
+    # partitioning so _pid agrees between the local-sum and totals
+    # branches
     ranged = cache.pin(
         df.select(group_col, id_col, F.col(size_col).alias("_sz"), h.alias("_hkey"))
         .repartitionByRange(
-            n_parts, F.col(group_col).asc(), F.col("_hkey").asc(), F.col(id_col).asc()
+            F.col(group_col).asc(), F.col("_hkey").asc(), F.col(id_col).asc()
         )
         .withColumn("_pid", F.spark_partition_id())
     )
