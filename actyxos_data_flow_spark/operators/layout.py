@@ -49,6 +49,18 @@ def _scale_expr(col: str, min_col: str, max_col: str, bits: int) -> Column:
     )
 
 
+def _scale_lit(col: str, mn: int, mx: int, bits: int) -> Column:
+    """:func:`_scale_expr` with the bounds folded as INTEGER LITERALS
+    (r12): same `((v - min) * top) DIV (max - min)` SQL arithmetic, so
+    values are bit-identical to the broadcast-bounds form — but the
+    projection carries no join, letting a caller that already knows the
+    bounds (one model-sized collect) key N layouts from one scan."""
+    top = (1 << bits) - 1
+    if mx == mn:
+        return F.lit(0).cast("long")
+    return F.expr(f"(({col} - {mn}) * {top}) DIV ({mx} - {mn})")
+
+
 def _interleave_expr(a: Column, b: Column, bits: int) -> Column:
     """Morton interleave: bit i of ``a`` lands at 2i, of ``b`` at 2i+1.
     A fixed 2×bits-term shift/mask tree — pure integer JVM ops inside
@@ -61,12 +73,24 @@ def _interleave_expr(a: Column, b: Column, bits: int) -> Column:
 
 
 def zorder_key(
-    df: DataFrame, col_a: str, col_b: str, bits: int = Z_BITS
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = Z_BITS,
+    bounds: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """Attach ``zkey``: the Morton interleave of the two columns'
     ``bits``-bit min-max-scaled ranks. The min/max bounds are a 1-row
-    broadcast; the key itself is a projection."""
-    bounds = df.agg(
+    broadcast; the key itself is a projection. Pass ``bounds``
+    (min_a, max_a, min_b, max_b) to fold them as literals instead —
+    one shared bounds collect then keys any number of layouts without
+    re-aggregating the corpus (r12, guide §2.2)."""
+    if bounds is not None:
+        mna, mxa, mnb, mxb = bounds
+        sa = _scale_lit(col_a, mna, mxa, bits)
+        sb = _scale_lit(col_b, mnb, mxb, bits)
+        return df.withColumn("zkey", _interleave_expr(sa, sb, bits))
+    bounds_df = df.agg(
         F.min(col_a).alias("_min_a"),
         F.max(col_a).alias("_max_a"),
         F.min(col_b).alias("_min_b"),
@@ -75,7 +99,7 @@ def zorder_key(
     sa = _scale_expr(col_a, "_min_a", "_max_a", bits)
     sb = _scale_expr(col_b, "_min_b", "_max_b", bits)
     return (
-        df.crossJoin(F.broadcast(bounds))
+        df.crossJoin(F.broadcast(bounds_df))
         .withColumn("zkey", _interleave_expr(sa, sb, bits))
         .drop("_min_a", "_max_a", "_min_b", "_max_b")
     )
@@ -187,27 +211,40 @@ def hilbert_steps(bits: int, x: str, y: str, d: str) -> list[tuple[str, str, str
 
 
 def hilbert_key(
-    df: DataFrame, col_a: str, col_b: str, bits: int = Z_BITS
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    bits: int = Z_BITS,
+    bounds: tuple[int, int, int, int] | None = None,
 ) -> DataFrame:
     """Attach ``hkey``: the Hilbert-curve index of the two columns'
     ``bits``-bit min-max-scaled ranks. Same scale step and same cost
     shape as :func:`zorder_key` (1-row bounds broadcast + a pure
-    integer projection, ~4·bits CASE terms inside codegen); the Hilbert
+    integer projection, ~4·bits CASE terms inside codegen; or literal
+    bounds via ``bounds``, see zorder_key); the Hilbert
     walk preserves locality strictly better than Morton — every curve
     step is an adjacent cell, so bin bounding boxes have no Z-shaped
     jumps across the midline."""
-    bounds = df.agg(
-        F.min(col_a).alias("_min_a"),
-        F.max(col_a).alias("_max_a"),
-        F.min(col_b).alias("_min_b"),
-        F.max(col_b).alias("_max_b"),
-    )
-    out = (
-        df.crossJoin(F.broadcast(bounds))
-        .withColumn("_hx0", _scale_expr(col_a, "_min_a", "_max_a", bits).cast("long"))
-        .withColumn("_hy0", _scale_expr(col_b, "_min_b", "_max_b", bits).cast("long"))
-        .withColumn("_hd0", F.lit(0).cast("long"))
-    )
+    if bounds is not None:
+        mna, mxa, mnb, mxb = bounds
+        out = (
+            df.withColumn("_hx0", _scale_lit(col_a, mna, mxa, bits).cast("long"))
+            .withColumn("_hy0", _scale_lit(col_b, mnb, mxb, bits).cast("long"))
+            .withColumn("_hd0", F.lit(0).cast("long"))
+        )
+    else:
+        bounds_df = df.agg(
+            F.min(col_a).alias("_min_a"),
+            F.max(col_a).alias("_max_a"),
+            F.min(col_b).alias("_min_b"),
+            F.max(col_b).alias("_max_b"),
+        )
+        out = (
+            df.crossJoin(F.broadcast(bounds_df))
+            .withColumn("_hx0", _scale_expr(col_a, "_min_a", "_max_a", bits).cast("long"))
+            .withColumn("_hy0", _scale_expr(col_b, "_min_b", "_max_b", bits).cast("long"))
+            .withColumn("_hd0", F.lit(0).cast("long"))
+        )
     steps = [
         hilbert_steps(bits, x=f"_hx{i}", y=f"_hy{i}", d=f"_hd{i}")[i]
         for i in range(bits)
