@@ -271,7 +271,12 @@ def bfs_distances(
             converged = True
             break
         rounds_run = d
-        dist = dist.unionByName(nxt).localCheckpoint()
+        # r12: the visited set is a UNION of per-round checkpointed
+        # legs — re-checkpointing the union copied the whole O(V) table
+        # every round (O(V·rounds) writes). The lazy union reads each
+        # materialized leg directly; plan depth grows by one leg per
+        # round, bounded by `depth`.
+        dist = dist.unionByName(nxt)
         frontier = nxt.select("node")
     if info is not None:
         info["rounds_run"] = rounds_run
@@ -408,22 +413,28 @@ def bounded_min_plus(
             .join(e, "src")
             .select(F.col("dst").alias("node"), (F.col("cost") + F.col("w")).alias("cost"))
         )
-        new_dist = (
-            dist.unionByName(relaxed)
+        # r12: ONE aggregate yields the new minimum AND the previous
+        # cost (conditional min over the old-tagged rows — `dist` has
+        # unique nodes, so min(old-only) == the old value), replacing
+        # the former new_dist-join-dist frontier derivation: one
+        # localCheckpoint per round instead of two, no per-round join.
+        # Frontier semantics unchanged: improved == old is NULL (new
+        # node) or new cost < old cost.
+        merged = (
+            dist.select("node", "cost", F.lit(1).alias("_old"))
+            .unionByName(relaxed.select("node", "cost", F.lit(0).alias("_old")))
             .groupBy("node")
-            .agg(F.min("cost").alias("cost"))
-            .localCheckpoint()
-        )
-        frontier = (
-            new_dist.join(
-                dist.withColumnRenamed("cost", "_old"), "node", "left_outer"
+            .agg(
+                F.min("cost").alias("cost"),
+                F.min(F.when(F.col("_old") == 1, F.col("cost"))).alias("_oldcost"),
             )
-            .filter(F.col("_old").isNull() | (F.col("cost") < F.col("_old")))
-            .select("node", "cost")
             .localCheckpoint()
         )
-        dist = new_dist
-        if frontier.count() == 0:
+        dist = merged.select("node", "cost")
+        frontier = merged.filter(
+            F.col("_oldcost").isNull() | (F.col("cost") < F.col("_oldcost"))
+        ).select("node", "cost")
+        if frontier.isEmpty():
             converged = True
             break
         rounds_run += 1

@@ -839,7 +839,7 @@ def dedup_span_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
     repeats corpus-wide are removed in place (clean_text keeps the
     rest); the distributed counterpart of suffix-array ExactSubstr
     dedup, complementing document-level MinHash."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"))
     return D.mask_duplicate_spans(
         docs, width=SPAN_WIDTH, min_count=SPAN_MIN_COUNT
     )
