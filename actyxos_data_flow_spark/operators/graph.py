@@ -461,15 +461,16 @@ def kcore_prune(
     the unrolled oracle finite, and peeling converges fast in
     practice).
 
-    Scale shape: per round one degree aggregate + two semi-joins
-    (edge endpoints against surviving nodes) — all hash-partitioned,
-    no windows; the edge table shrinks monotonically and is
-    ``localCheckpoint``ed per round.
+    Scale shape: per round one degree aggregate + two anti-joins
+    (edge endpoints against the below-threshold nodes — the SMALL side
+    of each round, broadcast once AQE sees its materialized size); the
+    edge table shrinks monotonically and is ``localCheckpoint``ed per
+    round.
 
-    Convergence early-exit: the surviving-edge count per round is a
-    model-sized aggregate over the just-materialized edge table; an
-    unchanged count means no node fell below k, so peeling has reached
-    its fixpoint — the bounded result IS the exact k-core. Pass
+    Convergence early-exit: an empty below-threshold set means no node
+    fell below k, so peeling has reached its fixpoint — the bounded
+    result IS the exact k-core, detected BEFORE any no-op edge-table
+    rebuild. Pass
     ``info={}`` to receive ``{"rounds_run", "converged"}``;
     ``rounds_run`` counts only rounds that peeled at least one edge —
     the convergence-detecting round itself is excluded."""
@@ -482,7 +483,6 @@ def kcore_prune(
         .distinct()
         .localCheckpoint()
     )
-    n_edges = e.count()
     rounds_run, converged = 0, False
     for _ in range(rounds):
         deg = (
@@ -491,19 +491,25 @@ def kcore_prune(
             .groupBy("node")
             .agg(F.count(F.lit(1)).alias("deg"))
         )
-        keep = deg.filter(F.col("deg") >= k).select("node").localCheckpoint()
+        # r12: peel by ANTI-joining the BELOW-threshold nodes instead of
+        # semi-joining the survivors — identical edge set (keep edge iff
+        # neither endpoint is below k), but the peel set is the small
+        # side (AQE broadcasts it once materialized), and its emptiness
+        # IS the fixpoint test: a below-k node has >= 1 incident edge,
+        # so bad nonempty <=> some edge peels. Convergence is detected
+        # BEFORE rebuilding the edge table, saving the former final
+        # no-op e-materialization + two per-round counts.
+        bad = deg.filter(F.col("deg") < k).select("node").localCheckpoint()
+        if bad.isEmpty():
+            converged = True
+            break
         e = (
-            e.join(keep.withColumnRenamed("node", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("node", "b"), "b", "left_semi")
+            e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
             .select("a", "b")
             .localCheckpoint()
         )
-        n_after = e.count()
-        if n_after == n_edges:
-            converged = True
-            break
         rounds_run += 1
-        n_edges = n_after
     if info is not None:
         info["rounds_run"] = rounds_run
         info["converged"] = converged
