@@ -552,24 +552,28 @@ def selinger_decision(spark: SparkSession, sf_dir: str):
         )
         return C.cms_build(terms, weight_col="_cnt")
 
-    ests = {
-        "part": int(
-            C.cms_join_estimate(sk(li, "l_partkey"), sk(part, "p_partkey")).first()[
-                "est_pairs"
-            ]
+    # ONE driver action for the whole pricing round (r12, guide §5.2):
+    # the three 1-row estimate frames and the fact count used to run as
+    # FOUR serial collects — four full job round-trips for four
+    # integers. A tagged union evaluates all four Spark-side in one
+    # job; values are unchanged (each leg is the identical plan).
+    est_frames = [
+        C.cms_join_estimate(sk(li, "l_partkey"), sk(part, "p_partkey"))
+        .select(F.lit("part").alias("_tag"), F.col("est_pairs").cast("long").alias("_v")),
+        C.cms_join_estimate(sk(li, "l_suppkey"), sk(supp, "s_suppkey"))
+        .select(F.lit("supplier").alias("_tag"), F.col("est_pairs").cast("long").alias("_v")),
+        C.cms_join_estimate(sk(li, "l_orderkey"), sk(orders, "o_orderkey"))
+        .select(F.lit("orders").alias("_tag"), F.col("est_pairs").cast("long").alias("_v")),
+        li.agg(F.count(F.lit(1)).alias("_v")).select(
+            F.lit("_n_fact").alias("_tag"), F.col("_v").cast("long")
         ),
-        "supplier": int(
-            C.cms_join_estimate(sk(li, "l_suppkey"), sk(supp, "s_suppkey")).first()[
-                "est_pairs"
-            ]
-        ),
-        "orders": int(
-            C.cms_join_estimate(sk(li, "l_orderkey"), sk(orders, "o_orderkey")).first()[
-                "est_pairs"
-            ]
-        ),
-    }
-    n_fact = li.count()
+    ]
+    u = est_frames[0]
+    for f in est_frames[1:]:
+        u = u.unionByName(f)
+    vals = {r["_tag"]: int(r["_v"]) for r in u.collect()}
+    ests = {k: vals[k] for k in ("part", "supplier", "orders")}
+    n_fact = vals["_n_fact"]
     best = None
     for perm in itertools.permutations(_SEL_DIMS):
         e1, e2 = ests[perm[0]], ests[perm[1]]
@@ -727,22 +731,33 @@ def selinger_dp_decision(spark: SparkSession, sf_dir: str):
         )
         return C.cms_build(terms, weight_col="_cnt")
 
-    ests = {
-        "part": int(
-            C.cms_join_estimate(sk(li, "l_partkey"), sk(part, "p_partkey")).first()["est_pairs"]
+    # ONE driver action for the whole pricing round (r12, guide §5.2):
+    # four 1-row estimates + two counts used to be SIX serial collects.
+    # A tagged union evaluates them Spark-side in one job; each leg is
+    # the identical plan, so values are unchanged.
+    est_frames = [
+        C.cms_join_estimate(sk(li, "l_partkey"), sk(part, "p_partkey"))
+        .select(F.lit("part").alias("_tag"), F.col("est_pairs").cast("long").alias("_v")),
+        C.cms_join_estimate(sk(li, "l_suppkey"), sk(supp, "s_suppkey"))
+        .select(F.lit("supplier").alias("_tag"), F.col("est_pairs").cast("long").alias("_v")),
+        C.cms_join_estimate(sk(li, "l_orderkey"), sk(orders, "o_orderkey"))
+        .select(F.lit("orders").alias("_tag"), F.col("est_pairs").cast("long").alias("_v")),
+        C.cms_join_estimate(sk(supp, "s_nationkey"), sk(nation, "n_nationkey"))
+        .select(F.lit("nation").alias("_tag"), F.col("est_pairs").cast("long").alias("_v")),
+        li.agg(F.count(F.lit(1)).alias("_v")).select(
+            F.lit("_n_fact").alias("_tag"), F.col("_v").cast("long")
         ),
-        "supplier": int(
-            C.cms_join_estimate(sk(li, "l_suppkey"), sk(supp, "s_suppkey")).first()["est_pairs"]
+        supp.agg(F.count(F.lit(1)).alias("_v")).select(
+            F.lit("_s_cnt").alias("_tag"), F.col("_v").cast("long")
         ),
-        "orders": int(
-            C.cms_join_estimate(sk(li, "l_orderkey"), sk(orders, "o_orderkey")).first()["est_pairs"]
-        ),
-        "nation": int(
-            C.cms_join_estimate(sk(supp, "s_nationkey"), sk(nation, "n_nationkey")).first()["est_pairs"]
-        ),
-    }
-    n_fact = li.count()
-    s_cnt = supp.count()
+    ]
+    u = est_frames[0]
+    for f in est_frames[1:]:
+        u = u.unionByName(f)
+    vals = {r["_tag"]: int(r["_v"]) for r in u.collect()}
+    ests = {k: vals[k] for k in ("part", "supplier", "orders", "nation")}
+    n_fact = vals["_n_fact"]
+    s_cnt = vals["_s_cnt"]
     sel6 = _dp_sel6(ests, n_fact, s_cnt)
     subsets, trans = _dp_states()
 
