@@ -402,11 +402,73 @@ def simhash_near_pairs(
     )
 
 
+# Size-adaptive CC (r12): at or below this many DISTINCT edges the
+# component computation collapses to a driver union-find over the
+# already-materialized edge list — the iterative star/propagation loops
+# cost 2-3 driver actions PER ROUND, which dominates batch-sized CC
+# (the mutable-gate mini-graphs, the near-dup cluster queries at local
+# SFs). 100k edges collect as a few MB; beyond the bound the exact
+# distributed loop runs unchanged, so the 100 TB posture is untouched.
+# Same adaptive-above-threshold idiom as jaccard_on_pairs_arrays'
+# max_broadcast_pairs. The result is identical either way: every node
+# labeled with the MIN id reachable from it (union-find here IS exact,
+# not round-bounded).
+CC_DRIVER_MAX_EDGES = 100_000
+
+
+def _cc_driver_labels(rows, ca: str, cb: str) -> list[tuple]:
+    """Exact min-label connected components over collected edge rows:
+    path-compressed union-find, then per-component min id. Returns
+    (node, min_id) tuples for every node present in ``rows``."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    def union(a, b):
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    for r in rows:
+        union(r[ca], r[cb])
+    comp_min: dict = {}
+    for n in parent:
+        root = find(n)
+        m = comp_min.get(root)
+        if m is None or n < m:
+            comp_min[root] = n
+    return [(n, comp_min[find(n)]) for n in parent]
+
+
+def _cc_labels_frame(pairs: DataFrame, id_type, labeled: list[tuple]) -> DataFrame:
+    """(node, component) rows → a DataFrame typed like the input ids."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("node", id_type, True),
+            T.StructField("component", id_type, True),
+        ]
+    )
+    return pairs.sparkSession.createDataFrame(labeled, schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 20,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: every node gets the MIN
     node id reachable from it — the dedup endgame (keep one
@@ -434,6 +496,16 @@ def connected_components(
     # is pure win; at cluster scale swap persist for checkpoint to also
     # bound the plan string)
     edges = edges.persist()
+    if driver_max_edges > 0:
+        # ONE bounded job decides the path: collecting at most
+        # driver_max_edges+1 rows tells whether the whole edge list fits
+        # the driver bound — and in the small case those rows ARE the
+        # complete edge list, so no second job is needed.
+        head = edges.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            labeled = _cc_driver_labels(head, "src", "dst")
+            edges.unpersist()
+            return _cc_labels_frame(pairs, edges.schema["src"].dataType, labeled)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -471,6 +543,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Connected components by alternating large-star / small-star
     contraction — same output contract as :func:`connected_components`
@@ -495,13 +568,21 @@ def connected_components_star(
     # when execution reuses the cache — checkpointing truncates the
     # lineage to a leaf, keeping analysis O(1) per round. At cluster
     # scale prefer reliable checkpoint() (localCheckpoint dies with an
-    # executor); locally the tradeoff is free.
-    e = (
+    # executor); locally the tradeoff is free. The distinct pair list is
+    # materialized ONCE including self-pairs so the same leaf feeds the
+    # contraction rounds, the closing singleton anti-join (which
+    # previously re-executed the whole upstream pairs plan a second
+    # time), and the adaptive size probe.
+    p = (
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    if driver_max_edges > 0:
+        head = p.limit(driver_max_edges + 1).collect()
+        if len(head) <= driver_max_edges:
+            return _cc_labels_frame(pairs, p.schema["u"].dataType, _cc_driver_labels(head, "u", "v"))
+    e = p.filter(F.col("u") != F.col("v"))
 
     def _signature(edges: DataFrame) -> tuple:
         row = edges.select(
@@ -558,9 +639,11 @@ def connected_components_star(
     )
     # Same output contract as connected_components: nodes appearing ONLY
     # in self-pairs (dropped by the u != v edge filter) still get a
-    # singleton label. One anti-join over the node set — edge-list sized.
+    # singleton label. One anti-join over the node set — edge-list
+    # sized, and read from the checkpointed pair leaf rather than
+    # re-executing the upstream pairs plan.
     all_nodes = (
-        pairs.select(F.explode(F.array(F.col(id_a), F.col(id_b))).alias("node")).distinct()
+        p.select(F.explode(F.array(F.col("u"), F.col("v"))).alias("node")).distinct()
     )
     singletons = all_nodes.join(labeled.select("node"), "node", "left_anti").withColumn(
         "component", F.col("node")
@@ -574,6 +657,7 @@ def connected_components_delta(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 30,
+    driver_max_edges: int = CC_DRIVER_MAX_EDGES,
 ) -> DataFrame:
     """Incremental CC maintenance: fold a batch of NEW near-dup edges
     into an existing labeling without re-clustering the corpus graph.
@@ -621,7 +705,9 @@ def connected_components_delta(
             F.coalesce(F.col("_cb"), F.col(id_b)).alias(id_b),
         )
     )
-    mini = connected_components_star(comp_edges, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    mini = connected_components_star(
+        comp_edges, id_a=id_a, id_b=id_b, max_iter=max_iter, driver_max_edges=driver_max_edges
+    )
     # mini nodes are old component ids ∪ brand-new node ids; its labels
     # are the merged roots. Relabel standing rows via the model-sized
     # remap (broadcast), keep untouched components verbatim ...

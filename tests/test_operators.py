@@ -713,17 +713,67 @@ def test_connected_components_star_equals_propagation(spark):
     for name, edges in graphs.items():
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         want = truth(edges)
+        # driver_max_edges=0 forces the DISTRIBUTED loops (the adaptive
+        # driver union-find would otherwise absorb these tiny graphs)
         got_star = sorted(
             (r["node"], r["component"])
-            for r in connected_components_star(df).collect()
+            for r in connected_components_star(df, driver_max_edges=0).collect()
         )
         assert got_star == want, f"star CC wrong on {name}"
         # propagation needs diameter rounds; bump max_iter for the chain
         got_prop = sorted(
             (r["node"], r["component"])
-            for r in connected_components(df, max_iter=70).collect()
+            for r in connected_components(df, max_iter=70, driver_max_edges=0).collect()
         )
         assert got_prop == want, f"propagation CC wrong on {name}"
+
+
+def test_connected_components_driver_path_equals_distributed(spark):
+    """The size-adaptive driver union-find (edge list under
+    driver_max_edges collects to one union-find pass) must produce the
+    exact distributed result — same min-label contract, same singleton
+    handling — in both CC variants and in the delta maintenance, and
+    the cutover must fall back to the distributed loop when the edge
+    list exceeds the bound."""
+    import random
+
+    from actyxos_data_flow_spark.operators.dedup import (
+        connected_components,
+        connected_components_delta,
+        connected_components_star,
+    )
+
+    rng = random.Random(29)
+    edges = (
+        [(i, i + 1) for i in range(25)]
+        + [(rng.randrange(60), rng.randrange(60)) for _ in range(40)]
+        + [(9, 9), (200, 200)]  # self-pair-only nodes -> singletons
+    )
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = sorted(
+        (r["node"], r["component"])
+        for r in connected_components_star(df, driver_max_edges=0).collect()
+    )
+    for fn in (connected_components, connected_components_star):
+        got = sorted((r["node"], r["component"]) for r in fn(df).collect())
+        assert got == want, f"driver path diverges in {fn.__name__}"
+        # bound smaller than the edge list -> distributed fallback, same rows
+        got_fb = sorted(
+            (r["node"], r["component"])
+            for r in fn(df, max_iter=70, driver_max_edges=5).collect()
+        )
+        assert got_fb == want, f"fallback path diverges in {fn.__name__}"
+    # delta maintenance with the driver-path mini-graph
+    base = edges[:30]
+    delta = edges[30:]
+    got_delta = sorted(
+        (r["node"], r["component"])
+        for r in connected_components_delta(
+            connected_components_star(spark.createDataFrame(base, "id_a long, id_b long")),
+            spark.createDataFrame(delta, "id_a long, id_b long"),
+        ).collect()
+    )
+    assert got_delta == want
 
 
 def test_connected_components_delta_invariant(spark):
@@ -754,15 +804,18 @@ def test_connected_components_delta_invariant(spark):
         ddf = spark.createDataFrame(delta, "id_a long, id_b long")
         fdf = spark.createDataFrame(base + delta, "id_a long, id_b long")
 
+        # driver_max_edges=0 keeps this test on the DISTRIBUTED star
+        # contraction; the driver union-find path has its own
+        # equivalence test above
         got = sorted(
             (r["node"], r["component"])
             for r in connected_components_delta(
-                connected_components_star(bdf), ddf
+                connected_components_star(bdf, driver_max_edges=0), ddf, driver_max_edges=0
             ).collect()
         )
         want = sorted(
             (r["node"], r["component"])
-            for r in connected_components_star(fdf).collect()
+            for r in connected_components_star(fdf, driver_max_edges=0).collect()
         )
         assert got == want, f"trial {trial}"
 

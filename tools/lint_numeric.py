@@ -320,7 +320,7 @@ SPARK_ALLOWLIST: list[tuple[str, str, str]] = [
      "hashed outputs use cents_sum (BIGINT)"),
     (r"operators/dedup\.py:(262|296)", r"cast\(\"double\"\) / ",
      "[ieee-div] jaccard division (oracle mirror)"),
-    (r"operators/dedup\.py:(802|826)", r"F\.round\(",
+    (r"operators/dedup\.py:(888|912)", r"F\.round\(",
      "[libm-score] tf-idf ln/sqrt-norm (oracle [libm]+[sqrt-norm] mirror)"),
     (r"operators/drift\.py", r"cast\(\"double\"\)|F\.round\(",
      "[libm-score]+[render<2^53] JSD x·ln(x/m) per-item rounds into exact DECIMAL sums (oracle mirror)"),
