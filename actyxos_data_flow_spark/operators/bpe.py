@@ -107,6 +107,7 @@ def bpe_train(
     n_merges: int = BPE_MERGES,
     text_col: str = "text",
     checkpoint_every: int = 8,
+    wf: DataFrame | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn the merge table: [(rank, left, right, pair_count)].
 
@@ -114,8 +115,17 @@ def bpe_train(
     The symbol column accretes one fold per round; every
     ``checkpoint_every`` rounds the table is localCheckpoint'ed so plan
     depth stays bounded for large merge counts (swap for checkpoint()
-    on a real cluster)."""
-    wf = word_freqs(docs, text_col).persist()
+    on a real cluster).
+
+    ``wf``: a precomputed (word, freq) table. Callers that already
+    aggregated the corpus (e.g. a pinned per-doc occurrence table whose
+    word-sums ARE the frequencies) pass it here so training adds ZERO
+    extra corpus scans; the caller owns its persistence (it is read
+    once per round — hand in a pinned/persisted frame). Frequencies are
+    identical to :func:`word_freqs`'s by construction, so the learned
+    table is unchanged."""
+    own_wf = wf is None
+    wf = word_freqs(docs, text_col).persist() if own_wf else wf
     syms_tbl = wf.select("word", "freq", base_symbols(F.col("word")).alias("syms"))
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -134,7 +144,8 @@ def bpe_train(
             if (rank + 1) % checkpoint_every == 0:
                 syms_tbl = syms_tbl.localCheckpoint()
     finally:
-        wf.unpersist()
+        if own_wf:
+            wf.unpersist()
     return merges
 
 
@@ -147,6 +158,7 @@ def bpe_train_topr(
     r: int = BPE_TOPR,
     text_col: str = "text",
     candidates_per_round: int | None = None,
+    wf: DataFrame | None = None,
 ) -> list[tuple[int, str, str, int]]:
     """Learn the merge table with up to ``r`` merges per driver round —
     the standard parallel-BPE batching trick: rank the round's top
@@ -160,9 +172,11 @@ def bpe_train_topr(
     acceptance rule is deterministic ((count DESC, l, r) rank order,
     top ``4r`` candidates considered), so the DuckDB oracle replays the
     identical trajectory (plans/bpe.py). ``r=1`` degenerates to
-    :func:`bpe_train`'s classic sequential trainer."""
+    :func:`bpe_train`'s classic sequential trainer. ``wf``: optional
+    precomputed (word, freq) table — see :func:`bpe_train`."""
     cand_n = candidates_per_round or 4 * r
-    wf = word_freqs(docs, text_col).persist()
+    own_wf = wf is None
+    wf = word_freqs(docs, text_col).persist() if own_wf else wf
     syms_tbl = wf.select("word", "freq", base_symbols(F.col("word")).alias("syms"))
     merges: list[tuple[int, str, str, int]] = []
     try:
@@ -199,7 +213,8 @@ def bpe_train_topr(
             if len(merges) < n_merges:
                 syms_tbl = syms_tbl.localCheckpoint()
     finally:
-        wf.unpersist()
+        if own_wf:
+            wf.unpersist()
     return merges
 
 
@@ -215,6 +230,7 @@ def wordpiece_train(
     n_merges: int = WP_MERGES,
     text_col: str = "text",
     checkpoint_every: int = 4,
+    wf: DataFrame | None = None,
 ) -> list[tuple[int, str, str, int, int]]:
     """Learn a WordPiece merge table: [(rank, left, right, pair_count,
     score_fp9)].
@@ -234,9 +250,11 @@ def wordpiece_train(
     (pair counts and unigram symbol counts) scan the vocab-sized word-
     TYPE table, the join of the two is model-sized, and only the single
     winning row crosses the driver per round. The merge application is
-    the same pure-JVM :func:`merge_fold`.
+    the same pure-JVM :func:`merge_fold`. ``wf``: optional precomputed
+    (word, freq) table — see :func:`bpe_train`.
     """
-    wf = word_freqs(docs, text_col).persist()
+    own_wf = wf is None
+    wf = word_freqs(docs, text_col).persist() if own_wf else wf
     total = wf.select(
         F.sum((F.length("word") + 1) * F.col("freq")).cast("long")
     ).first()[0]
@@ -278,7 +296,8 @@ def wordpiece_train(
             if (rank + 1) % checkpoint_every == 0:
                 syms_tbl = syms_tbl.localCheckpoint()
     finally:
-        wf.unpersist()
+        if own_wf:
+            wf.unpersist()
     return merges
 
 
@@ -301,18 +320,31 @@ def bpe_corpus_stats(
     merges: list[tuple[int, str, str, int]],
     group_col: str = "lang",
     text_col: str = "text",
+    occ: DataFrame | None = None,
+    types: DataFrame | None = None,
 ) -> DataFrame:
     """Per-group compression report: whitespace tokens, characters, and
     BPE symbols over the corpus — encoded on word TYPES and joined back
     to per-group occurrence counts, so the merge folds run over the
-    vocabulary, never the corpus."""
-    occ = (
-        docs.select(group_col, F.explode(F.split(F.col(text_col), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy(group_col, "word")
-        .agg(F.count(F.lit(1)).alias("occ"))
+    vocabulary, never the corpus.
+
+    ``occ``: optional precomputed (group, word, occ) occurrence table
+    (caller-persisted if it feeds anything else). ``types``: optional
+    word-type frame (one ``word`` column, e.g. the trainer's pinned
+    word-frequency table) — without it the type set is derived from
+    ``occ``, which then executes twice (once under the encoder's
+    broadcast, once in the join)."""
+    if occ is None:
+        occ = (
+            docs.select(group_col, F.explode(F.split(F.col(text_col), " ")).alias("word"))
+            .filter(F.col("word") != "")
+            .groupBy(group_col, "word")
+            .agg(F.count(F.lit(1)).alias("occ"))
+        )
+    enc = bpe_encode_words(
+        types.select("word") if types is not None else occ.select("word").distinct(),
+        merges,
     )
-    enc = bpe_encode_words(occ.select("word").distinct(), merges)
     joined = occ.join(F.broadcast(enc.select("word", "n_bpe")), "word")
     return (
         joined.groupBy(group_col)

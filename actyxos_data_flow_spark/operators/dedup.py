@@ -135,6 +135,51 @@ def minhash_signatures_arrays(
     return t.select(id_col, *cols)
 
 
+def shingle_sig_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    keep_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """The fused per-document near-dup table: shingle SET (``_sh``) and
+    MinHash signature (``h0..h{k-1}``) in ONE row-local projection, with
+    ``keep_cols`` passed through — so a caller pins ONE table where the
+    reps/sets/sig chain needed three sequential materializations (r12,
+    guide §5: each pin is a blocking multi-job driver action; the three
+    stages are all row-local, so fusing them is free).
+
+    Rows with fewer than ``n`` tokens keep their passthrough columns
+    with ``_sh`` (and therefore every ``h``) NULL — filtering
+    ``_sh IS NOT NULL`` recovers exactly :func:`shingle_arrays`'s row
+    set, and the signature values on that subset are bit-identical to
+    :func:`minhash_signatures_arrays` (same md5 pieces, same
+    h_s = p1 + s·p2 family, same array_min folds)."""
+    toks = F.split(F.col(text_col), " ")
+    arr = F.array_distinct(
+        F.expr(f"transform(sequence(1, size(_toks) - {n - 1}), i -> concat_ws(' ', slice(_toks, i, {n})))")
+    )
+    t = df.withColumn("_toks", toks).withColumn(
+        "_sh", F.when(F.size("_toks") >= n, arr)
+    )
+    ps = F.transform(
+        F.transform(F.col("_sh"), lambda x: F.md5(x.cast("binary"))),
+        lambda h: F.struct(
+            F.conv(F.substring(h, 1, 15), 16, 10).cast("long").alias("p1"),
+            F.conv(F.substring(h, 17, 15), 16, 10).cast("long").alias("p2"),
+        ),
+    )
+    t = t.withColumn("_ps", ps)
+    sig_cols = [
+        F.array_min(
+            F.transform(F.col("_ps"), lambda p: p["p1"] + F.lit(s) * p["p2"])
+        ).alias(f"h{s}")
+        for s in range(num_hashes)
+    ]
+    return t.select(id_col, *keep_cols, "_sh", *sig_cols)
+
+
 def lsh_candidate_pairs(
     sig: DataFrame,
     id_col: str = "doc_id",

@@ -170,8 +170,16 @@ def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts — the corpus is scanned once for the counts and never
     touched by the merge folds."""
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_train_topr(docs, n_merges=N_MERGES)
-    return B.bpe_corpus_stats(docs, merges)
+    # TWO corpus explode scans instead of three (r12): the pinned
+    # vocab-sized (word, freq) table feeds every training round AND the
+    # encoder's word-type set; the (lang, word) occurrence table is
+    # executed exactly once, in the final join. (Pinning occ itself and
+    # rolling wf up from it — one scan — was measured SLOWER at 10x:
+    # raw-parquet re-explodes are cheap, caching the |langs|x-vocab
+    # table is not.)
+    wf = cache.pin(B.word_freqs(docs))
+    merges = B.bpe_train_topr(docs, n_merges=N_MERGES, wf=wf)
+    return B.bpe_corpus_stats(docs, merges, types=wf)
 
 
 BPE_VOCAB_ORACLE = (
@@ -207,13 +215,12 @@ def bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    merges = B.bpe_train_topr(docs, n_merges=N_MERGES)
-    occ = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("occ"))
-    )
+    # the (word, freq) table IS this query's occurrence table — pin it
+    # once for the trainer's per-round reads and the symbol counting
+    # (r12: one corpus explode scan instead of two)
+    wf = cache.pin(B.word_freqs(docs))
+    merges = B.bpe_train_topr(docs, n_merges=N_MERGES, wf=wf)
+    occ = wf.select("word", F.col("freq").alias("occ"))
     enc = B.bpe_encode_words(occ, merges)
     symocc = (
         enc.select("occ", F.explode("bpe_syms").alias("sym"))
@@ -348,15 +355,21 @@ def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    bpe = B.bpe_train_topr(docs, n_merges=N_MERGES)
-    wp = B.wordpiece_train(docs, n_merges=N_WP)
+    # TWO corpus explode scans instead of five (r12): ONE pinned
+    # vocab-sized (word, freq) table drives BOTH trainers and both
+    # encoders' type sets (was: each trainer built its own word_freqs,
+    # and occ re-executed under each encoder broadcast); the (lang,
+    # word) occurrence table runs exactly once, in the final join.
+    wf = cache.pin(B.word_freqs(docs))
+    bpe = B.bpe_train_topr(docs, n_merges=N_MERGES, wf=wf)
+    wp = B.wordpiece_train(docs, n_merges=N_WP, wf=wf)
     occ = (
         docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("lang", "word")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
-    types = occ.select("word").distinct()
+    types = wf.select("word")
     encb = B.bpe_encode_words(types, bpe).select("word", F.col("n_bpe").alias("nb"))
     encw = B.bpe_encode_words(types, wp).select("word", F.col("n_bpe").alias("nw"))
     joined = occ.join(F.broadcast(encb), "word").join(F.broadcast(encw), "word")
@@ -426,15 +439,21 @@ def pipeline_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plans/pipeline.clean_doc_ids (this plan audited at 919 static
     # Exchange nodes before the cut)
     clean = clean_doc_ids(spark, sf_dir)
-    docs = cache.pin(load_table(spark, sf_dir, "documents").join(clean, "doc_id"))
-    merges = B.bpe_train_topr(docs, n_merges=N_MERGES)
-    occ = (
+    docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id")
+    # ONE corpus explode scan (r12): the pinned per-doc occurrence
+    # table is the only materialization of the clean text — trainer
+    # frequencies (sum over docs == word_freqs' counts), encoder type
+    # set, and the length join all read it from cache. The docs frame
+    # itself no longer needs a pin: occ is its sole consumer.
+    occ = cache.pin(
         docs.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter(F.col("word") != "")
         .groupBy("doc_id", "lang", "word")
         .agg(F.count(F.lit(1)).alias("occ"))
     )
-    enc = B.bpe_encode_words(occ.select("word").distinct(), merges)
+    wf = cache.pin(occ.groupBy("word").agg(F.sum("occ").alias("freq")))
+    merges = B.bpe_train_topr(docs, n_merges=N_MERGES, wf=wf)
+    enc = B.bpe_encode_words(wf.select("word"), merges)
     dl = (
         occ.join(F.broadcast(enc.select("word", "n_bpe")), "word")
         .groupBy("doc_id", "lang")
@@ -592,11 +611,15 @@ def unigram_lm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     docs = load_table(spark, sf_dir, "documents")
-    wf = U.ulm_word_freqs(docs).persist()
+    # wf is PINNED, not manually persisted (r12): the old
+    # persist/unpersist pair released wf at plan-BUILD time, before the
+    # lazy vocab/segmentation plans ever executed — every downstream
+    # read recomputed the word table. The pin keeps it cached through
+    # execution and releases it with the query result.
+    wf = cache.pin(U.ulm_word_freqs(docs))
     voc, _ = U.ulm_vocab(wf)
     seg = U.ulm_segment(wf, voc.localCheckpoint())
     np_ = seg.groupBy("word").agg(F.count(F.lit(1)).alias("np"))
-    wf.unpersist()
     occ = (
         docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
         .filter((F.col("word") != "") & (F.length("word") <= U.ULM_MAX_WORD))

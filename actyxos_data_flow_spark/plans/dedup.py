@@ -133,21 +133,18 @@ def _minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared by :func:`dedup_minhash_pairs` (drops the counts) and
     :func:`dedup_source_matrix` (uses them for fixed-point sums)."""
     docs = load_table(spark, sf_dir, "documents")
-    # r12: the per-doc shingle SET table (row-local arrays) feeds the
-    # signature build and both Jaccard verify sides — the exploded
-    # distinct+collect_set round trip was two corpus Exchanges for
-    # per-document properties (guide §2.4). The set table is the thing
-    # worth materializing between stages: pin above the same corpus-size
-    # threshold as before (below it, recomputing the tokenize pipeline
-    # per consumer beats caching token-sized rows).
-    sets = D.shingle_arrays(ensure_parallelism(docs))
-    if docs.count() > SHINGLE_PERSIST_MIN_DOCS:
-        sets = cache.pin(sets)
-    # pin the signature table — (id, k longs), O(docs): the banded
-    # self-join references it on both sides, and if AQE broadcasts one
-    # side the md5/array-min pipeline would otherwise run twice.
-    # cache.pin = persist + release when the query result is dropped
-    sig = cache.pin(D.minhash_signatures_arrays(sets, num_hashes=NUM_HASHES))
+    # r12: ONE pinned row-local table carries the per-doc shingle SET
+    # (_sh) and the MinHash signature (h*) — the separate sets/sig pins
+    # were two sequential blocking materializations of the same
+    # zero-Exchange pass (guide §5), plus a docs.count() job for the
+    # persist threshold. The signature half was always pinned (the band
+    # self-join references it twice); the array half rides in the same
+    # cache and serves both Jaccard verify sides.
+    base = cache.pin(
+        D.shingle_sig_table(ensure_parallelism(docs), num_hashes=NUM_HASHES)
+    ).filter(F.col("_sh").isNotNull())
+    sets = base.select("doc_id", "_sh")
+    sig = base.select("doc_id", *[f"h{s}" for s in range(NUM_HASHES)])
     # skew guard armed (no-op at test SF, where no bucket nears the cap;
     # the oracle is the uncapped pipeline, so the gate also proves it)
     cand = cache.pin(

@@ -105,10 +105,6 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", X.quality_col("text").alias("quality_fp6")
     ).filter(F.col("quality_fp6") >= QUALITY_MIN_FP6)
     rec = F.struct("doc_id", "text", "quality_fp6")
-    # reps is referenced twice (shingle pipeline AND the final output
-    # row set) — persist it so quality+exact-dedup run once per epoch;
-    # at 100 TB this is the materialized clean-representatives table
-    # between pipeline stages, exactly like the shingle cache below
     reps = (
         kept.groupBy(F.md5(F.col("text").cast("binary")).alias("digest"))
         .agg(
@@ -117,21 +113,25 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("_rec.*", "n_copies")
     )
-    reps = cache.pin(reps)
-    # the per-doc shingle SET table feeds signatures AND both sides of
-    # the Jaccard verification — pin it so the quality→dedup prefix runs
-    # once, not three times (at 100 TB this intermediate becomes a
-    # materialized table between stages; released with the query result —
-    # cross-query composition instead flows through the clean_doc_ids
-    # memo). r12: built as ROW-LOCAL arrays (shingle_arrays) — the
-    # explode→distinct→collect_set round trip the exploded form paid was
-    # two corpus-wide Exchanges for per-doc properties (guide §2.4).
-    sets = cache.pin(D.shingle_arrays(reps))
-    # the signature table feeds BOTH sides of the band self-join; when
-    # AQE broadcasts one side the exchanges differ and the signature
-    # pipeline would run twice — (id, k longs) is cheap to pin. r12:
-    # computed row-locally from the pinned arrays (zero Exchange).
-    sig = cache.pin(D.minhash_signatures_arrays(sets, num_hashes=NUM_HASHES))
+    # ONE pinned materialization for the whole quality→dedup→signature
+    # prefix (r12, guide §5): the representatives' passthrough columns,
+    # the per-doc shingle SET, and the MinHash signature are all
+    # row-local over the digest aggregate, so the old reps→sets→sig pin
+    # chain was three sequential blocking materializations of the same
+    # pass — fused they cost one. TEXT IS DROPPED from the cache (only
+    # the derived arrays ride). The base feeds the band self-join (h*),
+    # both Jaccard verify sides (_sh), and the final output row set —
+    # at 100 TB this is the materialized clean-representatives table
+    # between pipeline stages; released with the query result
+    # (cross-query composition flows through the clean_doc_ids memo).
+    base = cache.pin(
+        D.shingle_sig_table(
+            reps, num_hashes=NUM_HASHES, keep_cols=("n_copies", "quality_fp6")
+        )
+    )
+    with_sh = base.filter(F.col("_sh").isNotNull())
+    sets = with_sh.select("doc_id", "_sh")
+    sig = with_sh.select("doc_id", *[f"h{s}" for s in range(NUM_HASHES)])
     cand = cache.pin(
         D.lsh_candidate_pairs(
             sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
@@ -145,7 +145,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dropped = near.select("id_b").distinct()
     return (
-        reps.join(dropped, reps.doc_id == dropped.id_b, "left_anti")
+        base.join(dropped, base.doc_id == dropped.id_b, "left_anti")
         .select("doc_id", "n_copies", "quality_fp6")
     )
 

@@ -36,6 +36,29 @@ def test_shingles_count(spark):
     assert per_doc[3] == 5
 
 
+def test_shingle_sig_table_matches_split_operators(spark):
+    """The fused (passthrough, _sh, h*) table must reproduce
+    shingle_arrays + minhash_signatures_arrays exactly: same row set
+    after the _sh IS NOT NULL filter (docs under n tokens NULL out but
+    keep their passthrough columns), identical arrays, identical
+    signature longs."""
+    docs = _docs(spark).union(
+        spark.createDataFrame([(9, "too short")], "doc_id long, text string")
+    )
+    fused = D.shingle_sig_table(docs, num_hashes=4, keep_cols=("text",))
+    rows = {r.doc_id: r for r in fused.collect()}
+    assert rows[9]["_sh"] is None and rows[9]["h0"] is None
+    assert rows[9]["text"] == "too short"  # passthrough survives the NULL row
+    sets = {r.doc_id: r["_sh"] for r in D.shingle_arrays(docs).collect()}
+    sig = {r.doc_id: r for r in D.minhash_signatures_arrays(
+        D.shingle_arrays(docs), num_hashes=4).collect()}
+    assert set(sets) == {k for k, v in rows.items() if v["_sh"] is not None}
+    for k in sets:
+        assert rows[k]["_sh"] == sets[k]
+        for s in range(4):
+            assert rows[k][f"h{s}"] == sig[k][f"h{s}"]
+
+
 def test_minhash_lsh_finds_near_dup(spark):
     docs = _docs(spark)
     sh = D.shingles(docs)

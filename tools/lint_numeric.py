@@ -318,9 +318,9 @@ SPARK_ALLOWLIST: list[tuple[str, str, str]] = [
     (r"functions/scalar\.py", r"\.cast\(\"double\"\)",
      "[render<2^53] dec_sum/dec_mul_sum/safe_avg — docstrings state the 2^53 bound; "
      "hashed outputs use cents_sum (BIGINT)"),
-    (r"operators/dedup\.py:(262|296)", r"cast\(\"double\"\) / ",
+    (r"operators/dedup\.py:(307|341)", r"cast\(\"double\"\) / ",
      "[ieee-div] jaccard division (oracle mirror)"),
-    (r"operators/dedup\.py:(888|912)", r"F\.round\(",
+    (r"operators/dedup\.py:(933|957)", r"F\.round\(",
      "[libm-score] tf-idf ln/sqrt-norm (oracle [libm]+[sqrt-norm] mirror)"),
     (r"operators/drift\.py", r"cast\(\"double\"\)|F\.round\(",
      "[libm-score]+[render<2^53] JSD x·ln(x/m) per-item rounds into exact DECIMAL sums (oracle mirror)"),
@@ -339,7 +339,7 @@ SPARK_ALLOWLIST: list[tuple[str, str, str]] = [
      "[libm-score] PMI/LM ln chains, per-item rounded into exact sums (oracle [libm] mirror)"),
     (r"plans/behavior\.py", r"\.cast\(\"double\"\)",
      "[render<2^53] exact DECIMAL(28,9) decay sum re-rendered (oracle mirror)"),
-    (r"plans/dedup\.py:443", r"F\.round\(cos, 6\)",
+    (r"plans/dedup\.py:440", r"F\.round\(cos, 6\)",
      "[libm-score] crossmodal cosine (oracle [sqrt-norm] mirror)"),
     (r"plans/graph\.py:(534|81[456]|831)", r"cast\(\"double\"\)",
      "[render<2^53] Adamic-Adar 9dp sum + neighbor-feature stats re-rendered (oracle mirror)"),
