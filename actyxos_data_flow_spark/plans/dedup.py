@@ -1117,42 +1117,31 @@ def dedup_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``10·inter >= 7·union`` on both sides.
     """
     docs = load_table(spark, sf_dir, "documents")
-    # the shingle table feeds 8 downstream scans (df-rank, prefix
-    # sides, verify sides, size tables) — materialize it ONCE; at
-    # 100 TB this is the persisted shingle/posting table every
-    # similarity-join system keeps anyway
+    # r12: the per-doc shingle ARRAY table is the base materialization
+    # (row-local, zero Exchange); the exploded posting table derives
+    # from it and feeds ONLY the candidate generator (df-rank + prefix
+    # self-join), checkpointed partitioned by shingle so the df
+    # aggregate and the rank join share one exchange. Verification
+    # moved to the array form: the old inverted-index verify shuffled
+    # the whole posting table on (id_b, shingle) AND re-aggregated
+    # per-doc sizes — both corpus-wide exchanges; now the (pinned,
+    # bounded) candidate list broadcasts onto the array table twice and
+    # sizes are size(_sh), row-local.
+    sets = cache.pin(D.shingle_arrays(ensure_parallelism(docs)))
     sh = (
-        D.shingles(ensure_parallelism(docs))
+        sets.select("doc_id", F.explode("_sh").alias("shingle"))
         .repartition(F.col("shingle"))
         .localCheckpoint()
     )
     a, b = PREFIX_JACCARD_T
-    pairs = D.prefix_filter_candidates(sh, a, b)
-    # exact integer verification on candidates only, inverted-index
-    # form (same economics as jaccard_on_pairs: the broadcast candidate
-    # list filters the shingle table, per-pair cost is shared-shingle
-    # count — no per-pair arrays, no corpus shuffle)
-    sha = sh.select(F.col("doc_id").alias("id_a"), "shingle")
-    shb = sh.select(F.col("doc_id").alias("id_b"), "shingle")
-    inter = (
-        F.broadcast(pairs)
-        .join(sha, "id_a")
-        .join(shb, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("intersection"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    na = sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("_na"))
-    nb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("_nb"))
+    pairs = cache.pin(D.prefix_filter_candidates(sh, a, b))
+    ver = D.jaccard_on_pairs_arrays(pairs, sets, with_counts=True)
     return (
-        F.broadcast(inter)
-        .join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
+        ver.select(
             "id_a",
             "id_b",
-            "intersection",
-            (F.col("_na") + F.col("_nb") - F.col("intersection")).cast("long").alias("union_size"),
+            F.col("i").alias("intersection"),
+            F.col("u").alias("union_size"),
         )
         .filter(F.lit(b) * F.col("intersection") >= F.lit(a) * F.col("union_size"))
     )
