@@ -904,13 +904,19 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     EXISTS(other supplier)      <=> count(distinct supp)       >= 2
     NOT EXISTS(other late supp) <=> count(distinct late supp)  == 1
     (l1 itself is late, so its supplier is the one late supplier).
-    Scale shape: lineitem⋈orders shuffles on orderkey once; the
-    per-order aggregate and the qualifying join REUSE that same
-    orderkey partitioning (no extra lineitem-wide shuffle pattern);
-    supplier and nation are broadcast; count(distinct) runs as a
-    two-level hash aggregate with partial combine. The correlated
-    self-join form would shuffle lineitem twice more and explode on
-    multi-line orders; the aggregate form is O(|lineitem|).
+    Scale shape (r12, guide §2.4): ONE pass over lineitem⋈orders. A
+    qualifying order has exactly one distinct late supplier, so every
+    late line in it belongs to that supplier — the per-order aggregate
+    can therefore carry the late supplier's key (max over the late
+    lines, a one-element set) and its late-line count, and the old
+    second lineitem pass (join back li.filter(is_late) ⋈ per_order —
+    a second full scan + a SortMergeJoin on orderkey) collapses into
+    two extra aggregate columns. numwait = sum of per-order late-line
+    counts, identical row-for-row to counting the joined-back lines.
+    supplier and nation broadcast; count(distinct) runs as a two-level
+    hash aggregate with partial combine. The correlated self-join form
+    would shuffle lineitem twice more and explode on multi-line
+    orders; the aggregate form is O(|lineitem|).
     Reference parity: the engine has no correlated-subquery surface
     either — this is the flow-algebra composition of group/count +
     join (src/flow.rs group_by/join)."""
@@ -929,9 +935,12 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("is_late"),
         )
     )
+    late_supp = F.when(F.col("is_late"), F.col("l_suppkey"))
     per_order = li.groupBy("l_orderkey").agg(
         F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias("n_late_supp"),
+        F.countDistinct(late_supp).alias("n_late_supp"),
+        F.max(late_supp).alias("late_supp"),
+        F.count(late_supp).alias("n_late_lines"),
     )
     sup = F.broadcast(
         load_table(spark, sf_dir, "supplier")
@@ -942,11 +951,10 @@ def q21_suppliers_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
     )
     return (
-        li.filter(F.col("is_late"))
-        .join(per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)), "l_orderkey")
-        .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+        .join(sup, F.col("late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -173,12 +173,20 @@ def test_partitioned_write_prunes_at_planning(spark, tmp_path):
 
 
 def test_q21_broadcasts_dims_and_reuses_orderkey_shuffle(spark, registry):
-    """supplier⋈nation must broadcast; the per-order aggregate and the
-    qualifying join run on the same orderkey hash partitioning."""
+    """supplier⋈nation must broadcast, and the r12 single-pass rewrite
+    must hold: ONE lineitem scan (the per-order aggregate carries the
+    late supplier key + late-line count, so there is no join-back of
+    late lines), hence no corpus-side SortMergeJoin either."""
     plan = _plan(registry["q21_suppliers_waiting"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     # the big side never cartesian-joins and never sort-merge-joins a dim
     assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("lineitem") <= 2  # one scan node (name appears in scan + ReadSchema path)
+    import re
+
+    scans = re.findall(r"Scan parquet[^\n]*lineitem", plan)
+    assert len(scans) == 1, scans
 
 
 def test_decontaminate_broadcasts_eval_side(spark, registry):
