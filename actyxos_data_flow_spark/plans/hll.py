@@ -179,16 +179,36 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     without inclusion-exclusion blowup. All-integer estimators
     ((k−1)·2^60 DIV θ; shared·est_union DIV k), 3σ contracts as
     cross-multiplied integer comparisons (√(k−2) squared away), and the
-    whole report is one row assembled from model-sized aggregates —
-    the corpus contributes two distinct-hash projections feeding k-row
-    tournament top-ks, nothing else."""
+    whole report is one row assembled from model-sized aggregates.
+    Scale shape (r12, guide §2.2/§5): ONE orders scan. The old form
+    re-derived A, B, their union, and their intersection as EIGHT
+    separate corpus subtrees (~10 orders scans, 30 Spark jobs for a
+    1-row report); every quantity is a function of the distinct
+    customer set tagged with (in_a, in_b) membership flags, so one
+    groupBy(o_custkey) aggregate + pin feeds the four exact counts
+    (one 1-row aggregate), both hash projections, the three k-row
+    sketches, and the shared-hash probe. Set memberships, hashes, and
+    counts are value-identical to the per-set formulation by
+    construction (max-of-membership over a customer's order rows =
+    'customer has an order with that priority')."""
     orders = load_table(spark, sf_dir, "orders")
-    a = orders.filter(F.col("o_orderpriority") == _SET_A).select("o_custkey")
-    b = orders.filter(F.col("o_orderpriority") == _SET_B).select("o_custkey")
-    ha = a.select(K.kmv_hash(F.col("o_custkey")).alias("h")).distinct()
-    hb = b.select(K.kmv_hash(F.col("o_custkey")).alias("h")).distinct()
     from .. import cache
 
+    dc = (
+        orders.filter(F.col("o_orderpriority").isin(_SET_A, _SET_B))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.col("o_orderpriority") == _SET_A).alias("in_a"),
+            F.max(F.col("o_orderpriority") == _SET_B).alias("in_b"),
+        )
+        .select(
+            K.kmv_hash(F.col("o_custkey")).alias("h"), "in_a", "in_b"
+        )
+    )
+    # hashes of distinct custkeys; a final distinct() keeps the exact
+    # oracle semantics (DISTINCT h) even under 60-bit hash collisions
+    ha = dc.filter(F.col("in_a")).select("h").distinct()
+    hb = dc.filter(F.col("in_b")).select("h").distinct()
     ska = cache.pin(ha.orderBy(F.col("h").asc()).limit(_KK))
     skb = cache.pin(hb.orderBy(F.col("h").asc()).limit(_KK))
     sku = cache.pin(
@@ -206,17 +226,13 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(hb, "h", "left_semi")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
-    exact = (
-        a.agg(F.countDistinct("o_custkey").alias("exact_a"))
-        .crossJoin(b.agg(F.countDistinct("o_custkey").alias("exact_b")))
-        .crossJoin(
-            a.union(b).agg(F.countDistinct("o_custkey").alias("exact_union"))
-        )
-        .crossJoin(
-            a.distinct()
-            .join(b.distinct(), "o_custkey", "left_semi")
-            .agg(F.count(F.lit(1)).alias("exact_intersect"))
-        )
+    # all four exact set cardinalities in ONE aggregate over the pinned
+    # distinct-customer table (rows are already distinct custkeys)
+    exact = dc.agg(
+        F.sum(F.col("in_a").cast("long")).alias("exact_a"),
+        F.sum(F.col("in_b").cast("long")).alias("exact_b"),
+        F.count(F.lit(1)).alias("exact_union"),
+        F.sum((F.col("in_a") & F.col("in_b")).cast("long")).alias("exact_intersect"),
     )
     row = (
         ea.crossJoin(eb).crossJoin(eu).crossJoin(shared).crossJoin(exact)

@@ -189,6 +189,21 @@ def test_q21_broadcasts_dims_and_reuses_orderkey_shuffle(spark, registry):
     assert len(scans) == 1, scans
 
 
+def test_kmv_setops_single_orders_stage(spark, registry):
+    """r12: every exact count / hash projection / sketch in the KMV
+    set-algebra report derives from ONE tagged distinct-customer
+    aggregate; AQE stage reuse must collapse all references to it onto
+    a single shuffle stage (i.e. one orders scan at runtime)."""
+    import re
+
+    df = registry["sketch_kmv_setops"].fn(spark, SF)
+    df.write.format("noop").mode("overwrite").save()
+    plan = _plan(df)
+    ids = re.findall(r"ShuffleQueryStage (\d+)", plan)
+    assert len(ids) >= 4  # many consumers...
+    assert len(set(ids)) <= 2, sorted(set(ids))  # ...one (reused) corpus stage
+
+
 def test_decontaminate_broadcasts_eval_side(spark, registry):
     """The eval shingle set is the broadcast side; the train corpus
     never shuffles for the match join."""
