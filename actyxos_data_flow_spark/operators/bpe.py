@@ -179,6 +179,14 @@ def bpe_train_topr(
     wf = word_freqs(docs, text_col).persist() if own_wf else wf
     syms_tbl = wf.select("word", "freq", base_symbols(F.col("word")).alias("syms"))
     merges: list[tuple[int, str, str, int]] = []
+    # depth-bounded lineage cuts (r12, guide §5): checkpoint only when
+    # the UN-CUT fold depth would exceed the same bound bpe_train uses
+    # (checkpoint_every=8 single folds) — a per-round cut materialized a
+    # whole symbol table to save the next round 3 nested array folds,
+    # which the round's pair-count scan absorbs for free. Values are
+    # unchanged: the folds run either way, only where they run moves.
+    max_fold_depth = 8
+    pending_folds = 0
     try:
         while len(merges) < n_merges:
             top = (
@@ -205,13 +213,15 @@ def bpe_train_topr(
                 syms_tbl = syms_tbl.withColumn(
                     "syms", merge_fold(F.col("syms"), left, right)
                 )
-            # one lineage cut per ROUND (not per merge): plan depth grows
-            # by at most r folds between cuts. Skipped after the FINAL
-            # round (r12): nothing reads syms_tbl once the budget is
-            # spent, so the last checkpoint was a wasted materialization
-            # job executing the final folds for no consumer.
-            if len(merges) < n_merges:
+            # Skipped after the FINAL round (r12): nothing reads
+            # syms_tbl once the budget is spent, so a last checkpoint
+            # would be a wasted materialization job executing the final
+            # folds for no consumer. Otherwise cut only when the next
+            # round's folds would push the un-cut depth past the bound.
+            pending_folds += len(acc)
+            if len(merges) < n_merges and pending_folds + r > max_fold_depth:
                 syms_tbl = syms_tbl.localCheckpoint()
+                pending_folds = 0
     finally:
         if own_wf:
             wf.unpersist()

@@ -186,10 +186,20 @@ def lsh_candidate_pairs(
     num_hashes: int = 8,
     band_size: int = 2,
     max_bucket: int | None = None,
+    distinct: bool = True,
 ) -> DataFrame:
     """Band the signature (num_hashes/band_size bands) and emit unordered
     candidate pairs sharing any band bucket. Pure equi-join on
     (band, bucket_sig); distinct to dedupe multi-band hits.
+
+    ``distinct=False`` skips that dedup Exchange (r12, guide §2.4): a
+    consumer whose downstream is per-pair row-local work followed by an
+    anti-join/semi-join (the clean-corpus pipeline) is value-identical
+    under duplicate pairs — each duplicate recomputes the same verify
+    row and the join build side dedupes in its hash table — and the
+    duplication factor is bounded by the band count (a pair can collide
+    in at most num_hashes/band_size bands). Keep the default for any
+    consumer that RETURNS the pair list.
 
     ``max_bucket`` is the skew guard for 100 TB: a degenerate bucket (one
     signature shared by millions of near-identical docs) makes the
@@ -200,25 +210,50 @@ def lsh_candidate_pairs(
     Use :func:`lsh_oversized_buckets` to inspect/log what a cap drops."""
     bands = _lsh_bands(sig, id_col, num_hashes, band_size)
     if max_bucket is not None:
-        from pyspark.sql import Window as W
-
-        # window count over the SAME (band, sig) partitioning the pair
-        # join shuffles on anyway — one pass, no second evaluation of
-        # the signature pipeline, and both self-join sides stay an
-        # identical subplan so the exchange is reused. (A groupBy+join
-        # formulation re-ran the whole minhash DAG per reference and
-        # regressed the bench 7s → 58s.)
-        bucket_n = F.count(F.lit(1)).over(W.partitionBy("band", "sig"))
-        bands = bands.withColumn("_bn", bucket_n).filter(F.col("_bn") <= max_bucket).drop("_bn")
+        # r12 (guide §2.4): ONE hash aggregate on the same (band, sig)
+        # key the join would have shuffled on, then pairs generated
+        # ROW-LOCALLY by a streaming double explode over the bucket's id
+        # array. This replaces the previous window-count + self-join:
+        # the window forced a SORT of the banded table, and the
+        # self-join's two identical subtrees did NOT share one exchange
+        # under AQE (locally the planner broadcast one side, which
+        # RE-EVALUATED the whole bands subtree as a separate stage job;
+        # at cluster scale an SMJ would re-sort both sides). The
+        # collect_list buffer is bounded by max_bucket BY CONSTRUCTION
+        # (the filter drops oversized buckets before any pair is
+        # emitted), so the aggregate is safe at any corpus size — this
+        # shape is only used when a cap is in force. Per-bucket pair
+        # fan-out is streamed (the second explode's input is one
+        # bucket-array row, never a materialized pairs array), same
+        # cap² bound and same one-task-per-hot-key placement as the
+        # join form. Values and multiplicities are identical to the
+        # self-join: one occurrence per shared surviving bucket.
+        buckets = bands.groupBy("band", "sig").agg(
+            F.collect_list(F.col(id_col)).alias("_ids")
+        )
+        pairs = (
+            buckets.filter(F.size("_ids") <= max_bucket)
+            .select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+            .select(
+                "id_a",
+                F.explode(F.filter("_ids", lambda x: x > F.col("id_a"))).alias("id_b"),
+            )
+        )
+        return pairs.distinct() if distinct else pairs
+    # uncapped: keep the streaming self-join — collect_list without the
+    # cap filter would buffer a degenerate bucket's whole membership in
+    # one aggregation buffer, which the join form never does. (A
+    # groupBy+JOIN-BACK formulation re-ran the whole minhash DAG per
+    # reference and regressed the bench 7s → 58s; this groupBy form has
+    # no second reference.)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")), "inner")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    return pairs.distinct() if distinct else pairs
 
 
 def _lsh_bands(sig: DataFrame, id_col: str, num_hashes: int, band_size: int) -> DataFrame:
@@ -273,6 +308,7 @@ def jaccard_on_pairs_arrays(
     id_col: str = "doc_id",
     max_broadcast_pairs: int = 500_000,
     with_counts: bool = False,
+    pairs_distinct: bool = True,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via per-doc shingle ARRAYS:
     broadcast the (bucket-capped) candidate list onto the set table
@@ -287,9 +323,19 @@ def jaccard_on_pairs_arrays(
     (persisted) pair list and falls back to the exploded-join
     formulation beyond ``max_broadcast_pairs`` — the same
     adaptive-above-threshold posture as similarity.cosine_topk's
-    query-matrix chunking."""
+    query-matrix chunking.
+
+    ``pairs_distinct=False`` declares the pair list MAY carry duplicates
+    (``lsh_candidate_pairs(distinct=False)``): the broadcast path is
+    value-identical per row either way (duplicate pairs produce
+    duplicate verify rows with the same jaccard), but the exploded
+    fallback counts intersections per pair ROW, so it dedupes first —
+    correctness above the broadcast bound never depends on the caller's
+    dedup choice."""
     n = pairs.count()
     if n > max_broadcast_pairs:
+        if not pairs_distinct:
+            pairs = pairs.distinct()
         exploded = sets.select(id_col, F.explode("_sh").alias("shingle"))
         return jaccard_on_pairs(pairs, exploded, id_col, with_counts=with_counts)
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
