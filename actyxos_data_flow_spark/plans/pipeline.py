@@ -132,24 +132,20 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_sh = base.filter(F.col("_sh").isNotNull())
     sets = with_sh.select("doc_id", "_sh")
     sig = with_sh.select("doc_id", *[f"h{s}" for s in range(NUM_HASHES)])
-    # distinct=False (r12, guide §2.4): every downstream consumer here is
-    # duplicate-insensitive — the verify is per-pair row-local and the
-    # final anti-join's hash build dedupes — so the multi-band dedup
-    # Exchange (one full AQE stage job) is pure overhead; the duplicate
-    # factor is bounded by the band count (4)
+    # distinct STAYS on the candidate list (measured r12): multi-band
+    # collisions duplicate 2.4x at sf0.1 — skipping the pair-metadata
+    # dedup exchange would inflate the verify (array_intersect per pair
+    # row) and the candidate broadcast by that factor, a bad trade at
+    # any scale where the verify is the expensive stage
     cand = cache.pin(
         D.lsh_candidate_pairs(
-            sig,
-            num_hashes=NUM_HASHES,
-            band_size=BAND_SIZE,
-            max_bucket=100_000,
-            distinct=False,
+            sig, num_hashes=NUM_HASHES, band_size=BAND_SIZE, max_bucket=100_000
         )
     )
     # verify on per-doc shingle ARRAYS: the candidate list (bucket-capped,
     # persisted so its guard count is free) broadcasts onto the set table
     # twice — zero corpus-wide exchanges in the verify stage
-    near = D.jaccard_on_pairs_arrays(cand, sets, pairs_distinct=False).filter(
+    near = D.jaccard_on_pairs_arrays(cand, sets).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
     )
     # no distinct: id_b feeds ONLY the left-anti join below, whose
