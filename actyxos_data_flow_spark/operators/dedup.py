@@ -210,30 +210,52 @@ def lsh_candidate_pairs(
     Use :func:`lsh_oversized_buckets` to inspect/log what a cap drops."""
     bands = _lsh_bands(sig, id_col, num_hashes, band_size)
     if max_bucket is not None:
-        # r12 (guide §2.4): ONE hash aggregate on the same (band, sig)
-        # key the join would have shuffled on, then pairs generated
-        # ROW-LOCALLY by a streaming double explode over the bucket's id
-        # array. This replaces the previous window-count + self-join:
-        # the window forced a SORT of the banded table, and the
-        # self-join's two identical subtrees did NOT share one exchange
-        # under AQE (locally the planner broadcast one side, which
-        # RE-EVALUATED the whole bands subtree as a separate stage job;
-        # at cluster scale an SMJ would re-sort both sides). The
-        # collect_list buffer is bounded by max_bucket BY CONSTRUCTION
-        # (the filter drops oversized buckets before any pair is
-        # emitted), so the aggregate is safe at any corpus size — this
-        # shape is only used when a cap is in force. Per-bucket pair
-        # fan-out is streamed (the second explode's input is one
-        # bucket-array row, never a materialized pairs array), same
-        # cap² bound and same one-task-per-hot-key placement as the
-        # join form. Values and multiplicities are identical to the
+        # r12 (guide §2.4): pairs are generated ROW-LOCALLY by a
+        # streaming double explode over each bucket's id array, keyed by
+        # the same (band, sig) the join form would have shuffled on.
+        # This replaces the previous window-count + self-join: the
+        # window forced a SORT of the banded table, and the self-join's
+        # two identical subtrees did NOT share one exchange under AQE
+        # (locally the planner broadcast one side, which RE-EVALUATED
+        # the whole bands subtree as a separate stage job; at cluster
+        # scale an SMJ would re-sort both sides).
+        # r13 (r12 verdict #1, guide §2.5): the cap must bound the
+        # AGGREGATION BUFFER, not just emission. The r12 form filtered
+        # `size(_ids) <= max_bucket` on collect_list's OUTPUT, so a
+        # degenerate bucket (millions of ids sharing one signature —
+        # the exact skew the cap guards) would still materialize its
+        # whole membership in one unspillable buffer before the filter
+        # discarded it. Oversized buckets are now dropped BEFORE any id
+        # is collected: a count aggregate (map-side combinable,
+        # constant-size buffer per key) finds the surviving buckets and
+        # the bands semi-join onto them, so collect_list's input
+        # provably excludes any bucket over the cap — its buffer is
+        # <= max_bucket rows by construction. The EXCHANGE IS SHARED:
+        # both aggregates and the semi-join consume one explicit
+        # hash-repartition of the banded table on (band, sig) — the
+        # count aggregate and the join's probe side read the same
+        # shuffle output (ReusedExchange; the partitioning already
+        # satisfies both groupBys, so neither adds an exchange), so the
+        # banded table still shuffles exactly once, as in r12. Per-
+        # bucket pair fan-out is streamed (the second explode's input
+        # is one bucket-array row, never a materialized pairs array),
+        # same cap² bound and same one-task-per-hot-key placement as
+        # the join form. Values and multiplicities are identical to the
         # self-join: one occurrence per shared surviving bucket.
-        buckets = bands.groupBy("band", "sig").agg(
-            F.collect_list(F.col(id_col)).alias("_ids")
+        b2 = bands.repartition("band", "sig")
+        ok = (
+            b2.groupBy("band", "sig")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") <= max_bucket)
+            .select("band", "sig")
+        )
+        buckets = (
+            b2.join(ok, ["band", "sig"], "left_semi")
+            .groupBy("band", "sig")
+            .agg(F.collect_list(F.col(id_col)).alias("_ids"))
         )
         pairs = (
-            buckets.filter(F.size("_ids") <= max_bucket)
-            .select(F.explode("_ids").alias("id_a"), F.col("_ids"))
+            buckets.select(F.explode("_ids").alias("id_a"), F.col("_ids"))
             .select(
                 "id_a",
                 F.explode(F.filter("_ids", lambda x: x > F.col("id_a"))).alias("id_b"),
@@ -308,7 +330,6 @@ def jaccard_on_pairs_arrays(
     id_col: str = "doc_id",
     max_broadcast_pairs: int = 500_000,
     with_counts: bool = False,
-    pairs_distinct: bool = True,
 ) -> DataFrame:
     """Exact Jaccard on candidate pairs via per-doc shingle ARRAYS:
     broadcast the (bucket-capped) candidate list onto the set table
@@ -325,19 +346,21 @@ def jaccard_on_pairs_arrays(
     adaptive-above-threshold posture as similarity.cosine_topk's
     query-matrix chunking.
 
-    ``pairs_distinct=False`` declares the pair list MAY carry duplicates
-    (``lsh_candidate_pairs(distinct=False)``): the broadcast path is
-    value-identical per row either way (duplicate pairs produce
-    duplicate verify rows with the same jaccard), but the exploded
-    fallback counts intersections per pair ROW, so it dedupes first —
-    correctness above the broadcast bound never depends on the caller's
-    dedup choice."""
+    Duplicate-pair robustness (r13, ADVICE r12): the exploded fallback
+    counts intersections per pair ROW, so duplicated pairs
+    (``lsh_candidate_pairs(distinct=False)``) would inflate its counts
+    k-fold — it therefore ALWAYS dedupes first, instead of trusting a
+    caller-synced flag (the former ``pairs_distinct``). The distinct is
+    one pair-metadata exchange paid only on this >500k fallback path,
+    where the exploded inverted-index join it feeds dwarfs it; the
+    broadcast path is value-identical per row under duplicates and
+    stays distinct-free."""
     n = pairs.count()
     if n > max_broadcast_pairs:
-        if not pairs_distinct:
-            pairs = pairs.distinct()
         exploded = sets.select(id_col, F.explode("_sh").alias("shingle"))
-        return jaccard_on_pairs(pairs, exploded, id_col, with_counts=with_counts)
+        return jaccard_on_pairs(
+            pairs.distinct(), exploded, id_col, with_counts=with_counts
+        )
     a = sets.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sha"))
     b = sets.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_shb"))
     x = a.join(F.broadcast(pairs), "id_a")

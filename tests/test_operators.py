@@ -130,6 +130,36 @@ def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
     assert capped == uncapped == {(a, b) for a in range(1, 7) for b in range(1, 7) if a < b}
 
 
+def test_lsh_capped_path_counts_before_collecting(spark):
+    """r13 (r12 verdict #1): the capped path must bound the
+    collect_list AGGREGATION BUFFER, not just pair emission — the plan
+    pre-filters (band, sig) buckets with a COUNT aggregate and
+    semi-joins the bands onto the survivors BEFORE any id list is
+    collected, so a degenerate bucket's membership never materializes
+    in one buffer. Pinned structurally: the capped plan carries a
+    LeftSemi join between the count aggregate and the collect_list
+    aggregate; the uncapped plan has neither."""
+    clones = spark.createDataFrame(
+        [(i, "same same same same same") for i in range(1, 7)],
+        "doc_id long, text string",
+    )
+    sig = D.minhash_signatures(D.shingles(clones))
+    capped = D.lsh_candidate_pairs(sig, max_bucket=5)
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "collect_list" in plan
+    # the size-of-collected-output CAP filter is gone: the only cap
+    # compare runs on the count aggregate, upstream of the collect (a
+    # catalyst-inferred `size(_ids) > 0` non-empty guard may remain)
+    import re
+
+    assert not re.search(r"size\(_ids[^\n]*<=", plan), plan
+    uncapped_plan = (
+        D.lsh_candidate_pairs(sig)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "LeftSemi" not in uncapped_plan and "collect_list" not in uncapped_plan
+
+
 def test_simhash_banding_full_recall_at_threshold(spark):
     """Pigeonhole guarantee: with max_hamming + 1 bands, EVERY pair with
     true hamming <= max_hamming must be emitted (the fixed 4-byte layout

@@ -318,9 +318,9 @@ SPARK_ALLOWLIST: list[tuple[str, str, str]] = [
     (r"functions/scalar\.py", r"\.cast\(\"double\"\)",
      "[render<2^53] dec_sum/dec_mul_sum/safe_avg — docstrings state the 2^53 bound; "
      "hashed outputs use cents_sum (BIGINT)"),
-    (r"operators/dedup\.py:(353|387)", r"cast\(\"double\"\) / ",
+    (r"operators/dedup\.py:(376|410)", r"cast\(\"double\"\) / ",
      "[ieee-div] jaccard division (oracle mirror)"),
-    (r"operators/dedup\.py:(979|1003)", r"F\.round\(",
+    (r"operators/dedup\.py:(1002|1026)", r"F\.round\(",
      "[libm-score] tf-idf ln/sqrt-norm (oracle [libm]+[sqrt-norm] mirror)"),
     (r"operators/drift\.py", r"cast\(\"double\"\)|F\.round\(",
      "[libm-score]+[render<2^53] JSD x·ln(x/m) per-item rounds into exact DECIMAL sums (oracle mirror)"),
