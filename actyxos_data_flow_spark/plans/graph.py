@@ -161,39 +161,81 @@ def graph_triangles_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return G.triangle_stats(_strong_tie_edges(spark, sf_dir))
 
 
+def _supplier_pair_counts(li: DataFrame) -> DataFrame:
+    """Shared-order supplier co-occurrence counts (a < b, shared =
+    number of DISTINCT orders in which both appear), without the
+    lineitem SELF-JOIN the r12 form paid (r13, guide §2.4): one
+    groupBy(l_orderkey) collects each order's distinct supplier SET
+    (collect_set buffer bounded by the order's line count — the same
+    per-order bound the old join's output already had), pairs are
+    generated ROW-LOCALLY by a streaming double explode (the r12
+    capped-LSH idiom), and `count` replaces the countDistinct expand
+    (each unordered pair appears exactly once per order because the set
+    is deduped). Drops the SMJ sort of the fact table AND the
+    distinct-aggregate expansion; the pair shuffle carries map-side
+    partial counts instead of raw per-order pair rows. Values are
+    identical: count over once-per-order pairs == count(DISTINCT
+    orderkey) per pair."""
+    per_order = li.groupBy("l_orderkey").agg(
+        F.collect_set("l_suppkey").alias("_ss")
+    )
+    pairs = per_order.select(F.explode("_ss").alias("a"), F.col("_ss")).select(
+        "a", F.explode(F.filter("_ss", lambda x: x > F.col("a"))).alias("b")
+    )
+    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("shared"))
+
+
+# the top-k strong-tie partner table (s, p, shared), localCheckpointed
+# and memoized per (session, sf_dir) — the clean_doc_ids discipline
+# (plans/pipeline.py): SIX registered graph queries consume the
+# strong-tie derivation (census, link prediction, LPA, neighbor
+# features, k-core, modularity) and two more its weighted sibling, each
+# previously re-deriving the full co-occurrence + top-k subtree (~6s of
+# fixed stage overhead even at sf0.001). Checkpoints are session-owned
+# RDDs and testdata dirs are immutable within a session, so the memo
+# cannot serve stale rows; bench.py's cold passes clear it
+# (_clear_spark_caches) so every cold row honestly re-pays the build.
+_STRONG_TIES: dict = {}
+
+
+def _strong_ties_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    if key not in _STRONG_TIES:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        )
+        co = _supplier_pair_counts(li)
+        directed = co.select(
+            F.col("a").alias("s"), F.col("b").alias("p"), "shared"
+        ).unionByName(
+            co.select(F.col("b").alias("s"), F.col("a").alias("p"), "shared")
+        )
+        w = W.partitionBy("s").orderBy(F.col("shared").desc(), F.col("p").asc())
+        # the window rows already carry `shared`, so the weighted
+        # variant needs no join-back (the r12 form re-joined `kept`
+        # against `directed` to re-attach a column it had just dropped)
+        _STRONG_TIES[key] = (
+            directed.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= PARTNERS_TOP)
+            .select("s", "p", "shared")
+            .localCheckpoint()
+        )
+    return _STRONG_TIES[key]
+
+
 def _strong_tie_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The supplier strong-tie graph (undirected, (src,dst) with
     src<dst): shared-order co-occurrence counts, each supplier keeping
     its top-{top} partners — the Spark twin of _STRONG_TIE_CTE's `te`.
-    Shared by the census, link-prediction, and community rows.""".format(
+    Shared by the census, link-prediction, and community rows; the
+    co-occurrence + top-k build comes from the session memo.""".format(
         top=PARTNERS_TOP
     )
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    x = li.alias("x")
-    y = li.alias("y")
-    co = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
-        )
-        .groupBy(
-            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
-        )
-        .agg(F.countDistinct(F.col("x.l_orderkey")).alias("shared"))
+    return (
+        _strong_ties_kept(spark, sf_dir)
+        .select(F.least("s", "p").alias("src"), F.greatest("s", "p").alias("dst"))
+        .distinct()
     )
-    directed = co.select(
-        F.col("a").alias("s"), F.col("b").alias("p"), "shared"
-    ).unionByName(co.select(F.col("b").alias("s"), F.col("a").alias("p"), "shared"))
-    w = W.partitionBy("s").orderBy(F.col("shared").desc(), F.col("p").asc())
-    top = (
-        directed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PARTNERS_TOP)
-        .select("s", "p")
-    )
-    return top.select(
-        F.least("s", "p").alias("src"), F.greatest("s", "p").alias("dst")
-    ).distinct()
 
 
 def _census_over_edges_sql(edges_cte: str) -> str:
@@ -718,32 +760,11 @@ def _strong_tie_weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The strong-tie edge set WITH integer costs: canonical (src<dst)
     pairs kept by either endpoint's top-{k} list, cost = {c} DIV
     shared-order count (max over the two directed copies, which carry
-    the same value).""".format(k=PARTNERS_TOP, c=SP_COST_NUM)
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    x = li.alias("x")
-    y = li.alias("y")
-    co = (
-        x.join(
-            y,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
-        )
-        .groupBy(
-            F.col("x.l_suppkey").alias("a"), F.col("y.l_suppkey").alias("b")
-        )
-        .agg(F.countDistinct(F.col("x.l_orderkey")).alias("shared"))
-    )
-    directed = co.select(
-        F.col("a").alias("s"), F.col("b").alias("p"), "shared"
-    ).unionByName(co.select(F.col("b").alias("s"), F.col("a").alias("p"), "shared"))
-    w = W.partitionBy("s").orderBy(F.col("shared").desc(), F.col("p").asc())
-    kept = (
-        directed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= PARTNERS_TOP)
-        .select("s", "p")
-    )
+    the same value). Reads the session memo; the kept rows already
+    carry `shared`, so the r12 join-back against the full directed
+    table is gone.""".format(k=PARTNERS_TOP, c=SP_COST_NUM)
     return (
-        kept.join(directed.select("s", "p", "shared"), ["s", "p"])
+        _strong_ties_kept(spark, sf_dir)
         .groupBy(
             F.least("s", "p").alias("src"), F.greatest("s", "p").alias("dst")
         )

@@ -348,13 +348,16 @@ def _timed(registry, spark, name: str, sf_dir: str, times: dict, errors: dict, k
 
 def _clear_spark_caches(spark) -> None:
     """Drop every Spark-level reuse channel between cold timings: the
-    CacheManager's persisted plans and the module-level checkpoint memo
-    (plans/pipeline._CLEAN_IDS). OS page cache and JIT stay warm — cold
-    here means 'no query-result reuse', not 'cold machine'."""
+    CacheManager's persisted plans and the module-level checkpoint memos
+    (plans/pipeline._CLEAN_IDS, plans/graph._STRONG_TIES). OS page cache
+    and JIT stay warm — cold here means 'no query-result reuse', not
+    'cold machine'."""
+    from actyxos_data_flow_spark.plans import graph as _gr
     from actyxos_data_flow_spark.plans import pipeline as _pl
 
     spark.catalog.clearCache()
     _pl._CLEAN_IDS.clear()
+    _gr._STRONG_TIES.clear()
 
 
 # cache-cleared passes per cold row; the metric string derives from

@@ -66,10 +66,10 @@ def plan_counts(text: str) -> dict:
 
 
 def clear(spark) -> None:
-    from actyxos_data_flow_spark.plans import pipeline as _pl
+    # mirror bench._clear_spark_caches (incl. every checkpoint memo)
+    import bench as _b
 
-    spark.catalog.clearCache()
-    _pl._CLEAN_IDS.clear()
+    _b._clear_spark_caches(spark)
 
 
 def main() -> None:
