@@ -33,7 +33,10 @@ PR_ITERS = 3
 
 
 def triangle_stats(
-    edges: DataFrame, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Exact triangle count + global clustering coefficient of an
     undirected graph, via degree-ordered edge orientation (the
@@ -48,21 +51,27 @@ def triangle_stats(
     equi-joins total — no windows, no cross joins.
 
     Input may be directed/duplicated; it is canonicalized (a<b,
-    distinct, self-loops dropped). Output: one row (nodes, edges,
+    distinct, self-loops dropped) unless the caller proves the work is
+    already done (``edges_canonical=True``: src<dst, distinct, no
+    self-loops — skips a redundant Exchange, r13 guide §2.4). Output:
+    one row (nodes, edges,
     wedges, triangles, clustering) where wedges = Σ C(deg,2) — all
     exact integers — and clustering_fp6 = (3·triangles·10^6) DIV wedges
     (pure integer: round(3t/w, 6) of an exact rational can land ON a
     6dp half-boundary where engines' double rounds split)
     (a quotient of exact ints: identical doubles on both engines)."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if edges_canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()  # scanned for degrees, orientation, closure
-    )
+    e = e.localCheckpoint()  # scanned for degrees, orientation, closure
     deg = (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -118,6 +127,7 @@ def pagerank(
     damping: float = DAMPING,
     src: str = "src",
     dst: str = "dst",
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """PageRank over a directed edge list (duplicate edges count once —
     deduped up front). Returns (node, pr_fp9) for every node appearing
@@ -139,12 +149,14 @@ def pagerank(
     mechanized audit showed 154 Exchanges for 3 passes); swap in
     ``checkpoint()`` on a real cluster. Dangling mass is a 1-row
     aggregate folded into the teleport term (broadcast join)."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()  # edge list + everything derived below is
-        # reused every pass; materialize once
-    )
+    # ``edges_deduped=True``: the caller proves the edge list is
+    # already distinct (e.g. the src-bucketed mirrors, written deduped)
+    # — skips a redundant (src, dst) Exchange (r13, guide §2.4)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_deduped:
+        e = e.distinct()
+    e = e.localCheckpoint()  # edge list + everything derived below is
+    # reused every pass; materialize once
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -219,6 +231,7 @@ def bfs_distances(
     dst: str = "dst",
     node: str = "node",
     info: dict | None = None,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Bounded-depth BFS over a directed edge list (symmetrize before
     calling for undirected semantics): returns ``(node, dist)`` with the
@@ -244,11 +257,14 @@ def bfs_distances(
     merely detected convergence (empty frontier) is excluded, so a
     graph exhausted on round 3 of ``depth=3`` reports
     ``rounds_run=2, converged=True``."""
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .localCheckpoint()  # rescanned every round
-    )
+    # ``edges_deduped=True``: the caller proves the list is distinct
+    # (a deduped bucketed mirror, or a dedupe done on HALF the rows —
+    # a bipartite plan can distinct one direction and mirror it) —
+    # skips a redundant (src, dst) Exchange over 2|E| rows (r13 §2.4)
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not edges_deduped:
+        e = e.distinct()
+    e = e.localCheckpoint()  # rescanned every round
     dist = (
         seeds.select(F.col(node).alias("node"))
         .distinct()
@@ -267,7 +283,10 @@ def bfs_distances(
             .select("node", F.lit(d).cast("int").alias("dist"))
             .localCheckpoint()
         )
-        if nxt.count() == 0:  # model-sized: nxt is already materialized
+        # emptiness is the only question — limit-1 probe over the
+        # already-materialized frontier instead of a full count (r13,
+        # guide §5: one fewer full scan job per round)
+        if nxt.isEmpty():
             converged = True
             break
         rounds_run = d
@@ -290,6 +309,7 @@ def label_propagation(
     src: str = "src",
     dst: str = "dst",
     info: dict | None = None,
+    edges_deduped: bool = False,
 ) -> DataFrame:
     """Synchronous label propagation over an UNDIRECTED edge list
     (pass (a,b) once; both directions are derived here): labels start
@@ -306,23 +326,31 @@ def label_propagation(
     by node). Label tables are ``localCheckpoint``ed per round (the
     pagerank/CC lineage discipline).
 
-    Convergence early-exit: after each round a node-sized changed-rows
-    count (new vs old labels) runs against two already-materialized
-    tables; zero changes means sync-LPA — a deterministic function of
-    the label table — has reached a fixpoint and every later round
-    would reproduce it, so the loop stops with the trajectory intact.
-    Pass ``info={}`` to receive ``{"rounds_run", "converged"}``;
-    ``rounds_run`` counts only state-changing rounds — the round whose
-    compute detected the fixpoint is excluded (converging on round 3
-    of ``iters=3`` reports ``rounds_run=2, converged=True``)."""
-    und = (
-        edges.select(F.col(src).alias("s"), F.col(dst).alias("p"))
-        .unionByName(
-            edges.select(F.col(dst).alias("s"), F.col(src).alias("p"))
-        )
-        .distinct()
-        .localCheckpoint()  # rescanned every round
+    Convergence early-exit (r13, guide §5 — fold the convergence count
+    into the per-round materialization): each round's checkpointed
+    label table carries a row-local ``_chg`` flag (new label != old,
+    attached by a node-sized join INSIDE the checkpointed plan), so
+    detecting the fixpoint is a limit-1 emptiness probe over the
+    already-materialized table instead of a separate join + full-count
+    job — one full job per round instead of two. Zero changes means
+    sync-LPA — a deterministic function of the label table — has
+    reached a fixpoint and every later round would reproduce it, so
+    the loop stops with the trajectory intact. Pass ``info={}`` to
+    receive ``{"rounds_run", "converged"}``; ``rounds_run`` counts only
+    state-changing rounds — the round whose compute detected the
+    fixpoint is excluded (converging on round 3 of ``iters=3`` reports
+    ``rounds_run=2, converged=True``).
+
+    ``edges_deduped=True``: the caller proves the CANONICAL edge list
+    is distinct (e.g. the strong-tie table, src<dst distinct) — the two
+    directed copies are then disjoint by construction and the union's
+    distinct is a redundant Exchange, skipped."""
+    und = edges.select(F.col(src).alias("s"), F.col(dst).alias("p")).unionByName(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("p"))
     )
+    if not edges_deduped:
+        und = und.distinct()
+    und = und.localCheckpoint()  # rescanned every round
     labels = (
         und.select(F.col("s").alias("node"))
         .distinct()
@@ -337,20 +365,25 @@ def label_propagation(
             .groupBy(F.col("s").alias("node"), "community")
             .agg(F.count(F.lit(1)).alias("_c"))
         )
+        # the changed-flag join runs INSIDE the checkpointed plan (both
+        # sides node-sized, the old side already materialized), so the
+        # round's one materialization job carries the convergence
+        # signal; every node has >= 1 neighbor, so the inner join keeps
+        # the full node set
         new_labels = (
             cnt.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select("node", "community")
+            .join(labels.select("node", F.col("community").alias("_prev")), "node")
+            .select(
+                "node",
+                "community",
+                (F.col("community") != F.col("_prev")).alias("_chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.withColumnRenamed("community", "_new")
-            .join(labels, "node")
-            .filter(F.col("_new") != F.col("community"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        labels = new_labels.select("node", "community")
+        if new_labels.filter("_chg").isEmpty():
             converged = True
             break
         rounds_run += 1
@@ -451,9 +484,12 @@ def kcore_prune(
     src: str = "src",
     dst: str = "dst",
     info: dict | None = None,
+    edges_canonical: bool = False,
 ) -> DataFrame:
     """Bounded-round k-core peeling of an undirected edge list
-    (canonicalized here): ``rounds`` synchronous passes of "drop every
+    (canonicalized here unless ``edges_canonical=True`` — the caller
+    proves src<dst, distinct, no self-loops, skipping a redundant
+    Exchange, r13 §2.4): ``rounds`` synchronous passes of "drop every
     node with degree < k, then drop edges touching dropped nodes".
     Returns the surviving (node, deg) — after enough rounds this IS
     the k-core; with a fixed round count it is the standard bounded
@@ -474,15 +510,18 @@ def kcore_prune(
     ``info={}`` to receive ``{"rounds_run", "converged"}``;
     ``rounds_run`` counts only rounds that peeled at least one edge —
     the convergence-detecting round itself is excluded."""
-    e = (
-        edges.select(
-            F.least(F.col(src), F.col(dst)).alias("a"),
-            F.greatest(F.col(src), F.col(dst)).alias("b"),
+    if edges_canonical:
+        e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    else:
+        e = (
+            edges.select(
+                F.least(F.col(src), F.col(dst)).alias("a"),
+                F.greatest(F.col(src), F.col(dst)).alias("b"),
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint()
-    )
+    e = e.localCheckpoint()
     rounds_run, converged = 0, False
     for _ in range(rounds):
         deg = (

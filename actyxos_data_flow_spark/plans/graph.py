@@ -158,7 +158,9 @@ def graph_triangles_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orientation (operators/graph.triangle_stats — wedge out-degree
     O(sqrt m), three equi-joins). clustering = 3·triangles/wedges at
     6dp gates the ratio into the value hash.""".format(top=PARTNERS_TOP)
-    return G.triangle_stats(_strong_tie_edges(spark, sf_dir))
+    # the strong-tie table is already canonical (src<dst, distinct, no
+    # self-loops) — skip the operator's defensive re-canonicalization
+    return G.triangle_stats(_strong_tie_edges(spark, sf_dir), edges_canonical=True)
 
 
 def _supplier_pair_counts(li: DataFrame) -> DataFrame:
@@ -386,7 +388,8 @@ def graph_pagerank_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-time cost amortized across every graph query on the same
     edge list — PageRank, BFS, shortest paths all share it."""
     edges = _trade_edges_bucketed(spark, sf_dir)
-    ranks = G.pagerank(edges)
+    # the mirror is written deduped — skip the operator's distinct
+    ranks = G.pagerank(edges, edges_deduped=True)
     lim = ranks.orderBy(F.col("pr_fp9").desc(), F.col("node").asc()).limit(PR_TOP)
     w = W.orderBy(F.col("pr_fp9").desc(), F.col("node").asc())
     kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
@@ -439,13 +442,20 @@ def graph_bfs_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_custkey") * 2).alias("src"),
         (F.col("l_suppkey") * 2 + 1).alias("dst"),
     )
-    edges = fwd.unionByName(
-        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # dedupe ONE direction and mirror it: the graph is bipartite
+    # (customers even, suppliers odd), so fwd rows are (even, odd) and
+    # reversed rows (odd, even) — the two sets are disjoint and the
+    # union of a distinct set with its reversal is distinct. Halves the
+    # bytes through the dedupe Exchange, the query's biggest shuffle
+    # (r13, guide §2.3).
+    d = fwd.distinct()
+    edges = d.unionByName(
+        d.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
     seeds = cust.filter(F.col("c_nationkey") == BFS_NATION).select(
         (F.col("c_custkey") * 2).alias("node")
     )
-    dist = G.bfs_distances(edges, seeds, BFS_DEPTH)
+    dist = G.bfs_distances(edges, seeds, BFS_DEPTH, edges_deduped=True)
     kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
     return dist.select("node", kind.alias("kind"), "dist")
 
@@ -494,7 +504,11 @@ def graph_bfs_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     seeds = cust.filter(F.col("c_nationkey") == BFS_NATION).select(
         (F.col("c_custkey") * 2).alias("node")
     )
-    dist = G.bfs_distances(_trade_edges_und_bucketed(spark, sf_dir), seeds, BFS_DEPTH)
+    dist = G.bfs_distances(
+        # the mirror is written deduped — skip the operator's distinct
+        _trade_edges_und_bucketed(spark, sf_dir), seeds, BFS_DEPTH,
+        edges_deduped=True,
+    )
     kind = F.when(F.col("node") % 2 == 0, "customer").otherwise("supplier")
     return dist.select("node", kind.alias("kind"), "dist")
 
@@ -633,7 +647,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     complements the census (local transitivity) and link prediction
     (edge-level affinity) with the graph's mesoscale.""".format(n=LPA_ITERS)
     te = _strong_tie_edges(spark, sf_dir)
-    labels = G.label_propagation(te, iters=LPA_ITERS)
+    labels = G.label_propagation(te, iters=LPA_ITERS, edges_deduped=True)
     size = labels.groupBy("community").agg(
         F.count(F.lit(1)).cast("long").alias("community_size")
     )
@@ -914,7 +928,7 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=KCORE_K, r=KCORE_ROUNDS
     )
     te = _strong_tie_edges(spark, sf_dir)
-    return G.kcore_prune(te, k=KCORE_K, rounds=KCORE_ROUNDS)
+    return G.kcore_prune(te, k=KCORE_K, rounds=KCORE_ROUNDS, edges_canonical=True)
 
 
 # -- community quality: Newman modularity of the LPA partition --------------
@@ -977,11 +991,13 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-sided label join, model-sized algebra; the oracle replays the
     LPA rounds AND the modularity algebra."""
     te = _strong_tie_edges(spark, sf_dir)
-    labels = G.label_propagation(te, iters=LPA_ITERS).localCheckpoint()
-    und = (
-        te.select(F.col("src").alias("s"), F.col("dst").alias("p"))
-        .unionByName(te.select(F.col("dst").alias("s"), F.col("src").alias("p")))
-        .distinct()
+    labels = G.label_propagation(
+        te, iters=LPA_ITERS, edges_deduped=True
+    ).localCheckpoint()
+    # te is canonical (src<dst, distinct) so its two directed copies
+    # are disjoint — the union is distinct by construction (r13 §2.4)
+    und = te.select(F.col("src").alias("s"), F.col("dst").alias("p")).unionByName(
+        te.select(F.col("dst").alias("s"), F.col("src").alias("p"))
     )
     M = und.agg(F.count(F.lit(1)).alias("m2"))
     deg = und.groupBy(F.col("s").alias("node")).agg(F.count(F.lit(1)).alias("deg"))
