@@ -206,9 +206,19 @@ def sketch_kmv_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # hashes of distinct custkeys; a final distinct() keeps the exact
-    # oracle semantics (DISTINCT h) even under 60-bit hash collisions
-    ha = dc.filter(F.col("in_a")).select("h").distinct()
-    hb = dc.filter(F.col("in_b")).select("h").distinct()
+    # oracle semantics (DISTINCT h) even under 60-bit hash collisions.
+    # HYBRID (r13 A/B): ha/hb are INDEPENDENT raw-scan projections —
+    # their two column-pruned scans schedule concurrently instead of
+    # serializing behind the tagged aggregate's single wide stage.
+    def _hashes(p):
+        return (
+            orders.filter(F.col("o_orderpriority") == p)
+            .select(K.kmv_hash(F.col("o_custkey")).alias("h"))
+            .distinct()
+        )
+
+    ha = _hashes(_SET_A)
+    hb = _hashes(_SET_B)
     ska = cache.pin(ha.orderBy(F.col("h").asc()).limit(_KK))
     skb = cache.pin(hb.orderBy(F.col("h").asc()).limit(_KK))
     sku = cache.pin(
