@@ -217,9 +217,16 @@ def bpe_train_topr(
             # syms_tbl once the budget is spent, so a last checkpoint
             # would be a wasted materialization job executing the final
             # folds for no consumer. Otherwise cut only when the next
-            # round's folds would push the un-cut depth past the bound.
+            # round's folds would push the un-cut depth past the bound —
+            # using the next round's TRUE upper bound min(r, remaining)
+            # (r13, ADVICE r12: the raw per-round budget forced an
+            # unnecessary cut on a penultimate round whose remaining
+            # merge budget was < r). Caveat: when r > max_fold_depth the
+            # un-cut depth still reaches r within a single round — the
+            # bound holds between rounds, not inside one.
             pending_folds += len(acc)
-            if len(merges) < n_merges and pending_folds + r > max_fold_depth:
+            nxt = min(r, n_merges - len(merges))
+            if nxt > 0 and pending_folds + nxt > max_fold_depth:
                 syms_tbl = syms_tbl.localCheckpoint()
                 pending_folds = 0
     finally:
