@@ -440,24 +440,31 @@ def pipeline_bpe_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Exchange nodes before the cut)
     clean = clean_doc_ids(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").join(clean, "doc_id")
-    # ONE corpus explode scan (r12): the pinned per-doc occurrence
-    # table is the only materialization of the clean text — trainer
-    # frequencies (sum over docs == word_freqs' counts), encoder type
-    # set, and the length join all read it from cache. The docs frame
-    # itself no longer needs a pin: occ is its sole consumer.
-    occ = cache.pin(
-        docs.select("doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word"))
-        .filter(F.col("word") != "")
-        .groupBy("doc_id", "lang", "word")
-        .agg(F.count(F.lit(1)).alias("occ"))
-    )
-    wf = cache.pin(occ.groupBy("word").agg(F.sum("occ").alias("freq")))
+    # r13 (guide §2.3 aggregate before you shuffle): the r12 form
+    # pinned a per-(doc, word) occurrence table — but that groupBy
+    # shuffled ~every token occurrence under NEAR-UNIQUE keys (no
+    # map-side combining; the widest exchange in the query) only so two
+    # consumers could share one cache. Both consumers aggregate
+    # FURTHER: word frequencies collapse to the vocab (tiny partials on
+    # `word`) and document lengths collapse to one row per doc (tiny
+    # partials on (doc_id, lang)) — so each now aggregates straight off
+    # the row-local exploded tokens with REAL partial aggregation, and
+    # the occurrence exchange plus its cache disappear. Two corpus
+    # explode scans instead of one cached table: measured cheaper at
+    # the 10x probe both this round and in r12 §13 (explodes are
+    # row-local; the cache write was the cost).
+    tokens = docs.select(
+        "doc_id", "lang", F.explode(F.split(F.col("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    wf = cache.pin(tokens.groupBy("word").agg(F.count(F.lit(1)).alias("freq")))
     merges = B.bpe_train_topr(docs, n_merges=N_MERGES, wf=wf)
     enc = B.bpe_encode_words(wf.select("word"), merges)
+    # per-doc length: one shuffle of per-task (doc, lang) partials —
+    # Σ_token n_bpe(word) == Σ_word occ·n_bpe, exact integer sum
     dl = (
-        occ.join(F.broadcast(enc.select("word", "n_bpe")), "word")
+        tokens.join(F.broadcast(enc.select("word", "n_bpe")), "word")
         .groupBy("doc_id", "lang")
-        .agg(F.sum(F.col("occ") * F.col("n_bpe")).cast("long").alias("bpe_tokens"))
+        .agg(F.sum("n_bpe").cast("long").alias("bpe_tokens"))
     )
     return X.pack_sequences(
         dl, id_col="doc_id", len_col="bpe_tokens", budget=PACK_BUDGET, order_cols=("doc_id",)
