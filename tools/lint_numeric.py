@@ -341,7 +341,7 @@ SPARK_ALLOWLIST: list[tuple[str, str, str]] = [
      "[render<2^53] exact DECIMAL(28,9) decay sum re-rendered (oracle mirror)"),
     (r"plans/dedup\.py:440", r"F\.round\(cos, 6\)",
      "[libm-score] crossmodal cosine (oracle [sqrt-norm] mirror)"),
-    (r"plans/graph\.py:(534|81[456]|831)", r"cast\(\"double\"\)",
+    (r"plans/graph\.py:(590|849|85[01]|866)", r"cast\(\"double\"\)",
      "[render<2^53] Adamic-Adar 9dp sum + neighbor-feature stats re-rendered (oracle mirror)"),
     (r"plans/quantiles\.py", r"F\.round\(",
      "[on-grid] integer cents x100 / /100 re-rendering (oracle [on-grid] mirror)"),
